@@ -1,0 +1,69 @@
+"""DuckDB-SQL fragment builders matching our Spark distance expressions.
+
+The driver's correctness gate runs each Spark query next to an ANSI-SQL oracle
+in DuckDB and hash-compares values. Floats only hash-match if both engines do
+the *same IEEE754 operations in the same order*, so these fragments mirror
+`functions/distance.py` exactly: cast elements to DOUBLE, combine pairwise,
+fold sequentially left-to-right (`list_reduce` is a seedless sequential fold;
+our Spark fold seeds with 0.0, and 0.0+x == x exactly).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+__all__ = ["sql_vector_lit", "sql_l2sq", "sql_neg_ip", "sql_inner_product",
+           "sql_cosine_sim", "sql_cosine_dist", "sql_index_distance"]
+
+
+def sql_vector_lit(vec: Sequence[float]) -> str:
+    """A DOUBLE[] literal.
+
+    Scientific notation is mandatory: DuckDB parses plain decimal literals as
+    DECIMAL (losing low bits through base-10), but E-notation literals as
+    DOUBLE. %.17e round-trips any IEEE754 double exactly.
+    """
+    return "[" + ", ".join(f"{float(x):.17e}" for x in vec) + "]"
+
+
+def _zip_fold(a: str, b: str, combine: str) -> str:
+    # combine uses placeholders {x} and {y}
+    expr = combine.format(x=f"CAST({a}[i] AS DOUBLE)", y=f"CAST({b}[i] AS DOUBLE)")
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), i -> {expr}), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def sql_l2sq(a: str, b: str) -> str:
+    return _zip_fold(a, b, "({x} - {y}) * ({x} - {y})")
+
+
+def sql_inner_product(a: str, b: str) -> str:
+    return _zip_fold(a, b, "{x} * {y}")
+
+
+def sql_neg_ip(a: str, b: str) -> str:
+    return f"-({sql_inner_product(a, b)})"
+
+
+def sql_cosine_sim(a: str, b: str) -> str:
+    dot = sql_inner_product(a, b)
+    na = f"sqrt({sql_inner_product(a, a)})"
+    nb = f"sqrt({sql_inner_product(b, b)})"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def sql_cosine_dist(a: str, b: str) -> str:
+    return f"1.0 - ({sql_cosine_sim(a, b)})"
+
+
+def sql_index_distance(metric: str, a: str, b: str) -> str:
+    m = metric.lower()
+    if m == "l2":
+        return sql_l2sq(a, b)
+    if m == "ip":
+        return sql_neg_ip(a, b)
+    if m == "cosine":
+        return sql_cosine_dist(a, b)
+    raise ValueError(f"Unknown metric '{metric}'. Supported: L2, IP")
