@@ -125,7 +125,7 @@ def index_distance(metric: str, a: ColumnOrName, b) -> Column:
         return neg_inner_product(a, b)
     if m == "cosine":
         return cosine_distance(a, b)
-    raise ValueError(f"Unknown metric '{metric}'. Supported: L2, IP")
+    raise ValueError(f"Unknown metric '{metric}'. Supported: {', '.join(METRICS)}")
 
 
 def np_index_distances(metric: str, mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
@@ -152,7 +152,11 @@ def np_index_distances(metric: str, mat: np.ndarray, queries: np.ndarray) -> np.
     if m == "cosine":
         qn = np.linalg.norm(queries, axis=1, keepdims=True)
         mn = np.linalg.norm(mat, axis=1)[None, :]
-        denom = qn * mn
-        denom[denom == 0] = 1.0
-        return 1.0 - dots / denom
-    raise ValueError(f"Unknown metric '{metric}'. Supported: L2, IP")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = 1.0 - dots / (qn * mn)
+        # Zero-vector convention: distance is undefined → NaN, matching the
+        # Column/DuckDB path (0/0 → NULL there). NaN sorts last under
+        # np.argsort and NULL sorts last under our asc_nulls_last top-k, so
+        # both paths rank zero vectors identically (i.e. never nearest).
+        return d
+    raise ValueError(f"Unknown metric '{metric}'. Supported: {', '.join(METRICS)}")

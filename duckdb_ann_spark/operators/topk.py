@@ -42,7 +42,10 @@ def topk(
     stable top-k which we must not rely on).
     """
     out = df.withColumn(distance_col, index_distance(metric, vec_col, query))
-    order = [F.col(distance_col).asc()]
+    # asc_nulls_last: DuckDB sorts NULLs last by default, Spark sorts them
+    # first — NULL distances (zero-vector cosine, dimension-mismatched rows)
+    # must never rank as nearest in either engine.
+    order = [F.col(distance_col).asc_nulls_last()]
     if id_col is not None:
         order.append(F.col(id_col).asc())
     return out.orderBy(*order).limit(k)
@@ -61,5 +64,10 @@ def vector_distances(
     `/root/reference/src/ann_search.cpp:741-892`. No index involved; the
     distance is a native column expression so it stays inside whole-stage
     codegen (the reference's GPU batch path maps to JVM codegen here).
+
+    Documented divergence: the reference zero-fills dimension-mismatched
+    rows and returns a finite distance (`ann_search.cpp` VectorDistancesInOut);
+    here `zip_with` padding propagates NULL into `_distance`, which sorts
+    last (never nearest). Validate dimensions at ingest if parity matters.
     """
     return df.withColumn(distance_col, index_distance(metric, vec_col, query))

@@ -66,4 +66,4 @@ def sql_index_distance(metric: str, a: str, b: str) -> str:
         return sql_neg_ip(a, b)
     if m == "cosine":
         return sql_cosine_dist(a, b)
-    raise ValueError(f"Unknown metric '{metric}'. Supported: L2, IP")
+    raise ValueError(f"Unknown metric '{metric}'. Supported: l2, ip, cosine")

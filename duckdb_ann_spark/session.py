@@ -18,9 +18,14 @@ def get_spark(app_name: str = "duckdb_ann_spark", cpus: int | None = None) -> Sp
     """Create (or reuse) a SparkSession with engine defaults."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = SparkSession.builder
+    # Only force a local master when none is provided by the launch
+    # environment (spark-submit --master / SPARK_MASTER set by a cluster);
+    # note getOrCreate() reuses any existing session and ignores configs.
+    if not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -51,6 +51,11 @@ def assert_df_matches_oracle(sdf, duck_con, oracle_sql, sort_cols=None, rtol=0.0
     for c in cols:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
+            # int-vs-float drift (e.g. DuckDB HUGEINT → float64) breaks the
+            # driver's value hash even when == holds; catch it here too.
+            assert isinstance(x, float) == isinstance(y, float), (
+                f"col {c} row {i}: dtype drift {type(x).__name__} vs {type(y).__name__}"
+            )
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue

@@ -79,7 +79,7 @@ def test_cosine(vectors3):
 def test_index_distance_dispatch(vectors3):
     assert _dist_map(vectors3, index_distance("l2", "embedding", [1, 0, 0]))[2] == 2.0
     assert _dist_map(vectors3, index_distance("IP", "embedding", [1, 0, 0]))[1] == -1.0
-    with pytest.raises(ValueError, match="Supported: L2, IP"):
+    with pytest.raises(ValueError, match="Supported: l2, ip, cosine"):
         index_distance("hamming", "embedding", [1, 0, 0])
 
 
