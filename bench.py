@@ -1,0 +1,118 @@
+"""Benchmark harness. Prints ONE JSON line the driver parses.
+
+Workloads:
+* `ann_d{128,256,768}`: the reference bench shape
+  (`/root/reference/bench/metal_diskann_bench.sql:7-39`): 10k synthetic
+  vectors, 50 queries x k=10 top-k-per-query, via the BLAS batch engine
+  (mapInPandas partial top-k + window merge).
+* `topk_sf`, `batch_sf`: exact top-k and 50-query batch over the driver
+  testdata embeddings at $SPARK_GRAFT_SF_DIR.
+* `rel_q1`, `rel_star_join`: the relational substrate at the same SF.
+
+Metric: total wall seconds over all workloads (lower is better), with the
+per-query breakdown in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.operators.batch import search_batch_ids
+from duckdb_ann_spark.operators.topk import topk
+from duckdb_ann_spark.session import get_spark
+from duckdb_ann_spark.suite.relational import (
+    q_multi_join_region_sales,
+    q_pricing_summary,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_VECTORS = 10_000
+N_QUERIES = 50
+K = 10
+DIMS = (128, 256, 768)
+
+
+def _synthetic_vectors(spark, n: int, dim: int, seed: int):
+    """Deterministic synthetic vectors, generated distributed (no driver
+    materialization): id + array<float> of U(0,1)."""
+    df = spark.range(n).withColumn(
+        "embedding",
+        F.array(*[F.rand(seed + j).cast("float") for j in range(dim)]),
+    )
+    return df.select(F.col("id").alias("vec_id"), "embedding")
+
+
+def bench_ann(spark, dim: int) -> float:
+    rng = np.random.default_rng(4242 + dim)
+    queries = rng.random((N_QUERIES, dim), dtype=np.float32)
+    vecs = _synthetic_vectors(spark, N_VECTORS, dim, seed=dim)
+    vecs = vecs.persist()
+    vecs.count()  # build cost excluded: the bench times search, like the SQL harness
+    t0 = time.perf_counter()
+    res = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    n = res.count()
+    dt = time.perf_counter() - t0
+    assert n == N_QUERIES * K, n
+    vecs.unpersist()
+    return dt
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cpus=cpus)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow paths once so timings measure steady state
+    spark.range(1000).withColumn("x", F.rand(1)).agg(F.sum("x")).collect()
+
+    for dim in DIMS:
+        timings[f"ann_d{dim}"] = bench_ann(spark, dim)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow[0]]
+
+    t0 = time.perf_counter()
+    topk(emb, "embedding", qvec, k=10, metric="l2", id_col="vec_id").collect()
+    timings["topk_sf"] = time.perf_counter() - t0
+
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    qs = np.array([r["embedding"] for r in qrows], dtype=np.float32)
+    t0 = time.perf_counter()
+    search_batch_ids(emb, "vec_id", "embedding", qs, K, "l2").count()
+    timings["batch_sf"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    q_pricing_summary(spark, SF_DIR).collect()
+    timings["rel_q1"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    q_multi_join_region_sales(spark, SF_DIR).collect()
+    timings["rel_star_join"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Multi-query batch vector search (`ann_search_batch` / `ann_search_table`).
+
+Reference semantics: `ann_search_batch(table, index, queries, k)` returns
+`query_idx` + table columns + `_distance`, and `ann_search_table(TABLE
+queries, ...)` additionally passes the query table's columns through,
+deduping collisions with a `table_` prefix on the base columns
+(`/root/reference/src/ann_search.cpp:202-388,397-691,516-528`).
+
+Spark-first execution (the reference's lock-step batch BFS,
+`rust_lib/src/provider.rs:248-441`, aggregates distance work into one
+batched kernel — the same idea expressed distributively):
+
+* the query set is broadcast to executors as one numpy matrix;
+* `mapInPandas` computes per-Arrow-batch distances with one BLAS matmul
+  and keeps only the per-batch top-k per query (`k·q` rows per batch);
+* a final window (`partitionBy query_idx`) merges partial top-ks — the
+  shuffle moves `O(k · q · n_batches)` candidate rows, never the data.
+
+At 100 TB nothing here materializes the base table: the scan streams,
+the only wide exchange is over the tiny candidate set.
+
+Two methods:
+* ``blas`` (default): float32 numpy kernels — the fast path.
+* ``exact``: JVM Column expressions (crossJoin with the query table +
+  sequential-fold distances) — bit-exact vs the DuckDB oracle; use for
+  correctness gates and small query sets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import index_distance, np_index_distances
+
+__all__ = ["search_batch_ids", "ann_search_batch", "ann_search_table"]
+
+DISTANCE_COL = "_distance"
+
+
+def _queries_matrix(queries: Sequence[Sequence[float]]) -> np.ndarray:
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim != 2:
+        raise ValueError("queries must be a list of equal-length float vectors")
+    return q
+
+
+def search_batch_ids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: Sequence[Sequence[float]],
+    k: int,
+    metric: str = "l2",
+    method: str = "blas",
+) -> DataFrame:
+    """Low-level batch search → DataFrame(query_idx int, <id_col>, _distance).
+
+    Exact brute force over `df` (the Flat-engine batch path). Ties broken
+    on id ascending, like the single-query `topk`.
+    """
+    if method == "exact":
+        return _search_batch_exact(df, id_col, vec_col, queries, k, metric)
+    qmat = _queries_matrix(queries)
+    spark = df.sparkSession
+    bq = spark.sparkContext.broadcast(qmat)
+    out_schema = f"query_idx int, {id_col} long, {DISTANCE_COL} double"
+
+    def part_topk(batches):
+        qm = bq.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            ids = pdf[id_col].to_numpy()
+            dists = np_index_distances(metric, mat, qm)  # (q, n)
+            kk = min(k, n)
+            # per-query partial top-k (argpartition = O(n), not a sort)
+            if kk < n:
+                idx = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+            else:
+                idx = np.broadcast_to(np.arange(n), (qm.shape[0], n))
+            qi = np.repeat(np.arange(qm.shape[0], dtype=np.int32), kk)
+            flat = idx.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "query_idx": qi,
+                    id_col: ids[flat],
+                    DISTANCE_COL: dists[
+                        np.repeat(np.arange(qm.shape[0]), kk), flat
+                    ].astype(np.float64),
+                }
+            )
+
+    partial = df.select(id_col, vec_col).mapInPandas(part_topk, schema=out_schema)
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc()
+    )
+    merged = (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return merged
+
+
+def _search_batch_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: Sequence[Sequence[float]],
+    k: int,
+    metric: str,
+) -> DataFrame:
+    """Bit-exact batch path: broadcast query table + JVM distance columns."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+        "query_idx int, _qv array<double>",
+    )
+    joined = df.select(id_col, vec_col).crossJoin(F.broadcast(qdf))
+    scored = joined.withColumn(DISTANCE_COL, index_distance(metric, vec_col, F.col("_qv")))
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_idx", id_col, DISTANCE_COL)
+    )
+
+
+def ann_search_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: Sequence[Sequence[float]],
+    k: int,
+    metric: str = "l2",
+    method: str = "blas",
+) -> DataFrame:
+    """`ann_search_batch` shape: query_idx + all table columns + _distance,
+    ordered within each query_idx by distance (ties on id)."""
+    hits = search_batch_ids(df, id_col, vec_col, queries, k, metric, method)
+    return hits.join(df, on=id_col, how="inner").select(
+        "query_idx", *df.columns, DISTANCE_COL
+    )
+
+
+def ann_search_table(
+    queries_df: DataFrame,
+    query_vec_col: str,
+    base_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    metric: str = "l2",
+    query_id_col: Optional[str] = None,
+    method: str = "blas",
+) -> DataFrame:
+    """`ann_search_table` shape: all query-table columns pass through, base
+    columns follow (name collisions get a `table_` prefix —
+    `src/ann_search.cpp:516-528`), then `_distance`.
+
+    The query table is collected to the driver to form the broadcast
+    matrix — the reference has the same shape (queries are one in-memory
+    batch per call); for huge query sets, chunk the query table and union.
+    """
+    spark = queries_df.sparkSession
+    qrows = queries_df.collect()
+    queries = [[float(x) for x in r[query_vec_col]] for r in qrows]
+    hits = search_batch_ids(base_df, id_col, vec_col, queries, k, metric, method).select(
+        "query_idx", F.col(id_col).alias("_hit_id"), DISTANCE_COL
+    )
+    # Re-create the (tiny, already-collected) query table with its index —
+    # avoids any reliance on DataFrame ordering.
+    qwith = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(qrows)],
+        schema=["query_idx", *queries_df.columns],
+    )
+    qcols = set(queries_df.columns)
+    renamed = base_df
+    base_cols = []
+    for c in base_df.columns:
+        out_name = f"table_{c}" if c in qcols else c
+        if out_name != c:
+            renamed = renamed.withColumnRenamed(c, out_name)
+        base_cols.append(out_name)
+    join_id = f"table_{id_col}" if id_col in qcols else id_col
+    out = hits.join(F.broadcast(qwith), on="query_idx").join(
+        renamed, hits["_hit_id"] == renamed[join_id], "inner"
+    )
+    return out.select(*queries_df.columns, "query_idx", *base_cols, DISTANCE_COL)

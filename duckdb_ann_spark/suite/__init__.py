@@ -57,7 +57,8 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import vector  # noqa: F401
+    from . import batch  # noqa: F401
     from . import relational  # noqa: F401
+    from . import vector  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,100 @@
+"""Driver queries: `ann_search_batch` / `ann_search_table` (SURVEY §2.1).
+
+Oracle = the reference bench's LATERAL top-k-per-query workload
+(`bench/metal_diskann_bench.sql:31-39`) expressed as cross join + window
+(DuckDB lambdas can't capture LATERAL-correlated columns). The exact
+(JVM Column) method is used so values hash-match bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.batch import ann_search_table, search_batch_ids
+from ..oracle import sql_index_distance
+from . import register
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(spark: SparkSession, sf_dir: str, n: int) -> list[list[float]]:
+    rows = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") < n)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _batch_oracle(metric: str, n_q: int, k: int) -> str:
+    dist = sql_index_distance(metric, "e.embedding", "q.qv")
+    return f"""
+        WITH qs AS (
+            SELECT vec_id AS query_idx, embedding AS qv
+            FROM embeddings WHERE vec_id < {n_q}
+        )
+        SELECT query_idx, vec_id, _distance FROM (
+            SELECT CAST(q.query_idx AS INT) AS query_idx, e.vec_id,
+                   {dist} AS _distance,
+                   row_number() OVER (
+                       PARTITION BY q.query_idx ORDER BY {dist}, e.vec_id
+                   ) AS rn
+            FROM qs q CROSS JOIN embeddings e
+        ) WHERE rn <= {k}
+    """
+
+
+@register("ann_search_batch", _batch_oracle("l2", 5, 5))
+def q_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = _queries(spark, sf_dir, 5)
+    return search_batch_ids(
+        _emb(spark, sf_dir), "vec_id", "embedding", qs, k=5, metric="l2",
+        method="exact",
+    )
+
+
+@register("ann_search_batch_ip", _batch_oracle("ip", 5, 5))
+def q_ann_search_batch_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = _queries(spark, sf_dir, 5)
+    return search_batch_ids(
+        _emb(spark, sf_dir), "vec_id", "embedding", qs, k=5, metric="ip",
+        method="exact",
+    )
+
+
+@register(
+    "ann_search_table",
+    f"""
+    WITH qs AS (
+        SELECT CAST(vec_id AS INT) AS query_idx, vec_id AS q_vec_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 3
+    )
+    SELECT q_vec_id AS vec_id, query_idx, table_vec_id, label, _distance FROM (
+        SELECT q.query_idx, q.q_vec_id, e.vec_id AS table_vec_id, e.label,
+               {sql_index_distance('l2', 'e.embedding', 'q.qv')} AS _distance,
+               row_number() OVER (
+                   PARTITION BY q.query_idx
+                   ORDER BY {sql_index_distance('l2', 'e.embedding', 'q.qv')}, e.vec_id
+               ) AS rn
+        FROM qs q CROSS JOIN embeddings e
+    ) WHERE rn <= 3
+    """,
+)
+def q_ann_search_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-input batch search with passthrough + `table_` prefix dedup.
+
+    Uses the exact method so the driver hash matches; the blas path is
+    covered by tests/test_batch_search.py id-overlap checks.
+    """
+    emb = _emb(spark, sf_dir)
+    qdf = emb.where(F.col("vec_id") < 3).orderBy("vec_id").select("vec_id", "embedding")
+    base = emb.select("vec_id", "embedding", "label")
+    res = ann_search_table(
+        qdf, "embedding", base, "vec_id", "embedding", k=3, method="exact"
+    )
+    return res.select("vec_id", "query_idx", "table_vec_id", "label", "_distance")
