@@ -1,0 +1,28 @@
+"""ANN index subsystem: build, catalog, search, lifecycle.
+
+Public API (mirrors the reference extension's SQL surface, SURVEY §2.1-2.2):
+
+* :func:`create_index` — `CREATE INDEX ... USING DISKANN/FAISS (col) WITH (...)`
+* :func:`ann_search` — single-query search + row fetch
+* :func:`index_scan` — low-level (id, distance) scan
+  (`diskann_index_scan` / `faiss_index_scan`)
+* :func:`ann_search_batch_indexed` — batch search through an index
+* :func:`ann_list` / :func:`ann_index_info` — catalog diagnostics
+* :func:`delete_from_index` / :func:`vacuum_index` / :func:`merge_indexes` /
+  :func:`drop_index` — DML lifecycle
+"""
+
+from .api import (  # noqa: F401
+    ann_index_info,
+    ann_list,
+    ann_search,
+    ann_search_batch_indexed,
+    create_index,
+    delete_from_index,
+    drop_index,
+    index_scan,
+    merge_indexes,
+    vacuum_index,
+)
+from .catalog import Catalog  # noqa: F401
+from .params import DiskannParams, FaissParams  # noqa: F401

@@ -1,0 +1,402 @@
+"""Index lifecycle + search API (the extension's SQL surface, Spark-first).
+
+Validation messages and semantics follow the reference:
+
+* "DISKANN index requires exactly one column" — enforced by signature
+  (one `vec_col`), `src/diskann_index.cpp:78-80`.
+* "DISKANN index column must be FLOAT[N] (fixed-size array)" —
+  `src/diskann_index.cpp:82-84`; Spark has no fixed-size array type, so
+  the dimension is validated at build (one aggregate pass) and recorded
+  in the manifest.
+* 'Index with name "x" already exists!' — `src/diskann_index.cpp:268`.
+* "ANN index 'x' not found on table 'y'" — `src/ann_search.cpp:147`.
+* Dimension-mismatched queries return empty — `src/diskann_index.cpp:554-556`.
+* Deleted rows: search over-requests `k + |deleted|`, filters, then
+  trims to k — `src/diskann_index.cpp:552-595`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import Catalog
+from .engines import get_engine
+from .params import parse_params
+from . import flat  # noqa: F401  (registers the Flat engine)
+
+DISTANCE_COL = "_distance"
+DELETED_DIR = "deleted"
+
+
+def _check_vec_type(df: DataFrame, vec_col: str, engine: str) -> None:
+    try:
+        field = df.schema[vec_col]
+    except KeyError:
+        raise ValueError(f"Column '{vec_col}' not found in DataFrame") from None
+    ok = isinstance(field.dataType, T.ArrayType) and isinstance(
+        field.dataType.elementType, (T.FloatType, T.DoubleType)
+    )
+    if not ok:
+        raise ValueError(
+            f"{engine.upper()} index column must be FLOAT[N] (fixed-size array)"
+        )
+
+
+def create_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    engine: str = "faiss",
+    table_name: str = "",
+    if_not_exists: bool = False,
+    catalog: Optional[Catalog] = None,
+    **options,
+) -> dict:
+    """`CREATE INDEX name ON table USING <engine> (vec_col) WITH (options)`.
+
+    One distributed validation pass computes dimension consistency, id
+    uniqueness, and the row count before any data is written; the engine
+    then builds the artifact and the manifest commit makes it visible
+    (crash-consistent: manifest is written last).
+    """
+    spark = df.sparkSession
+    cat = catalog or Catalog()
+    engine = engine.lower()
+    params = parse_params(engine, options)
+    _check_vec_type(df, vec_col, engine)
+
+    src = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("n_ids"),
+        F.min(F.size(vec_col)).alias("dim_min"),
+        F.max(F.size(vec_col)).alias("dim_max"),
+    ).head()
+    n = stats["n"]
+    if n > 0 and stats["dim_min"] != stats["dim_max"]:
+        raise ValueError(
+            f"{engine.upper()} index column must be FLOAT[N] (fixed-size array): "
+            f"found dimensions {stats['dim_min']}..{stats['dim_max']}"
+        )
+    if stats["n_ids"] != n:
+        raise ValueError(
+            f"id column '{id_col}' must be unique: {n} rows, {stats['n_ids']} ids"
+        )
+    dim = int(stats["dim_min"] or 0)
+
+    d = cat.begin_create(name, if_not_exists=if_not_exists)
+    if not d:  # IF NOT EXISTS no-op
+        return cat.load(name)
+
+    subtype = getattr(params, "type_norm", "vamana" if engine == "diskann" else "flat")
+    impl = get_engine(engine, subtype)
+    try:
+        extra = impl.build(spark, src, id_col, vec_col, d, params, dim)
+        manifest = {
+            "name": name,
+            "engine": engine.upper(),
+            "subtype": subtype,
+            "table_name": table_name,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "dim": dim,
+            "num_vectors": int(n),
+            "num_deleted": 0,
+            "params": params.to_manifest(),
+            **(extra or {}),
+        }
+        return cat.commit(name, manifest)
+    except Exception:
+        cat.drop(name)
+        raise
+
+
+def _load(name: str, table_name: str, catalog: Optional[Catalog]):
+    cat = catalog or Catalog()
+    manifest = cat.load(name, table_name)
+    d = cat.path(name)
+    impl = get_engine(manifest["engine"], manifest["subtype"])
+    return cat, manifest, d, impl
+
+
+def _deleted_ids(spark: SparkSession, d: str, manifest: dict) -> Optional[DataFrame]:
+    if manifest.get("num_deleted", 0) <= 0:
+        return None
+    path = os.path.join(d, DELETED_DIR)
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path).select(manifest["id_col"]).distinct()
+
+
+def index_scan(
+    spark: SparkSession,
+    name: str,
+    queries: Sequence[Sequence[float]] | Sequence[float],
+    k: int,
+    search_complexity: Optional[int] = None,
+    catalog: Optional[Catalog] = None,
+    table_name: str = "",
+) -> DataFrame:
+    """Low-level scan → (query_idx, id, _distance), the
+    `diskann_index_scan` / `faiss_index_scan` shape
+    (`src/diskann_functions.cpp:17-125`)."""
+    cat, manifest, d, impl = _load(name, table_name, catalog)
+    qs = _as_queries(queries)
+    id_col = manifest["id_col"]
+
+    if qs and len(qs[0]) != manifest["dim"]:
+        # dimension mismatch → empty result (src/diskann_index.cpp:554-556)
+        schema = f"query_idx int, {id_col} long, {DISTANCE_COL} double"
+        return spark.createDataFrame([], schema)
+
+    deleted = _deleted_ids(spark, d, manifest)
+    # over-request k + |deleted| so tombstones can't starve the result
+    # (src/diskann_index.cpp:558-592)
+    eff_k = k + int(manifest.get("num_deleted", 0)) if deleted is not None else k
+    hits = impl.search(spark, manifest, d, qs, eff_k, search_complexity)
+    if deleted is not None:
+        hits = hits.join(F.broadcast(deleted), on=id_col, how="anti")
+        w = Window.partitionBy("query_idx").orderBy(
+            F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc()
+        )
+        hits = (
+            hits.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return hits
+
+
+def _as_queries(queries) -> list:
+    if queries and isinstance(queries[0], (int, float)):
+        return [list(queries)]
+    return [list(q) for q in queries]
+
+
+def ann_search(
+    base_df: DataFrame,
+    name: str,
+    query: Sequence[float],
+    k: int,
+    search_complexity: Optional[int] = None,
+    oversample: int = 1,
+    catalog: Optional[Catalog] = None,
+    table_name: str = "",
+) -> DataFrame:
+    """`ann_search(table, index, query, k)` → all base columns +
+    `_distance`, ascending (`src/ann_search.cpp:31-195`). Fetches
+    `k*oversample` from the index, joins rows back by id, trims to k."""
+    spark = base_df.sparkSession
+    _, manifest, _, _ = _load(name, table_name, catalog)
+    id_col = manifest["id_col"]
+    hits = index_scan(
+        spark, name, query, k * max(1, oversample), search_complexity, catalog,
+        table_name,
+    ).drop("query_idx")
+    out = hits.join(base_df, on=id_col, how="inner")
+    return (
+        out.orderBy(F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+        .select(*base_df.columns, DISTANCE_COL)
+    )
+
+
+def ann_search_batch_indexed(
+    base_df: DataFrame,
+    name: str,
+    queries: Sequence[Sequence[float]],
+    k: int,
+    search_complexity: Optional[int] = None,
+    catalog: Optional[Catalog] = None,
+) -> DataFrame:
+    """`ann_search_batch` through an index: query_idx + base columns +
+    `_distance` (`src/ann_search.cpp:202-388`)."""
+    spark = base_df.sparkSession
+    _, manifest, _, _ = _load(name, "", catalog)
+    id_col = manifest["id_col"]
+    hits = index_scan(spark, name, queries, k, search_complexity, catalog)
+    return hits.join(base_df, on=id_col, how="inner").select(
+        "query_idx", *base_df.columns, DISTANCE_COL
+    )
+
+
+# -- diagnostics -------------------------------------------------------
+
+
+def _memory_bytes(m: dict) -> int:
+    """Estimate of the reference's GetInMemorySize: raw vectors (f32) +
+    adjacency (u32 per edge slot) + SQ8 codes when quantized."""
+    n, dim = m["num_vectors"], m["dim"]
+    vec_bytes = n * dim * (1 if m.get("params", {}).get("quantization") == "sq8" else 4)
+    graph_bytes = 0
+    if m["subtype"] == "vamana":
+        graph_bytes = n * int(m["params"].get("max_degree", 64)) * 4
+    if m["subtype"] == "ivfflat":
+        graph_bytes = int(m["params"].get("ivf_nlist", 0)) * dim * 4
+    return int(vec_bytes + graph_bytes)
+
+
+_LIST_SCHEMA = "name string, engine string, table_name string"
+_INFO_SCHEMA = (
+    "name string, engine string, table_name string, num_vectors long, "
+    "num_deleted long, memory_bytes long, quantized boolean"
+)
+
+
+def ann_list(spark: SparkSession, catalog: Optional[Catalog] = None) -> DataFrame:
+    """`ann_list()` → (name, engine, table_name) (`src/ann_list.cpp:21-91`)."""
+    cat = catalog or Catalog()
+    rows = [(m["name"], m["engine"], m["table_name"]) for m in cat.list()]
+    return spark.createDataFrame(rows, _LIST_SCHEMA)
+
+
+def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> DataFrame:
+    """`ann_index_info()` diagnostics (`src/ann_list.cpp:97-221`)."""
+    cat = catalog or Catalog()
+    rows = [
+        (
+            m["name"],
+            m["engine"],
+            m["table_name"],
+            m["num_vectors"],
+            m.get("num_deleted", 0),
+            _memory_bytes(m),
+            m.get("params", {}).get("quantization", "") == "sq8",
+        )
+        for m in cat.list()
+    ]
+    return spark.createDataFrame(rows, _INFO_SCHEMA)
+
+
+# -- DML lifecycle -----------------------------------------------------
+
+
+def delete_from_index(
+    spark: SparkSession,
+    name: str,
+    ids: Sequence[int] | DataFrame,
+    catalog: Optional[Catalog] = None,
+) -> dict:
+    """Tombstone ids (`Delete`, `src/diskann_index.cpp:363-385`): no
+    graph surgery, just an append to the delete set."""
+    cat, manifest, d, impl = _load(name, "", catalog)
+    id_col = manifest["id_col"]
+    if isinstance(ids, DataFrame):
+        del_df = ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
+    else:
+        del_df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    del_df.write.mode("append").parquet(os.path.join(d, DELETED_DIR))
+    n_deleted = (
+        spark.read.parquet(os.path.join(d, DELETED_DIR)).select(id_col).distinct().count()
+    )
+    return cat.update(name, num_deleted=int(n_deleted))
+
+
+def vacuum_index(
+    spark: SparkSession, name: str, catalog: Optional[Catalog] = None
+) -> dict:
+    """Rebuild without tombstoned vectors (`Vacuum`,
+    `src/diskann_index.cpp:701-741`, `rust_lib/src/index_manager.rs:687-717`)."""
+    cat, manifest, d, impl = _load(name, "", catalog)
+    id_col = manifest["id_col"]
+    vecs = impl.vectors(spark, d)
+    deleted = _deleted_ids(spark, d, manifest)
+    if deleted is not None:
+        vecs = vecs.join(F.broadcast(deleted), on=id_col, how="anti")
+    params = parse_params(
+        manifest["engine"],
+        _params_kwargs(manifest),
+    )
+    tmp = d + ".vacuum"
+    import shutil
+
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    vecs = vecs.persist()
+    n = vecs.count()
+    extra = impl.build(spark, vecs, id_col, manifest["vec_col"], tmp, params,
+                       manifest["dim"])
+    vecs.unpersist()
+    # swap artifacts atomically-ish: manifest rewrite is the commit point
+    for sub in os.listdir(tmp):
+        dst = os.path.join(d, sub)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.move(os.path.join(tmp, sub), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    delpath = os.path.join(d, DELETED_DIR)
+    if os.path.exists(delpath):
+        shutil.rmtree(delpath)
+    return cat.update(name, num_vectors=int(n), num_deleted=0, **(extra or {}))
+
+
+def _params_kwargs(manifest: dict) -> dict:
+    p = dict(manifest["params"])
+    if manifest["engine"].lower() == "faiss":
+        p.pop("nprobe_default", None)
+    return p
+
+
+def merge_indexes(
+    spark: SparkSession,
+    dst: str,
+    src: str,
+    catalog: Optional[Catalog] = None,
+) -> dict:
+    """Merge `src`'s surviving vectors into `dst` and rebuild
+    (`MergeIndexes`, `src/diskann_index.cpp:655-699`)."""
+    cat, m_dst, d_dst, impl = _load(dst, "", catalog)
+    _, m_src, d_src, impl_src = _load(src, "", catalog)
+    if m_dst["dim"] != m_src["dim"]:
+        raise ValueError(
+            f"Cannot merge: dimension mismatch {m_dst['dim']} vs {m_src['dim']}"
+        )
+    if m_dst["params"]["metric"] != m_src["params"]["metric"]:
+        raise ValueError("Cannot merge: metric mismatch")
+    id_col = m_dst["id_col"]
+    a = impl.vectors(spark, d_dst)
+    da = _deleted_ids(spark, d_dst, m_dst)
+    if da is not None:
+        a = a.join(F.broadcast(da), on=id_col, how="anti")
+    b = impl_src.vectors(spark, d_src).toDF(id_col, m_dst["vec_col"])
+    db = _deleted_ids(spark, d_src, m_src)
+    if db is not None:
+        b = b.join(F.broadcast(db), on=m_src["id_col"], how="anti")
+    union = a.unionByName(b)
+    params = parse_params(m_dst["engine"], _params_kwargs(m_dst))
+    import shutil
+
+    tmp = d_dst + ".merge"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    union = union.persist()
+    n = union.count()
+    if union.select(id_col).distinct().count() != n:
+        union.unpersist()
+        shutil.rmtree(tmp)
+        raise ValueError("Cannot merge: overlapping ids between indexes")
+    extra = impl.build(spark, union, id_col, m_dst["vec_col"], tmp, params,
+                       m_dst["dim"])
+    union.unpersist()
+    for sub in os.listdir(tmp):
+        dstp = os.path.join(d_dst, sub)
+        if os.path.exists(dstp):
+            shutil.rmtree(dstp)
+        shutil.move(os.path.join(tmp, sub), dstp)
+    shutil.rmtree(tmp, ignore_errors=True)
+    delpath = os.path.join(d_dst, DELETED_DIR)
+    if os.path.exists(delpath):
+        shutil.rmtree(delpath)
+    return cat.update(dst, num_vectors=int(n), num_deleted=0, **(extra or {}))
+
+
+def drop_index(name: str, catalog: Optional[Catalog] = None) -> None:
+    (catalog or Catalog()).drop(name)

@@ -1,0 +1,109 @@
+"""Index parameter sets with the reference's defaults and validation.
+
+DiskANN: `/root/reference/src/include/diskann_index.hpp:20-59`
+(metric=L2, max_degree=64, build_complexity=128, alpha=1.2,
+quantization='sq8' opt-in). FAISS:
+`/root/reference/src/include/faiss_index.hpp:37-113` (metric=L2,
+type=Flat, hnsw_m=32, ivf_nlist=100, nprobe=1 clamped >=1,
+train_sample=0, description, mode cpu/gpu/auto).
+
+Engine metrics are L2 and IP only — cosine is recognized by the
+optimizer but no engine can be created with it
+(`rust_lib/src/ffi.rs:202-209`, SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+ENGINE_METRICS = ("l2", "ip")
+
+
+def _norm_metric(metric: str) -> str:
+    m = metric.lower()
+    if m not in ENGINE_METRICS:
+        # reference wording: rust_lib/src/ffi.rs:202-209
+        raise ValueError(f"Unknown metric '{metric}'. Supported: L2, IP")
+    return m
+
+
+@dataclass
+class DiskannParams:
+    metric: str = "l2"
+    max_degree: int = 64
+    build_complexity: int = 128
+    alpha: float = 1.2
+    quantization: str = ""  # 'sq8' to enable
+
+    def __post_init__(self) -> None:
+        self.metric = _norm_metric(self.metric)
+        if self.max_degree <= 0:
+            raise ValueError("max_degree must be positive")
+        if self.build_complexity <= 0:
+            raise ValueError("build_complexity must be positive")
+        if self.quantization and self.quantization.lower() != "sq8":
+            raise ValueError(
+                f"Unknown quantization '{self.quantization}'. Supported: sq8"
+            )
+
+    @property
+    def quantize_sq8(self) -> bool:
+        return self.quantization.lower() == "sq8"
+
+    def to_manifest(self) -> dict:
+        return {
+            "metric": self.metric,
+            "max_degree": self.max_degree,
+            "build_complexity": self.build_complexity,
+            "alpha": self.alpha,
+            "quantization": self.quantization,
+        }
+
+
+FAISS_TYPES = ("flat", "hnsw", "ivfflat")
+
+
+@dataclass
+class FaissParams:
+    metric: str = "l2"
+    type: str = "Flat"
+    hnsw_m: int = 32
+    ivf_nlist: int = 100
+    nprobe: int = 1
+    train_sample: int = 0
+    description: str = field(default="")
+
+    def __post_init__(self) -> None:
+        self.metric = _norm_metric(self.metric)
+        if not self.type:
+            self.type = "Flat"
+        if self.type.lower() not in FAISS_TYPES:
+            raise ValueError(
+                f"Unknown FAISS index type '{self.type}'. Supported: Flat, HNSW, IVFFlat"
+            )
+        # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61)
+        self.nprobe = max(1, int(self.nprobe))
+
+    @property
+    def type_norm(self) -> str:
+        return self.type.lower()
+
+    def to_manifest(self) -> dict:
+        return {
+            "metric": self.metric,
+            "type": self.type,
+            "hnsw_m": self.hnsw_m,
+            "ivf_nlist": self.ivf_nlist,
+            "nprobe": self.nprobe,
+            "train_sample": self.train_sample,
+            "description": self.description,
+        }
+
+
+def parse_params(engine: str, options: dict):
+    e = engine.lower()
+    if e == "diskann":
+        return DiskannParams(**options)
+    if e == "faiss":
+        return FaissParams(**options)
+    raise ValueError(f"Unknown ANN engine '{engine}'. Supported: DISKANN, FAISS")

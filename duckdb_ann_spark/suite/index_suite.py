@@ -1,0 +1,158 @@
+"""Driver queries: index lifecycle surface (SURVEY §2.1-2.2).
+
+Each callable builds a fresh index in a process-local catalog, searches
+through it, and returns the result. Flat is exact, so its searches
+hash-match the brute-force DuckDB oracle; `ann_list`/`ann_index_info`
+oracles are VALUES literals (deterministic manifests at sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index import (
+    Catalog,
+    ann_index_info,
+    ann_list,
+    ann_search,
+    create_index,
+    delete_from_index,
+    drop_index,
+    index_scan,
+)
+from ..oracle import sql_index_distance
+from . import register
+from .vector import query_vec
+
+_ROOT = os.path.join(tempfile.gettempdir(), "duckdb_ann_spark_suite_indexes")
+
+
+def _cat() -> Catalog:
+    return Catalog(_ROOT)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _fresh_index(spark, sf_dir, name, **opts) -> Catalog:
+    cat = _cat()
+    drop_index(name, cat)
+    create_index(
+        _emb(spark, sf_dir), "vec_id", "embedding", name,
+        engine="faiss", table_name="embeddings", catalog=cat, **opts
+    )
+    return cat
+
+_Q_CTE = "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+_DIST = sql_index_distance("l2", "e.embedding", "q.qv")
+
+
+@register(
+    "ann_search_flat",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, e.label, {_DIST} AS _distance
+    FROM embeddings e CROSS JOIN q
+    ORDER BY _distance, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_search_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_index(spark, sf_dir, "suite_flat")
+    q = query_vec(spark, sf_dir)
+    res = ann_search(_emb(spark, sf_dir), "suite_flat", q, k=10, catalog=cat)
+    return res.select("vec_id", "label", "_distance")
+
+
+@register(
+    "faiss_index_scan",
+    f"""
+    WITH qs AS (
+        SELECT vec_id AS query_idx, embedding AS qv
+        FROM embeddings WHERE vec_id < 3
+    )
+    SELECT query_idx, vec_id, _distance FROM (
+        SELECT CAST(q.query_idx AS INT) AS query_idx, e.vec_id,
+               {sql_index_distance('l2', 'e.embedding', 'q.qv')} AS _distance,
+               row_number() OVER (
+                   PARTITION BY q.query_idx
+                   ORDER BY {sql_index_distance('l2', 'e.embedding', 'q.qv')}, e.vec_id
+               ) AS rn
+        FROM qs q CROSS JOIN embeddings e
+    ) WHERE rn <= 5
+    """,
+)
+def q_faiss_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_index(spark, sf_dir, "suite_scan")
+    qs = [
+        [float(x) for x in r[0]]
+        for r in _emb(spark, sf_dir)
+        .where(F.col("vec_id") < 3)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return index_scan(spark, "suite_scan", qs, k=5, catalog=cat)
+
+
+@register(
+    "ann_delete_tombstones",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, {_DIST} AS _distance
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id NOT IN (0, 7, 13)
+    ORDER BY _distance, e.vec_id LIMIT 8
+    """,
+)
+def q_ann_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoned ids are excluded with k still satisfied
+    (diskann_delete.test:34-55 semantics)."""
+    cat = _fresh_index(spark, sf_dir, "suite_del")
+    delete_from_index(spark, "suite_del", [0, 7, 13], catalog=cat)
+    q = query_vec(spark, sf_dir)
+    return index_scan(spark, "suite_del", [q], k=8, catalog=cat).drop("query_idx")
+
+
+@register(
+    "ann_list",
+    """
+    SELECT * FROM (VALUES
+        ('suite_lista', 'FAISS', 'embeddings'),
+        ('suite_listb', 'FAISS', 'embeddings')
+    ) AS t(name, engine, table_name)
+    ORDER BY name
+    """,
+)
+def q_ann_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _cat()
+    for n in ("suite_lista", "suite_listb"):
+        drop_index(n, cat)
+        create_index(
+            _emb(spark, sf_dir), "vec_id", "embedding", n,
+            engine="faiss", table_name="embeddings", catalog=cat,
+        )
+    return (
+        ann_list(spark, cat)
+        .where(F.col("name").startswith("suite_list"))
+        .orderBy("name")
+    )
+
+
+@register(
+    "ann_index_info",
+    """
+    SELECT * FROM (VALUES
+        ('suite_info', 'FAISS', 'embeddings',
+         CAST(500 AS BIGINT), CAST(2 AS BIGINT), CAST(128000 AS BIGINT), false)
+    ) AS t(name, engine, table_name, num_vectors, num_deleted, memory_bytes, quantized)
+    """,
+)
+def q_ann_index_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _fresh_index(spark, sf_dir, "suite_info")
+    delete_from_index(spark, "suite_info", [1, 2], catalog=cat)
+    return ann_index_info(spark, cat).where(F.col("name") == "suite_info")
