@@ -28,6 +28,7 @@ from .catalog import Catalog
 from .engines import get_engine
 from .params import parse_params
 from . import flat  # noqa: F401  (registers the Flat engine)
+from . import ivf  # noqa: F401  (registers the IVFFlat engine)
 
 DISTANCE_COL = "_distance"
 DELETED_DIR = "deleted"

@@ -119,6 +119,39 @@ def q_ann_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_search_ivfflat_fullprobe",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, {_DIST} AS _distance
+    FROM embeddings e CROSS JOIN q
+    ORDER BY _distance, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_search_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFFlat with nprobe >= nlist degenerates to an exact scan, so it
+    hash-matches the brute-force oracle (faiss_ivfflat.test semantics)."""
+    cat = _fresh_index(
+        spark, sf_dir, "suite_ivf_full", type="IVFFlat", ivf_nlist=8, nprobe=8
+    )
+    q = query_vec(spark, sf_dir)
+    return index_scan(spark, "suite_ivf_full", [q], k=10, catalog=cat).drop(
+        "query_idx"
+    )
+
+
+@register("ann_search_ivfflat_probe")  # approximate: rows-only driver check
+def q_ann_search_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-probe IVF (the 100 TB path: partition-pruned cell scan).
+    Approximate → no SQL oracle; recall floor is pinned in
+    tests/test_index_ivf.py."""
+    cat = _fresh_index(
+        spark, sf_dir, "suite_ivf", type="IVFFlat", ivf_nlist=16, nprobe=6
+    )
+    q = query_vec(spark, sf_dir)
+    return index_scan(spark, "suite_ivf", [q], k=10, catalog=cat).drop("query_idx")
+
+
+@register(
     "ann_list",
     """
     SELECT * FROM (VALUES
