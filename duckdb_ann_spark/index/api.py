@@ -29,6 +29,7 @@ from .engines import get_engine
 from .params import parse_params
 from . import flat  # noqa: F401  (registers the Flat engine)
 from . import ivf  # noqa: F401  (registers the IVFFlat engine)
+from . import vamana  # noqa: F401  (registers the DiskANN/Vamana engine)
 
 DISTANCE_COL = "_distance"
 DELETED_DIR = "deleted"

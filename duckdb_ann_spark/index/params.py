@@ -34,6 +34,9 @@ class DiskannParams:
     build_complexity: int = 128
     alpha: float = 1.2
     quantization: str = ""  # 'sq8' to enable
+    # Spark extension (not in the reference): number of independent graph
+    # shards built in parallel; 1 = reference-parity sequential build.
+    shards: int = 1
 
     def __post_init__(self) -> None:
         self.metric = _norm_metric(self.metric)
@@ -41,6 +44,8 @@ class DiskannParams:
             raise ValueError("max_degree must be positive")
         if self.build_complexity <= 0:
             raise ValueError("build_complexity must be positive")
+        if self.shards < 1:
+            raise ValueError("shards must be >= 1")
         if self.quantization and self.quantization.lower() != "sq8":
             raise ValueError(
                 f"Unknown quantization '{self.quantization}'. Supported: sq8"
@@ -57,6 +62,7 @@ class DiskannParams:
             "build_complexity": self.build_complexity,
             "alpha": self.alpha,
             "quantization": self.quantization,
+            "shards": self.shards,
         }
 
 

@@ -1,0 +1,160 @@
+"""DiskANN/Vamana engine: graph build + greedy search over `.diskann` files.
+
+Build (`CREATE INDEX ... USING DISKANN`, `src/diskann_index.cpp:111-310`):
+the reference buffers every vector in one global sink state and builds
+single-threaded (`ParallelSink()=false`); our single-shard build mirrors
+that exactly (driver-side sequential inserts in id order). For scale,
+`shards=N` partitions ids by hash and builds N independent graphs in
+parallel executors (`applyInPandas`), searching all shards and merging —
+the same shard-and-merge trade the reference makes in `MergeIndexes`.
+
+Artifact layout:
+
+    graph/shard_<s>.diskann    v2 binary (+ SQ8 appendix when quantized)
+    labels/                    parquet (shard, label, id) label↔id map
+    vectors/                   parquet (id, vec) for vacuum/merge rebuilds
+
+Search: the driver memmaps each shard (cached per process), runs the
+greedy search per query, unions shard results and keeps the global
+top-k. Single-query latency is served driver-locally (BASELINE.json
+concedes Spark's win is batch, not point lookups); the tombstone
+over-request happens in `api.index_scan`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .engines import register_engine
+from .file_format import read_diskann, read_sq8, write_diskann
+from .vamana_core import VamanaGraph, build_graph, sq8_dequantize, sq8_quantize
+
+GRAPH_DIR = "graph"
+LABELS_DIR = "labels"
+VECTORS_DIR = "vectors"
+
+_GRAPH_CACHE: dict = {}
+
+
+def _load_shard(path: str) -> VamanaGraph:
+    key = (path, os.path.getmtime(path))
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = read_diskann(path, mmap=True)
+        sq8 = read_sq8(path)
+        if sq8 is not None:
+            # search over dequantized codes, like the reference's SQ8 provider
+            g.vectors = sq8_dequantize(*sq8)
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+class VamanaEngine:
+    name = "vamana"
+
+    def build(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        artifact_dir: str,
+        params,
+        dim: int,
+    ) -> dict:
+        os.makedirs(f"{artifact_dir}/{GRAPH_DIR}", exist_ok=True)
+        df.select(id_col, vec_col).write.mode("overwrite").parquet(
+            f"{artifact_dir}/{VECTORS_DIR}"
+        )
+        src = spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
+        shards = int(getattr(params, "shards", 1) or 1)
+
+        def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            g = build_graph(
+                vecs,
+                max_degree=params.max_degree,
+                build_complexity=params.build_complexity,
+                alpha=params.alpha,
+                metric=params.metric,
+            )
+            sq8 = sq8_quantize(vecs) if params.quantize_sq8 and len(vecs) else None
+            write_diskann(
+                f"{artifact_dir}/{GRAPH_DIR}/shard_{shard}.diskann", g, sq8
+            )
+            return pd.DataFrame(
+                {
+                    "shard": np.int32(shard),
+                    "label": np.arange(len(pdf), dtype=np.int64),
+                    "id": pdf[id_col].to_numpy(),
+                }
+            )
+
+        if shards == 1:
+            pdf = src.toPandas()  # reference parity: one global buffered build
+            labels = build_shard(pdf, 0)
+            spark.createDataFrame(labels).write.mode("overwrite").parquet(
+                f"{artifact_dir}/{LABELS_DIR}"
+            )
+        else:
+            from pyspark.sql import functions as F
+
+            with_shard = src.withColumn(
+                "shard", F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(shards)).cast("int")
+            )
+
+            def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+                return build_shard(pdf, int(pdf["shard"].iloc[0]))
+
+            with_shard.groupBy("shard").applyInPandas(
+                apply_fn, schema="shard int, label long, id long"
+            ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
+
+        return {"layout": "diskann-v2", "shards": shards}
+
+    def vectors(self, spark: SparkSession, artifact_dir: str) -> DataFrame:
+        return spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
+
+    def search(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        artifact_dir: str,
+        queries: Sequence[Sequence[float]],
+        k: int,
+        search_complexity: int | None = None,
+    ) -> DataFrame:
+        id_col = manifest["id_col"]
+        labels = (
+            spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
+            .toPandas()
+            .set_index(["shard", "label"])["id"]
+        )
+        gdir = f"{artifact_dir}/{GRAPH_DIR}"
+        shard_files = sorted(
+            (int(f.split("_")[1].split(".")[0]), os.path.join(gdir, f))
+            for f in os.listdir(gdir)
+            if f.endswith(".diskann")
+        )
+        rows = []
+        for qi, q in enumerate(queries):
+            merged: list[tuple[float, int]] = []
+            for shard, path in shard_files:
+                g = _load_shard(path)
+                for label, dist in g.search(q, k, search_complexity):
+                    merged.append((dist, int(labels.loc[(shard, label)])))
+            merged.sort()
+            for dist, rid in merged[:k]:
+                rows.append((qi, rid, float(dist)))
+        return spark.createDataFrame(
+            rows, f"query_idx int, {id_col} long, _distance double"
+        )
+
+
+register_engine("diskann", "vamana", VamanaEngine())

@@ -1,0 +1,262 @@
+"""Vamana (DiskANN) graph algorithms in numpy.
+
+Faithful re-implementations (not translations) of the reference's core
+loops, pinned to the same semantics:
+
+* greedy best-first search with result list of length
+  ``L = max(k, search_complexity or build_complexity)`` and the stop rule
+  ``len(result) >= L and c_dist > result[L-1]``
+  (`rust_lib/src/provider.rs:443-519`, `index_manager.rs:340-346`);
+* RobustPrune with the TriangleInequality occlusion rule
+  ``factor = max(factor, d(p,k) / d(j,k))`` (MAX when d(j,k)==0), the
+  alpha ramp ``current_alpha *= min(alpha, 1.2)`` up to alpha
+  (`diskann-patch/src/graph/index.rs:3359-3470`,
+  `config/mod.rs update_occlude_factor`);
+* insert = greedy-search visited set → prune → set out-edges → add back
+  edges with overflow re-prune (`diskann-patch/src/graph/index.rs:348-520`);
+* entry point = first inserted vector (`index_manager.rs:294`);
+* SQ8 scalar quantization: per-dimension min/scale to u8,
+  ``val = q/255*scale + min`` (`rust_lib/src/provider.rs:26-27,161-231`).
+
+Distances are float32, matching the engine (the exact f64 oracle path is
+the Flat engine's job; Vamana correctness is gated on recall floors).
+"""
+
+from __future__ import annotations
+
+import bisect
+import heapq
+
+import numpy as np
+
+NO_EDGE = np.uint32(0xFFFFFFFF)  # u32::MAX adjacency padding sentinel
+
+
+def _dist(metric: str, a: np.ndarray, b: np.ndarray) -> float:
+    if metric == "ip":
+        return float(-np.dot(a, b))
+    d = a - b
+    return float(np.dot(d, d))
+
+
+def _dists(metric: str, mat: np.ndarray, v: np.ndarray) -> np.ndarray:
+    if metric == "ip":
+        return -(mat @ v)
+    diff = mat - v
+    return np.einsum("ij,ij->i", diff, diff)
+
+
+class VamanaGraph:
+    """In-memory Vamana index over float32 vectors with u32 adjacency."""
+
+    def __init__(self, dim: int, max_degree: int = 64, build_complexity: int = 128,
+                 alpha: float = 1.2, metric: str = "l2", capacity: int = 1024):
+        self.dim = dim
+        self.max_degree = max_degree
+        self.build_complexity = build_complexity
+        self.alpha = float(alpha)
+        self.metric = metric
+        self.n = 0
+        self.vectors = np.zeros((capacity, dim), dtype=np.float32)
+        self.adjacency = np.full((capacity, max_degree), NO_EDGE, dtype=np.uint32)
+        self.entry_points: list[int] = []
+
+    # -- storage -------------------------------------------------------
+    def _grow(self, need: int) -> None:
+        cap = self.vectors.shape[0]
+        if need <= cap:
+            return
+        new_cap = max(need, cap * 2)
+        self.vectors = np.vstack(
+            [self.vectors, np.zeros((new_cap - cap, self.dim), dtype=np.float32)]
+        )
+        pad = np.full((new_cap - cap, self.max_degree), NO_EDGE, dtype=np.uint32)
+        self.adjacency = np.vstack([self.adjacency, pad])
+
+    def neighbors(self, i: int) -> np.ndarray:
+        adj = self.adjacency[i]
+        return adj[adj != NO_EDGE].astype(np.int64)
+
+    def _set_neighbors(self, i: int, ids) -> None:
+        row = np.full(self.max_degree, NO_EDGE, dtype=np.uint32)
+        ids = list(ids)[: self.max_degree]
+        row[: len(ids)] = np.asarray(ids, dtype=np.uint32)
+        self.adjacency[i] = row
+
+    # -- search --------------------------------------------------------
+    def search(self, query, k: int, search_complexity: int | None = None,
+               return_visited: bool = False):
+        """Greedy best-first search → list[(label, distance)] of length <=k."""
+        if self.n == 0 or k == 0:
+            return ([], []) if return_visited else []
+        q = np.asarray(query, dtype=np.float32)
+        k_eff = min(k, self.n)
+        L = max(k_eff, search_complexity or self.build_complexity)
+
+        visited: set[int] = set()
+        candidates: list[tuple[float, int]] = []  # min-heap by distance
+        result: list[tuple[float, int]] = []  # sorted ascending, len <= L
+
+        for ep in self.entry_points:
+            if ep in visited or ep >= self.n:
+                continue
+            visited.add(ep)
+            d = _dist(self.metric, q, self.vectors[ep])
+            heapq.heappush(candidates, (d, ep))
+            result.append((d, ep))
+        result.sort()
+
+        while candidates:
+            c_dist, c_id = heapq.heappop(candidates)
+            if len(result) >= L and c_dist > result[L - 1][0]:
+                break
+            nbrs = [nb for nb in self.neighbors(c_id) if nb not in visited]
+            if not nbrs:
+                continue
+            visited.update(int(nb) for nb in nbrs)
+            ds = _dists(self.metric, self.vectors[np.asarray(nbrs)], q)
+            for nb, d in zip(nbrs, ds):
+                d = float(d)
+                if len(result) < L or d < result[-1][0]:
+                    bisect.insort(result, (d, int(nb)))
+                    if len(result) > L:
+                        result.pop()
+                    heapq.heappush(candidates, (d, int(nb)))
+
+        hits = [(i, d) for d, i in result[:k_eff]]
+        if return_visited:
+            return hits, sorted(visited)
+        return hits
+
+    # -- prune ---------------------------------------------------------
+    def robust_prune(self, p: int, pool_ids, pool_dists) -> list[int]:
+        """TriangleInequality RobustPrune of `pool` (candidates for p's
+        out-neighbors), sorted by distance to p."""
+        ids = np.asarray(pool_ids, dtype=np.int64)
+        dists = np.asarray(pool_dists, dtype=np.float32)
+        keep = ids != p
+        ids, dists = ids[keep], dists[keep]
+        if len(ids) == 0:
+            return []
+        # dedupe, keep nearest occurrence, sort ascending by (dist, id)
+        order = np.lexsort((ids, dists))
+        ids, dists = ids[order], dists[order]
+        _, first = np.unique(ids, return_index=True)
+        mask = np.zeros(len(ids), dtype=bool)
+        mask[first] = True
+        ids, dists = ids[mask], dists[mask]
+        order = np.lexsort((ids, dists))
+        ids, dists = ids[order], dists[order]
+
+        degree = self.max_degree
+        m = len(ids)
+        cand = np.ascontiguousarray(self.vectors[ids])
+        fmax = np.float32(np.finfo(np.float32).max)
+        occlude = np.zeros(m, dtype=np.float32)
+        chosen: list[int] = []  # positions into ids
+        cur_alpha = 1.0
+        inc = min(self.alpha, 1.2)
+        while len(chosen) < degree:
+            for i in range(m):
+                if len(chosen) >= degree:
+                    break
+                if occlude[i] > cur_alpha:
+                    continue
+                # choose i; eagerly push its occlusion onto later candidates
+                # (equivalent to the reference's lazy `last_checked` resume:
+                # only chosen-j with pool position < k ever occlude k, and the
+                # factor is a running max over all of them).
+                occlude[i] = fmax
+                chosen.append(i)
+                if i + 1 < m:
+                    djk = _dists(self.metric, cand[i + 1 :], cand[i])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        ratio = dists[i + 1 :] / djk
+                    factor = np.where(djk == 0.0, fmax, ratio)
+                    np.maximum(occlude[i + 1 :], factor.astype(np.float32),
+                               out=occlude[i + 1 :])
+            if cur_alpha == self.alpha:
+                break
+            cur_alpha = min(cur_alpha * inc, self.alpha)
+        return [int(ids[i]) for i in chosen]
+
+    # -- insert --------------------------------------------------------
+    def insert(self, vector) -> int:
+        """Vamana insert: search → prune visited → out-edges → back-edges
+        with overflow re-prune. Returns the new label."""
+        v = np.asarray(vector, dtype=np.float32)
+        label = self.n
+        self._grow(label + 1)
+        self.vectors[label] = v
+        self.n += 1
+
+        if label == 0:
+            self.entry_points = [0]
+            return 0
+
+        _, visited = self.search(v, k=1, search_complexity=self.build_complexity,
+                                 return_visited=True)
+        vis = np.asarray([x for x in visited if x != label], dtype=np.int64)
+        vd = _dists(self.metric, self.vectors[vis], v)
+        out = self.robust_prune(label, vis, vd)
+        self._set_neighbors(label, out)
+
+        # back edges (max_backedges = max_degree in the default config)
+        for j in out:
+            nbrs_j = self.neighbors(j)
+            if label in nbrs_j:
+                continue
+            if len(nbrs_j) < self.max_degree:
+                self.adjacency[j, len(nbrs_j)] = np.uint32(label)
+            else:
+                cand = np.append(nbrs_j, label)
+                cd = _dists(self.metric, self.vectors[cand], self.vectors[j])
+                self._set_neighbors(j, self.robust_prune(int(j), cand, cd))
+        return label
+
+
+def build_graph(vectors: np.ndarray, max_degree: int = 64,
+                build_complexity: int = 128, alpha: float = 1.2,
+                metric: str = "l2") -> VamanaGraph:
+    """Sequential build by repeated insert — the reference's CREATE INDEX
+    shape (single-threaded Finalize, `src/diskann_index.cpp:202-249`)."""
+    vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+    g = VamanaGraph(vectors.shape[1] if vectors.size else 0, max_degree,
+                    build_complexity, alpha, metric,
+                    capacity=max(len(vectors), 16))
+    for v in vectors:
+        g.insert(v)
+    return g
+
+
+def two_pass_build(vectors: np.ndarray, sample_size: int = 0, **kw) -> VamanaGraph:
+    """`diskann_streaming_build` shape (`rust_lib/src/streaming_build.rs:46-127`):
+    pass 1 builds a pilot graph from a sample (default max(sqrt(N), 1000)),
+    pass 2 stream-inserts the remainder."""
+    n = len(vectors)
+    if sample_size <= 0:
+        sample_size = max(int(np.sqrt(n)), 1000)
+    sample_size = min(sample_size, n)
+    g = build_graph(vectors[:sample_size], **kw)
+    for v in vectors[sample_size:]:
+        g.insert(v)
+    return g
+
+
+# -- SQ8 quantization --------------------------------------------------
+
+
+def sq8_quantize(vectors: np.ndarray):
+    """Per-dimension min/scale u8 codes (`rust_lib/src/provider.rs:161-231`)."""
+    v = np.asarray(vectors, dtype=np.float32)
+    mins = v.min(axis=0)
+    maxs = v.max(axis=0)
+    scale = maxs - mins
+    scale[scale == 0] = 1.0
+    codes = np.clip(np.round((v - mins) / scale * 255.0), 0, 255).astype(np.uint8)
+    return codes, mins.astype(np.float32), scale.astype(np.float32)
+
+
+def sq8_dequantize(codes: np.ndarray, mins: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    # val = q/255*scale + min  (provider.rs:26-27)
+    return (codes.astype(np.float32) / 255.0) * scale + mins

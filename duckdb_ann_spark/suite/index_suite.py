@@ -151,6 +151,35 @@ def q_ann_search_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_scan(spark, "suite_ivf", [q], k=10, catalog=cat).drop("query_idx")
 
 
+@register("diskann_index_scan")  # approximate graph search: rows-only check
+def q_diskann_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vamana greedy search through the index API. Recall floors are pinned
+    in tests/test_vamana.py and tests/test_index_vamana.py (>=7/10 vs
+    brute force, the reference's diskann_streaming.test floor)."""
+    cat = _cat()
+    drop_index("suite_vamana", cat)
+    create_index(
+        _emb(spark, sf_dir), "vec_id", "embedding", "suite_vamana",
+        engine="diskann", table_name="embeddings", max_degree=32,
+        build_complexity=64, catalog=cat,
+    )
+    q = query_vec(spark, sf_dir)
+    return index_scan(spark, "suite_vamana", [q], k=10, catalog=cat)
+
+
+@register("diskann_search_sq8")  # approximate + quantized: rows-only check
+def q_diskann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _cat()
+    drop_index("suite_vamana_q", cat)
+    create_index(
+        _emb(spark, sf_dir), "vec_id", "embedding", "suite_vamana_q",
+        engine="diskann", table_name="embeddings", max_degree=32,
+        build_complexity=64, quantization="sq8", catalog=cat,
+    )
+    q = query_vec(spark, sf_dir)
+    return index_scan(spark, "suite_vamana_q", [q], k=10, catalog=cat)
+
+
 @register(
     "ann_list",
     """

@@ -1,0 +1,100 @@
+"""DiskANN engine through the index API (recall, shards, sq8, delete)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.index import (
+    Catalog,
+    ann_index_info,
+    create_index,
+    delete_from_index,
+    index_scan,
+    vacuum_index,
+)
+from duckdb_ann_spark.operators.topk import topk
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "indexes"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def _want(emb, qvec, k=10, metric="l2"):
+    return [
+        r.vec_id
+        for r in topk(emb, "embedding", qvec, k, metric, id_col="vec_id").collect()
+    ]
+
+
+def test_build_and_recall(spark, emb, qvec, cat):
+    m = create_index(
+        emb, "vec_id", "embedding", "dk", engine="diskann",
+        max_degree=32, build_complexity=64, catalog=cat,
+    )
+    assert m["engine"] == "DISKANN" and m["subtype"] == "vamana"
+    got = [r.vec_id for r in index_scan(spark, "dk", [qvec], 10, catalog=cat).collect()]
+    assert got[0] == 0  # self-match first
+    assert len(set(got) & set(_want(emb, qvec))) >= 7
+
+
+def test_sharded_build_recall(spark, emb, qvec, cat):
+    create_index(
+        emb, "vec_id", "embedding", "dks", engine="diskann",
+        max_degree=32, build_complexity=64, shards=4, catalog=cat,
+    )
+    got = [r.vec_id for r in index_scan(spark, "dks", [qvec], 10, catalog=cat).collect()]
+    assert got[0] == 0
+    assert len(set(got) & set(_want(emb, qvec))) >= 7
+
+
+def test_sq8_quantized(spark, emb, qvec, cat):
+    """diskann_quantization.test: sq8 index still returns the exact-match
+    id first; ann_index_info reports quantized=true."""
+    create_index(
+        emb, "vec_id", "embedding", "dkq", engine="diskann",
+        max_degree=32, build_complexity=64, quantization="sq8", catalog=cat,
+    )
+    got = [r.vec_id for r in index_scan(spark, "dkq", [qvec], 10, catalog=cat).collect()]
+    assert got[0] == 0
+    info = ann_index_info(spark, cat).where(F.col("name") == "dkq").collect()[0]
+    assert info.quantized is True
+    assert len(set(got) & set(_want(emb, qvec))) >= 6  # sq8 loses a little
+
+
+def test_delete_and_vacuum(spark, emb, qvec, cat):
+    create_index(
+        emb, "vec_id", "embedding", "dkd", engine="diskann",
+        max_degree=32, build_complexity=64, catalog=cat,
+    )
+    before = [r.vec_id for r in index_scan(spark, "dkd", [qvec], 5, catalog=cat).collect()]
+    delete_from_index(spark, "dkd", before[:2], catalog=cat)
+    after = [r.vec_id for r in index_scan(spark, "dkd", [qvec], 5, catalog=cat).collect()]
+    assert set(after).isdisjoint(before[:2]) and len(after) == 5
+    m = vacuum_index(spark, "dkd", catalog=cat)
+    assert m["num_vectors"] == emb.count() - 2 and m["num_deleted"] == 0
+    again = [r.vec_id for r in index_scan(spark, "dkd", [qvec], 5, catalog=cat).collect()]
+    assert set(again).isdisjoint(before[:2])
+
+
+def test_search_complexity_improves_recall(spark, emb, qvec, cat):
+    create_index(
+        emb, "vec_id", "embedding", "dkl", engine="diskann",
+        max_degree=8, build_complexity=16, catalog=cat,
+    )
+    want = set(_want(emb, qvec, 20))
+    lo = {r.vec_id for r in
+          index_scan(spark, "dkl", [qvec], 20, search_complexity=20, catalog=cat).collect()}
+    hi = {r.vec_id for r in
+          index_scan(spark, "dkl", [qvec], 20, search_complexity=200, catalog=cat).collect()}
+    assert len(hi & want) >= len(lo & want)

@@ -1,0 +1,168 @@
+"""Vamana core + .diskann v2 file format (no Spark needed).
+
+Recall scenario ports `test/sql/diskann_streaming.test:7-50`: random
+vectors, default params, top-10 overlap vs brute force >= 7/10.
+"""
+
+import numpy as np
+import pytest
+
+from duckdb_ann_spark.index.file_format import (
+    read_diskann,
+    read_header,
+    read_sq8,
+    write_diskann,
+)
+from duckdb_ann_spark.index.vamana_core import (
+    NO_EDGE,
+    VamanaGraph,
+    build_graph,
+    sq8_dequantize,
+    sq8_quantize,
+    two_pass_build,
+)
+
+
+def _brute(vectors, q, k, metric="l2"):
+    if metric == "ip":
+        d = -(vectors @ q)
+    else:
+        diff = vectors - q
+        d = (diff * diff).sum(axis=1)
+    return list(np.argsort(d, kind="stable")[:k])
+
+
+@pytest.fixture(scope="module")
+def vecs200():
+    rng = np.random.default_rng(42)
+    return rng.random((200, 4), dtype=np.float32)
+
+
+def test_axis_goldens():
+    """diskann_basic.test:27-34: squared L2 = 2.0 between unit axes."""
+    vecs = np.eye(3, dtype=np.float32)
+    g = build_graph(vecs, max_degree=4, build_complexity=8)
+    hits = g.search([1.0, 0.0, 0.0], k=3)
+    assert hits[0] == (0, 0.0)
+    assert {h[1] for h in hits[1:]} == {2.0}
+
+
+def test_recall_floor_l2(vecs200):
+    g = build_graph(vecs200)  # defaults: max_degree=64, L=128, alpha=1.2
+    hits = 0
+    for qi in range(10):
+        got = [i for i, _ in g.search(vecs200[qi], k=10)]
+        want = _brute(vecs200, vecs200[qi], 10)
+        hits += len(set(got) & set(want))
+    assert hits >= 70, hits  # >=7/10 average, reference floor
+
+
+def test_recall_floor_ip(vecs200):
+    g = build_graph(vecs200, metric="ip")
+    got = [i for i, _ in g.search(vecs200[0], k=10)]
+    want = _brute(vecs200, vecs200[0], 10, metric="ip")
+    assert len(set(got) & set(want)) >= 7
+
+
+def test_search_l_semantics(vecs200):
+    """L = max(k, search_complexity or build_complexity)
+    (index_manager.rs:340-346): k > L still returns k results."""
+    g = build_graph(vecs200, max_degree=16, build_complexity=32)
+    assert len(g.search(vecs200[0], k=50, search_complexity=4)) == 50
+    assert len(g.search(vecs200[0], k=300)) == 200  # k > n -> all
+
+
+def test_two_pass_build_matches_quality(vecs200):
+    g = two_pass_build(vecs200, sample_size=50)
+    got = [i for i, _ in g.search(vecs200[3], k=10)]
+    want = _brute(vecs200, vecs200[3], 10)
+    assert len(set(got) & set(want)) >= 7
+
+
+def test_degree_bound(vecs200):
+    g = build_graph(vecs200, max_degree=8, build_complexity=32)
+    assert g.adjacency.shape[1] == 8
+    for i in range(g.n):
+        assert len(g.neighbors(i)) <= 8
+
+
+def test_entry_point_is_first_vector(vecs200):
+    g = build_graph(vecs200)
+    assert g.entry_points == [0]
+
+
+def test_file_roundtrip(tmp_path, vecs200):
+    g = build_graph(vecs200, max_degree=16, build_complexity=32)
+    p = str(tmp_path / "t.diskann")
+    write_diskann(p, g)
+    h = read_header(p)
+    assert h == {
+        "num_vectors": 200, "dimension": 4, "max_degree": 16,
+        "num_entry_points": 1, "metric": "l2", "build_complexity": 32,
+    }
+    g2 = read_diskann(p)
+    assert np.array_equal(g2.vectors[:200], g.vectors[:200])
+    assert np.array_equal(g2.adjacency[:200], g.adjacency[:200])
+    assert g2.entry_points == g.entry_points
+    # identical search results after round-trip
+    q = vecs200[7]
+    assert g.search(q, 10) == g2.search(q, 10)
+    # mmap load too
+    g3 = read_diskann(p, mmap=True)
+    assert g.search(q, 10) == g3.search(q, 10)
+
+
+def test_file_layout_bytes(tmp_path):
+    """Pin the exact v2 byte layout (file_format.rs:85-125)."""
+    g = VamanaGraph(dim=2, max_degree=3, build_complexity=7, capacity=4)
+    g.insert([1.0, 2.0])
+    g.insert([3.0, 4.0])
+    p = str(tmp_path / "tiny.diskann")
+    write_diskann(p, g)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"DANN"
+    assert int.from_bytes(raw[4:8], "little") == 2          # version
+    assert int.from_bytes(raw[8:12], "little") == 2         # num_vectors
+    assert int.from_bytes(raw[12:16], "little") == 2        # dimension
+    assert int.from_bytes(raw[16:20], "little") == 3        # max_degree
+    assert int.from_bytes(raw[20:24], "little") == 1        # num entry pts
+    assert raw[24] == 0                                     # metric l2
+    assert int.from_bytes(raw[28:32], "little") == 7        # build_complexity
+    assert int.from_bytes(raw[32:36], "little") == 0        # entry point 0
+    vec = np.frombuffer(raw[36:52], dtype="<f4")
+    assert vec.tolist() == [1.0, 2.0, 3.0, 4.0]
+    adj = np.frombuffer(raw[52:76], dtype="<u4").reshape(2, 3)
+    assert adj[0, 0] == 1 and adj[1, 0] == 0                # mutual edge
+    assert adj[0, 1] == NO_EDGE                             # sentinel pad
+    assert len(raw) == 32 + 4 + 2 * 2 * 4 + 2 * 3 * 4
+
+
+def test_version_mismatch_error(tmp_path):
+    p = str(tmp_path / "bad.diskann")
+    g = VamanaGraph(dim=2, max_degree=2, capacity=2)
+    g.insert([0.0, 0.0])
+    write_diskann(p, g)
+    raw = bytearray(open(p, "rb").read())
+    raw[4:8] = (99).to_bytes(4, "little")
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="storage version mismatch: found 99"):
+        read_header(p)
+
+
+def test_sq8_roundtrip(tmp_path, vecs200):
+    codes, mins, scales = sq8_quantize(vecs200)
+    assert codes.dtype == np.uint8
+    deq = sq8_dequantize(codes, mins, scales)
+    assert np.abs(deq - vecs200).max() < (scales.max() / 255.0) + 1e-6
+    g = build_graph(vecs200, max_degree=16, build_complexity=32)
+    p = str(tmp_path / "q.diskann")
+    write_diskann(p, g, sq8=(codes, mins, scales))
+    got = read_sq8(p)
+    assert got is not None
+    c2, m2, s2 = got
+    assert np.array_equal(c2, codes)
+    assert np.array_equal(m2, mins) and np.array_equal(s2, scales)
+    # file without appendix
+    p2 = str(tmp_path / "nq.diskann")
+    write_diskann(p2, g)
+    assert read_sq8(p2) is None
