@@ -1,0 +1,41 @@
+"""Text expressions: tokenization + BM25 building blocks.
+
+Tokenization contract (shared by the Spark expressions and the DuckDB
+oracle SQL, so scores hash-match): lowercase, split on `[^a-z0-9]+`,
+drop empties. The same pattern drives `hybrid_search`'s BM25 leg and the
+text-analysis operators (token counts, quality stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+__all__ = ["tokenize", "token_count", "sql_tokenize", "TOKEN_SPLIT_RE"]
+
+
+def tokenize(text: Column | str) -> Column:
+    """array<string> of lowercase alphanumeric tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def sql_tokenize(expr: str) -> str:
+    """DuckDB fragment producing the identical token list."""
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'), "
+        f"t -> t <> '')"
+    )
+
+
+def py_tokenize(text: str) -> list[str]:
+    """Driver-side twin (for query strings)."""
+    import re
+
+    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]

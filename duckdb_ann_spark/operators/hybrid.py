@@ -1,0 +1,188 @@
+"""`hybrid_search`: BM25 full-text + vector search fused with RRF.
+
+Reference (`/root/reference/src/ann_search.cpp:903-1163`):
+BM25 ranks from DuckDB FTS (rank 1 = best, at most `bm25_candidates`),
+vector ranks from the DiskANN index (at most `vector_candidates`), then
+Reciprocal Rank Fusion with `RRF_K = 60`:
+
+    score = bm25_weight * 1/(60 + bm25_rank)      [if bm25-ranked]
+          + vector_weight * 1/(60 + vector_rank)  [if vector-ranked]
+
+sorted descending, top k; a missing rank is reported as 0 and
+contributes nothing (`:1091-1115`). FTS failure degrades to vector-only
+(`:1056`); we mirror that when `query_text` is empty/has no tokens.
+
+Spark-first BM25 (no FTS extension — TF/DF/IDF as DataFrame aggs):
+Okapi BM25 (k1=1.2, b=0.75) with `idf = ln(1 + (N - df + .5)/(df + .5))`.
+Scale shape: one tokenize+explode pass, map-side-combined groupBys for
+tf/dl, a broadcast join against the (tiny) query-term set, and a
+sequential per-doc fold over term-sorted scores so the result is
+bit-deterministic (and hash-matchable by the DuckDB oracle). Ranking
+happens after `limit(candidates)` — the global window only ever sees
+`candidates` rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import py_tokenize, tokenize
+
+RRF_K = 60.0
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+__all__ = ["bm25_scores", "bm25_ranks", "hybrid_search", "RRF_K"]
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_text: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """→ (id, _bm25_score) for docs containing >=1 query term."""
+    qterms = sorted(set(py_tokenize(query_text)))
+    spark = docs.sparkSession
+    if not qterms:
+        return spark.createDataFrame([], f"{id_col} long, _bm25_score double")
+
+    n_docs = docs.count()
+    toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    total_tokens = toks.count()
+    avgdl = float(total_tokens) / float(n_docs) if n_docs else 0.0
+
+    qdf = F.broadcast(spark.createDataFrame([(t,) for t in qterms], "term string"))
+    tf = toks.join(qdf, on="term").groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_), on="term")
+        .join(dl, on=id_col)
+        .withColumn(
+            "_s",
+            _term_score(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("dl").cast("double"),
+                float(n_docs),
+                avgdl,
+                k1,
+                b,
+            ),
+        )
+    )
+    # per-doc sequential fold in term order → bit-deterministic sum
+    return scored.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "_s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_s"],
+        ).alias("_bm25_score")
+    )
+
+
+def _term_score(tf: Column, df: Column, dl: Column, n_docs: float, avgdl: float,
+                k1: float, b: float) -> Column:
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    return idf * (tf * F.lit(k1 + 1.0)) / denom
+
+
+def bm25_ranks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_text: str,
+    candidates: int,
+) -> DataFrame:
+    """→ (id, _bm25_rank) with rank 1 = best score, ties broken on id."""
+    scores = bm25_scores(docs, id_col, text_col, query_text)
+    top = scores.orderBy(F.desc("_bm25_score"), F.asc(id_col)).limit(candidates)
+    w = Window.orderBy(F.desc("_bm25_score"), F.asc(id_col))
+    return top.withColumn("_bm25_rank", F.row_number().over(w)).select(
+        id_col, "_bm25_rank"
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    id_col: str,
+    query_vec: Sequence[float],
+    query_text: str,
+    text_col: str = "text",
+    index: Optional[str] = None,
+    vec_col: Optional[str] = None,
+    k: int = 20,
+    bm25_weight: float = 0.3,
+    vector_weight: float = 0.7,
+    bm25_candidates: int = 50,
+    vector_candidates: int = 50,
+    search_complexity: Optional[int] = None,
+    metric: str = "l2",
+    catalog=None,
+) -> DataFrame:
+    """→ docs columns + `_rrf_score, _bm25_rank, _vector_rank` (0 = not
+    ranked by that leg), descending score, top k.
+
+    Vector leg: through `index` when given (any engine), else exact brute
+    force over `vec_col` (the reference always requires a DiskANN index;
+    brute force is our Flat-equivalent convenience)."""
+    spark = docs.sparkSession
+
+    # ---- vector ranks ----
+    if index is not None:
+        from ..index import index_scan
+
+        hits = index_scan(
+            spark, index, [list(query_vec)], vector_candidates,
+            search_complexity, catalog,
+        ).drop("query_idx")
+    else:
+        if vec_col is None:
+            raise ValueError("hybrid_search needs `index` or `vec_col`")
+        from .topk import topk
+
+        hits = topk(
+            docs.select(id_col, vec_col), vec_col, query_vec,
+            vector_candidates, metric, id_col=id_col,
+        ).select(id_col, "_distance")
+    wv = Window.orderBy(F.col("_distance").asc_nulls_last(), F.col(id_col).asc())
+    vec_ranks = hits.withColumn("_vector_rank", F.row_number().over(wv)).select(
+        id_col, "_vector_rank"
+    )
+
+    # ---- BM25 ranks (empty/failed text leg → vector-only) ----
+    bm_ranks = bm25_ranks(docs, id_col, text_col, query_text or "", bm25_candidates)
+
+    # ---- RRF fusion ----
+    fused = vec_ranks.join(bm_ranks, on=id_col, how="full").select(
+        id_col,
+        F.coalesce(F.col("_bm25_rank"), F.lit(0)).alias("_bm25_rank"),
+        F.coalesce(F.col("_vector_rank"), F.lit(0)).alias("_vector_rank"),
+    )
+    score = F.when(
+        F.col("_bm25_rank") > 0,
+        F.lit(bm25_weight) * (F.lit(1.0) / (F.lit(RRF_K) + F.col("_bm25_rank"))),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("_vector_rank") > 0,
+        F.lit(vector_weight) * (F.lit(1.0) / (F.lit(RRF_K) + F.col("_vector_rank"))),
+    ).otherwise(F.lit(0.0))
+    fused = (
+        fused.withColumn("_rrf_score", score)
+        .orderBy(F.desc("_rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+    return (
+        fused.join(docs, on=id_col, how="inner")
+        .select(*docs.columns, "_rrf_score", "_bm25_rank", "_vector_rank")
+        .orderBy(F.desc("_rrf_score"), F.asc(id_col))
+    )

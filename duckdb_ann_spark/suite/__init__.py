@@ -58,6 +58,7 @@ def _load() -> None:
     if _LOADED:
         return
     from . import batch  # noqa: F401
+    from . import hybrid  # noqa: F401
     from . import index_suite  # noqa: F401
     from . import relational  # noqa: F401
     from . import vector  # noqa: F401

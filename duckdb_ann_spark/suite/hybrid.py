@@ -1,0 +1,104 @@
+"""Driver query: `hybrid_search` (BM25 + RRF, SURVEY §2.1).
+
+The oracle re-implements the whole pipeline in DuckDB SQL with the exact
+same expression shapes (tokenization regex, Okapi BM25 with per-doc
+term-ordered sequential fold, rank-1-best with id tie-break, RRF with
+K=60 and bm25-then-vector summation), so the result hash-matches
+bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import sql_tokenize
+from ..operators.hybrid import hybrid_search
+from ..oracle import sql_index_distance
+from . import register
+from .vector import query_vec
+
+QUERY_TEXT = "spark join query data"
+_QTERMS = "['data', 'join', 'query', 'spark']"
+_TOK = sql_tokenize("d.text")
+_DIST = sql_index_distance("l2", "e.embedding", "q.qv")
+
+_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+toks AS (
+    SELECT d.doc_id, unnest({_TOK}) AS term FROM documents d
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+consts AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM toks) AS total_tokens
+),
+qterms AS (SELECT unnest({_QTERMS}) AS term),
+tf AS (
+    SELECT t.doc_id, t.term, count(*) AS tf
+    FROM toks t JOIN qterms USING (term)
+    GROUP BY t.doc_id, t.term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+    SELECT tf.doc_id, tf.term,
+        (ln(1.0 + ((CAST(c.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                   / (CAST(dfreq.df AS DOUBLE) + 0.5)))
+         * (CAST(tf.tf AS DOUBLE) * 2.2))
+        / (CAST(tf.tf AS DOUBLE)
+           + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE))
+                           / (CAST(c.total_tokens AS DOUBLE)
+                              / CAST(c.n_docs AS DOUBLE)))) AS s
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c
+),
+bm AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+                       (acc, v) -> acc + v) AS _bm25_score
+    FROM scores GROUP BY doc_id
+),
+bmr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY _bm25_score DESC, doc_id) AS INT)
+               AS _bm25_rank
+    FROM bm
+    QUALIFY _bm25_rank <= 50
+),
+vr AS (
+    SELECT vec_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY _d, vec_id) AS INT) AS _vector_rank
+    FROM (SELECT e.vec_id, {_DIST} AS _d FROM embeddings e CROSS JOIN q)
+    QUALIFY _vector_rank <= 50
+),
+fused AS (
+    SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+           COALESCE(b._bm25_rank, 0) AS _bm25_rank,
+           COALESCE(v._vector_rank, 0) AS _vector_rank
+    FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, _rrf_score, _bm25_rank, _vector_rank FROM (
+    SELECT doc_id, _bm25_rank, _vector_rank,
+        (CASE WHEN _bm25_rank > 0
+              THEN 0.3 * (1.0 / (60.0 + CAST(_bm25_rank AS DOUBLE)))
+              ELSE 0.0 END)
+      + (CASE WHEN _vector_rank > 0
+              THEN 0.7 * (1.0 / (60.0 + CAST(_vector_rank AS DOUBLE)))
+              ELSE 0.0 END) AS _rrf_score
+    FROM fused
+)
+ORDER BY _rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+@register("hybrid_search", _ORACLE)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qv = query_vec(spark, sf_dir)
+    res = hybrid_search(
+        base, "doc_id", qv, QUERY_TEXT, text_col="text", vec_col="embedding",
+        k=10,
+    )
+    return res.select("doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
