@@ -1,0 +1,304 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-bounded (no all-pairs crossJoin anywhere):
+
+* :func:`dedup_exact` — hash-groupBy on normalized text; cluster id =
+  min doc id. One shuffle on a fixed-width digest.
+* :func:`minhash_signatures` / :func:`minhash_candidate_pairs` —
+  word-shingle MinHash with banded LSH: pairs meet only inside a band
+  bucket, so the shuffle is O(n·bands) and the pair set is the classic
+  LSH candidate set. Hashes are md5 hex strings (identical in Spark and
+  DuckDB → oracle hash-matchable), min-reduced lexicographically.
+* :func:`ngram_jaccard_pairs` — exact shingle-set Jaccard computed only
+  for LSH candidates (verification step after banding).
+* :func:`simhash` — 32-bit SimHash over token md5 prefixes; near-dups
+  have small Hamming distance.
+* :func:`embedding_near_dup_pairs` — random-hyperplane (sign) LSH
+  buckets over an embedding column, exact cosine verification within
+  buckets. The bucketed join is the 100 TB path; brute force is only
+  used by tests as the recall oracle.
+
+Defaults: 12 minhash permutations in 4 bands of 3, 3-word shingles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+N_HASHES = 12
+N_BANDS = 4
+SHINGLE_WORDS = 3
+
+__all__ = [
+    "dedup_exact",
+    "shingles",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "embedding_near_dup_pairs",
+]
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """→ (id, cluster_id, is_duplicate): rows with identical (normalized)
+    text share the cluster of their smallest id.
+
+    Scale: groups on a 256-bit digest of the text, so the shuffle carries
+    (id, 64-byte key) — never the document bodies."""
+    norm = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    keyed = df.select(F.col(id_col), F.sha2(norm, 256).alias("_key"))
+    clusters = keyed.groupBy("_key").agg(F.min(id_col).alias("cluster_id"))
+    return (
+        keyed.join(clusters, on="_key")
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) != F.col("cluster_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def shingles(text_col, n: int = SHINGLE_WORDS) -> Column:
+    """array<string> of n-word shingles (the whole text when shorter)."""
+    toks = tokenize(text_col)
+    few = F.array(F.concat_ws(" ", toks))
+    many = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) < n, few).otherwise(many)
+
+
+def _minhash_component(sh: Column, j: int) -> Column:
+    return F.array_min(
+        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    shingle_words: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """→ (id, sig array<string>[n_hashes]) — one narrow pass, no shuffle."""
+    sh = shingles(text_col, shingle_words)
+    df = df.select(F.col(id_col), sh.alias("_sh"))
+    sig = F.array(*[_minhash_component(F.col("_sh"), j) for j in range(n_hashes)])
+    return df.select(id_col, sig.alias("sig"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    shingle_words: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """→ (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band bucket
+    (id_a < id_b). est_jaccard = matching signature fraction."""
+    r = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_words)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws("|", *[F.col("sig")[b * r + i] for i in range(r)])
+                    ).alias("bkey"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey"
+    )
+    pairs = (
+        a.join(b, on=["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_words: int = SHINGLE_WORDS,
+    **lsh_kw,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard →
+    (id_a, id_b, jaccard) for jaccard >= threshold."""
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, shingle_words=shingle_words, **lsh_kw
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_words)).alias("_sh"),
+    )
+    j = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sa"),
+                   on="id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sb"),
+              on="id_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    return (
+        j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, simhash bigint): 32-bit SimHash. Each distinct token hashes
+    to 32 bits (md5 prefix); bit b of the fingerprint is 1 when more
+    token-hashes set b than clear it (ties → 0). Near-duplicate texts
+    land within small Hamming distance."""
+    toks = F.array_distinct(tokenize(text_col))
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+
+    # (h >> b) & 1 without shift builtins (they only take int literals):
+    # h < 2^32 and 2^b are exact in doubles, so floor(h / 2^b) % 2 is exact.
+    def bit(h, b):
+        return F.pmod(F.floor(h / F.pow(F.lit(2.0), b)).cast("long"), F.lit(2))
+
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + F.when(bit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda s, b: F.when(
+                s > 0, F.pow(F.lit(2.0), b).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: each of `n_tables` tables buckets vectors by
+    the sign pattern of `n_planes` projections; exact cosine verification
+    within buckets → (id_a, id_b, cosine) with cosine >= threshold.
+
+    Scale: shuffle is O(n·tables); near-identical vectors collide with
+    probability ~(1 - theta/pi)^planes per table."""
+    spark = df.sparkSession
+    first = df.select(vec_col).head()
+    if first is None:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+
+    tables = []
+    for t in range(n_tables):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.array(*[F.lit(float(x)) for x in planes[t, p]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ]
+        tables.append(
+            df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(t).alias("table"),
+                F.concat(*bits).alias("bucket"),
+            )
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "table", "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "table", "bucket"
+    )
+    pairs = (
+        a.join(b, on=["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va").cast("array<double>"),
+                   F.col("_vb").cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(
+        F.zip_with(F.col("_va").cast("array<double>"),
+                   F.col("_va").cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.zip_with(F.col("_vb").cast("array<double>"),
+                   F.col("_vb").cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    return (
+        pairs.select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

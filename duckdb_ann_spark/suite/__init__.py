@@ -58,9 +58,12 @@ def _load() -> None:
     if _LOADED:
         return
     from . import batch  # noqa: F401
+    from . import dedup  # noqa: F401
     from . import hybrid  # noqa: F401
     from . import index_suite  # noqa: F401
+    from . import multimodal  # noqa: F401
     from . import relational  # noqa: F401
+    from . import text  # noqa: F401
     from . import vector  # noqa: F401
 
     _LOADED = True

@@ -28,7 +28,11 @@ from ..oracle import sql_index_distance
 from . import register
 from .vector import query_vec
 
-_ROOT = os.path.join(tempfile.gettempdir(), "duckdb_ann_spark_suite_indexes")
+# per-process root: concurrent runs (driver + pytest) must not share
+# index artifacts, or a drop in one races a read in the other
+_ROOT = os.path.join(
+    tempfile.gettempdir(), f"duckdb_ann_spark_suite_indexes_{os.getpid()}"
+)
 
 
 def _cat() -> Catalog:

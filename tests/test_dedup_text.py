@@ -1,0 +1,141 @@
+"""Dedup + text-analysis + multimodal operators on constructed data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from duckdb_ann_spark.operators.multimodal import (
+    binary_stats,
+    decode_image,
+    extract_features,
+)
+from duckdb_ann_spark.operators.text_ops import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE + " extra"),  # near dup of 0
+        (3, "completely different content about spark query engines here"),
+        (4, "  " + BASE.upper() + "  "),  # dup of 0 after normalization
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_clusters(docs):
+    res = {r.doc_id: (r.cluster_id, r.is_duplicate)
+           for r in dedup_exact(docs, "doc_id", "text").collect()}
+    assert res[0] == (0, False)
+    assert res[1] == (0, True)
+    assert res[4] == (0, True)  # normalization catches case/whitespace
+    assert res[2][1] is False and res[3][1] is False
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in minhash_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert pairs[(0, 1)] == 1.0  # identical → identical signatures
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+    assert not any(3 in p for p in pairs)  # unrelated text never pairs
+
+
+def test_minhash_plan_has_no_crossjoin(docs):
+    plan = minhash_candidate_pairs(docs, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ngram_jaccard_verifies(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(docs):
+    fps = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert fps[0] == fps[1]  # identical text → identical fingerprint
+    ham_near = bin(fps[0] ^ fps[2]).count("1")
+    ham_far = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 8
+
+
+def test_embedding_near_dup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # 100: copy of 0; 101: tiny perturbation of 1
+    rows.append((100, [float(x) for x in base[0]]))
+    rows.append((101, [float(x) for x in base[1] + 1e-4]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                               threshold=0.99).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] >= 0.999999
+    assert (1, 101) in pairs and pairs[(1, 101)] >= 0.99
+
+
+def test_token_stats_and_quality(docs):
+    st = {r.doc_id: r for r in token_stats(docs, "doc_id", "text").collect()}
+    assert st[0].n_tokens == 13
+    assert st[0].n_unique_tokens == 11  # 'the'/'again' repeat
+    assert st[5].n_tokens == 2
+    q = {r.doc_id: r for r in quality_score(docs, "doc_id", "text").collect()}
+    assert 0.0 <= q[0].quality_score <= 1.0
+    assert q[0].quality_score > q[5].quality_score  # too-short text penalized
+    assert q[0].stopword_ratio > 0
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog are in the house"),
+        (1, "el perro y la casa es en la calle un dia"),
+        (2, "der hund und die katze ist ein tier mit von zu"),
+        (3, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r.doc_id: r.lang_pred for r in lang_id(df, "doc_id", "text").collect()}
+    assert res[0] == "en" and res[1] == "es" and res[2] == "de"
+    assert res[3] == "und"
+
+
+def test_fingerprint_normalizes(docs):
+    fp = {r.doc_id: r.fingerprint
+          for r in fingerprint(docs, "doc_id", "text").collect()}
+    assert fp[0] == fp[1] == fp[4]  # punctuation/case/whitespace-insensitive
+    assert fp[0] != fp[2]
+
+
+def test_binary_stats_and_features(docs):
+    blobs = docs.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    st = {r.doc_id: r for r in binary_stats(blobs, "doc_id", "blob").collect()}
+    assert st[0].n_bytes == len(BASE.encode())
+    feats = {r.doc_id: r for r in extract_features(blobs, "doc_id", "blob").collect()}
+    assert feats[0].n_bytes == len(BASE.encode())
+    assert len(feats[0].features) == 8
+    assert abs(sum(feats[0].features) - 1.0) < 1e-5  # normalized histogram
+    assert feats[0].features == feats[1].features  # deterministic
+
+
+def test_decode_image_stub():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG fake")
