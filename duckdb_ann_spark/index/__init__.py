@@ -20,9 +20,12 @@ from .api import (  # noqa: F401
     create_index,
     delete_from_index,
     drop_index,
+    faiss_gpu_info,
     index_scan,
+    insert_into_index,
     merge_indexes,
     vacuum_index,
 )
 from .catalog import Catalog  # noqa: F401
 from .params import DiskannParams, FaissParams  # noqa: F401
+from .streaming_build import diskann_streaming_build  # noqa: F401

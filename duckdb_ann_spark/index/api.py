@@ -35,6 +35,16 @@ DISTANCE_COL = "_distance"
 DELETED_DIR = "deleted"
 
 
+
+def _refresh(spark: SparkSession, artifact_dir: str) -> None:
+    """Invalidate Spark's cached file listings for an artifact that was
+    just mutated in place (append/vacuum/merge) — stale FileStatusCache
+    entries otherwise crash or silently miss files on re-read."""
+    try:
+        spark.catalog.refreshByPath(artifact_dir)
+    except Exception:
+        pass
+
 def _check_vec_type(df: DataFrame, vec_col: str, engine: str) -> None:
     try:
         field = df.schema[vec_col]
@@ -294,6 +304,7 @@ def delete_from_index(
     else:
         del_df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
     del_df.write.mode("append").parquet(os.path.join(d, DELETED_DIR))
+    _refresh(spark, d)
     n_deleted = (
         spark.read.parquet(os.path.join(d, DELETED_DIR)).select(id_col).distinct().count()
     )
@@ -336,6 +347,7 @@ def vacuum_index(
     delpath = os.path.join(d, DELETED_DIR)
     if os.path.exists(delpath):
         shutil.rmtree(delpath)
+    _refresh(spark, d)
     return cat.update(name, num_vectors=int(n), num_deleted=0, **(extra or {}))
 
 
@@ -397,7 +409,59 @@ def merge_indexes(
     delpath = os.path.join(d_dst, DELETED_DIR)
     if os.path.exists(delpath):
         shutil.rmtree(delpath)
+    _refresh(spark, d_dst)
     return cat.update(dst, num_vectors=int(n), num_deleted=0, **(extra or {}))
+
+
+def insert_into_index(
+    spark: SparkSession,
+    name: str,
+    df_new: DataFrame,
+    catalog: Optional[Catalog] = None,
+) -> dict:
+    """Append rows to a live index (`Insert`/`Append`,
+    `src/diskann_index.cpp:316-361`, FAISS batch-add). Validates
+    dimension and id uniqueness against the existing index."""
+    cat, manifest, d, impl = _load(name, "", catalog)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    src = df_new.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("n_ids"),
+        F.min(F.size(vec_col)).alias("dim_min"),
+        F.max(F.size(vec_col)).alias("dim_max"),
+    ).head()
+    n_new = stats["n"]
+    if n_new == 0:
+        return manifest
+    if stats["dim_min"] != stats["dim_max"] or stats["dim_min"] != manifest["dim"]:
+        raise ValueError(
+            f"{manifest['engine']} index column must be FLOAT[N] (fixed-size "
+            f"array): index dimension {manifest['dim']}, got "
+            f"{stats['dim_min']}..{stats['dim_max']}"
+        )
+    if stats["n_ids"] != n_new:
+        raise ValueError(f"id column '{id_col}' must be unique in the new rows")
+    existing = impl.vectors(spark, d).select(id_col)
+    overlap = src.select(id_col).join(existing, on=id_col).count()
+    if overlap:
+        raise ValueError(
+            f"{overlap} ids already exist in index '{name}' (ids must be unique)"
+        )
+    params = parse_params(manifest["engine"], _params_kwargs(manifest))
+    impl.append(spark, manifest, d, src, params)
+    _refresh(spark, d)
+    return cat.update(name, num_vectors=int(manifest["num_vectors"]) + int(n_new))
+
+
+def faiss_gpu_info(spark: SparkSession) -> DataFrame:
+    """`faiss_gpu_info()` (`src/faiss_fn_gpu.cpp:12-55`): GPU backend
+    probe. This engine's batch kernels run on numpy/BLAS inside Arrow
+    UDFs — there is never a GPU device, matching the reference built
+    without Metal."""
+    return spark.createDataFrame(
+        [(False, "cpu (numpy BLAS / Arrow)")], "available boolean, device string"
+    )
 
 
 def drop_index(name: str, catalog: Optional[Catalog] = None) -> None:

@@ -43,6 +43,21 @@ class FlatEngine:
     def vectors(self, spark: SparkSession, artifact_dir: str) -> DataFrame:
         return spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
 
+    def append(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        artifact_dir: str,
+        df_new: DataFrame,
+        params,
+    ) -> dict:
+        """Incremental add (`FaissIndex` Append): Flat just extends the
+        stored vectors."""
+        df_new.select(manifest["id_col"], manifest["vec_col"]).write.mode(
+            "append"
+        ).parquet(f"{artifact_dir}/{VECTORS_DIR}")
+        return {}
+
     def search(
         self,
         spark: SparkSession,

@@ -146,6 +146,38 @@ class IvfFlatEngine:
     def vectors(self, spark: SparkSession, artifact_dir: str) -> DataFrame:
         return spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}").drop(CELL_COL)
 
+    def append(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        artifact_dir: str,
+        df_new: DataFrame,
+        params,
+    ) -> dict:
+        """Incremental add: assign new rows to the *existing* centroids
+        (no retraining — reference FAISS appends to the trained index)."""
+        id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+        centroids = self._centroids(spark, artifact_dir)
+        bc = spark.sparkContext.broadcast(centroids)
+        metric = manifest["params"]["metric"]
+
+        def assign(batches):
+            cm = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+                cells = np_index_distances(metric, mat, cm).argmin(axis=0)
+                pdf = pdf[[id_col, vec_col]].copy()
+                pdf[CELL_COL] = cells.astype(np.int32)
+                yield pdf
+
+        schema = f"{id_col} long, {vec_col} array<float>, {CELL_COL} int"
+        df_new.select(id_col, vec_col).mapInPandas(assign, schema=schema).write.mode(
+            "append"
+        ).partitionBy(CELL_COL).parquet(f"{artifact_dir}/{VECTORS_DIR}")
+        return {}
+
     # -- search --------------------------------------------------------
     def _centroids(self, spark: SparkSession, artifact_dir: str) -> np.ndarray:
         rows = (

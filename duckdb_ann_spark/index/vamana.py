@@ -99,9 +99,9 @@ class VamanaEngine:
         if shards == 1:
             pdf = src.toPandas()  # reference parity: one global buffered build
             labels = build_shard(pdf, 0)
-            spark.createDataFrame(labels).write.mode("overwrite").parquet(
-                f"{artifact_dir}/{LABELS_DIR}"
-            )
+            spark.createDataFrame(
+                labels, schema="shard int, label long, id long"
+            ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
         else:
             from pyspark.sql import functions as F
 
@@ -120,6 +120,39 @@ class VamanaEngine:
 
     def vectors(self, spark: SparkSession, artifact_dir: str) -> DataFrame:
         return spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
+
+    def append(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        artifact_dir: str,
+        df_new: DataFrame,
+        params,
+    ) -> dict:
+        """Live insert (`src/diskann_index.cpp:316-361`): stream-insert
+        new vectors into shard 0's graph, extend the label map, rewrite
+        the shard file. Sequential, like the reference's Insert."""
+        id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+        df_new.select(id_col, vec_col).write.mode("append").parquet(
+            f"{artifact_dir}/{VECTORS_DIR}"
+        )
+        path = f"{artifact_dir}/{GRAPH_DIR}/shard_0.diskann"
+        g = read_diskann(path, mmap=False)  # writable copy
+        pdf = df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
+        labels = []
+        for rid, vec in zip(pdf[id_col], pdf[vec_col]):
+            label = g.insert(np.asarray(vec, dtype=np.float32))
+            labels.append((0, label, int(rid)))
+        sq8 = None
+        if getattr(params, "quantize_sq8", False) and g.n:
+            sq8 = sq8_quantize(g.vectors[: g.n])
+        write_diskann(path, g, sq8)
+        # cache keys include mtime, so the rewritten file misses the old
+        # entry automatically on next load
+        spark.createDataFrame(
+            labels, schema="shard int, label long, id long"
+        ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
+        return {}
 
     def search(
         self,

@@ -21,9 +21,13 @@ from ..index import (
     ann_search,
     create_index,
     delete_from_index,
+    diskann_streaming_build,
     drop_index,
+    faiss_gpu_info,
     index_scan,
+    insert_into_index,
 )
+from ..plans import topk_auto
 from ..oracle import sql_index_distance
 from . import register
 from .vector import query_vec
@@ -182,6 +186,92 @@ def q_diskann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = query_vec(spark, sf_dir)
     return index_scan(spark, "suite_vamana_q", [q], k=10, catalog=cat)
+
+
+@register(
+    "ann_insert_append",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, {_DIST} AS _distance
+    FROM embeddings e CROSS JOIN q
+    ORDER BY _distance, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index built on part of the table, remainder inserted live
+    (diskann_basic.test:45-55 semantics) — search equals full brute
+    force because Flat is exact."""
+    cat = _cat()
+    drop_index("suite_ins", cat)
+    emb = _emb(spark, sf_dir)
+    create_index(
+        emb.where(F.col("vec_id") < 400), "vec_id", "embedding", "suite_ins",
+        engine="faiss", table_name="embeddings", catalog=cat,
+    )
+    insert_into_index(spark, "suite_ins", emb.where(F.col("vec_id") >= 400), cat)
+    q = query_vec(spark, sf_dir)
+    return index_scan(spark, "suite_ins", [q], k=10, catalog=cat).drop("query_idx")
+
+
+@register(
+    "planner_topk_route",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, e.label, {_DIST} AS _distance
+    FROM embeddings e CROSS JOIN q
+    ORDER BY _distance, e.vec_id LIMIT 10
+    """,
+)
+def q_planner_topk_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimizer-rewrite analog: topk_auto consults the catalog,
+    passes the reference's gates, and routes through the Flat index —
+    result identical to brute force (ann_optimizer.cpp:348-530).
+
+    Isolated catalog: the planner picks any metric-compatible index on
+    the table, so the other suite entries' (approximate) indexes must
+    not be visible to it."""
+    cat = Catalog(_ROOT + "_planner")
+    drop_index("suite_plan", cat)
+    create_index(
+        _emb(spark, sf_dir), "vec_id", "embedding", "suite_plan",
+        engine="faiss", table_name="embeddings", catalog=cat,
+    )
+    q = query_vec(spark, sf_dir)
+    res, decision = topk_auto(
+        _emb(spark, sf_dir), "embedding", q, 10, table_name="embeddings",
+        catalog=cat, explain=True,
+    )
+    assert decision.strategy == "index_scan", decision
+    return res.select("vec_id", "label", "_distance")
+
+
+@register(
+    "faiss_gpu_info",
+    "SELECT * FROM (VALUES (false, 'cpu (numpy BLAS / Arrow)'))"
+    " AS t(available, device)",
+)
+def q_faiss_gpu_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return faiss_gpu_info(spark)
+
+
+@register(
+    "diskann_streaming_build",
+    "SELECT * FROM (VALUES (CAST(500 AS BIGINT), 64, 500))"
+    " AS t(num_vectors, dimension, sample_size)",
+)
+def q_diskann_streaming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass out-of-core build (streaming_build.rs shape): default
+    sample = max(sqrt(N), 1000) clamped to N = 500 at sf0.01."""
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), f"suite_sb_{os.getpid()}.diskann")
+    n, dim, used = diskann_streaming_build(
+        f"{sf_dir}/embeddings.parquet", out, max_degree=16,
+        build_complexity=32, spark=spark,
+    )
+    return spark.createDataFrame(
+        [(n, dim, used)], "num_vectors long, dimension int, sample_size int"
+    )
 
 
 @register(
