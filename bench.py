@@ -23,8 +23,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
+from duckdb_ann_spark.index import Catalog, create_index, drop_index, index_scan
 from duckdb_ann_spark.operators.batch import search_batch_ids
 from duckdb_ann_spark.operators.topk import topk
 from duckdb_ann_spark.session import get_spark
@@ -65,6 +67,47 @@ def bench_ann(spark, dim: int) -> float:
     return dt
 
 
+def bench_indexed(spark, dim: int) -> dict[str, float]:
+    """Index build + 50-query search through IVFFlat (cell-pruned scan)
+    and sharded DiskANN (parallel graph builds) — the reference bench
+    builds and searches its indexes on the same 10k workload."""
+    import tempfile
+
+    out: dict[str, float] = {}
+    rng = np.random.default_rng(777)
+    queries = rng.random((N_QUERIES, dim), dtype=np.float32)
+    vecs = _synthetic_vectors(spark, N_VECTORS, dim, seed=dim).persist()
+    vecs.count()
+    cat = Catalog(os.path.join(tempfile.gettempdir(), f"bench_idx_{os.getpid()}"))
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "bench_ivf", engine="faiss",
+        type="IVFFlat", ivf_nlist=64, nprobe=8, catalog=cat,
+    )
+    out["ivf_build_d%d" % dim] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = index_scan(spark, "bench_ivf", queries, K, catalog=cat).count()
+    out["ivf_search_d%d" % dim] = time.perf_counter() - t0
+    assert n == N_QUERIES * K, n
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "bench_vamana", engine="diskann",
+        max_degree=16, build_complexity=32, shards=32, catalog=cat,
+    )
+    out["vamana_build_d%d" % dim] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n = index_scan(spark, "bench_vamana", queries, K, catalog=cat).count()
+    out["vamana_search_d%d" % dim] = time.perf_counter() - t0
+    assert n == N_QUERIES * K, n
+
+    drop_index("bench_ivf", cat)
+    drop_index("bench_vamana", cat)
+    vecs.unpersist()
+    return out
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", cpus=cpus)
@@ -72,11 +115,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # warm the JVM/Arrow paths once so timings measure steady state
+    # warm the JVM codegen AND the Python/Arrow workers once so timings
+    # measure steady state (first mapInPandas otherwise pays ~4s of
+    # worker spin-up on local[32])
     spark.range(1000).withColumn("x", F.rand(1)).agg(F.sum("x")).collect()
+    spark.range(10_000).repartition(cpus).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
 
     for dim in DIMS:
         timings[f"ann_d{dim}"] = bench_ann(spark, dim)
+
+    timings.update(bench_indexed(spark, dim=128))
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()

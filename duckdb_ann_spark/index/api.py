@@ -186,9 +186,15 @@ def index_scan(
 
 
 def _as_queries(queries) -> list:
-    if queries and isinstance(queries[0], (int, float)):
+    """Normalize a single vector, list of vectors, or numpy matrix to
+    list-of-lists."""
+    import numpy as np
+
+    if isinstance(queries, np.ndarray):
+        return queries.reshape(1, -1).tolist() if queries.ndim == 1 else queries.tolist()
+    if len(queries) and isinstance(queries[0], (int, float)):
         return [list(queries)]
-    return [list(q) for q in queries]
+    return [[float(x) for x in q] for q in queries]
 
 
 def ann_search(

@@ -42,7 +42,7 @@ CENTROIDS_DIR = "centroids"
 CELL_COL = "__cell"
 DISTANCE_COL = "_distance"
 TRAIN_SEED = 42
-KMEANS_ITERS = 20
+KMEANS_ITERS = 10
 
 
 def _kmeans(data: np.ndarray, k: int, seed: int = TRAIN_SEED,
@@ -131,9 +131,14 @@ class IvfFlatEngine:
 
         schema = f"{id_col} long, {vec_col} array<float>, {CELL_COL} int"
         assigned = df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
-        assigned.write.mode("overwrite").partitionBy(CELL_COL).parquet(
-            f"{artifact_dir}/{VECTORS_DIR}"
-        )
+        # co-locate each cell before the partitioned write: without this,
+        # every task writes a sliver of every cell (tasks x nlist tiny
+        # files); with it, file count ~= nlist and cell scans are compact
+        from pyspark.sql import functions as F
+
+        assigned.repartition(k_eff, F.col(CELL_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(CELL_COL).parquet(f"{artifact_dir}/{VECTORS_DIR}")
         cdf = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             f"{CELL_COL} int, centroid array<float>",

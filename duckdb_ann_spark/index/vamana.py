@@ -154,6 +154,18 @@ class VamanaEngine:
         ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
         return {}
 
+    # above this many queries, fan out across executors instead of
+    # looping on the driver
+    DISTRIBUTE_THRESHOLD = 8
+
+    def _shard_files(self, artifact_dir: str) -> list[tuple[int, str]]:
+        gdir = f"{artifact_dir}/{GRAPH_DIR}"
+        return sorted(
+            (int(f.split("_")[1].split(".")[0]), os.path.join(gdir, f))
+            for f in os.listdir(gdir)
+            if f.endswith(".diskann")
+        )
+
     def search(
         self,
         spark: SparkSession,
@@ -164,16 +176,16 @@ class VamanaEngine:
         search_complexity: int | None = None,
     ) -> DataFrame:
         id_col = manifest["id_col"]
+        shard_files = self._shard_files(artifact_dir)
+        if len(queries) > self.DISTRIBUTE_THRESHOLD:
+            return self._search_distributed(
+                spark, manifest, artifact_dir, queries, k, search_complexity,
+                shard_files,
+            )
         labels = (
             spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
             .toPandas()
             .set_index(["shard", "label"])["id"]
-        )
-        gdir = f"{artifact_dir}/{GRAPH_DIR}"
-        shard_files = sorted(
-            (int(f.split("_")[1].split(".")[0]), os.path.join(gdir, f))
-            for f in os.listdir(gdir)
-            if f.endswith(".diskann")
         )
         rows = []
         for qi, q in enumerate(queries):
@@ -187,6 +199,54 @@ class VamanaEngine:
                 rows.append((qi, rid, float(dist)))
         return spark.createDataFrame(
             rows, f"query_idx int, {id_col} long, _distance double"
+        )
+
+    def _search_distributed(
+        self, spark, manifest, artifact_dir, queries, k, search_complexity,
+        shard_files,
+    ) -> DataFrame:
+        """Batch path (`rust_lib/src/provider.rs:248-441` lock-step batch →
+        Spark shape): queries are partitioned across executors; each task
+        memmaps the shard files from shared storage (per-process cache) and
+        searches its queries; shard-local hits join the (shard, label)→id
+        parquet map and a window keeps the global top-k per query. The
+        index file is never broadcast — executors read it lazily, like the
+        reference's mmap DiskProvider."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        id_col = manifest["id_col"]
+        qrows = [(i, [float(x) for x in q]) for i, q in enumerate(queries)]
+        npart = min(len(qrows), spark.sparkContext.defaultParallelism)
+        qdf = spark.createDataFrame(
+            qrows, "query_idx int, _qv array<float>"
+        ).repartition(npart, "query_idx")
+
+        def run(batches):
+            for pdf in batches:
+                out = []
+                for qi, qv in zip(pdf["query_idx"], pdf["_qv"]):
+                    q = np.asarray(qv, dtype=np.float32)
+                    for shard, path in shard_files:
+                        g = _load_shard(path)
+                        for label, dist in g.search(q, k, search_complexity):
+                            out.append((int(qi), shard, int(label), float(dist)))
+                yield pd.DataFrame(
+                    out, columns=["query_idx", "shard", "label", "_distance"]
+                )
+
+        hits = qdf.mapInPandas(
+            run, schema="query_idx int, shard int, label long, _distance double"
+        )
+        labels = spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
+        w = Window.partitionBy("query_idx").orderBy(
+            F.col("_distance").asc_nulls_last(), F.col("id").asc()
+        )
+        return (
+            hits.join(labels, on=["shard", "label"])
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("query_idx", F.col("id").alias(id_col), "_distance")
         )
 
 

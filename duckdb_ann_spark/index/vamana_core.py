@@ -110,18 +110,26 @@ class VamanaGraph:
             c_dist, c_id = heapq.heappop(candidates)
             if len(result) >= L and c_dist > result[L - 1][0]:
                 break
-            nbrs = [nb for nb in self.neighbors(c_id) if nb not in visited]
+            adj = self.adjacency[c_id]
+            nbrs = [int(nb) for nb in adj[adj != NO_EDGE] if nb not in visited]
             if not nbrs:
                 continue
-            visited.update(int(nb) for nb in nbrs)
-            ds = _dists(self.metric, self.vectors[np.asarray(nbrs)], q)
-            for nb, d in zip(nbrs, ds):
-                d = float(d)
+            visited.update(nbrs)
+            nbrs_a = np.asarray(nbrs)
+            ds = _dists(self.metric, self.vectors[nbrs_a], q)
+            if len(result) >= L:
+                # vectorized pre-filter: only neighbors that can enter the
+                # result list are worth the per-element insert below
+                m = ds < result[-1][0]
+                if not m.any():
+                    continue
+                nbrs_a, ds = nbrs_a[m], ds[m]
+            for nb, d in zip(nbrs_a.tolist(), ds.tolist()):
                 if len(result) < L or d < result[-1][0]:
-                    bisect.insort(result, (d, int(nb)))
+                    bisect.insort(result, (d, nb))
                     if len(result) > L:
                         result.pop()
-                    heapq.heappush(candidates, (d, int(nb)))
+                    heapq.heappush(candidates, (d, nb))
 
         hits = [(i, d) for d, i in result[:k_eff]]
         if return_visited:

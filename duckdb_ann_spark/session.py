@@ -18,6 +18,13 @@ def get_spark(app_name: str = "duckdb_ann_spark", cpus: int | None = None) -> Sp
     """Create (or reuse) a SparkSession with engine defaults."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Cap BLAS threads: N python workers x N OpenBLAS threads thrashes
+    # the box (numpy kernels inside mapInPandas are many small ops, not
+    # one big GEMM). Python workers inherit the JVM's env, which inherits
+    # ours — set before the JVM starts. 2 keeps driver-side GEMMs
+    # (KMeans training) reasonable without worker oversubscription.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "2")
     builder = SparkSession.builder
     # Only force a local master when none is provided by the launch
     # environment (spark-submit --master / SPARK_MASTER set by a cluster);
