@@ -63,6 +63,7 @@ def _load() -> None:
     from . import index_suite  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import relational  # noqa: F401
+    from . import streaming_suite  # noqa: F401
     from . import text  # noqa: F401
     from . import vector  # noqa: F401
 
