@@ -95,12 +95,15 @@ def neg_inner_product(a: ColumnOrName, b) -> Column:
 
 
 def cosine_similarity(a: ColumnOrName, b) -> Column:
-    """Cosine similarity (DuckDB `array_cosine_similarity` semantics)."""
+    """Cosine similarity (DuckDB `array_cosine_similarity` semantics).
+
+    Zero vectors → NULL (DuckDB's x/0 semantics); `try_divide` keeps the
+    same result under Spark's default ANSI mode, where plain `/` throws."""
     bcol = as_vector_lit(b) if isinstance(b, (list, tuple, np.ndarray)) else _dbl(b)
     dot = _fold_sum(F.zip_with(_dbl(a), bcol, lambda x, y: x * y))
     na = F.sqrt(_fold_sum(F.zip_with(_dbl(a), _dbl(a), lambda x, y: x * y)))
     nb = F.sqrt(_fold_sum(F.zip_with(bcol, bcol, lambda x, y: x * y)))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def cosine_distance(a: ColumnOrName, b) -> Column:

@@ -225,11 +225,16 @@ class VamanaEngine:
         def run(batches):
             for pdf in batches:
                 out = []
-                for qi, qv in zip(pdf["query_idx"], pdf["_qv"]):
-                    q = np.asarray(qv, dtype=np.float32)
-                    for shard, path in shard_files:
-                        g = _load_shard(path)
-                        for label, dist in g.search(q, k, search_complexity):
+                if not len(pdf):
+                    continue
+                qs = np.array(pdf["_qv"].tolist(), dtype=np.float32)
+                qids = pdf["query_idx"].tolist()
+                for shard, path in shard_files:
+                    g = _load_shard(path)
+                    # lock-step batch: all of this task's queries advance
+                    # together, distance work aggregated per hop
+                    for qi, hits in zip(qids, g.search_batch(qs, k, search_complexity)):
+                        for label, dist in hits:
                             out.append((int(qi), shard, int(label), float(dist)))
                 yield pd.DataFrame(
                     out, columns=["query_idx", "shard", "label", "_distance"]
@@ -250,4 +255,39 @@ class VamanaEngine:
         )
 
 
+class HnswLikeEngine(VamanaEngine):
+    """`CREATE INDEX ... USING FAISS WITH (type='HNSW', hnsw_m=...)`.
+
+    Documented divergence: the reference delegates to libfaiss's HNSW;
+    we back the same surface with the Vamana graph machinery (both are
+    graph-ANN with a degree bound and greedy best-first search —
+    `hnsw_m` maps to max_degree, efSearch to search_complexity).
+    Correctness is gated the same way as the reference gates HNSW: recall
+    floors vs brute force, param plumbing, lifecycle tests."""
+
+    name = "hnsw"
+
+    class _P:
+        def __init__(self, fp):
+            self.metric = fp.metric
+            self.max_degree = int(fp.hnsw_m)
+            self.build_complexity = max(2 * int(fp.hnsw_m), 40)
+            self.alpha = 1.0  # plain greedy pruning, HNSW-style
+            self.quantize_sq8 = False
+            self.shards = 1
+
+    def build(self, spark, df, id_col, vec_col, artifact_dir, params, dim):
+        out = super().build(
+            spark, df, id_col, vec_col, artifact_dir, self._P(params), dim
+        )
+        out["layout"] = "hnsw-as-vamana-graph"
+        return out
+
+    def append(self, spark, manifest, artifact_dir, df_new, params):
+        return super().append(
+            spark, manifest, artifact_dir, df_new, self._P(params)
+        )
+
+
 register_engine("diskann", "vamana", VamanaEngine())
+register_engine("faiss", "hnsw", HnswLikeEngine())

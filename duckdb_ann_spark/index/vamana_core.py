@@ -136,6 +136,110 @@ class VamanaGraph:
             return hits, sorted(visited)
         return hits
 
+    def search_batch(self, queries, k: int,
+                     search_complexity: int | None = None):
+        """Lock-step multi-query search (`rust_lib/src/provider.rs:248-441`):
+        all queries advance one hop per iteration and their neighbor-
+        distance work is aggregated into ONE batched kernel call — the
+        reference dispatches that batch to Metal; here it's one numpy
+        BLAS op instead of per-query small matmuls.
+
+        Returns list[list[(label, distance)]], identical per-query results
+        to :meth:`search` (same L and stop rule, evaluated per query)."""
+        qm = np.asarray(queries, dtype=np.float32)
+        nq = qm.shape[0]
+        if self.n == 0 or k == 0 or nq == 0:
+            return [[] for _ in range(nq)]
+        k_eff = min(k, self.n)
+        L = max(k_eff, search_complexity or self.build_complexity)
+
+        visited = [set() for _ in range(nq)]
+        candidates: list[list[tuple[float, int]]] = [[] for _ in range(nq)]
+        results: list[list[tuple[float, int]]] = [[] for _ in range(nq)]
+
+        # seed all queries with the entry points in one batch
+        eps = [ep for ep in self.entry_points if ep < self.n]
+        if eps:
+            ep_vecs = self.vectors[np.asarray(eps)]
+            if self.metric == "ip":
+                dmat = -(qm @ ep_vecs.T)
+            else:
+                d2 = ((qm[:, None, :] - ep_vecs[None, :, :]) ** 2).sum(axis=2)
+                dmat = d2
+            for qi in range(nq):
+                for j, ep in enumerate(eps):
+                    d = float(dmat[qi, j])
+                    visited[qi].add(ep)
+                    heapq.heappush(candidates[qi], (d, ep))
+                    bisect.insort(results[qi], (d, ep))
+
+        active = set(range(nq))
+        while active:
+            # one hop per active query: pop its best candidate, collect
+            # unvisited neighbors
+            work: list[tuple[int, list[int]]] = []
+            flat_ids: list[int] = []
+            for qi in sorted(active):
+                res, cand = results[qi], candidates[qi]
+                nbrs: list[int] = []
+                while cand:
+                    c_dist, c_id = heapq.heappop(cand)
+                    if len(res) >= L and c_dist > res[L - 1][0]:
+                        active.discard(qi)
+                        break
+                    adj = self.adjacency[c_id]
+                    nbrs = [
+                        int(nb) for nb in adj[adj != NO_EDGE]
+                        if nb not in visited[qi]
+                    ]
+                    if nbrs:
+                        break
+                else:
+                    active.discard(qi)
+                if qi in active and nbrs:
+                    visited[qi].update(nbrs)
+                    work.append((qi, nbrs))
+                    flat_ids.extend(nbrs)
+            if not work:
+                break
+            # ONE aggregated distance kernel for every (query, neighbor)
+            # pair of this hop
+            vecs = self.vectors[np.asarray(flat_ids)]
+            qidx = np.concatenate(
+                [np.full(len(nbrs), qi) for qi, nbrs in work]
+            )
+            qrows = qm[qidx]
+            if self.metric == "ip":
+                ds_all = -np.einsum("ij,ij->i", vecs, qrows)
+            else:
+                diff = vecs - qrows
+                ds_all = np.einsum("ij,ij->i", diff, diff)
+            pos = 0
+            for qi, nbrs in work:
+                self._merge_batch(
+                    qi, nbrs, ds_all[pos : pos + len(nbrs)], L, results,
+                    candidates,
+                )
+                pos += len(nbrs)
+        return [
+            [(i, d) for d, i in res[:k_eff]] for res in results
+        ]
+
+    def _merge_batch(self, qi, nbrs, ds, L, results, candidates):
+        res, cand = results[qi], candidates[qi]
+        if len(res) >= L:
+            m = ds < res[-1][0]
+            if not m.any():
+                return
+            nbrs = [n for n, keep in zip(nbrs, m.tolist()) if keep]
+            ds = ds[m]
+        for nb, d in zip(nbrs, ds.tolist()):
+            if len(res) < L or d < res[-1][0]:
+                bisect.insort(res, (d, nb))
+                if len(res) > L:
+                    res.pop()
+                heapq.heappush(cand, (d, nb))
+
     # -- prune ---------------------------------------------------------
     def robust_prune(self, p: int, pool_ids, pool_dists) -> list[int]:
         """TriangleInequality RobustPrune of `pool` (candidates for p's

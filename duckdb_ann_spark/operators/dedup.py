@@ -176,7 +176,7 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = F.size(F.array_union("_sa", "_sb")).cast("double")
     return (
-        j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        j.select("id_a", "id_b", F.try_divide(inter, union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -299,6 +299,6 @@ def embedding_near_dup_pairs(
         F.lit(0.0), lambda acc, x: acc + x,
     ))
     return (
-        pairs.select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        pairs.select("id_a", "id_b", F.try_divide(dot, na * nb).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -48,9 +48,9 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        (
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
-            / F.size(toks).cast("double")
+        F.try_divide(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double"),
+            F.size(toks).cast("double"),
         ).alias("avg_token_len"),
     )
 
@@ -67,9 +67,9 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
     uniq = F.size(F.array_distinct(toks)).cast("double")
     len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
-    stop_ratio = n_stop / n
-    alpha_ratio = n_alpha / n
-    rep = uniq / n
+    stop_ratio = F.try_divide(n_stop, n)
+    alpha_ratio = F.try_divide(n_alpha, n)
+    rep = F.try_divide(uniq, n)
     score = (
         F.lit(0.25) * len_ok
         + F.lit(0.25) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))

@@ -79,6 +79,20 @@ def test_two_pass_build_matches_quality(vecs200):
     assert len(set(got) & set(want)) >= 7
 
 
+def test_lockstep_batch_matches_single(vecs200):
+    """search_batch (aggregated per-hop kernels, provider.rs:248-441
+    shape) must return exactly the single-query results."""
+    g = build_graph(vecs200, max_degree=16, build_complexity=32)
+    qs = vecs200[:20]
+    batch = g.search_batch(qs, k=10)
+    for qi in range(20):
+        assert batch[qi] == g.search(qs[qi], k=10), qi
+    # and with explicit search_complexity
+    batch = g.search_batch(qs, k=5, search_complexity=64)
+    for qi in range(20):
+        assert batch[qi] == g.search(qs[qi], k=5, search_complexity=64), qi
+
+
 def test_degree_bound(vecs200):
     g = build_graph(vecs200, max_degree=8, build_complexity=32)
     assert g.adjacency.shape[1] == 8
