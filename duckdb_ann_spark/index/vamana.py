@@ -112,7 +112,12 @@ class VamanaEngine:
             def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
                 return build_shard(pdf, int(pdf["shard"].iloc[0]))
 
-            with_shard.groupBy("shard").applyInPandas(
+            # range-partition so each task builds exactly one shard —
+            # hash partitioning would stack 2-4 shards on some tasks and
+            # leave others idle (wall time = the unlucky task)
+            with_shard.repartitionByRange(shards, "shard").groupBy(
+                "shard"
+            ).applyInPandas(
                 apply_fn, schema="shard int, label long, id long"
             ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
 

@@ -148,6 +148,66 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_set_ops",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    EXCEPT
+    SELECT n_nationkey FROM nation
+    ORDER BY custkey
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/UNION/EXCEPT chain with SQL's precedence
+    (INTERSECT binds tighter; UNION/EXCEPT left-to-right)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING") \
+        .select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_custkey").alias("custkey"))
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0) \
+        .select(F.col("s_suppkey").alias("custkey"))
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("custkey")
+    )
+    return (
+        c.intersect(o).union(s).distinct().exceptAll(n).distinct()
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "rel_string_date_funcs",
+    """
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 3)) AS prio3,
+           length(o_orderpriority) AS prio_len,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           concat(o_orderstatus, '-', CAST(o_orderkey % 10 AS VARCHAR)) AS tag
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def q_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit("-"),
+            (F.col("o_orderkey") % 10).cast("string"),
+        ).alias("tag"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "rel_multi_join_region_sales",
     """
     SELECT r.r_name, n.n_name,
