@@ -81,6 +81,8 @@ class FaissParams:
 
     def __post_init__(self) -> None:
         self.metric = _norm_metric(self.metric)
+        if self.description:
+            self._apply_description(self.description)
         if not self.type:
             self.type = "Flat"
         if self.type.lower() not in FAISS_TYPES:
@@ -89,6 +91,32 @@ class FaissParams:
             )
         # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61)
         self.nprobe = max(1, int(self.nprobe))
+
+    def _apply_description(self, desc: str) -> None:
+        """faiss `index_factory` strings (the reference passes `description`
+        straight to faiss, `src/faiss_index.cpp:38-44`); we support the
+        subset our engines cover: "Flat", "IVF<nlist>,Flat", "HNSW<m>"."""
+        import re
+
+        head = desc.split(",")[0].strip()
+        if head.lower() == "flat":
+            self.type = "Flat"
+            return
+        m = re.fullmatch(r"IVF(\d+)", head, re.IGNORECASE)
+        if m:
+            self.type = "IVFFlat"
+            self.ivf_nlist = int(m.group(1))
+            return
+        m = re.fullmatch(r"HNSW(\d*)", head, re.IGNORECASE)
+        if m:
+            self.type = "HNSW"
+            if m.group(1):
+                self.hnsw_m = int(m.group(1))
+            return
+        raise ValueError(
+            f"Unsupported FAISS factory description '{desc}'. "
+            "Supported: Flat, IVF<nlist>,Flat, HNSW<m>"
+        )
 
     @property
     def type_norm(self) -> str:

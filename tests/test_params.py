@@ -1,0 +1,60 @@
+"""Parameter parsing parity (diskann_index.hpp / faiss_index.hpp)."""
+
+import pytest
+
+from duckdb_ann_spark.index.params import DiskannParams, FaissParams, parse_params
+
+
+def test_diskann_defaults():
+    p = DiskannParams()
+    assert (p.metric, p.max_degree, p.build_complexity, p.alpha) == \
+        ("l2", 64, 128, 1.2)
+    assert not p.quantize_sq8
+
+
+def test_faiss_defaults():
+    p = FaissParams()
+    assert (p.type, p.hnsw_m, p.ivf_nlist, p.nprobe, p.train_sample) == \
+        ("Flat", 32, 100, 1, 0)
+
+
+def test_nprobe_clamped_to_one():
+    assert FaissParams(nprobe=-5).nprobe == 1  # faiss_index.hpp:60-61
+
+
+def test_metric_validation():
+    with pytest.raises(ValueError, match="Supported: L2, IP"):
+        DiskannParams(metric="cosine")
+    assert DiskannParams(metric="IP").metric == "ip"
+
+
+def test_quantization_validation():
+    assert DiskannParams(quantization="SQ8").quantize_sq8
+    with pytest.raises(ValueError, match="Supported: sq8"):
+        DiskannParams(quantization="pq4")
+
+
+@pytest.mark.parametrize("desc,typ,extra", [
+    ("Flat", "Flat", {}),
+    ("IVF64,Flat", "IVFFlat", {"ivf_nlist": 64}),
+    ("IVF256,Flat", "IVFFlat", {"ivf_nlist": 256}),
+    ("HNSW48", "HNSW", {"hnsw_m": 48}),
+    ("HNSW", "HNSW", {"hnsw_m": 32}),
+])
+def test_factory_description(desc, typ, extra):
+    """index_factory strings (faiss_index.cpp:38-44 passes description
+    through; we parse the subset our engines cover)."""
+    p = FaissParams(description=desc)
+    assert p.type == typ
+    for k, v in extra.items():
+        assert getattr(p, k) == v
+
+
+def test_factory_description_unsupported():
+    with pytest.raises(ValueError, match="Unsupported FAISS factory"):
+        FaissParams(description="PQ16")
+
+
+def test_unknown_engine():
+    with pytest.raises(ValueError, match="Supported: DISKANN, FAISS"):
+        parse_params("annoy", {})
