@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..local import local_df
 from .catalog import Catalog
 from .engines import get_engine
 from .params import parse_params
@@ -308,7 +309,7 @@ def delete_from_index(
     if isinstance(ids, DataFrame):
         del_df = ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
     else:
-        del_df = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+        del_df = local_df(spark, [(int(i),) for i in ids], f"{id_col} long")
     del_df.write.mode("append").parquet(os.path.join(d, DELETED_DIR))
     _refresh(spark, d)
     n_deleted = (

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import index_distance, np_index_distances
+from ..local import local_df
 from .engines import register_engine
 
 VECTORS_DIR = "vectors"
@@ -139,7 +140,8 @@ class IvfFlatEngine:
         assigned.repartition(k_eff, F.col(CELL_COL)).write.mode(
             "overwrite"
         ).partitionBy(CELL_COL).parquet(f"{artifact_dir}/{VECTORS_DIR}")
-        cdf = spark.createDataFrame(
+        cdf = local_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             f"{CELL_COL} int, centroid array<float>",
         )
@@ -229,7 +231,7 @@ class IvfFlatEngine:
         probe_rows = [
             (int(qi), int(c)) for qi in range(qmat.shape[0]) for c in probe[qi]
         ]
-        probe_df = spark.createDataFrame(probe_rows, f"query_idx int, {CELL_COL} int")
+        probe_df = local_df(spark, probe_rows, f"query_idx int, {CELL_COL} int")
         all_cells = sorted({c for _, c in probe_rows})
 
         # partition pruning: only the probed cell directories are read
@@ -237,7 +239,8 @@ class IvfFlatEngine:
         cand = pruned.join(F.broadcast(probe_df), on=CELL_COL)
 
         if method == "exact":
-            qdf = spark.createDataFrame(
+            qdf = local_df(
+                spark,
                 [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
                 "query_idx int, _qv array<double>",
             )

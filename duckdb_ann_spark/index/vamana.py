@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..local import local_df
 from .engines import register_engine
 from .file_format import read_diskann, read_sq8, write_diskann
 from .vamana_core import VamanaGraph, build_graph, sq8_dequantize, sq8_quantize
@@ -154,8 +155,8 @@ class VamanaEngine:
         write_diskann(path, g, sq8)
         # cache keys include mtime, so the rewritten file misses the old
         # entry automatically on next load
-        spark.createDataFrame(
-            labels, schema="shard int, label long, id long"
+        local_df(
+            spark, labels, "shard int, label long, id long"
         ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
         return {}
 
@@ -202,8 +203,8 @@ class VamanaEngine:
             merged.sort()
             for dist, rid in merged[:k]:
                 rows.append((qi, rid, float(dist)))
-        return spark.createDataFrame(
-            rows, f"query_idx int, {id_col} long, _distance double"
+        return local_df(
+            spark, rows, f"query_idx int, {id_col} long, _distance double"
         )
 
     def _search_distributed(
@@ -223,8 +224,8 @@ class VamanaEngine:
         id_col = manifest["id_col"]
         qrows = [(i, [float(x) for x in q]) for i, q in enumerate(queries)]
         npart = min(len(qrows), spark.sparkContext.defaultParallelism)
-        qdf = spark.createDataFrame(
-            qrows, "query_idx int, _qv array<float>"
+        qdf = local_df(
+            spark, qrows, "query_idx int, _qv array<float>"
         ).repartition(npart, "query_idx")
 
         def run(batches):

@@ -1,0 +1,67 @@
+"""Arrow-path construction of small driver-local DataFrames.
+
+``spark.createDataFrame(list_of_tuples, ...)`` plans as a pickled Python
+RDD: every job that touches the result spawns a Python worker task and
+pays ~3-6 s of serialization overhead on local[32] — even for 64 rows.
+Going through pandas instead takes the Arrow fast path (JVM-local
+relation, no Python stage at execution time).
+
+Used for every small driver-side table in hot paths: IVF centroids and
+probe lists, query matrices, deleted-id sets. Falls back to the plain
+list path for empty input or when pandas/Arrow conversion fails (exotic
+nested types).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def schema_names(schema: str) -> list[str]:
+    """Column names from a DDL string, respecting <> / () nesting
+    (``"a int, b array<struct<x:int,y:int>>"`` → ``["a", "b"]``)."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(schema[start:i].strip().split()[0])
+            start = i + 1
+    tail = schema[start:].strip()
+    if tail:
+        names.append(tail.split()[0])
+    return names
+
+
+def local_df(
+    spark: SparkSession,
+    rows: Iterable[Sequence] | pd.DataFrame,
+    schema,
+) -> DataFrame:
+    """Create a DataFrame from driver-local rows via the Arrow path.
+
+    ``schema`` is a DDL string or a ``StructType``.
+    """
+    names = (
+        list(schema.fieldNames())
+        if hasattr(schema, "fieldNames")
+        else schema_names(schema)
+    )
+    if isinstance(rows, pd.DataFrame):
+        pdf = rows
+    else:
+        rows = list(rows)
+        if not rows:
+            return spark.createDataFrame([], schema)
+        pdf = pd.DataFrame.from_records(rows, columns=names)
+    try:
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(
+            [tuple(r) for r in pdf.itertuples(index=False)], schema
+        )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import index_distance, np_index_distances
+from ..local import local_df
 
 __all__ = ["search_batch_ids", "ann_search_batch", "ann_search_table"]
 
@@ -119,7 +120,8 @@ def _search_batch_exact(
 ) -> DataFrame:
     """Bit-exact batch path: broadcast query table + JVM distance columns."""
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_df(
+        spark,
         [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
         "query_idx int, _qv array<double>",
     )
@@ -179,10 +181,13 @@ def ann_search_table(
     )
     # Re-create the (tiny, already-collected) query table with its index —
     # avoids any reliance on DataFrame ordering.
-    qwith = spark.createDataFrame(
-        [(i, *r) for i, r in enumerate(qrows)],
-        schema=["query_idx", *queries_df.columns],
+    from pyspark.sql import types as T
+
+    qschema = T.StructType(
+        [T.StructField("query_idx", T.IntegerType(), False),
+         *queries_df.schema.fields]
     )
+    qwith = local_df(spark, [(i, *r) for i, r in enumerate(qrows)], qschema)
     qcols = set(queries_df.columns)
     renamed = base_df
     base_cols = []

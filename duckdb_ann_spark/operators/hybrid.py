@@ -58,7 +58,9 @@ def bm25_scores(
     total_tokens = toks.count()
     avgdl = float(total_tokens) / float(n_docs) if n_docs else 0.0
 
-    qdf = F.broadcast(spark.createDataFrame([(t,) for t in qterms], "term string"))
+    from ..local import local_df
+
+    qdf = F.broadcast(local_df(spark, [(t,) for t in qterms], "term string"))
     tf = toks.join(qdf, on="term").groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
