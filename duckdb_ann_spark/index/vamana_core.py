@@ -111,7 +111,7 @@ class VamanaGraph:
             if len(result) >= L and c_dist > result[L - 1][0]:
                 break
             adj = self.adjacency[c_id]
-            nbrs = [int(nb) for nb in adj[adj != NO_EDGE] if nb not in visited]
+            nbrs = [nb for nb in adj[adj != NO_EDGE].tolist() if nb not in visited]
             if not nbrs:
                 continue
             visited.update(nbrs)
@@ -241,29 +241,50 @@ class VamanaGraph:
                 heapq.heappush(cand, (d, nb))
 
     # -- prune ---------------------------------------------------------
-    def robust_prune(self, p: int, pool_ids, pool_dists) -> list[int]:
+    def robust_prune(self, p: int, pool_ids, pool_dists,
+                     assume_unique: bool = False) -> list[int]:
         """TriangleInequality RobustPrune of `pool` (candidates for p's
-        out-neighbors), sorted by distance to p."""
+        out-neighbors), sorted by distance to p. ``assume_unique`` skips
+        the dedupe sorts when the caller guarantees distinct ids (both
+        insert-path pools: the visited set and neighbors+new-label)."""
         ids = np.asarray(pool_ids, dtype=np.int64)
         dists = np.asarray(pool_dists, dtype=np.float32)
         keep = ids != p
         ids, dists = ids[keep], dists[keep]
         if len(ids) == 0:
             return []
-        # dedupe, keep nearest occurrence, sort ascending by (dist, id)
-        order = np.lexsort((ids, dists))
-        ids, dists = ids[order], dists[order]
-        _, first = np.unique(ids, return_index=True)
-        mask = np.zeros(len(ids), dtype=bool)
-        mask[first] = True
-        ids, dists = ids[mask], dists[mask]
-        order = np.lexsort((ids, dists))
-        ids, dists = ids[order], dists[order]
+        if assume_unique:
+            order = np.lexsort((ids, dists))
+            ids, dists = ids[order], dists[order]
+        else:
+            # dedupe, keep nearest occurrence, sort ascending by (dist, id)
+            order = np.lexsort((ids, dists))
+            ids, dists = ids[order], dists[order]
+            _, first = np.unique(ids, return_index=True)
+            mask = np.zeros(len(ids), dtype=bool)
+            mask[first] = True
+            ids, dists = ids[mask], dists[mask]
+            order = np.lexsort((ids, dists))
+            ids, dists = ids[order], dists[order]
 
         degree = self.max_degree
         m = len(ids)
         cand = np.ascontiguousarray(self.vectors[ids])
         fmax = np.float32(np.finfo(np.float32).max)
+        # ONE pairwise-distance kernel for the whole pool (the loop below
+        # only indexes rows of it) — per-pair numpy calls inside the
+        # choose loop dominated build time otherwise
+        if self.metric == "ip":
+            pair = -(cand @ cand.T)
+        else:
+            n2 = np.einsum("ij,ij->i", cand, cand)
+            pair = n2[:, None] + n2[None, :] - 2.0 * (cand @ cand.T)
+            np.maximum(pair, 0.0, out=pair)
+        # ratio[j, k] = d(p,k) / d(j,k), the occlusion factor k picks up
+        # when j is chosen (fmax where d(j,k)==0) — all m^2 at once, so
+        # the choose loop is one np.maximum per chosen
+        ratio = np.full((m, m), fmax, dtype=np.float32)
+        np.divide(dists[None, :], pair, out=ratio, where=pair > 0)
         occlude = np.zeros(m, dtype=np.float32)
         chosen: list[int] = []  # positions into ids
         cur_alpha = 1.0
@@ -281,11 +302,7 @@ class VamanaGraph:
                 occlude[i] = fmax
                 chosen.append(i)
                 if i + 1 < m:
-                    djk = _dists(self.metric, cand[i + 1 :], cand[i])
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        ratio = dists[i + 1 :] / djk
-                    factor = np.where(djk == 0.0, fmax, ratio)
-                    np.maximum(occlude[i + 1 :], factor.astype(np.float32),
+                    np.maximum(occlude[i + 1 :], ratio[i, i + 1 :],
                                out=occlude[i + 1 :])
             if cur_alpha == self.alpha:
                 break
@@ -310,7 +327,7 @@ class VamanaGraph:
                                  return_visited=True)
         vis = np.asarray([x for x in visited if x != label], dtype=np.int64)
         vd = _dists(self.metric, self.vectors[vis], v)
-        out = self.robust_prune(label, vis, vd)
+        out = self.robust_prune(label, vis, vd, assume_unique=True)
         self._set_neighbors(label, out)
 
         # back edges (max_backedges = max_degree in the default config)
@@ -323,7 +340,9 @@ class VamanaGraph:
             else:
                 cand = np.append(nbrs_j, label)
                 cd = _dists(self.metric, self.vectors[cand], self.vectors[j])
-                self._set_neighbors(j, self.robust_prune(int(j), cand, cd))
+                self._set_neighbors(
+                    j, self.robust_prune(int(j), cand, cd, assume_unique=True)
+                )
         return label
 
 
