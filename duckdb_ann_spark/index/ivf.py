@@ -187,12 +187,24 @@ class IvfFlatEngine:
 
     # -- search --------------------------------------------------------
     def _centroids(self, spark: SparkSession, artifact_dir: str) -> np.ndarray:
-        rows = (
-            spark.read.parquet(f"{artifact_dir}/{CENTROIDS_DIR}")
-            .orderBy(CELL_COL)
-            .collect()
-        )
-        return np.array([r["centroid"] for r in rows], dtype=np.float32)
+        """Driver-local read of the (nlist, dim) centroid table. A 64-row
+        Spark job costs ~0.5s of fixed overhead per search; pyarrow reads
+        the same parquet in ms. Falls back to Spark for path schemes
+        pyarrow can't open (e.g. non-local DFS without a mounted client)."""
+        try:
+            import pyarrow.dataset as ds
+
+            t = ds.dataset(f"{artifact_dir}/{CENTROIDS_DIR}", format="parquet")
+            pdf = t.to_table(columns=[CELL_COL, "centroid"]).to_pandas()
+            pdf = pdf.sort_values(CELL_COL)
+            return np.array(pdf["centroid"].tolist(), dtype=np.float32)
+        except Exception:
+            rows = (
+                spark.read.parquet(f"{artifact_dir}/{CENTROIDS_DIR}")
+                .orderBy(CELL_COL)
+                .collect()
+            )
+            return np.array([r["centroid"] for r in rows], dtype=np.float32)
 
     def search(
         self,

@@ -42,6 +42,22 @@ VECTORS_DIR = "vectors"
 _GRAPH_CACHE: dict = {}
 
 
+def _read_labels(spark: SparkSession, artifact_dir: str) -> pd.DataFrame:
+    """Driver-local read of the (shard, label, id) map — avoids a full
+    Spark job for the few-query path; Spark fallback for path schemes
+    pyarrow can't open."""
+    try:
+        import pyarrow.dataset as ds
+
+        return (
+            ds.dataset(f"{artifact_dir}/{LABELS_DIR}", format="parquet")
+            .to_table()
+            .to_pandas()
+        )
+    except Exception:
+        return spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}").toPandas()
+
+
 def _load_shard(path: str) -> VamanaGraph:
     key = (path, os.path.getmtime(path))
     g = _GRAPH_CACHE.get(key)
@@ -188,11 +204,9 @@ class VamanaEngine:
                 spark, manifest, artifact_dir, queries, k, search_complexity,
                 shard_files,
             )
-        labels = (
-            spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
-            .toPandas()
-            .set_index(["shard", "label"])["id"]
-        )
+        labels = _read_labels(spark, artifact_dir).set_index(
+            ["shard", "label"]
+        )["id"]
         rows = []
         for qi, q in enumerate(queries):
             merged: list[tuple[float, int]] = []
