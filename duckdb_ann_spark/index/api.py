@@ -110,6 +110,9 @@ def create_index(
     subtype = getattr(params, "type_norm", "vamana" if engine == "diskann" else "flat")
     impl = get_engine(engine, subtype)
     try:
+        # the validation agg above already counted the rows — engines can
+        # skip their own count job
+        params._n_rows = int(n)
         extra = impl.build(spark, src, id_col, vec_col, d, params, dim)
         manifest = {
             "name": name,
@@ -341,6 +344,7 @@ def vacuum_index(
     os.makedirs(tmp)
     vecs = vecs.persist()
     n = vecs.count()
+    params._n_rows = int(n)
     extra = impl.build(spark, vecs, id_col, manifest["vec_col"], tmp, params,
                        manifest["dim"])
     vecs.unpersist()
@@ -404,6 +408,7 @@ def merge_indexes(
         union.unpersist()
         shutil.rmtree(tmp)
         raise ValueError("Cannot merge: overlapping ids between indexes")
+    params._n_rows = int(n)
     extra = impl.build(spark, union, id_col, m_dst["vec_col"], tmp, params,
                        m_dst["dim"])
     union.unpersist()
@@ -449,7 +454,10 @@ def insert_into_index(
         )
     if stats["n_ids"] != n_new:
         raise ValueError(f"id column '{id_col}' must be unique in the new rows")
-    existing = impl.vectors(spark, d).select(id_col)
+    if hasattr(impl, "ids"):
+        existing = impl.ids(spark, d, id_col)
+    else:
+        existing = impl.vectors(spark, d).select(id_col)
     overlap = src.select(id_col).join(existing, on=id_col).count()
     if overlap:
         raise ValueError(

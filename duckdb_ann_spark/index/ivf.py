@@ -88,7 +88,9 @@ class IvfFlatEngine:
         dim: int,
     ) -> dict:
         nlist = int(params.ivf_nlist)
-        n = df.count()
+        n = getattr(params, "_n_rows", None)
+        if n is None:
+            n = df.count()
         if n == 0:
             df.select(id_col, vec_col).withColumn(
                 CELL_COL, F.lit(0)
@@ -110,8 +112,10 @@ class IvfFlatEngine:
             sample = df.where(
                 F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(modulus)) == 0
             ).select(vec_col)
+        # Arrow collect (toPandas), not row collect: same values, ~3x
+        # faster for array columns
         train = np.array(
-            [r[0] for r in sample.limit(200_000).collect()], dtype=np.float32
+            sample.limit(200_000).toPandas()[vec_col].tolist(), dtype=np.float32
         )
         centroids = _kmeans(train, nlist)
         k_eff = centroids.shape[0]

@@ -12,7 +12,11 @@ Artifact layout:
 
     graph/shard_<s>.diskann    v2 binary (+ SQ8 appendix when quantized)
     labels/                    parquet (shard, label, id) label↔id map
-    vectors/                   parquet (id, vec) for vacuum/merge rebuilds
+
+The `.diskann` shard files ARE the vector storage — `vectors()`
+reconstructs (id, vec) rows distributively from shards + label map for
+vacuum/merge/insert, so the index never keeps a second parquet copy of
+every vector (2x storage at 100 TB otherwise).
 
 Search: the driver memmaps each shard (cached per process), runs the
 greedy search per query, unions shard results and keeps the global
@@ -29,6 +33,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..local import local_df
 from .engines import register_engine
@@ -37,7 +42,6 @@ from .vamana_core import VamanaGraph, build_graph, sq8_dequantize, sq8_quantize
 
 GRAPH_DIR = "graph"
 LABELS_DIR = "labels"
-VECTORS_DIR = "vectors"
 
 _GRAPH_CACHE: dict = {}
 
@@ -85,10 +89,7 @@ class VamanaEngine:
         dim: int,
     ) -> dict:
         os.makedirs(f"{artifact_dir}/{GRAPH_DIR}", exist_ok=True)
-        df.select(id_col, vec_col).write.mode("overwrite").parquet(
-            f"{artifact_dir}/{VECTORS_DIR}"
-        )
-        src = spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
+        src = df.select(id_col, vec_col)
         shards = int(getattr(params, "shards", 1) or 1)
 
         def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
@@ -140,8 +141,48 @@ class VamanaEngine:
 
         return {"layout": "diskann-v2", "shards": shards}
 
+    def ids(self, spark: SparkSession, artifact_dir: str, id_col: str) -> DataFrame:
+        """Just the indexed ids — a column-pruned label-map scan, no
+        graph loads (used by the insert uniqueness check)."""
+        return (
+            spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
+            .select(F.col("id").alias(id_col))
+        )
+
     def vectors(self, spark: SparkSession, artifact_dir: str) -> DataFrame:
-        return spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
+        """(id, vec) reconstructed from the graph shards + label map.
+        Distributed: each task mmaps only the shards its label rows point
+        at — no driver materialization, no duplicate vector parquet."""
+        import json
+
+        from .catalog import MANIFEST
+
+        with open(os.path.join(artifact_dir, MANIFEST)) as f:
+            m = json.load(f)
+        id_col, vec_col = m["id_col"], m["vec_col"]
+        files = dict(self._shard_files(artifact_dir))
+        labels = spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
+
+        def emit(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for shard, grp in pdf.groupby("shard"):
+                    # raw file read (not _load_shard): SQ8 indexes keep
+                    # full-precision vectors in the v2 body; rebuilds must
+                    # use those, not the dequantized search cache
+                    g = read_diskann(files[int(shard)], mmap=True)
+                    lab = grp["label"].to_numpy()
+                    yield pd.DataFrame(
+                        {
+                            id_col: grp["id"].to_numpy(),
+                            vec_col: list(np.asarray(g.vectors[lab])),
+                        }
+                    )
+
+        return labels.mapInPandas(
+            emit, schema=f"{id_col} long, {vec_col} array<float>"
+        )
 
     def append(
         self,
@@ -155,9 +196,6 @@ class VamanaEngine:
         new vectors into shard 0's graph, extend the label map, rewrite
         the shard file. Sequential, like the reference's Insert."""
         id_col, vec_col = manifest["id_col"], manifest["vec_col"]
-        df_new.select(id_col, vec_col).write.mode("append").parquet(
-            f"{artifact_dir}/{VECTORS_DIR}"
-        )
         path = f"{artifact_dir}/{GRAPH_DIR}/shard_0.diskann"
         g = read_diskann(path, mmap=False)  # writable copy
         pdf = df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
