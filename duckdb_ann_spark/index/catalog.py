@@ -6,9 +6,11 @@ filesystem catalog — each index is a directory
 
     <root>/<name>/
         manifest.json        (engine, table, column, params, stats)
-        vectors/             (parquet: id + vec, IVF: partitioned by cell)
+        vectors/             (Flat/IVF parquet: id + vec, IVF partitioned
+                              by cell; Vamana keeps vectors inside its
+                              graph/ shard files instead)
         deleted/             (parquet: tombstoned ids, optional)
-        graph/               (engine-specific extras: adjacency, centroids)
+        graph/               (engine-specific: .diskann shards, centroids)
 
 `manifest.json` is the committed state: readers treat a directory without
 a manifest as nonexistent, and creation writes the manifest last (after

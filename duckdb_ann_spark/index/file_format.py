@@ -23,6 +23,7 @@ the reference's mmap DiskProvider (`rust_lib/src/disk_provider.rs`).
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -41,10 +42,12 @@ _U8_TO_METRIC = {0: "l2", 1: "ip"}
 def write_diskann(path: str, graph: VamanaGraph,
                   sq8: tuple | None = None) -> None:
     """Write a VamanaGraph as a v2 `.diskann` file (+ optional SQ8 appendix
-    of (codes, mins, scales))."""
+    of (codes, mins, scales)). Written to a temp file and renamed so a
+    retried/speculative executor task can never leave a torn shard."""
     n, dim = graph.n, graph.dim
     eps = np.asarray(graph.entry_points, dtype="<u4")
-    with open(path, "wb") as f:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<IIIII", VERSION, n, dim, graph.max_degree, len(eps)))
         f.write(struct.pack("<B3xI", _METRIC_TO_U8[graph.metric],
@@ -59,6 +62,7 @@ def write_diskann(path: str, graph: VamanaGraph,
             f.write(np.ascontiguousarray(mins, dtype="<f4").tobytes())
             f.write(np.ascontiguousarray(scales, dtype="<f4").tobytes())
             f.write(np.ascontiguousarray(codes, dtype="u1").tobytes())
+    os.replace(tmp, path)
 
 
 def read_header(path: str) -> dict:

@@ -121,23 +121,29 @@ class VamanaEngine:
                 labels, schema="shard int, label long, id long"
             ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
         else:
-            from pyspark.sql import functions as F
+            # the shuffle partition IS the shard: repartition(shards, id)
+            # spreads rows uniformly (hash of a unique id), and each task
+            # builds exactly one graph from its whole partition. One
+            # shuffle, perfect task balance, and no hidden sampling job
+            # (repartitionByRange runs one to estimate range bounds).
+            def build_partition(batches):
+                pdfs = [p for p in batches if len(p)]
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs)
+                yield build_shard(
+                    pdf.drop(columns=["shard"]), int(pdf["shard"].iloc[0])
+                )
 
-            with_shard = src.withColumn(
-                "shard", F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(shards)).cast("int")
+            (
+                src.repartition(shards, F.col(id_col))
+                .withColumn("shard", F.spark_partition_id())
+                .mapInPandas(
+                    build_partition, schema="shard int, label long, id long"
+                )
+                .write.mode("overwrite")
+                .parquet(f"{artifact_dir}/{LABELS_DIR}")
             )
-
-            def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-                return build_shard(pdf, int(pdf["shard"].iloc[0]))
-
-            # range-partition so each task builds exactly one shard —
-            # hash partitioning would stack 2-4 shards on some tasks and
-            # leave others idle (wall time = the unlucky task)
-            with_shard.repartitionByRange(shards, "shard").groupBy(
-                "shard"
-            ).applyInPandas(
-                apply_fn, schema="shard int, label long, id long"
-            ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
 
         return {"layout": "diskann-v2", "shards": shards}
 
