@@ -26,6 +26,8 @@ from ..index import (
     faiss_gpu_info,
     index_scan,
     insert_into_index,
+    merge_indexes,
+    vacuum_index,
 )
 from ..plans import topk_auto
 from ..oracle import sql_index_distance
@@ -312,3 +314,62 @@ def q_ann_index_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _fresh_index(spark, sf_dir, "suite_info")
     delete_from_index(spark, "suite_info", [1, 2], catalog=cat)
     return ann_index_info(spark, cat).where(F.col("name") == "suite_info")
+
+
+@register(
+    "ann_vacuum_rebuild",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, {_DIST} AS _distance,
+           CAST((SELECT count(*) FROM embeddings) - 3 AS BIGINT) AS num_vectors
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id NOT IN (5, 11, 21)
+    ORDER BY _distance, e.vec_id LIMIT 6
+    """,
+)
+def q_ann_vacuum_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum rebuilds without tombstoned rows (`Vacuum`,
+    src/diskann_index.cpp:701-741): post-vacuum search equals brute force
+    over the survivors, and the manifest count drops by |deleted|."""
+    cat = _fresh_index(spark, sf_dir, "suite_vac")
+    delete_from_index(spark, "suite_vac", [5, 11, 21], catalog=cat)
+    m = vacuum_index(spark, "suite_vac", catalog=cat)
+    assert m["num_deleted"] == 0
+    q = query_vec(spark, sf_dir)
+    return (
+        index_scan(spark, "suite_vac", [q], k=6, catalog=cat)
+        .drop("query_idx")
+        .withColumn("num_vectors", F.lit(int(m["num_vectors"])).cast("long"))
+    )
+
+
+@register(
+    "ann_merge_indexes",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, {_DIST} AS _distance
+    FROM embeddings e CROSS JOIN q
+    ORDER BY _distance, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_merge_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`MergeIndexes` (src/diskann_index.cpp:655-699): dst absorbs src's
+    surviving vectors; the merged Flat index searches exactly like one
+    built over the whole table."""
+    cat = _cat()
+    emb = _emb(spark, sf_dir)
+    for n in ("suite_mrg_a", "suite_mrg_b"):
+        drop_index(n, cat)
+    create_index(
+        emb.where(F.col("vec_id") < 250), "vec_id", "embedding",
+        "suite_mrg_a", engine="faiss", table_name="embeddings", catalog=cat,
+    )
+    create_index(
+        emb.where(F.col("vec_id") >= 250), "vec_id", "embedding",
+        "suite_mrg_b", engine="faiss", table_name="embeddings", catalog=cat,
+    )
+    merge_indexes(spark, "suite_mrg_a", "suite_mrg_b", catalog=cat)
+    q = query_vec(spark, sf_dir)
+    return index_scan(spark, "suite_mrg_a", [q], k=10, catalog=cat).drop(
+        "query_idx"
+    )
