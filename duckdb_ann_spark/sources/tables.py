@@ -32,8 +32,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # ns since epoch → µs timestamp (DuckDB semantics for the same file).
+        # ns since epoch → µs timestamp (DuckDB semantics for the same
+        # file). Integer `div`, NOT `/`: epoch-ns values (~1.7e18) exceed
+        # float64's 53-bit exact-integer range, so double division is off
+        # by up to a few hundred ns — visible at ms granularity.
         return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(path)

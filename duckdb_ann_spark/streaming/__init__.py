@@ -1,5 +1,6 @@
 from .ops import (  # noqa: F401
     read_event_stream,
+    sessionize_events,
     stream_index_append,
     windowed_event_counts,
 )

@@ -13,14 +13,21 @@ needs:
   index: each micro-batch of (id, vector) rows is appended through
   :func:`duckdb_ann_spark.index.insert_into_index`, the streaming analog
   of the reference's insert-after-DML consistency
-  (`src/diskann_index.cpp:316-361`).
+  (`src/diskann_index.cpp:316-361`);
+* :func:`sessionize_events` — a CUSTOM STATEFUL operator
+  (`applyInPandasWithState`): per-user gap-based sessionization with
+  event-time state timeout. The per-group state is one open session
+  tuple; closed sessions are emitted as soon as the gap rule or the
+  watermark closes them, so state stays O(active users) forever.
 
-All three run with `Trigger.AvailableNow` for deterministic testing and
-as continuous micro-batch jobs in production.
+All run with `Trigger.AvailableNow` for deterministic testing and as
+continuous micro-batch jobs in production.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,6 +68,98 @@ def windowed_event_counts(
             "event_type",
             "n",
             "value_cents",
+        )
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start_ms long, session_end_ms long, "
+    "n_events long, value_cents long"
+)
+_SESSION_STATE = "start long, end long, n long, cents long"
+
+
+def sessionize_events(
+    stream: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user sessionization as a custom stateful operator.
+
+    Events for a user belong to one session while consecutive gaps are
+    <= `gap_ms`; a larger gap closes the session. The open session is
+    the per-group state; an event-time timeout at `end + gap_ms` closes
+    it when the watermark passes (late data beyond the watermark is
+    dropped by the engine, bounding state like the windowed agg).
+
+    Segment detection inside the UDF is vectorized (np.diff for breaks,
+    add.reduceat for per-segment sums) — the python loop is over
+    sessions, not events.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s, e, n, c = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[key[0], s, e, n, c]],
+                columns=[
+                    "user_id", "session_start_ms", "session_end_ms",
+                    "n_events", "value_cents",
+                ],
+            )
+            return
+        pdf = pd.concat(list(pdfs))
+        ms = pdf[ts_col].to_numpy().astype("datetime64[ms]").astype("int64")
+        # half-away-from-zero, matching SQL round() (np.rint would round
+        # half-to-even and drift from the oracle by one cent)
+        v100 = pdf["value"].to_numpy() * 100
+        cents = (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype("int64")
+        order = np.argsort(ms, kind="stable")
+        ms, cents = ms[order], cents[order]
+
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(ms) > gap_ms) + 1]
+        )
+        ends = np.concatenate([starts[1:], [len(ms)]])
+        seg_sum = np.add.reduceat(cents, starts)
+        sessions = [
+            (int(ms[a]), int(ms[b - 1]), int(b - a), int(seg_sum[i]))
+            for i, (a, b) in enumerate(zip(starts, ends))
+        ]
+        if state.exists:
+            s, e, n, c = state.get
+            first = sessions[0]
+            if first[0] - e <= gap_ms:
+                sessions[0] = (
+                    min(s, first[0]), max(e, first[1]), n + first[2],
+                    c + first[3],
+                )
+            else:
+                sessions.insert(0, (s, e, n, c))
+        closed, last = sessions[:-1], sessions[-1]
+        state.update(last)
+        state.setTimeoutTimestamp(last[1] + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                [[key[0], *sess] for sess in closed],
+                columns=[
+                    "user_id", "session_start_ms", "session_end_ms",
+                    "n_events", "value_cents",
+                ],
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_SCHEMA,
+            _SESSION_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

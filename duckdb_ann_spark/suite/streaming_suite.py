@@ -49,3 +49,65 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "streaming_sessionize",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), marks AS (
+        SELECT *, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                            IS NULL
+                       OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                            > 1800000
+                  THEN 1 ELSE 0 END AS brk
+        FROM e
+    ), sess AS (
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM marks
+    ), agg AS (
+        SELECT user_id, sid,
+               MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS value_cents
+        FROM sess GROUP BY user_id, sid
+    ), mx AS (SELECT MAX(CAST(epoch_ms(ts) AS BIGINT)) AS m FROM events)
+    SELECT user_id, session_start_ms, session_end_ms, n_events, value_cents
+    FROM agg, mx
+    WHERE session_end_ms + 1800000 < m - 1000
+    """,
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    gap-sessionization. With a 1s watermark, every session except those
+    still inside their close-timeout at end-of-stream is emitted — the
+    exact set the batch gaps-and-islands oracle computes."""
+    from ..streaming import sessionize_events
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"suite_events_sess_{os.getpid()}"
+    )
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    # one file -> one data micro-batch: sessions never split mid-stream
+    read_table(spark, sf_dir, "events").coalesce(1).write.parquet(stage)
+    name = f"suite_sessions_{os.getpid()}"
+    q = (
+        sessionize_events(
+            read_event_stream(spark, stage),
+            gap_ms=30 * 60 * 1000,
+            watermark="1 second",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

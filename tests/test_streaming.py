@@ -79,3 +79,62 @@ def test_stream_index_append(spark, sf_dir, tmp_path):
           emb.where(F.col("vec_id") == 450).select("embedding").head()[0]]
     hits = [r.vec_id for r in index_scan(spark, "live", [qv], 3, catalog=cat).collect()]
     assert hits[0] == 450  # streamed-in row is searchable
+
+
+def test_sessionize_matches_batch_islands(spark, sf_dir, tmp_path):
+    """The custom stateful operator (applyInPandasWithState) must emit
+    exactly the sessions a batch gaps-and-islands computation closes:
+    every session whose close-timeout the final watermark passed."""
+    from pyspark.sql import Window
+    from duckdb_ann_spark.streaming import sessionize_events
+
+    gap_ms = 30 * 60 * 1000
+    d = str(tmp_path / "sess_events")
+    ev = read_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.parquet(d)  # one file -> one data micro-batch
+
+    stream = read_event_stream(spark, d)
+    q = (
+        sessionize_events(stream, gap_ms=gap_ms, watermark="1 second")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_ms, r.session_end_ms): (
+            r.n_events, r.value_cents,
+        )
+        for r in spark.table("sessions").collect()
+    }
+
+    # batch oracle: gaps-and-islands sessions, keeping only those whose
+    # timeout (end + gap) the final watermark (max_ts - 1s) passed
+    ms = (F.col("ts").cast("double") * 1000).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ms")
+    sess = (
+        ev.select("user_id", ms.alias("ms"),
+                  F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .withColumn("prev", F.lag("ms").over(w))
+        .withColumn(
+            "brk",
+            (F.col("prev").isNull() | (F.col("ms") - F.col("prev") > gap_ms))
+            .cast("int"),
+        )
+        .withColumn("sid", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ms").alias("s"), F.max("ms").alias("e"),
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"),
+        )
+    )
+    max_ms = ev.agg(F.max(ms)).head()[0]
+    closed = sess.where(F.col("e") + gap_ms < max_ms - 1000)
+    want = {
+        (r.user_id, r.s, r.e): (r.n, r.c) for r in closed.collect()
+    }
+    assert len(got) > 0
+    assert got == want
