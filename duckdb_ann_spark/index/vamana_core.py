@@ -32,18 +32,20 @@ import numpy as np
 NO_EDGE = np.uint32(0xFFFFFFFF)  # u32::MAX adjacency padding sentinel
 
 
-def _dist(metric: str, a: np.ndarray, b: np.ndarray) -> float:
-    if metric == "ip":
-        return float(-np.dot(a, b))
-    d = a - b
-    return float(np.dot(d, d))
-
-
 def _dists(metric: str, mat: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Row-wise distances via ONE einsum kernel shape. Every distance the
+    engine emits funnels through this exact reduction (same op, same
+    per-row accumulation order), so single-query, batch, and seeding
+    paths are bitwise identical — mixing np.dot / gemv / `**2 .sum()`
+    here produces last-ulp float32 divergence between paths."""
     if metric == "ip":
-        return -(mat @ v)
+        return -np.einsum("ij,ij->i", mat, np.broadcast_to(v, mat.shape))
     diff = mat - v
     return np.einsum("ij,ij->i", diff, diff)
+
+
+def _dist(metric: str, a: np.ndarray, b: np.ndarray) -> float:
+    return float(_dists(metric, b.reshape(1, -1), a)[0])
 
 
 class VamanaGraph:
@@ -157,15 +159,20 @@ class VamanaGraph:
         candidates: list[list[tuple[float, int]]] = [[] for _ in range(nq)]
         results: list[list[tuple[float, int]]] = [[] for _ in range(nq)]
 
-        # seed all queries with the entry points in one batch
+        # seed all queries with the entry points in one batch, through the
+        # SAME row kernel as the hop expansion (bitwise parity with the
+        # single-query path)
         eps = [ep for ep in self.entry_points if ep < self.n]
         if eps:
             ep_vecs = self.vectors[np.asarray(eps)]
+            vrows = np.tile(ep_vecs, (nq, 1))
+            qrows = np.repeat(qm, len(eps), axis=0)
             if self.metric == "ip":
-                dmat = -(qm @ ep_vecs.T)
+                ds = -np.einsum("ij,ij->i", vrows, qrows)
             else:
-                d2 = ((qm[:, None, :] - ep_vecs[None, :, :]) ** 2).sum(axis=2)
-                dmat = d2
+                diff = vrows - qrows
+                ds = np.einsum("ij,ij->i", diff, diff)
+            dmat = ds.reshape(nq, len(eps))
             for qi in range(nq):
                 for j, ep in enumerate(eps):
                     d = float(dmat[qi, j])

@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) over the pure-numpy core.
+
+These pin invariants rather than examples: whatever random vectors,
+degrees, and metrics are thrown at the graph build, search results stay
+sorted/correct/bounded, pruning respects the degree bound, the batch
+searcher agrees with the single-query one, and the `.diskann` file
+round-trips losslessly.
+"""
+
+import numpy as np
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st
+
+from duckdb_ann_spark.index.file_format import read_diskann, write_diskann
+from duckdb_ann_spark.index.vamana_core import (
+    build_graph,
+    sq8_dequantize,
+    sq8_quantize,
+)
+
+
+def _vectors(draw, max_n=40, max_dim=6):
+    n = draw(st.integers(min_value=1, max_value=max_n))
+    dim = draw(st.integers(min_value=1, max_value=max_dim))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+
+
+vectors_st = st.builds(lambda: None).flatmap(
+    lambda _: st.tuples(
+        st.integers(1, 40), st.integers(1, 6), st.integers(0, 2**31 - 1)
+    ).map(
+        lambda t: np.random.default_rng(t[2])
+        .uniform(-1.0, 1.0, size=(t[0], t[1]))
+        .astype(np.float32)
+    )
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(vecs=vectors_st, k=st.integers(1, 10), metric=st.sampled_from(["l2", "ip"]))
+def test_search_invariants(vecs, k, metric):
+    g = build_graph(vecs, max_degree=8, build_complexity=16, metric=metric)
+    q = vecs[0]
+    hits = g.search(q, k)
+    # bounded, unique labels, distances ascending and correctly computed
+    assert len(hits) == min(k, len(vecs))
+    labels = [h[0] for h in hits]
+    assert len(set(labels)) == len(labels)
+    dists = [h[1] for h in hits]
+    assert dists == sorted(dists)
+    for lab, d in hits:
+        if metric == "ip":
+            want = -float(np.dot(vecs[lab], q))
+        else:
+            diff = vecs[lab] - q
+            want = float(np.dot(diff, diff))
+        assert d == pytest.approx(want, rel=1e-4, abs=1e-5)
+    # the query vector itself is in the index: its self-distance must be
+    # the minimum possible, and full-L search must find it for L2
+    if metric == "l2":
+        full = g.search(q, k, search_complexity=len(vecs))
+        assert full[0][1] == pytest.approx(0.0, abs=1e-6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(vecs=vectors_st, k=st.integers(1, 8))
+def test_batch_equals_single(vecs, k):
+    g = build_graph(vecs, max_degree=8, build_complexity=16)
+    qs = vecs[: min(5, len(vecs))]
+    batch = g.search_batch(qs, k)
+    for qi in range(len(qs)):
+        assert batch[qi] == g.search(qs[qi], k), qi
+
+
+@settings(max_examples=20, deadline=None)
+@given(vecs=vectors_st)
+def test_degree_bound_and_prune(vecs):
+    md = 4
+    g = build_graph(vecs, max_degree=md, build_complexity=16)
+    for i in range(g.n):
+        nbrs = g.neighbors(i)
+        assert len(nbrs) <= md
+        assert len(set(nbrs.tolist())) == len(nbrs)
+        assert i not in nbrs  # no self-edges
+        assert (nbrs < g.n).all()  # no dangling edges
+
+
+@settings(max_examples=20, deadline=None)
+@given(vecs=vectors_st)
+def test_file_roundtrip_lossless(vecs):
+    import tempfile, os
+
+    g = build_graph(vecs, max_degree=8, build_complexity=16)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "g.diskann")
+        write_diskann(p, g)
+        g2 = read_diskann(p)
+        assert np.array_equal(g2.vectors[: g.n], g.vectors[: g.n])
+        assert np.array_equal(g2.adjacency[: g.n], g.adjacency[: g.n])
+        assert g2.entry_points == g.entry_points
+        assert (g2.dim, g2.max_degree, g2.metric) == (g.dim, g.max_degree, g.metric)
+        q = vecs[len(vecs) // 2]
+        assert g.search(q, 5) == g2.search(q, 5)
+
+
+@settings(max_examples=30, deadline=None)
+@given(vecs=vectors_st)
+def test_sq8_error_bound(vecs):
+    codes, mins, scales = sq8_quantize(vecs)
+    deq = sq8_dequantize(codes, mins, scales)
+    # quantization error <= half a step per dimension
+    step = scales / 255.0
+    assert (np.abs(deq - vecs) <= step / 2 + 1e-6).all()
+    # codes span the full range per dimension when there is spread
+    spread = vecs.max(axis=0) - vecs.min(axis=0)
+    for j in range(vecs.shape[1]):
+        if spread[j] > 0:
+            assert codes[:, j].min() == 0 and codes[:, j].max() == 255
