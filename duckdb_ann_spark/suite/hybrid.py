@@ -102,3 +102,38 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
     )
     return res.select("doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
+
+
+_ORACLE_VECTOR_ONLY = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vr AS (
+    SELECT vec_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY _d, vec_id) AS INT) AS _vector_rank
+    FROM (SELECT e.vec_id, {_DIST} AS _d FROM embeddings e CROSS JOIN q)
+    QUALIFY _vector_rank <= 50
+)
+SELECT doc_id,
+       0.7 * (1.0 / (60.0 + CAST(_vector_rank AS DOUBLE))) AS _rrf_score,
+       CAST(0 AS INT) AS _bm25_rank,
+       _vector_rank
+FROM vr
+ORDER BY _rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+@register("hybrid_search_vector_only", _ORACLE_VECTOR_ONLY)
+def q_hybrid_vector_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS-empty degradation (`src/ann_search.cpp:1056`): when no query
+    term matches any document, hybrid_search degrades to pure
+    vector-rank RRF with _bm25_rank = 0."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qv = query_vec(spark, sf_dir)
+    res = hybrid_search(
+        base, "doc_id", qv, "zzzzqqqxx notawordatall", text_col="text",
+        vec_col="embedding", k=10,
+    )
+    return res.select("doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
