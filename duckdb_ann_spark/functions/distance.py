@@ -62,8 +62,15 @@ def _dbl(c: ColumnOrName) -> Column:
 
 
 def as_vector_lit(vec) -> Column:
-    """A python list[float] as an array<double> literal Column."""
-    return F.array(*[F.lit(float(x)).cast("double") for x in vec])
+    """A python list[float] as ONE array<double> literal Column.
+
+    `F.lit(ndarray)` emits a single typed array literal; building
+    `F.array(lit, lit, ...)` instead carries dim child expressions into
+    every distance expression — at dim 768 the exact top-k plan would
+    drag ~2-4x768 literal nodes through analysis and codegen."""
+    import numpy as np
+
+    return F.lit(np.asarray([float(x) for x in vec], dtype=np.float64))
 
 
 def _fold_sum(arr: Column) -> Column:
