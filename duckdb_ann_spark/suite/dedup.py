@@ -275,3 +275,37 @@ def q_similarity_join_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("query_idx", "vec_id", "_distance")
     )
+
+
+@register(
+    "knn_join_fullprobe",
+    f"""
+    SELECT query_id, vec_id, _distance FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               {sql_index_distance('l2', 'e.embedding', 'q.embedding')} AS _distance,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {sql_index_distance('l2', 'e.embedding', 'q.embedding')},
+                            e.vec_id
+               ) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < 40) q
+        CROSS JOIN embeddings e
+    ) WHERE rn <= 3
+    """,
+)
+def q_knn_join_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-NN join (DataFrame queries x DataFrame base, no
+    driver collect, equi-join on IVF cells): at nprobe = nlist every
+    pair is scored, so the result is exact and hash-matches the LATERAL
+    brute-force oracle."""
+    from ..operators.knn_join import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 40)
+    res = knn_join(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=3, nlist=8, nprobe=8, method="exact",
+    )
+    return res.select(
+        F.col("_q_vec_id").alias("query_id"), "vec_id", "_distance"
+    )

@@ -1,0 +1,85 @@
+"""Distributed k-NN join: exactness at full probe, recall at partial
+probe, and the no-crossJoin plan guarantee."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.operators.knn_join import knn_join
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _brute_1nn(vecs_q, ids_q, vecs_b, ids_b, k):
+    out = {}
+    for qv, qid in zip(vecs_q, ids_q):
+        d = ((vecs_b - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids_b, d))[:k]
+        out[qid] = [(int(ids_b[i]), float(d[i])) for i in order]
+    return out
+
+
+def test_full_probe_is_exact(spark, emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    got = knn_join(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=3, nlist=8, nprobe=8,
+    ).collect()
+    rows = emb.orderBy("vec_id").collect()
+    vb = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    ib = np.array([r["vec_id"] for r in rows])
+    want = _brute_1nn(vb[:20], ib[:20], vb, ib, 3)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["_q_vec_id"], []).append((r["vec_id"], r["_distance"]))
+    assert set(by_q) == set(want)
+    for qid, hits in by_q.items():
+        assert [h[0] for h in sorted(hits, key=lambda h: (h[1], h[0]))] == [
+            w[0] for w in want[qid]
+        ], qid
+
+
+def test_partial_probe_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 30)
+    got = knn_join(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=5, nlist=16, nprobe=6,
+    ).collect()
+    rows = emb.orderBy("vec_id").collect()
+    vb = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    ib = np.array([r["vec_id"] for r in rows])
+    want = _brute_1nn(vb[:30], ib[:30], vb, ib, 5)
+    hits = 0
+    for r in got:
+        if r["vec_id"] in {w[0] for w in want[r["_q_vec_id"]]}:
+            hits += 1
+    assert hits >= 0.7 * 30 * 5, hits  # the reference's 70% floor
+
+
+def test_no_cartesian_product(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    df = knn_join(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=2, nlist=8, nprobe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_exact_method_matches_blas_ids(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    a = knn_join(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=3, nlist=4, nprobe=4, method="exact",
+    ).collect()
+    b = knn_join(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=3, nlist=4, nprobe=4, method="blas",
+    ).collect()
+    ka = {(r["_q_vec_id"], r["vec_id"]) for r in a}
+    kb = {(r["_q_vec_id"], r["vec_id"]) for r in b}
+    assert ka == kb
