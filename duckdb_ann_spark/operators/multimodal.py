@@ -23,7 +23,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["binary_stats", "extract_features", "decode_image"]
+__all__ = [
+    "binary_stats",
+    "extract_features",
+    "decode_image",
+    "frame_sample",
+    "resize_features",
+]
 
 
 def binary_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
@@ -58,6 +64,112 @@ def _fake_decode(blob: bytes) -> np.ndarray:
         return np.zeros(8, dtype=np.float32)
     hist, _ = np.histogram(arr, bins=8, range=(0, 256))
     return (hist / arr.size).astype(np.float32)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    n_frames: int = 4,
+    frame_bytes: int = 16,
+    fps: int = 25,
+) -> DataFrame:
+    """Uniform frame sampling from a fixed-frame-size binary container:
+    blob = frames of `frame_bytes` each (trailing partial dropped),
+    sample `n_frames` uniformly spaced → one output row per frame.
+
+    → (id, sample_idx, frame_idx, ts_ms, frame binary)
+
+    Entirely JVM Column expressions (sequence/explode/substring) — frame
+    selection never leaves whole-stage codegen; only a real *decode* of
+    the frame content needs Python (see :func:`extract_features`). Rows
+    with fewer bytes than one frame produce no output."""
+    total = (F.octet_length(F.col(bin_col)) / frame_bytes).cast("long")
+    n_eff = F.least(F.lit(n_frames).cast("long"), total)
+    out = (
+        df.select(id_col, bin_col)
+        .withColumn("_total", total)
+        .withColumn("_n", n_eff)
+        .where(F.col("_total") > 0)
+        .withColumn(
+            "sample_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)),
+        )
+        .withColumn(
+            "frame_idx",
+            (F.col("sample_idx") * F.col("_total") / F.col("_n")).cast("long"),
+        )
+        .withColumn("ts_ms", (F.col("frame_idx") * 1000 / fps).cast("long"))
+        .withColumn(
+            "frame",
+            F.expr(
+                f"substring({bin_col}, cast(frame_idx * {frame_bytes} + 1 "
+                f"as int), {frame_bytes})"
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("sample_idx").cast("int").alias("sample_idx"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "ts_ms",
+        "frame",
+    )
+
+
+def resize_features(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    src_width: int = 32,
+    out_h: int = 4,
+    out_w: int = 4,
+) -> DataFrame:
+    """Decode → resize → flatten, with the decode step faked: bytes are
+    viewed as a (n_bytes // src_width, src_width) u8 image and
+    area-pooled to (out_h, out_w) float32. The pooling math, Arrow
+    batching, and typed schema are the real pipeline; swap the byte
+    view for a real decoder to productionize.
+
+    → (id, src_h, src_w, pixels array<float>[out_h*out_w])"""
+    schema = f"{id_col} long, src_h int, src_w int, pixels array<float>"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob) if blob is not None else b""
+                h = len(b) // src_width
+                if h == 0:
+                    continue
+                img = np.frombuffer(
+                    b[: h * src_width], dtype=np.uint8
+                ).reshape(h, src_width).astype(np.float32)
+                # area pooling: split rows/cols into out_h/out_w bins and
+                # average each bin (the resize kernel real pipelines use
+                # for downscale)
+                ys = np.linspace(0, h, out_h + 1).astype(int)
+                xs = np.linspace(0, src_width, out_w + 1).astype(int)
+                pooled = np.array(
+                    [
+                        [
+                            img[ys[i]: max(ys[i + 1], ys[i] + 1),
+                                xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+                            for j in range(out_w)
+                        ]
+                        for i in range(out_h)
+                    ],
+                    dtype=np.float32,
+                )
+                out.append((rid, h, src_width, [float(x) for x in pooled.ravel()]))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[id_col, "src_h", "src_w", "pixels"]
+                )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
 
 
 def extract_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:

@@ -47,3 +47,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bytes", "byte_mean", "byte_std",
         *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH t AS (SELECT doc_id, encode(text) AS blob FROM documents),
+    m AS (
+        SELECT doc_id, blob,
+               CAST(octet_length(blob) // 16 AS BIGINT) AS total
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, blob, total, LEAST(4, total) AS n_eff
+        FROM m WHERE total > 0
+    ),
+    f AS (
+        SELECT doc_id, blob, total, n_eff,
+               unnest(range(n_eff)) AS j
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(j AS INT) AS sample_idx,
+           CAST((j * total) // n_eff AS INT) AS frame_idx,
+           CAST(((j * total) // n_eff) * 1000 // 25 AS BIGINT) AS ts_ms,
+           substring(hex(blob),
+                     CAST(((j * total) // n_eff) * 32 + 1 AS INT),
+                     32) AS frame_hex
+    FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame sampling over fixed-size-frame blobs — selection is
+    pure JVM Column exprs (sequence/explode/substring); the oracle
+    slices the same bytes with substring in SQL. Frames are reported as
+    hex strings (the driver hash-compare can't sort raw binary)."""
+    from ..operators.multimodal import frame_sample
+
+    res = frame_sample(
+        _blobs(spark, sf_dir), "doc_id", "blob",
+        n_frames=4, frame_bytes=16, fps=25,
+    )
+    return res.select(
+        "doc_id", "sample_idx", "frame_idx", "ts_ms",
+        F.hex("frame").alias("frame_hex"),
+    )

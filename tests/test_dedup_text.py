@@ -139,3 +139,34 @@ def test_binary_stats_and_features(docs):
 def test_decode_image_stub():
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\x89PNG fake")
+
+
+def test_frame_sample_slices(spark):
+    """Frames are exact byte slices at uniformly spaced indices."""
+    from duckdb_ann_spark.operators.multimodal import frame_sample
+
+    blob = bytes(range(100))  # 6 full 16-byte frames, 4 trailing dropped
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    rows = frame_sample(df, "id", "blob", n_frames=4, frame_bytes=16).collect()
+    assert [r.sample_idx for r in rows] == [0, 1, 2, 3]
+    assert [r.frame_idx for r in rows] == [0, 1, 3, 4]  # floor(j*6/4)
+    for r in rows:
+        lo = r.frame_idx * 16
+        assert bytes(r.frame) == blob[lo: lo + 16]
+    # short blob: fewer frames than requested; empty blob: none
+    short = spark.createDataFrame(
+        [(2, bytearray(b"x" * 20)), (3, bytearray(b""))], "id long, blob binary"
+    )
+    got = frame_sample(short, "id", "blob", n_frames=4, frame_bytes=16).collect()
+    assert len(got) == 1 and got[0].id == 2 and got[0].frame_idx == 0
+
+
+def test_resize_features_pooling(spark):
+    """Area pooling over the byte-matrix fake decode."""
+    from duckdb_ann_spark.operators.multimodal import resize_features
+
+    blob = bytes([10] * 32 + [20] * 32)  # 2 rows of width 32
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    r = resize_features(df, "id", "blob", src_width=32, out_h=2, out_w=2).head()
+    assert (r.src_h, r.src_w) == (2, 32)
+    assert r.pixels == [10.0, 10.0, 20.0, 20.0]
