@@ -34,7 +34,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 __all__ = ["token_stats", "quality_score", "lang_id", "fingerprint",
-           "LANG_MARKERS", "STOPWORDS"]
+           "bpe_token_count", "LANG_MARKERS", "STOPWORDS", "BPE_PRETOKEN_RE"]
 
 
 def _toks(text_col) -> Column:
@@ -120,4 +120,30 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.md5(F.concat_ws(" ", _toks(text_col))).alias("fingerprint"),
+    )
+
+
+# GPT-2-shape pre-tokenizer regex, constrained to the common subset of
+# Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
+# letter/digit/punctuation runs, whitespace runs. No lookaheads — RE2
+# has none, so the original '\s+(?!\S)' branch is folded into '\s+'.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish token counting: the pre-tokenizer split every byte-pair
+    tokenizer applies before merges — a much better LLM-cost estimate
+    than whitespace counts (punctuation and digit runs count separately).
+    Pure JVM regexp, no UDF.
+
+    → (id, n_pretokens, n_ws_tokens, pretoken_ratio)"""
+    pre = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    ws = _toks(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(pre).alias("n_pretokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.try_divide(
+            F.size(pre).cast("double"), F.size(ws).cast("double")
+        ).alias("pretoken_ratio"),
     )

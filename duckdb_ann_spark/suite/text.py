@@ -117,3 +117,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "text_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+           )) AS INT) AS n_pretokens,
+           CAST(len(""" + """{tok}""".format(tok=_TOK) + r""") AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+           )) AS DOUBLE)
+           / CAST(len(""" + """{tok}""".format(tok=_TOK) + r""") AS DOUBLE)
+               AS pretoken_ratio
+    FROM documents
+    """,
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counting (the split a byte-pair tokenizer
+    applies before merges) — pure JVM regexp on both sides, same regex
+    in Java-regex and RE2 dialects."""
+    from ..operators.text_ops import bpe_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_count(docs, "doc_id", "text")
