@@ -373,3 +373,20 @@ def q_ann_merge_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_scan(spark, "suite_mrg_a", [q], k=10, catalog=cat).drop(
         "query_idx"
     )
+
+
+@register("faiss_hnsw_scan")  # graph-approximate: rows-only driver check
+def q_faiss_hnsw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW surface (`CREATE INDEX ... USING FAISS WITH (type='HNSW',
+    hnsw_m=...)`), backed by the Vamana graph machinery (documented
+    divergence — both are degree-bounded greedy graph ANN). Recall and
+    param plumbing are pinned in tests/test_persist_edge.py."""
+    cat = _cat()
+    drop_index("suite_hnsw", cat)
+    create_index(
+        _emb(spark, sf_dir), "vec_id", "embedding", "suite_hnsw",
+        engine="faiss", type="HNSW", hnsw_m=16, table_name="embeddings",
+        catalog=cat,
+    )
+    q = query_vec(spark, sf_dir)
+    return index_scan(spark, "suite_hnsw", [q], k=10, catalog=cat)

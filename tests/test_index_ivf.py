@@ -3,7 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
-from duckdb_ann_spark.index import Catalog, create_index, index_scan
+from duckdb_ann_spark.index import Catalog, create_index, drop_index, index_scan
 from duckdb_ann_spark.operators.topk import topk
 
 
@@ -117,3 +117,27 @@ def test_ip_metric_ivf(spark, emb, cat):
     assert [(r.vec_id, r._distance) for r in got] == [
         (r.vec_id, r._distance) for r in want
     ]
+
+
+def test_append_assigns_to_existing_cells(spark, emb, cat):
+    """Incremental add re-uses the trained centroids (no retrain): new
+    rows land in existing cells and full-probe search stays exact over
+    the union."""
+    from duckdb_ann_spark.index import insert_into_index
+
+    name = "ivf_append"
+    drop_index(name, cat)
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    create_index(
+        old, "vec_id", "embedding", name,
+        engine="faiss", type="IVFFlat", ivf_nlist=8, nprobe=8, catalog=cat,
+    )
+    m0 = insert_into_index(spark, name, new, cat)
+    assert m0["num_vectors"] == emb.count()
+    qrow = emb.where(F.col("vec_id") == 450).select("embedding").head()
+    q = [float(x) for x in qrow[0]]
+    hits = index_scan(spark, name, [q], k=1, catalog=cat).collect()
+    # the appended vector itself is found at distance 0
+    assert hits[0]["vec_id"] == 450 and hits[0]["_distance"] == 0.0
+    drop_index(name, cat)
