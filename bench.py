@@ -67,29 +67,54 @@ def bench_ann(spark, dim: int) -> float:
     return dt
 
 
-def bench_indexed(spark, dim: int) -> dict[str, float]:
+def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
     """Index build + 50-query search through IVFFlat (cell-pruned scan)
     and sharded DiskANN (parallel graph builds) — the reference bench
-    builds and searches its indexes on the same 10k workload."""
+    builds and searches its indexes on the same 10k workload. Also
+    reports recall@k vs the exact top-k (the reference's test-asserted
+    floor is 0.70)."""
     import tempfile
 
     out: dict[str, float] = {}
+    recall: dict[str, float] = {}
     rng = np.random.default_rng(777)
     queries = rng.random((N_QUERIES, dim), dtype=np.float32)
     vecs = _synthetic_vectors(spark, N_VECTORS, dim, seed=dim).persist()
     vecs.count()
     cat = Catalog(os.path.join(tempfile.gettempdir(), f"bench_idx_{os.getpid()}"))
 
+    # exact ground truth for recall (driver-side BLAS, excluded from timings)
+    vp = vecs.orderBy("vec_id").toPandas()
+    mat = np.array(vp["embedding"].tolist(), dtype=np.float32)
+    ids = vp["vec_id"].to_numpy()
+    truth = []
+    for q in queries:
+        d = ((mat - q) ** 2).sum(axis=1)
+        truth.append(set(ids[np.lexsort((ids, d))[:K]].tolist()))
+
+    def _recall(hits_df) -> float:
+        got: dict[int, set] = {}
+        for r in hits_df.collect():
+            got.setdefault(r["query_idx"], set()).add(r["vec_id"])
+        n_hit = sum(len(got.get(i, set()) & truth[i]) for i in range(N_QUERIES))
+        return n_hit / (N_QUERIES * K)
+
     t0 = time.perf_counter()
+    # nprobe=24/64: the smallest probe fraction that clears the
+    # reference's 0.70 recall floor on UNIFORM vectors (the bench
+    # workload is uniform random, IVF's worst case — clustered real
+    # embeddings reach the floor at far smaller fractions)
     create_index(
         vecs, "vec_id", "embedding", "bench_ivf", engine="faiss",
-        type="IVFFlat", ivf_nlist=64, nprobe=8, catalog=cat,
+        type="IVFFlat", ivf_nlist=64, nprobe=24, catalog=cat,
     )
     out["ivf_build_d%d" % dim] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    n = index_scan(spark, "bench_ivf", queries, K, catalog=cat).count()
+    ivf_hits = index_scan(spark, "bench_ivf", queries, K, catalog=cat)
+    n = ivf_hits.count()
     out["ivf_search_d%d" % dim] = time.perf_counter() - t0
     assert n == N_QUERIES * K, n
+    recall["ivf_d%d" % dim] = round(_recall(ivf_hits), 3)
 
     t0 = time.perf_counter()
     create_index(
@@ -98,14 +123,16 @@ def bench_indexed(spark, dim: int) -> dict[str, float]:
     )
     out["vamana_build_d%d" % dim] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    n = index_scan(spark, "bench_vamana", queries, K, catalog=cat).count()
+    vam_hits = index_scan(spark, "bench_vamana", queries, K, catalog=cat)
+    n = vam_hits.count()
     out["vamana_search_d%d" % dim] = time.perf_counter() - t0
     assert n == N_QUERIES * K, n
+    recall["vamana_d%d" % dim] = round(_recall(vam_hits), 3)
 
     drop_index("bench_ivf", cat)
     drop_index("bench_vamana", cat)
     vecs.unpersist()
-    return out
+    return out, recall
 
 
 def main() -> None:
@@ -126,7 +153,8 @@ def main() -> None:
     for dim in DIMS:
         timings[f"ann_d{dim}"] = bench_ann(spark, dim)
 
-    timings.update(bench_indexed(spark, dim=128))
+    indexed, recall = bench_indexed(spark, dim=128)
+    timings.update(indexed)
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
@@ -158,6 +186,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
+                "recall": recall,
                 "sf": sf,
             }
         )
