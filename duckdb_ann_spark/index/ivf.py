@@ -247,14 +247,16 @@ class IvfFlatEngine:
         probe_rows = [
             (int(qi), int(c)) for qi in range(qmat.shape[0]) for c in probe[qi]
         ]
-        probe_df = local_df(spark, probe_rows, f"query_idx int, {CELL_COL} int")
         all_cells = sorted({c for _, c in probe_rows})
 
         # partition pruning: only the probed cell directories are read
         pruned = vecs.where(F.col(CELL_COL).isin(all_cells))
-        cand = pruned.join(F.broadcast(probe_df), on=CELL_COL)
 
         if method == "exact":
+            probe_df = local_df(
+                spark, probe_rows, f"query_idx int, {CELL_COL} int"
+            )
+            cand = pruned.join(F.broadcast(probe_df), on=CELL_COL)
             qdf = local_df(
                 spark,
                 [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
@@ -272,44 +274,50 @@ class IvfFlatEngine:
                 .select("query_idx", id_col, DISTANCE_COL)
             )
 
-        bq = spark.sparkContext.broadcast(np.ascontiguousarray(qmat))
+        # BLAS path: no join — each task groups its rows by cell and runs
+        # ONE gemm per cell against the queries probing that cell (the
+        # probe map rides in the broadcast, not as duplicated rows:
+        # the old per-(query, cell) join pushed every base row through
+        # Arrow once per probing query, ~nprobe x q / nlist copies)
+        probe_by_cell: dict[int, list[int]] = {}
+        for qi, c in probe_rows:
+            probe_by_cell.setdefault(c, []).append(qi)
+        bq = spark.sparkContext.broadcast(
+            (np.ascontiguousarray(qmat),
+             {c: np.asarray(qs, dtype=np.int64) for c, qs in probe_by_cell.items()})
+        )
         out_schema = f"query_idx int, {id_col} long, {DISTANCE_COL} double"
 
         def score(batches):
-            qm = bq.value
+            qm, pmap = bq.value
             for pdf in batches:
                 if not len(pdf):
                     continue
-                mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
-                qidx = pdf["query_idx"].to_numpy()
-                out = pd.DataFrame(
-                    {
-                        "query_idx": qidx,
-                        id_col: pdf[id_col].to_numpy(),
-                    }
-                )
-                # row-wise distance against each row's own query
-                qrows = qm[qidx]
-                if metric == "ip":
-                    d = -(mat * qrows).sum(axis=1)
-                elif metric == "l2":
-                    diff = mat - qrows
-                    d = (diff * diff).sum(axis=1)
-                else:
-                    num = (mat * qrows).sum(axis=1)
-                    den = np.linalg.norm(mat, axis=1) * np.linalg.norm(qrows, axis=1)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        d = 1.0 - num / den
-                out[DISTANCE_COL] = d.astype(np.float64)
-                # partial top-k per (query) within the batch
-                out = (
-                    out.sort_values(["query_idx", DISTANCE_COL, id_col])
-                    .groupby("query_idx", sort=False)
-                    .head(k)
-                )
-                yield out
+                for cell, grp in pdf.groupby(CELL_COL, sort=False):
+                    qidx = pmap.get(int(cell))
+                    if qidx is None:
+                        continue
+                    mat = np.array(grp[vec_col].tolist(), dtype=np.float32)
+                    ids = grp[id_col].to_numpy()
+                    d = np_index_distances(metric, mat, qm[qidx])  # (nq, n)
+                    n = mat.shape[0]
+                    kk = min(k, n)
+                    if kk < n:
+                        top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                    else:
+                        top = np.broadcast_to(np.arange(n), (len(qidx), n))
+                    flat = top.reshape(-1)
+                    yield pd.DataFrame(
+                        {
+                            "query_idx": np.repeat(qidx, kk).astype(np.int32),
+                            id_col: ids[flat],
+                            DISTANCE_COL: d[
+                                np.repeat(np.arange(len(qidx)), kk), flat
+                            ].astype(np.float64),
+                        }
+                    )
 
-        partial = cand.select("query_idx", id_col, vec_col).mapInPandas(
+        partial = pruned.select(CELL_COL, id_col, vec_col).mapInPandas(
             score, schema=out_schema
         )
         w = Window.partitionBy("query_idx").orderBy(
