@@ -312,7 +312,10 @@ class VamanaEngine:
             F.col("_distance").asc_nulls_last(), F.col("id").asc()
         )
         return (
-            hits.join(labels, on=["shard", "label"])
+            # hits (k x queries x shards rows) are the small side — the
+            # label map scales with the index, so IT must stream while
+            # the hits broadcast. Without the hint this shuffles both.
+            F.broadcast(hits).join(labels, on=["shard", "label"])
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .select("query_idx", F.col("id").alias(id_col), "_distance")
