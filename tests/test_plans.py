@@ -72,3 +72,37 @@ def test_distance_exprs_stay_in_codegen(spark, emb):
     # string (the HOF aggregate itself is interpreted, but the surrounding
     # scan/project stage must still be codegen'd and JVM-side).
     assert "*(1)" in plan, plan
+
+
+def test_vamana_batch_search_broadcasts_hits(spark, sf_dir, tmp_path):
+    """The label-map join must broadcast the tiny hits side — the label
+    map scales with the index and has to stream."""
+    from duckdb_ann_spark.index import Catalog, create_index, index_scan
+
+    cat = Catalog(str(tmp_path / "plan_cat"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    create_index(
+        emb, "vec_id", "embedding", "plan_vam", engine="diskann",
+        max_degree=16, build_complexity=32, catalog=cat,
+    )
+    qs = [[0.0] * 64] * 16  # > DISTRIBUTE_THRESHOLD -> distributed path
+    plan = _plan(index_scan(spark, "plan_vam", qs, 5, catalog=cat))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_probe_scan_has_no_join(spark, sf_dir, tmp_path):
+    """Partial-probe IVF search: probe routing lives in the broadcast
+    closure — the plan is scan -> python scorer -> window, no join
+    duplicating base rows per query."""
+    from duckdb_ann_spark.index import Catalog, create_index, index_scan
+
+    cat = Catalog(str(tmp_path / "plan_cat2"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    create_index(
+        emb, "vec_id", "embedding", "plan_ivf", engine="faiss",
+        type="IVFFlat", ivf_nlist=8, nprobe=2, catalog=cat,
+    )
+    plan = _plan(index_scan(spark, "plan_ivf", [[0.0] * 64], 5, catalog=cat))
+    assert "Join" not in plan, plan
+    assert "PartitionFilters" in plan, plan
