@@ -35,8 +35,13 @@ class DiskannParams:
     alpha: float = 1.2
     quantization: str = ""  # 'sq8' to enable
     # Spark extension (not in the reference): number of independent graph
-    # shards built in parallel; 1 = reference-parity sequential build.
-    shards: int = 1
+    # shards built in parallel; 1 = reference-parity sequential build,
+    # 0 = AUTO (1 shard up to AUTO_SHARD_ROWS vectors — identical to the
+    # reference — then one shard per AUTO_SHARD_ROWS; a single-shard
+    # python build is ~6ms/vector, unusable past ~10^5 rows).
+    shards: int = 0
+
+    AUTO_SHARD_ROWS = 25_000
 
     def __post_init__(self) -> None:
         self.metric = _norm_metric(self.metric)
@@ -44,8 +49,8 @@ class DiskannParams:
             raise ValueError("max_degree must be positive")
         if self.build_complexity <= 0:
             raise ValueError("build_complexity must be positive")
-        if self.shards < 1:
-            raise ValueError("shards must be >= 1")
+        if self.shards < 0:
+            raise ValueError("shards must be >= 1 (or 0 for auto)")
         if self.quantization and self.quantization.lower() != "sq8":
             raise ValueError(
                 f"Unknown quantization '{self.quantization}'. Supported: sq8"

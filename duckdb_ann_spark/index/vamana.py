@@ -90,7 +90,15 @@ class VamanaEngine:
     ) -> dict:
         os.makedirs(f"{artifact_dir}/{GRAPH_DIR}", exist_ok=True)
         src = df.select(id_col, vec_col)
-        shards = int(getattr(params, "shards", 1) or 1)
+        shards = int(getattr(params, "shards", 0))
+        if shards == 0:  # auto: reference-parity single graph while the
+            # sequential python build stays cheap, then one shard per
+            # AUTO_SHARD_ROWS so build wall-time stays bounded at scale
+            n_rows = getattr(params, "_n_rows", None)
+            if n_rows is None:
+                n_rows = src.count()
+            per = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
+            shards = max(1, -(-int(n_rows) // per))
 
         def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
             pdf = pdf.sort_values(id_col).reset_index(drop=True)

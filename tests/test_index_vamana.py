@@ -8,6 +8,7 @@ from duckdb_ann_spark.index import (
     ann_index_info,
     create_index,
     delete_from_index,
+    drop_index,
     index_scan,
     vacuum_index,
 )
@@ -98,3 +99,23 @@ def test_search_complexity_improves_recall(spark, emb, qvec, cat):
     hi = {r.vec_id for r in
           index_scan(spark, "dkl", [qvec], 20, search_complexity=200, catalog=cat).collect()}
     assert len(hi & want) >= len(lo & want)
+
+
+def test_auto_shards_resolution(spark, emb, qvec, cat, monkeypatch):
+    """shards=0 (default) resolves to one graph per AUTO_SHARD_ROWS; at
+    or below the threshold it is the reference-parity single build."""
+    import os
+    from duckdb_ann_spark.index.params import DiskannParams
+
+    monkeypatch.setattr(DiskannParams, "AUTO_SHARD_ROWS", 100)
+    drop_index("vam_auto", cat)
+    create_index(
+        emb, "vec_id", "embedding", "vam_auto", engine="diskann",
+        max_degree=16, build_complexity=32, catalog=cat,
+    )
+    gdir = os.path.join(cat.path("vam_auto"), "graph")
+    n_shards = len([f for f in os.listdir(gdir) if f.endswith(".diskann")])
+    assert n_shards == 5  # 500 rows / 100 per shard
+    hits = index_scan(spark, "vam_auto", [qvec], k=5, catalog=cat).collect()
+    assert len(hits) == 5
+    drop_index("vam_auto", cat)
