@@ -166,8 +166,9 @@ def index_scan(
     qs = _as_queries(queries)
     id_col = manifest["id_col"]
 
-    if qs and len(qs[0]) != manifest["dim"]:
-        # dimension mismatch → empty result (src/diskann_index.cpp:554-556)
+    if not qs or len(qs[0]) != manifest["dim"]:
+        # no queries, or dimension mismatch → empty result
+        # (src/diskann_index.cpp:554-556)
         schema = f"query_idx int, {id_col} long, {DISTANCE_COL} double"
         return spark.createDataFrame([], schema)
 

@@ -177,3 +177,13 @@ def test_drop_index(spark, emb, qvec, cat):
     drop_index("idx", cat)
     with pytest.raises(ValueError, match="not found"):
         index_scan(spark, "idx", [qvec], 3, catalog=cat)
+
+
+def test_empty_query_list_returns_empty(spark, emb, qvec, cat):
+    name = "flat_emptyq"
+    drop_index(name, cat)
+    create_index(emb, "vec_id", "embedding", name, engine="faiss", catalog=cat)
+    res = index_scan(spark, name, [], k=5, catalog=cat)
+    assert res.count() == 0
+    assert res.columns == ["query_idx", "vec_id", "_distance"]
+    drop_index(name, cat)
