@@ -112,3 +112,27 @@ for _name, _fn, _expr in [
     ("list_cosine_similarity", D.list_cosine_similarity, _COS),
 ]:
     _make_scalar(_name, _fn, _expr)
+
+
+def _make_vector_distances(metric: str):
+    @register(
+        f"vector_distances_{metric}",
+        f"""
+        {_Q_CTE}
+        SELECT e.vec_id, e.label,
+               {sql_index_distance(metric, 'e.embedding', 'q.qv')} AS _distance
+        FROM embeddings e CROSS JOIN q
+        """,
+    )
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        q = query_vec(spark, sf_dir)
+        return vector_distances(
+            emb(spark, sf_dir), "embedding", q, metric=metric
+        ).select("vec_id", "label", "_distance")
+
+    _q.__name__ = f"q_vector_distances_{metric}"
+    return _q
+
+
+for _m in ("ip", "cosine"):
+    _make_vector_distances(_m)
