@@ -213,19 +213,24 @@ def ann_search(
     table_name: str = "",
 ) -> DataFrame:
     """`ann_search(table, index, query, k)` → all base columns +
-    `_distance`, ascending (`src/ann_search.cpp:31-195`). Fetches
-    `k*oversample` from the index, joins rows back by id, trims to k."""
+    `_distance`, ascending (`src/ann_search.cpp:31-195`).
+
+    `oversample` EXPANDS the result: the reference emits every fetched
+    row — up to `k*oversample` (`src/ann_search.cpp:123`, fetch_k =
+    k*oversample; `diskann_optimizer.test:96-110` pins count 5 for k=2,
+    oversample=3 on a 5-row table) — so an external WHERE can consume
+    the extras and still see k survivors."""
     spark = base_df.sparkSession
     _, manifest, _, _ = _load(name, table_name, catalog)
     id_col = manifest["id_col"]
+    fetch_k = k * max(1, oversample)
     hits = index_scan(
-        spark, name, query, k * max(1, oversample), search_complexity, catalog,
-        table_name,
+        spark, name, query, fetch_k, search_complexity, catalog, table_name
     ).drop("query_idx")
     out = hits.join(base_df, on=id_col, how="inner")
     return (
         out.orderBy(F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc())
-        .limit(k)
+        .limit(fetch_k)
         .select(*base_df.columns, DISTANCE_COL)
     )
 

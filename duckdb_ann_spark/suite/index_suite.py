@@ -390,3 +390,26 @@ def q_faiss_hnsw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = query_vec(spark, sf_dir)
     return index_scan(spark, "suite_hnsw", [q], k=10, catalog=cat)
+
+
+@register(
+    "ann_search_oversample",
+    f"""
+    {_Q_CTE}
+    SELECT vec_id, label, _distance FROM (
+        SELECT e.vec_id, e.label, {_DIST} AS _distance
+        FROM embeddings e CROSS JOIN q
+        ORDER BY _distance, e.vec_id LIMIT 6
+    )
+    """,
+)
+def q_ann_search_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oversample EXPANDS ann_search's result to k*oversample rows so an
+    external filter still finds k survivors (src/ann_search.cpp:123,
+    diskann_optimizer.test:96-110: k=2 x oversample=3 returns 5 of 5)."""
+    cat = _fresh_index(spark, sf_dir, "suite_over")
+    q = query_vec(spark, sf_dir)
+    res = ann_search(
+        _emb(spark, sf_dir), "suite_over", q, k=3, oversample=2, catalog=cat
+    )
+    return res.select("vec_id", "label", "_distance")
