@@ -92,9 +92,9 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
         d = ((mat - q) ** 2).sum(axis=1)
         truth.append(set(ids[np.lexsort((ids, d))[:K]].tolist()))
 
-    def _recall(hits_df) -> float:
+    def _recall(rows) -> float:
         got: dict[int, set] = {}
-        for r in hits_df.collect():
+        for r in rows:
             got.setdefault(r["query_idx"], set()).add(r["vec_id"])
         n_hit = sum(len(got.get(i, set()) & truth[i]) for i in range(N_QUERIES))
         return n_hit / (N_QUERIES * K)
@@ -110,11 +110,12 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
     )
     out["ivf_build_d%d" % dim] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    ivf_hits = index_scan(spark, "bench_ivf", queries, K, catalog=cat)
-    n = ivf_hits.count()
+    # ONE collect both times the search and feeds the recall check —
+    # count-then-collect would run the whole distributed search twice
+    ivf_rows = index_scan(spark, "bench_ivf", queries, K, catalog=cat).collect()
     out["ivf_search_d%d" % dim] = time.perf_counter() - t0
-    assert n == N_QUERIES * K, n
-    recall["ivf_d%d" % dim] = round(_recall(ivf_hits), 3)
+    assert len(ivf_rows) == N_QUERIES * K, len(ivf_rows)
+    recall["ivf_d%d" % dim] = round(_recall(ivf_rows), 3)
 
     t0 = time.perf_counter()
     create_index(
@@ -123,11 +124,12 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
     )
     out["vamana_build_d%d" % dim] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    vam_hits = index_scan(spark, "bench_vamana", queries, K, catalog=cat)
-    n = vam_hits.count()
+    vam_rows = index_scan(
+        spark, "bench_vamana", queries, K, catalog=cat
+    ).collect()
     out["vamana_search_d%d" % dim] = time.perf_counter() - t0
-    assert n == N_QUERIES * K, n
-    recall["vamana_d%d" % dim] = round(_recall(vam_hits), 3)
+    assert len(vam_rows) == N_QUERIES * K, len(vam_rows)
+    recall["vamana_d%d" % dim] = round(_recall(vam_rows), 3)
 
     drop_index("bench_ivf", cat)
     drop_index("bench_vamana", cat)

@@ -47,6 +47,8 @@ __all__ = [
     "cosine_distance",
     "index_distance",
     "np_index_distances",
+    "np_paired_distances",
+    "np_partial_topk",
     "METRICS",
 ]
 
@@ -170,3 +172,43 @@ def np_index_distances(metric: str, mat: np.ndarray, queries: np.ndarray) -> np.
         # both paths rank zero vectors identically (i.e. never nearest).
         return d
     raise ValueError(f"Unknown metric '{metric}'. Supported: {', '.join(METRICS)}")
+
+
+def np_paired_distances(metric: str, mat: np.ndarray, qrows: np.ndarray) -> np.ndarray:
+    """Row-paired distances: mat[i] vs qrows[i] (same shape), one einsum
+    kernel per metric. The single shared implementation for every
+    candidate-pair scorer (knn_join, batch paths) — per-path copies of
+    these branches drift (see the one-kernel rule in vamana_core)."""
+    m = metric.lower()
+    mat = np.asarray(mat, dtype=np.float32)
+    qrows = np.asarray(qrows, dtype=np.float32)
+    if m == "ip":
+        return -np.einsum("ij,ij->i", mat, qrows)
+    if m == "l2":
+        diff = mat - qrows
+        return np.einsum("ij,ij->i", diff, diff)
+    if m == "cosine":
+        num = np.einsum("ij,ij->i", mat, qrows)
+        den = np.linalg.norm(mat, axis=1) * np.linalg.norm(qrows, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return 1.0 - num / den
+    raise ValueError(f"Unknown metric '{metric}'. Supported: {', '.join(METRICS)}")
+
+
+def np_partial_topk(d: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the kk smallest (distance, id) pairs of one query row.
+
+    argpartition alone breaks distance ties arbitrarily at the boundary
+    and can drop the lower-id row before a downstream global merge ever
+    sees it; this keeps every row tied with the k-th distance and
+    lexsorts the (small) candidate set so the per-batch cut respects
+    the engine's ties-on-id-ascending contract."""
+    n = d.shape[0]
+    if kk >= n:
+        return np.lexsort((ids, d))
+    part = np.argpartition(d, kk - 1)[:kk]
+    t = d[part].max()
+    with np.errstate(invalid="ignore"):
+        cand = np.flatnonzero(~(d > t))  # d <= t, keeping NaN out
+    order = np.lexsort((ids[cand], d[cand]))[:kk]
+    return cand[order]

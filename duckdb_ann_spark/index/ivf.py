@@ -34,7 +34,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import index_distance, np_index_distances
+from ..functions.distance import (
+    index_distance,
+    np_index_distances,
+    np_partial_topk,
+)
 from ..local import local_df
 from .engines import register_engine
 
@@ -300,20 +304,23 @@ class IvfFlatEngine:
                     mat = np.array(grp[vec_col].tolist(), dtype=np.float32)
                     ids = grp[id_col].to_numpy()
                     d = np_index_distances(metric, mat, qm[qidx])  # (nq, n)
-                    n = mat.shape[0]
-                    kk = min(k, n)
-                    if kk < n:
-                        top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-                    else:
-                        top = np.broadcast_to(np.arange(n), (len(qidx), n))
-                    flat = top.reshape(-1)
+                    kk = min(k, mat.shape[0])
+                    qs_out, ids_out, d_out = [], [], []
+                    for r, qi in enumerate(qidx):
+                        # tie-safe per-batch cut: argpartition alone can
+                        # drop the lower-id row at an equal-distance
+                        # boundary before the global merge sees it
+                        top = np_partial_topk(d[r], ids, kk)
+                        qs_out.append(np.full(len(top), qi, dtype=np.int32))
+                        ids_out.append(ids[top])
+                        d_out.append(d[r][top])
                     yield pd.DataFrame(
                         {
-                            "query_idx": np.repeat(qidx, kk).astype(np.int32),
-                            id_col: ids[flat],
-                            DISTANCE_COL: d[
-                                np.repeat(np.arange(len(qidx)), kk), flat
-                            ].astype(np.float64),
+                            "query_idx": np.concatenate(qs_out),
+                            id_col: np.concatenate(ids_out),
+                            DISTANCE_COL: np.concatenate(d_out).astype(
+                                np.float64
+                            ),
                         }
                     )
 

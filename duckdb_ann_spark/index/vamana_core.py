@@ -288,10 +288,13 @@ class VamanaGraph:
             pair = n2[:, None] + n2[None, :] - 2.0 * (cand @ cand.T)
             np.maximum(pair, 0.0, out=pair)
         # ratio[j, k] = d(p,k) / d(j,k), the occlusion factor k picks up
-        # when j is chosen (fmax where d(j,k)==0) — all m^2 at once, so
-        # the choose loop is one np.maximum per chosen
+        # when j is chosen (fmax ONLY where d(j,k)==0) — all m^2 at once,
+        # so the choose loop is one np.maximum per chosen. `where=pair
+        # != 0`, not `> 0`: ip distances are signed, and a negative
+        # d(j,k) must divide through to a negative (never-occluding)
+        # factor like the reference, not collapse to fmax.
         ratio = np.full((m, m), fmax, dtype=np.float32)
-        np.divide(dists[None, :], pair, out=ratio, where=pair > 0)
+        np.divide(dists[None, :], pair, out=ratio, where=pair != 0)
         occlude = np.zeros(m, dtype=np.float32)
         chosen: list[int] = []  # positions into ids
         cur_alpha = 1.0

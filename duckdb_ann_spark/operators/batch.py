@@ -35,7 +35,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import index_distance, np_index_distances
+from ..functions.distance import (
+    index_distance,
+    np_index_distances,
+    np_partial_topk,
+)
 from ..local import local_df
 
 __all__ = ["search_batch_ids", "ann_search_batch", "ann_search_table"]
@@ -81,20 +85,21 @@ def search_batch_ids(
             ids = pdf[id_col].to_numpy()
             dists = np_index_distances(metric, mat, qm)  # (q, n)
             kk = min(k, n)
-            # per-query partial top-k (argpartition = O(n), not a sort)
-            if kk < n:
-                idx = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
-            else:
-                idx = np.broadcast_to(np.arange(n), (qm.shape[0], n))
-            qi = np.repeat(np.arange(qm.shape[0], dtype=np.int32), kk)
-            flat = idx.reshape(-1)
+            qs_out, ids_out, d_out = [], [], []
+            for qi in range(qm.shape[0]):
+                # tie-safe partial top-k: argpartition (O(n)) for the
+                # cut, then an exact (distance, id) order among the
+                # boundary ties so the per-batch cut never drops the
+                # lower-id row the global merge would have kept
+                top = np_partial_topk(dists[qi], ids, kk)
+                qs_out.append(np.full(len(top), qi, dtype=np.int32))
+                ids_out.append(ids[top])
+                d_out.append(dists[qi][top])
             yield pd.DataFrame(
                 {
-                    "query_idx": qi,
-                    id_col: ids[flat],
-                    DISTANCE_COL: dists[
-                        np.repeat(np.arange(qm.shape[0]), kk), flat
-                    ].astype(np.float64),
+                    "query_idx": np.concatenate(qs_out),
+                    id_col: np.concatenate(ids_out),
+                    DISTANCE_COL: np.concatenate(d_out).astype(np.float64),
                 }
             )
 

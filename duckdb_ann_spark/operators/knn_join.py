@@ -30,7 +30,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import index_distance, np_index_distances
+from ..functions.distance import (
+    index_distance,
+    np_index_distances,
+    np_paired_distances,
+)
 from ..index.ivf import _kmeans
 from ..local import local_df
 
@@ -77,12 +81,14 @@ def knn_join(
     nlist: int = 64,
     nprobe: int = 8,
     method: str = "blas",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """→ DataFrame(<query_id_col>, <base_id_col>, _distance), the k
     nearest base rows per query row (ties on base id ascending).
 
     Exact when `nprobe >= nlist`; otherwise approximate with IVF-probe
-    recall characteristics.
+    recall characteristics. Pass `n_rows` (the base row count) when
+    known to skip the counting pass over the base side.
     """
     spark = base_df.sparkSession
     if query_vec_col == base_vec_col:
@@ -97,7 +103,7 @@ def knn_join(
         query_id_col = f"_q_{query_id_col}"
 
     # bounded deterministic train sample from the base side
-    n = base_df.count()
+    n = base_df.count() if n_rows is None else int(n_rows)
     cap = min(max(50 * nlist, 10_000), 200_000)
     sample = base_df.select(base_vec_col)
     if n > cap:
@@ -141,16 +147,7 @@ def knn_join(
                     continue
                 qm = np.array(pdf[query_vec_col].tolist(), dtype=np.float32)
                 bm = np.array(pdf[base_vec_col].tolist(), dtype=np.float32)
-                if metric == "ip":
-                    d = -np.einsum("ij,ij->i", bm, qm)
-                elif metric == "l2":
-                    diff = bm - qm
-                    d = np.einsum("ij,ij->i", diff, diff)
-                else:
-                    num = np.einsum("ij,ij->i", bm, qm)
-                    den = np.linalg.norm(bm, axis=1) * np.linalg.norm(qm, axis=1)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        d = 1.0 - num / den
+                d = np_paired_distances(metric, bm, qm)
                 out = pd.DataFrame(
                     {
                         query_id_col: pdf[query_id_col].to_numpy(),

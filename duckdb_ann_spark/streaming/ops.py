@@ -130,15 +130,23 @@ def sessionize_events(
             for i, (a, b) in enumerate(zip(starts, ends))
         ]
         if state.exists:
-            s, e, n, c = state.get
-            first = sessions[0]
-            if first[0] - e <= gap_ms:
-                sessions[0] = (
-                    min(s, first[0]), max(e, first[1]), n + first[2],
-                    c + first[3],
-                )
-            else:
-                sessions.insert(0, (s, e, n, c))
+            # fold the open-session interval in by start order: a late
+            # batch can sort anywhere relative to the stored session, so
+            # comparing only against the first new segment would merge
+            # intervals separated by more than the gap
+            sessions.append(tuple(state.get))
+            sessions.sort(key=lambda s: s[0])
+            merged = [sessions[0]]
+            for seg in sessions[1:]:
+                last = merged[-1]
+                if seg[0] - last[1] <= gap_ms:
+                    merged[-1] = (
+                        min(last[0], seg[0]), max(last[1], seg[1]),
+                        last[2] + seg[2], last[3] + seg[3],
+                    )
+                else:
+                    merged.append(seg)
+            sessions = merged
         closed, last = sessions[:-1], sessions[-1]
         state.update(last)
         state.setTimeoutTimestamp(last[1] + gap_ms)

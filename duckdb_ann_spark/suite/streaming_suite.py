@@ -76,10 +76,14 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(cents) AS BIGINT) AS value_cents
         FROM sess GROUP BY user_id, sid
+    ), lastsid AS (
+        SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY user_id
     ), mx AS (SELECT MAX(CAST(epoch_ms(ts) AS BIGINT)) AS m FROM events)
-    SELECT user_id, session_start_ms, session_end_ms, n_events, value_cents
-    FROM agg, mx
-    WHERE session_end_ms + 1800000 < m - 1000
+    SELECT a.user_id, session_start_ms, session_end_ms, n_events, value_cents
+    FROM agg a JOIN lastsid l ON a.user_id = l.user_id, mx
+    -- emitted = every gap-closed (non-last) session, plus the last
+    -- session when its close-timeout fired before the final watermark
+    WHERE a.sid < l.max_sid OR session_end_ms + 1800000 < m - 1000
     """,
 )
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,7 +56,9 @@ def test_agg_is_partial_then_final(spark, sf_dir):
     exchange), so the shuffle carries group states, not rows."""
     plan = _plan(q_pricing_summary(spark, sf_dir))
     assert "partial_" in plan, plan
-    assert plan.index("partial_") > plan.index("Scan parquet") or True
+    # the partial agg must sit between the scan and the exchange: in the
+    # bottom-up plan string that means it prints BEFORE the scan line
+    assert plan.index("partial_") < plan.index("Scan parquet"), plan
     # exactly one shuffle for the aggregation (plus none for the sort of
     # 6 output rows under AQE)
     assert "Exchange hashpartitioning(l_returnflag" in plan, plan

@@ -132,9 +132,73 @@ def test_sessionize_matches_batch_islands(spark, sf_dir, tmp_path):
         )
     )
     max_ms = ev.agg(F.max(ms)).head()[0]
-    closed = sess.where(F.col("e") + gap_ms < max_ms - 1000)
+    last = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    closed = sess.join(last, on="user_id").where(
+        (F.col("sid") < F.col("max_sid"))
+        | (F.col("e") + gap_ms < max_ms - 1000)
+    )
     want = {
         (r.user_id, r.s, r.e): (r.n, r.c) for r in closed.collect()
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_sessionize_late_segment_not_merged(spark, tmp_path):
+    """A late segment arriving in a later micro-batch, more than the gap
+    BEFORE the stored open session, must become its own session — naive
+    state merging would fuse intervals separated by hours."""
+    import os
+    import pandas as pd
+    from duckdb_ann_spark.streaming import sessionize_events
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+    base = pd.Timestamp("2024-01-10 12:00:00")
+    f1 = os.path.join(d, "b1.parquet")
+    f2 = os.path.join(d, "b2.parquet")
+    pd.DataFrame(
+        {"event_id": [1], "ts": [base], "user_id": [1],
+         "event_type": ["x"], "value": [1.0], "props": [""]}
+    ).to_parquet(f1, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pd.DataFrame(
+        {
+            "event_id": [2, 3],
+            # late: 105 min BEFORE the open session; plus a far-future
+            # event to advance the watermark past both timeouts
+            "ts": [base - pd.Timedelta(minutes=105),
+                   base + pd.Timedelta(hours=8)],
+            "user_id": [1, 2],
+            "event_type": ["x", "x"], "value": [2.0, 3.0], "props": ["", ""],
+        }
+    ).to_parquet(f2, coerce_timestamps="us", allow_truncated_timestamps=True)
+    os.utime(f1, (1000000000, 1000000000))
+    os.utime(f2, (1000000100, 1000000100))  # discovered second
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        sessionize_events(stream, gap_ms=30 * 60 * 1000, watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.user_id, r.session_start_ms, r.n_events)
+        for r in spark.table("late_sessions").collect()
+    )
+    ms = lambda t: int(t.value // 1_000_000)
+    # two SEPARATE single-event sessions for user 1; user 2 still open
+    assert rows == [
+        (1, ms(base - pd.Timedelta(minutes=105)), 1),
+        (1, ms(base), 1),
+    ], rows
