@@ -83,6 +83,14 @@ class FaissParams:
     nprobe: int = 1
     train_sample: int = 0
     description: str = field(default="")
+    # GPU placement (`src/faiss_index.cpp:84-152`): cpu / gpu / auto.
+    # This engine's kernels are numpy/BLAS — there is never a GPU
+    # backend (faiss_gpu_info reports available=false), so mode='gpu'
+    # raises the reference's no-backend error and 'auto' silently runs
+    # on CPU (its documented fallback). `gpu` is the legacy alias:
+    # gpu='false' → cpu, gpu='true' → gpu (faiss_gpu.test:55-69).
+    mode: str = "auto"
+    gpu: object = None
 
     def __post_init__(self) -> None:
         self.metric = _norm_metric(self.metric)
@@ -96,6 +104,20 @@ class FaissParams:
             )
         # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61)
         self.nprobe = max(1, int(self.nprobe))
+        if self.gpu is not None:
+            truthy = str(self.gpu).lower() in ("true", "1", "yes")
+            self.mode = "gpu" if truthy else "cpu"
+            self.gpu = None
+        self.mode = (self.mode or "auto").lower()
+        if self.mode not in ("cpu", "gpu", "auto"):
+            raise ValueError(
+                f"Unknown mode '{self.mode}'. Supported: cpu, gpu, auto"
+            )
+        if self.mode == "gpu":
+            # reference wording, src/faiss_index.cpp:118
+            raise ValueError(
+                "mode='gpu' requested but no GPU backend available"
+            )
 
     def _apply_description(self, desc: str) -> None:
         """faiss `index_factory` strings (the reference passes `description`
@@ -136,6 +158,7 @@ class FaissParams:
             "nprobe": self.nprobe,
             "train_sample": self.train_sample,
             "description": self.description,
+            "mode": self.mode,
         }
 
 

@@ -58,3 +58,23 @@ def test_factory_description_unsupported():
 def test_unknown_engine():
     with pytest.raises(ValueError, match="Supported: DISKANN, FAISS"):
         parse_params("annoy", {})
+
+
+def test_faiss_mode_options():
+    """mode=cpu/auto accepted and persisted; mode='gpu' raises the
+    reference's no-backend error; gpu= legacy alias maps through
+    (faiss_gpu.test:29-93, src/faiss_index.cpp:84-152,118)."""
+    import pytest
+    from duckdb_ann_spark.index.params import parse_params
+
+    assert parse_params("faiss", dict(mode="cpu")).mode == "cpu"
+    assert parse_params("faiss", dict()).mode == "auto"  # default
+    assert parse_params("faiss", dict(mode="AUTO")).mode == "auto"
+    assert parse_params("faiss", dict(gpu="false")).mode == "cpu"
+    assert "mode" in parse_params("faiss", dict(mode="cpu")).to_manifest()
+    with pytest.raises(ValueError, match="no GPU backend available"):
+        parse_params("faiss", dict(mode="gpu"))
+    with pytest.raises(ValueError, match="no GPU backend available"):
+        parse_params("faiss", dict(gpu="true"))
+    with pytest.raises(ValueError, match="Unknown mode"):
+        parse_params("faiss", dict(mode="tpu"))
