@@ -162,10 +162,22 @@ class FaissParams:
         }
 
 
+def _known_options(cls, options: dict) -> dict:
+    """Reference parity (`diskann_index.hpp:27-45`): WITH-options are a
+    case-insensitive map and unknown keys are silently ignored — the
+    reference's Parse loop has no else branch."""
+    from dataclasses import fields
+
+    known = {f.name.lower(): f.name for f in fields(cls)}
+    return {
+        known[k.lower()]: v for k, v in options.items() if k.lower() in known
+    }
+
+
 def parse_params(engine: str, options: dict):
     e = engine.lower()
     if e == "diskann":
-        return DiskannParams(**options)
+        return DiskannParams(**_known_options(DiskannParams, options))
     if e == "faiss":
-        return FaissParams(**options)
+        return FaissParams(**_known_options(FaissParams, options))
     raise ValueError(f"Unknown ANN engine '{engine}'. Supported: DISKANN, FAISS")

@@ -78,3 +78,15 @@ def test_faiss_mode_options():
         parse_params("faiss", dict(gpu="true"))
     with pytest.raises(ValueError, match="Unknown mode"):
         parse_params("faiss", dict(mode="tpu"))
+
+
+def test_options_case_insensitive_and_unknown_ignored():
+    """WITH-options are a case-insensitive map and unknown keys are
+    silently ignored (diskann_index.hpp:27-45: the Parse loop has no
+    else branch)."""
+    from duckdb_ann_spark.index.params import parse_params
+
+    p = parse_params("diskann", dict(MAX_DEGREE=8, Alpha=1.1, bogus_opt=7))
+    assert p.max_degree == 8 and p.alpha == 1.1
+    q = parse_params("faiss", dict(TYPE="IVFFlat", IVF_NLIST=32, wat="x"))
+    assert q.type_norm == "ivfflat" and q.ivf_nlist == 32
