@@ -159,9 +159,28 @@ def ann_search_batch(
     )
 
 
+def _detect_vector_col(df: DataFrame) -> str:
+    """The reference auto-detects "the first LIST or ARRAY column with a
+    numeric child" in the query table (`src/ann_search.cpp:471-493`)."""
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.FloatType, T.DoubleType, T.DecimalType, T.IntegerType,
+        T.LongType, T.ShortType, T.ByteType,
+    )
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, numeric
+        ):
+            return f.name
+    raise ValueError(
+        "No LIST/ARRAY column with a numeric child found in the query table"
+    )
+
+
 def ann_search_table(
     queries_df: DataFrame,
-    query_vec_col: str,
+    query_vec_col: Optional[str],
     base_df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -172,13 +191,17 @@ def ann_search_table(
 ) -> DataFrame:
     """`ann_search_table` shape: all query-table columns pass through, base
     columns follow (name collisions get a `table_` prefix —
-    `src/ann_search.cpp:516-528`), then `_distance`.
+    `src/ann_search.cpp:516-528`), then `_distance`. `query_vec_col=None`
+    auto-detects the first numeric LIST/ARRAY column like the reference
+    (`src/ann_search.cpp:471-493`).
 
     The query table is collected to the driver to form the broadcast
     matrix — the reference has the same shape (queries are one in-memory
-    batch per call); for huge query sets, chunk the query table and union.
+    batch per call); for huge query sets, use `knn_join` instead.
     """
     spark = queries_df.sparkSession
+    if query_vec_col is None:
+        query_vec_col = _detect_vector_col(queries_df)
     qrows = queries_df.collect()
     queries = [[float(x) for x in r[query_vec_col]] for r in qrows]
     hits = search_batch_ids(base_df, id_col, vec_col, queries, k, metric, method).select(

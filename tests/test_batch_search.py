@@ -102,3 +102,23 @@ def test_ann_search_table_passthrough_and_prefix(spark, emb):
     best = pdf.sort_values(["query_idx", "_distance"]).groupby("query_idx").head(1)
     assert best.table_vec_id.tolist() == [0, 1]
     assert best.vec_id.tolist() == [0, 1]
+
+
+def test_table_search_autodetects_vector_col(spark, sf_dir):
+    """query_vec_col=None finds the first numeric array column
+    (src/ann_search.cpp:471-493)."""
+    from duckdb_ann_spark.operators.batch import ann_search_table
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select("vec_id", "embedding")
+    explicit = ann_search_table(
+        queries, "embedding", emb, "vec_id", "embedding", k=2
+    ).collect()
+    auto = ann_search_table(
+        queries, None, emb, "vec_id", "embedding", k=2
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    import pytest
+    from duckdb_ann_spark.operators.batch import _detect_vector_col
+    with pytest.raises(ValueError, match="numeric child"):
+        _detect_vector_col(queries.select("vec_id"))
