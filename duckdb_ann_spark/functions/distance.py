@@ -49,6 +49,7 @@ __all__ = [
     "np_index_distances",
     "np_paired_distances",
     "np_partial_topk",
+    "np_topk_frame",
     "METRICS",
 ]
 
@@ -212,3 +213,26 @@ def np_partial_topk(d: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
         cand = np.flatnonzero(~(d > t))  # d <= t, keeping NaN out
     order = np.lexsort((ids[cand], d[cand]))[:kk]
     return cand[order]
+
+
+def np_topk_frame(dists, ids, qidx_values, kk: int, id_col: str,
+                  dist_col: str = "_distance"):
+    """Assemble the tie-safe per-batch partial top-k of a (nq, n)
+    distance matrix into a pandas frame (query_idx, id, distance) — the
+    one shared implementation of the cut-and-stack loop every batch
+    scorer needs (ivf probe, brute-force batch)."""
+    import pandas as pd
+
+    qs_out, ids_out, d_out = [], [], []
+    for r, qv in enumerate(qidx_values):
+        top = np_partial_topk(dists[r], ids, kk)
+        qs_out.append(np.full(len(top), qv, dtype=np.int32))
+        ids_out.append(ids[top])
+        d_out.append(dists[r][top])
+    return pd.DataFrame(
+        {
+            "query_idx": np.concatenate(qs_out),
+            id_col: np.concatenate(ids_out),
+            dist_col: np.concatenate(d_out).astype(np.float64),
+        }
+    )

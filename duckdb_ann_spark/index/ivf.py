@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.distance import (
     index_distance,
     np_index_distances,
-    np_partial_topk,
+    np_topk_frame,
 )
 from ..local import local_df
 from .engines import register_engine
@@ -305,24 +305,8 @@ class IvfFlatEngine:
                     ids = grp[id_col].to_numpy()
                     d = np_index_distances(metric, mat, qm[qidx])  # (nq, n)
                     kk = min(k, mat.shape[0])
-                    qs_out, ids_out, d_out = [], [], []
-                    for r, qi in enumerate(qidx):
-                        # tie-safe per-batch cut: argpartition alone can
-                        # drop the lower-id row at an equal-distance
-                        # boundary before the global merge sees it
-                        top = np_partial_topk(d[r], ids, kk)
-                        qs_out.append(np.full(len(top), qi, dtype=np.int32))
-                        ids_out.append(ids[top])
-                        d_out.append(d[r][top])
-                    yield pd.DataFrame(
-                        {
-                            "query_idx": np.concatenate(qs_out),
-                            id_col: np.concatenate(ids_out),
-                            DISTANCE_COL: np.concatenate(d_out).astype(
-                                np.float64
-                            ),
-                        }
-                    )
+                    # tie-safe per-batch cut + stack (shared helper)
+                    yield np_topk_frame(d, ids, qidx, kk, id_col, DISTANCE_COL)
 
         partial = pruned.select(CELL_COL, id_col, vec_col).mapInPandas(
             score, schema=out_schema

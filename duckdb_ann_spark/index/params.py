@@ -105,8 +105,19 @@ class FaissParams:
         # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61)
         self.nprobe = max(1, int(self.nprobe))
         if self.gpu is not None:
-            truthy = str(self.gpu).lower() in ("true", "1", "yes")
-            self.mode = "gpu" if truthy else "cpu"
+            if (self.mode or "auto").lower() != "auto":
+                raise ValueError(
+                    "Specify either mode= or the legacy gpu= option, not both"
+                )
+            # DuckDB boolean cast vocabulary — anything else is an error,
+            # not a silent fallback to cpu
+            s = str(self.gpu).lower()
+            if s in ("true", "1", "yes", "t", "y", "on"):
+                self.mode = "gpu"
+            elif s in ("false", "0", "no", "f", "n", "off"):
+                self.mode = "cpu"
+            else:
+                raise ValueError(f"Invalid boolean for gpu option: '{self.gpu}'")
             self.gpu = None
         self.mode = (self.mode or "auto").lower()
         if self.mode not in ("cpu", "gpu", "auto"):

@@ -319,11 +319,18 @@ class VamanaEngine:
         w = Window.partitionBy("query_idx").orderBy(
             F.col("_distance").asc_nulls_last(), F.col("id").asc()
         )
+        # hits (k x queries x shards rows) are usually the small side —
+        # the label map scales with the index, so IT must stream. But
+        # the hit count grows with the query batch: only hint the
+        # broadcast while the known row count stays well under Spark's
+        # broadcast limits; a huge query batch falls back to a shuffle
+        # join rather than collecting hits to the driver.
+        est_hits = len(qrows) * max(1, len(shard_files)) * k
+        joined = (
+            F.broadcast(hits) if est_hits <= 2_000_000 else hits
+        ).join(labels, on=["shard", "label"])
         return (
-            # hits (k x queries x shards rows) are the small side — the
-            # label map scales with the index, so IT must stream while
-            # the hits broadcast. Without the hint this shuffles both.
-            F.broadcast(hits).join(labels, on=["shard", "label"])
+            joined
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .select("query_idx", F.col("id").alias(id_col), "_distance")

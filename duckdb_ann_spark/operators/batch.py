@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.distance import (
     index_distance,
     np_index_distances,
-    np_partial_topk,
+    np_topk_frame,
 )
 from ..local import local_df
 
@@ -68,6 +68,11 @@ def search_batch_ids(
     Exact brute force over `df` (the Flat-engine batch path). Ties broken
     on id ascending, like the single-query `topk`.
     """
+    if len(queries) == 0:
+        # no queries → empty result, like the index_scan path
+        return df.sparkSession.createDataFrame(
+            [], f"query_idx int, {id_col} long, {DISTANCE_COL} double"
+        )
     if method == "exact":
         return _search_batch_exact(df, id_col, vec_col, queries, k, metric)
     qmat = _queries_matrix(queries)
@@ -85,22 +90,11 @@ def search_batch_ids(
             ids = pdf[id_col].to_numpy()
             dists = np_index_distances(metric, mat, qm)  # (q, n)
             kk = min(k, n)
-            qs_out, ids_out, d_out = [], [], []
-            for qi in range(qm.shape[0]):
-                # tie-safe partial top-k: argpartition (O(n)) for the
-                # cut, then an exact (distance, id) order among the
-                # boundary ties so the per-batch cut never drops the
-                # lower-id row the global merge would have kept
-                top = np_partial_topk(dists[qi], ids, kk)
-                qs_out.append(np.full(len(top), qi, dtype=np.int32))
-                ids_out.append(ids[top])
-                d_out.append(dists[qi][top])
-            yield pd.DataFrame(
-                {
-                    "query_idx": np.concatenate(qs_out),
-                    id_col: np.concatenate(ids_out),
-                    DISTANCE_COL: np.concatenate(d_out).astype(np.float64),
-                }
+            # tie-safe partial top-k + stack (shared helper): the cut
+            # keeps boundary distance ties ordered by id so the global
+            # merge never loses the lower-id row
+            yield np_topk_frame(
+                dists, ids, range(qm.shape[0]), kk, id_col, DISTANCE_COL
             )
 
     partial = df.select(id_col, vec_col).mapInPandas(part_topk, schema=out_schema)

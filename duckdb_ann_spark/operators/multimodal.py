@@ -84,6 +84,12 @@ def frame_sample(
     selection never leaves whole-stage codegen; only a real *decode* of
     the frame content needs Python (see :func:`extract_features`). Rows
     with fewer bytes than one frame produce no output."""
+    if n_frames <= 0:
+        raise ValueError("n_frames must be positive")
+    if frame_bytes <= 0:
+        raise ValueError("frame_bytes must be positive")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
     total = (F.octet_length(F.col(bin_col)) / frame_bytes).cast("long")
     n_eff = F.least(F.lit(n_frames).cast("long"), total)
     out = (

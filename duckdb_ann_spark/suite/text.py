@@ -126,11 +126,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text,
                '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
            )) AS INT) AS n_pretokens,
-           CAST(len(""" + """{tok}""".format(tok=_TOK) + r""") AS INT) AS n_ws_tokens,
+           CAST(len(""" + _TOK + r""") AS INT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text,
                '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
            )) AS DOUBLE)
-           / CAST(len(""" + """{tok}""".format(tok=_TOK) + r""") AS DOUBLE)
+           / CAST(len(""" + _TOK + r""") AS DOUBLE)
                AS pretoken_ratio
     FROM documents
     """,
