@@ -166,9 +166,11 @@ def index_scan(
     qs = _as_queries(queries)
     id_col = manifest["id_col"]
 
-    if not qs or len(qs[0]) != manifest["dim"]:
-        # no queries, or dimension mismatch → empty result
-        # (src/diskann_index.cpp:554-556)
+    if not qs or any(len(q) != manifest["dim"] for q in qs):
+        # no queries, or any dimension-mismatched query (ragged batches
+        # included) → empty result (src/diskann_index.cpp:554-556); checking
+        # only qs[0] would let a ragged batch crash inside the engines as a
+        # numpy object array
         schema = f"query_idx int, {id_col} long, {DISTANCE_COL} double"
         return spark.createDataFrame([], schema)
 
@@ -396,10 +398,14 @@ def merge_indexes(
     da = _deleted_ids(spark, d_dst, m_dst)
     if da is not None:
         a = a.join(F.broadcast(da), on=id_col, how="anti")
-    b = impl_src.vectors(spark, d_src).toDF(id_col, m_dst["vec_col"])
+    # anti-join the source's tombstones BEFORE renaming to the destination's
+    # column names: after toDF the source id column no longer exists, and a
+    # src index with a different id_col + tombstones would fail the join
+    b = impl_src.vectors(spark, d_src)
     db = _deleted_ids(spark, d_src, m_src)
     if db is not None:
         b = b.join(F.broadcast(db), on=m_src["id_col"], how="anti")
+    b = b.toDF(id_col, m_dst["vec_col"])
     union = a.unionByName(b)
     params = parse_params(m_dst["engine"], _params_kwargs(m_dst))
     import shutil
@@ -470,9 +476,11 @@ def insert_into_index(
             f"{overlap} ids already exist in index '{name}' (ids must be unique)"
         )
     params = parse_params(manifest["engine"], _params_kwargs(manifest))
-    impl.append(spark, manifest, d, src, params)
+    extra = impl.append(spark, manifest, d, src, params) or {}
     _refresh(spark, d)
-    return cat.update(name, num_vectors=int(manifest["num_vectors"]) + int(n_new))
+    return cat.update(
+        name, num_vectors=int(manifest["num_vectors"]) + int(n_new), **extra
+    )
 
 
 def faiss_gpu_info(spark: SparkSession) -> DataFrame:

@@ -106,9 +106,16 @@ class IvfFlatEngine:
             ).parquet(f"{artifact_dir}/{CENTROIDS_DIR}")
             return {"layout": "ivf-parquet-v1", "nlist_effective": 0}
 
-        # deterministic bounded train set (hash-sample by id)
+        # deterministic bounded train set (hash-sample by id). A
+        # user-supplied train_sample is honored as THE cap (clamped to
+        # [nlist, 200k]) — the reference lets train_sample shrink the
+        # train set below any default floor (src/faiss_index.cpp:300-317);
+        # only the automatic default applies the 50*nlist / 10k floor.
         train_n = int(params.train_sample) or 0
-        cap = max(train_n, 50 * nlist, 10_000)
+        if train_n > 0:
+            cap = max(train_n, nlist)
+        else:
+            cap = max(50 * nlist, 10_000)
         cap = min(cap, n, 200_000)
         sample = df.select(vec_col)
         if n > cap:

@@ -198,6 +198,11 @@ class VamanaEngine:
             emit, schema=f"{id_col} long, {vec_col} array<float>"
         )
 
+    # a shard at/above this many vectors stops receiving appends; new
+    # rows open a fresh overflow shard instead (bounds the rewrite cost
+    # of any single append and keeps shard sizes even at scale)
+    APPEND_SHARD_CAP = 25_000
+
     def append(
         self,
         spark: SparkSession,
@@ -206,17 +211,49 @@ class VamanaEngine:
         df_new: DataFrame,
         params,
     ) -> dict:
-        """Live insert (`src/diskann_index.cpp:316-361`): stream-insert
-        new vectors into shard 0's graph, extend the label map, rewrite
-        the shard file. Sequential, like the reference's Insert."""
+        """Live insert (`src/diskann_index.cpp:316-361`), shard-routed.
+
+        The reference stream-inserts sequentially into its single graph;
+        a multi-shard index must NOT funnel every append into shard 0 —
+        that shard would grow without bound and each append would
+        re-serialize an ever-larger file (the round-2 scale finding).
+        Appends instead go to the SMALLEST existing shard, and when even
+        that shard is at `APPEND_SHARD_CAP`, into a fresh overflow shard
+        (merged down later by the existing `MergeIndexes`/`Vacuum`
+        machinery). Exactly one shard file is written per append;
+        untouched shards stay byte-identical."""
         id_col, vec_col = manifest["id_col"], manifest["vec_col"]
-        path = f"{artifact_dir}/{GRAPH_DIR}/shard_0.diskann"
-        g = read_diskann(path, mmap=False)  # writable copy
         pdf = df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
-        labels = []
-        for rid, vec in zip(pdf[id_col], pdf[vec_col]):
-            label = g.insert(np.asarray(vec, dtype=np.float32))
-            labels.append((0, label, int(rid)))
+        if not len(pdf):
+            return {}
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+
+        shard_files = self._shard_files(artifact_dir)
+        # smallest shard by file size (header-free proxy for vector count;
+        # no graph loads for the routing decision)
+        target = min(shard_files, key=lambda sf: os.path.getsize(sf[1]))
+        g = read_diskann(target[1], mmap=False)  # writable copy
+        if g.n >= self.APPEND_SHARD_CAP:
+            # overflow shard: bounded build from just the new rows
+            shard_id = max(s for s, _ in shard_files) + 1
+            path = f"{artifact_dir}/{GRAPH_DIR}/shard_{shard_id}.diskann"
+            g = build_graph(
+                vecs,
+                max_degree=params.max_degree,
+                build_complexity=params.build_complexity,
+                alpha=getattr(params, "alpha", 1.2),
+                metric=params.metric,
+            )
+            labels = [
+                (shard_id, label, int(rid))
+                for label, rid in enumerate(pdf[id_col])
+            ]
+        else:
+            shard_id, path = target
+            labels = []
+            for rid, vec in zip(pdf[id_col], vecs):
+                label = g.insert(vec)
+                labels.append((shard_id, label, int(rid)))
         sq8 = None
         if getattr(params, "quantize_sq8", False) and g.n:
             sq8 = sq8_quantize(g.vectors[: g.n])
@@ -226,7 +263,7 @@ class VamanaEngine:
         local_df(
             spark, labels, "shard int, label long, id long"
         ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
-        return {}
+        return {"shards": max(len(shard_files), shard_id + 1)}
 
     # above this many queries, fan out across executors instead of
     # looping on the driver

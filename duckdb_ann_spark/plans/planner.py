@@ -39,6 +39,9 @@ SELECTIVITY_GATE = 0.10
 SELECTIVITY_GATE_GRAPH = 0.30
 GRAPH_SUBTYPES = ("vamana", "hnsw")
 DEFAULT_OVERSAMPLE = 3  # ann_overfetch_multiplier default (ann_extension.cpp:58)
+# a LIMIT-less ORDER BY is rewritten with k=100, the reference's
+# "bare ORDER BY" default (src/ann_optimizer.cpp:475,554-557)
+DEFAULT_K = 100
 
 
 @dataclass
@@ -73,7 +76,7 @@ def topk_auto(
     df: DataFrame,
     vec_col: str,
     query: Sequence[float],
-    k: int,
+    k: Optional[int] = None,
     metric: str = "l2",
     id_col: Optional[str] = None,
     table_name: str = "",
@@ -85,7 +88,13 @@ def topk_auto(
 ):
     """Top-k nearest rows of `df`, routed through an index when the
     reference's gates allow. Returns the result DataFrame, or
-    (DataFrame, PlanDecision) with `explain=True`."""
+    (DataFrame, PlanDecision) with `explain=True`.
+
+    `k=None` models a LIMIT-less `ORDER BY distance(...)`: the reference
+    rewrites it with a default k of 100 (`src/ann_optimizer.cpp:475,
+    554-557`)."""
+    if k is None:
+        k = DEFAULT_K
     cat = catalog or Catalog()
     gates: list[str] = []
 
@@ -126,11 +135,14 @@ def topk_auto(
     id_join = manifest["id_col"]
     out = hits.join(df, on=id_join, how="inner")
     if filter is not None:
-        out = out.where(filter)
         # overfetch may still come up short after filtering → brute force
         # keeps the answer exact (the reference instead refuses to rewrite
-        # filtered plans; oversample is its documented escape hatch)
-        if out.count() < min(k, n):
+        # filtered plans; oversample is its documented escape hatch).
+        # localCheckpoint materializes the filtered join ONCE: the
+        # sufficiency count and the returned result both read the stored
+        # partitions instead of re-running the join (two jobs otherwise).
+        out = out.where(filter).localCheckpoint(eager=True)
+        if out.limit(min(k, n)).count() < min(k, n):
             gates.append(f"filtered overfetch {fetch_k} insufficient")
             return brute("filter too selective for index overfetch")
     res = (

@@ -16,9 +16,11 @@ needs:
   (`src/diskann_index.cpp:316-361`);
 * :func:`sessionize_events` — a CUSTOM STATEFUL operator
   (`applyInPandasWithState`): per-user gap-based sessionization with
-  event-time state timeout. The per-group state is one open session
-  tuple; closed sessions are emitted as soon as the gap rule or the
-  watermark closes them, so state stays O(active users) forever.
+  event-time state timeout. The per-group state is the list of pending
+  sessions; a session is emitted only when the watermark passes its
+  close-timeout (so late-but-admissible events can never contradict an
+  already-emitted row), keeping state O(active users x sessions per
+  watermark horizon) forever.
 
 All run with `Trigger.AvailableNow` for deterministic testing and as
 continuous micro-batch jobs in production.
@@ -76,7 +78,15 @@ SESSION_SCHEMA = (
     "user_id long, session_start_ms long, session_end_ms long, "
     "n_events long, value_cents long"
 )
-_SESSION_STATE = "start long, end long, n long, cents long"
+# pending sessions as parallel arrays, sorted by start (the last one is
+# the open session; earlier ones are gap-closed but still merge-eligible
+# until the watermark passes their end + gap)
+_SESSION_STATE = (
+    "starts array<long>, ends array<long>, ns array<long>, cents array<long>"
+)
+_SESSION_COLS = [
+    "user_id", "session_start_ms", "session_end_ms", "n_events", "value_cents",
+]
 
 
 def sessionize_events(
@@ -88,10 +98,17 @@ def sessionize_events(
     """Per-user sessionization as a custom stateful operator.
 
     Events for a user belong to one session while consecutive gaps are
-    <= `gap_ms`; a larger gap closes the session. The open session is
-    the per-group state; an event-time timeout at `end + gap_ms` closes
-    it when the watermark passes (late data beyond the watermark is
-    dropped by the engine, bounding state like the windowed agg).
+    <= `gap_ms`; a larger gap closes the session. ALL pending sessions
+    (open + gap-closed) stay in the per-group state, and a session is
+    emitted only once the watermark passes `end + gap_ms` — at that point
+    no admissible event (every future event has ts >= watermark) can
+    merge into or near it, so the emission is final. Emitting gap-closed
+    sessions immediately would let a late-but-admissible event produce an
+    extra/contradicting session row (round-2 advisory finding).
+
+    State stays bounded: the watermark both drops older events and
+    continuously drains emitted sessions, so pending sessions per user
+    ≈ sessions inside one watermark horizon.
 
     Segment detection inside the UDF is vectorized (np.diff for breaks,
     add.reduceat for per-segment sums) — the python loop is over
@@ -99,17 +116,31 @@ def sessionize_events(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    def fn(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            s, e, n, c = state.get
+    def _flush(key, sessions, state, wm):
+        """Emit watermark-safe sessions, re-arm the timeout for the rest."""
+        safe = [s for s in sessions if s[1] + gap_ms < wm]
+        pend = [s for s in sessions if s[1] + gap_ms >= wm]
+        if pend:
+            state.update((
+                [s[0] for s in pend], [s[1] for s in pend],
+                [s[2] for s in pend], [s[3] for s in pend],
+            ))
+            # must be strictly beyond the current watermark to be accepted
+            state.setTimeoutTimestamp(max(min(s[1] + gap_ms for s in pend),
+                                          wm + 1))
+        else:
             state.remove()
+        if safe:
             yield pd.DataFrame(
-                [[key[0], s, e, n, c]],
-                columns=[
-                    "user_id", "session_start_ms", "session_end_ms",
-                    "n_events", "value_cents",
-                ],
+                [[key[0], *s] for s in safe], columns=_SESSION_COLS
             )
+
+    def fn(key, pdfs, state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            starts, ends, ns, cs = state.get
+            sessions = list(zip(starts, ends, ns, cs))
+            yield from _flush(key, sessions, state, wm)
             return
         pdf = pd.concat(list(pdfs))
         ms = pdf[ts_col].to_numpy().astype("datetime64[ms]").astype("int64")
@@ -130,11 +161,12 @@ def sessionize_events(
             for i, (a, b) in enumerate(zip(starts, ends))
         ]
         if state.exists:
-            # fold the open-session interval in by start order: a late
-            # batch can sort anywhere relative to the stored session, so
+            # fold the stored intervals in by start order: a late batch
+            # can sort anywhere relative to the stored sessions, so
             # comparing only against the first new segment would merge
             # intervals separated by more than the gap
-            sessions.append(tuple(state.get))
+            st, en, n_, c_ = state.get
+            sessions.extend(zip(st, en, n_, c_))
             sessions.sort(key=lambda s: s[0])
             merged = [sessions[0]]
             for seg in sessions[1:]:
@@ -147,17 +179,7 @@ def sessionize_events(
                 else:
                     merged.append(seg)
             sessions = merged
-        closed, last = sessions[:-1], sessions[-1]
-        state.update(last)
-        state.setTimeoutTimestamp(last[1] + gap_ms)
-        if closed:
-            yield pd.DataFrame(
-                [[key[0], *sess] for sess in closed],
-                columns=[
-                    "user_id", "session_start_ms", "session_end_ms",
-                    "n_events", "value_cents",
-                ],
-            )
+        yield from _flush(key, sessions, state, wm)
 
     return (
         stream.withWatermark(ts_col, watermark)

@@ -53,18 +53,25 @@ _LOADED = False
 
 
 def _load() -> None:
-    """Import every suite module (each registers its queries on import)."""
+    """Import every suite module (each registers its queries on import).
+
+    Import order is deliberate: the driver harness records roughly the
+    first 50 registered entries, so each operator FAMILY registers before
+    any family's long tail — text, streaming, relational, multimodal and
+    dedup first (the families that fell past the cap in round 2), then
+    the vector/batch/hybrid/index machinery. Total registrations are kept
+    under the cap (entries were consolidated in round 3), so order is
+    defense-in-depth, not load-bearing."""
     global _LOADED
     if _LOADED:
         return
-    from . import batch  # noqa: F401
-    from . import dedup  # noqa: F401
-    from . import hybrid  # noqa: F401
-    from . import index_suite  # noqa: F401
-    from . import multimodal  # noqa: F401
-    from . import relational  # noqa: F401
-    from . import streaming_suite  # noqa: F401
     from . import text  # noqa: F401
-    from . import vector  # noqa: F401
+    from . import streaming_suite  # noqa: F401
+    from . import relational  # noqa: F401
+    from . import multimodal  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import hybrid  # noqa: F401  (imports .vector → registers it too)
+    from . import batch  # noqa: F401
+    from . import index_suite  # noqa: F401
 
     _LOADED = True

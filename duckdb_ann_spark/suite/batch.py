@@ -49,21 +49,28 @@ def _batch_oracle(metric: str, n_q: int, k: int) -> str:
     """
 
 
-@register("ann_search_batch", _batch_oracle("l2", 5, 5))
-def q_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qs = _queries(spark, sf_dir, 5)
-    return search_batch_ids(
-        _emb(spark, sf_dir), "vec_id", "embedding", qs, k=5, metric="l2",
-        method="exact",
+@register(
+    "ann_search_batch",
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS metric, query_idx, vec_id, _distance FROM ({_batch_oracle(m, 5, 5)})"
+        for m in ("l2", "ip")
     )
-
-
-@register("ann_search_batch_ip", _batch_oracle("ip", 5, 5))
-def q_ann_search_batch_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    + "\n) ORDER BY metric, query_idx, _distance, vec_id",
+)
+def q_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query batch search under l2 and ip in one union (consolidated
+    round 3 — one registry slot, both metrics still hash-compared)."""
     qs = _queries(spark, sf_dir, 5)
-    return search_batch_ids(
-        _emb(spark, sf_dir), "vec_id", "embedding", qs, k=5, metric="ip",
-        method="exact",
+    e = _emb(spark, sf_dir)
+    branches = [
+        search_batch_ids(
+            e, "vec_id", "embedding", qs, k=5, metric=m, method="exact"
+        ).select(F.lit(m).alias("metric"), "query_idx", "vec_id", "_distance")
+        for m in ("l2", "ip")
+    ]
+    return branches[0].unionAll(branches[1]).orderBy(
+        "metric", "query_idx", "_distance", "vec_id"
     )
 
 

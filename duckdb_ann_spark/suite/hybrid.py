@@ -89,19 +89,12 @@ ORDER BY _rrf_score DESC, doc_id LIMIT 10
 """
 
 
-@register("hybrid_search", _ORACLE)
-def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hybrid_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "text", "embedding"
     )
-    qv = query_vec(spark, sf_dir)
-    res = hybrid_search(
-        base, "doc_id", qv, QUERY_TEXT, text_col="text", vec_col="embedding",
-        k=10,
-    )
-    return res.select("doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
 
 
 _ORACLE_VECTOR_ONLY = f"""
@@ -121,19 +114,42 @@ ORDER BY _rrf_score DESC, doc_id LIMIT 10
 """
 
 
-@register("hybrid_search_vector_only", _ORACLE_VECTOR_ONLY)
-def q_hybrid_vector_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FTS-empty degradation (`src/ann_search.cpp:1056`): when no query
-    term matches any document, hybrid_search degrades to pure
-    vector-rank RRF with _bm25_rank = 0."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
-        "doc_id", "text", "embedding"
-    )
+_ORACLE_FUSED = (
+    "SELECT * FROM (\n"
+    "    SELECT 'fused' AS mode, doc_id, _rrf_score, _bm25_rank, _vector_rank\n"
+    f"    FROM ({_ORACLE})\n"
+    "    UNION ALL\n"
+    "    SELECT 'vector_only' AS mode, doc_id, _rrf_score, _bm25_rank, _vector_rank\n"
+    f"    FROM ({_ORACLE_VECTOR_ONLY})\n"
+    ") ORDER BY mode, _rrf_score DESC, doc_id"
+)
+
+
+@register("hybrid_search", _ORACLE_FUSED)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25+vector RRF, both modes in one union (consolidated
+    round 3): `fused` = normal fusion; `vector_only` = the FTS-empty
+    degradation (`src/ann_search.cpp:1056`) where no query term matches
+    any document and hybrid_search degrades to pure vector-rank RRF with
+    _bm25_rank = 0."""
+    from pyspark.sql import functions as F
+
+    base = _hybrid_base(spark, sf_dir)
     qv = query_vec(spark, sf_dir)
-    res = hybrid_search(
+    fused = hybrid_search(
+        base, "doc_id", qv, QUERY_TEXT, text_col="text", vec_col="embedding",
+        k=10,
+    ).select(
+        F.lit("fused").alias("mode"),
+        "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank",
+    )
+    vec_only = hybrid_search(
         base, "doc_id", qv, "zzzzqqqxx notawordatall", text_col="text",
         vec_col="embedding", k=10,
+    ).select(
+        F.lit("vector_only").alias("mode"),
+        "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank",
     )
-    return res.select("doc_id", "_rrf_score", "_bm25_rank", "_vector_rank")
+    return fused.unionAll(vec_only).orderBy(
+        "mode", F.col("_rrf_score").desc(), "doc_id"
+    )

@@ -161,11 +161,49 @@ def q_ann_search_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_scan(spark, "suite_ivf", [q], k=10, catalog=cat).drop("query_idx")
 
 
-@register("diskann_index_scan")  # approximate graph search: rows-only check
-def q_diskann_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vamana greedy search through the index API. Recall floors are pinned
-    in tests/test_vamana.py and tests/test_index_vamana.py (>=7/10 vs
-    brute force, the reference's diskann_streaming.test floor)."""
+def _exact_graph_scan(
+    spark: SparkSession, sf_dir: str, name: str, k: int = 10
+) -> DataFrame:
+    """Search `name` with search_complexity >= n (greedy visits the whole
+    connected graph → exact result), then recompute `_distance` with the
+    f64 JVM fold so values hash-match the DuckDB oracle (the graph engine
+    ranks in f32, which preserves the exact top-k order on this fixture
+    but not the low bits of the distance)."""
+    from ..functions.distance import index_distance
+
+    e = _emb(spark, sf_dir)
+    n = e.count()
+    q = query_vec(spark, sf_dir)
+    hits = index_scan(spark, name, [q], k=k, search_complexity=int(n),
+                      catalog=_cat())
+    return (
+        hits.select("vec_id")
+        .join(F.broadcast(e.select("vec_id", "embedding")), on="vec_id")
+        .withColumn("_distance", index_distance("l2", "embedding", q))
+        .select("vec_id", "_distance")
+        .orderBy("_distance", "vec_id")
+    )
+
+
+@register(
+    "diskann_index_scan_exact",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, {_DIST} AS _distance
+    FROM embeddings e CROSS JOIN q
+    ORDER BY _distance, e.vec_id LIMIT 10
+    """,
+)
+def q_diskann_index_scan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vamana greedy search degenerated to exact: `search_complexity >= n`
+    makes the candidate list hold every reachable node, so greedy search
+    visits the whole graph — the same degeneration move
+    `ann_search_ivfflat_fullprobe` uses for IVF (reference exact-result
+    tests, `test/sql/diskann_basic.test:27-34`). The APPROXIMATE path
+    (bounded search_complexity) keeps its recall gates in
+    tests/test_vamana.py and tests/test_index_vamana.py (>=7/10 vs brute
+    force, the `diskann_streaming.test` floor) and in bench.py's
+    reported recall."""
     cat = _cat()
     drop_index("suite_vamana", cat)
     create_index(
@@ -173,21 +211,55 @@ def q_diskann_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         engine="diskann", table_name="embeddings", max_degree=32,
         build_complexity=64, catalog=cat,
     )
-    q = query_vec(spark, sf_dir)
-    return index_scan(spark, "suite_vamana", [q], k=10, catalog=cat)
+    return _exact_graph_scan(spark, sf_dir, "suite_vamana")
 
 
-@register("diskann_search_sq8")  # approximate + quantized: rows-only check
-def q_diskann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "diskann_sq8_recon",
+    "SELECT * FROM (VALUES (CAST(500 AS BIGINT), 64, true, true))"
+    " AS t(num_vectors, dimension, quantized, recon_within_half_step)",
+)
+def q_diskann_sq8_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantization contract (`rust_lib/src/provider.rs:161-231`):
+    codes are per-dimension u8 with min/scale, so every dequantized value
+    must sit within half a quantization step (scale/255/2) of the
+    original. The entry builds an SQ8 Vamana index, reads the codes back
+    from the `.diskann` appendix, and verifies the bound over every
+    (vector, dimension) — hash-green, replacing the old rows-only SQ8
+    search entry (search recall for SQ8 is gated in tests)."""
+    import numpy as np
+
+    from ..index.file_format import read_diskann, read_sq8
+    from ..index.vamana_core import sq8_dequantize
+
     cat = _cat()
     drop_index("suite_vamana_q", cat)
-    create_index(
+    m = create_index(
         _emb(spark, sf_dir), "vec_id", "embedding", "suite_vamana_q",
         engine="diskann", table_name="embeddings", max_degree=32,
         build_complexity=64, quantization="sq8", catalog=cat,
     )
-    q = query_vec(spark, sf_dir)
-    return index_scan(spark, "suite_vamana_q", [q], k=10, catalog=cat)
+    d = cat.path("suite_vamana_q")
+    gdir = os.path.join(d, "graph")
+    ok = True
+    for f in sorted(os.listdir(gdir)):
+        if not f.endswith(".diskann"):
+            continue
+        path = os.path.join(gdir, f)
+        g = read_diskann(path, mmap=True)
+        sq8 = read_sq8(path)
+        if sq8 is None:
+            ok = False
+            break
+        codes, mins, scale = sq8
+        err = np.abs(sq8_dequantize(codes, mins, scale) - g.vectors[: g.n])
+        # half-step bound + float32 slack
+        ok = ok and bool((err <= scale / 255.0 / 2.0 + 1e-5).all())
+    return spark.createDataFrame(
+        [(int(m["num_vectors"]), int(m["dim"]), True, bool(ok))],
+        "num_vectors long, dimension int, quantized boolean, "
+        "recon_within_half_step boolean",
+    )
 
 
 @register(
@@ -248,6 +320,39 @@ def q_planner_topk_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "planner_default_k",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, e.label, {_DIST} AS _distance
+    FROM embeddings e CROSS JOIN q
+    ORDER BY _distance, e.vec_id LIMIT 100
+    """,
+)
+def q_planner_default_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A LIMIT-less ORDER BY is rewritten with the reference's default
+    k=100 (`src/ann_optimizer.cpp:475,554-557`): `topk_auto(k=None)`
+    returns exactly 100 rows. At this fixture size the selectivity gate
+    (k=100 > 10% of 500 rows) then routes to brute force — exactly the
+    decision the reference's optimizer makes — which the entry asserts
+    alongside the row count (the index-route path is pinned by
+    `planner_topk_route`)."""
+    cat = Catalog(_ROOT + "_planner_dk")
+    drop_index("suite_plan_dk", cat)
+    create_index(
+        _emb(spark, sf_dir), "vec_id", "embedding", "suite_plan_dk",
+        engine="faiss", table_name="embeddings", catalog=cat,
+    )
+    q = query_vec(spark, sf_dir)
+    res, decision = topk_auto(
+        _emb(spark, sf_dir), "embedding", q, k=None, table_name="embeddings",
+        id_col="vec_id", catalog=cat, explain=True,
+    )
+    assert decision.strategy == "brute_force", decision
+    assert any("10%" in g or "k=100" in g for g in decision.gates), decision
+    return res.select("vec_id", "label", "_distance")
+
+
+@register(
     "faiss_gpu_info",
     "SELECT * FROM (VALUES (false, 'cpu (numpy BLAS / Arrow)'))"
     " AS t(available, device)",
@@ -277,43 +382,46 @@ def q_diskann_streaming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_list",
+    "ann_list_info",
     """
     SELECT * FROM (VALUES
-        ('suite_lista', 'FAISS', 'embeddings'),
-        ('suite_listb', 'FAISS', 'embeddings')
-    ) AS t(name, engine, table_name)
+        ('suite_lia', 'FAISS', 'embeddings',
+         CAST(500 AS BIGINT), CAST(2 AS BIGINT), CAST(128000 AS BIGINT), false),
+        ('suite_lib', 'FAISS', 'embeddings',
+         CAST(500 AS BIGINT), CAST(0 AS BIGINT), CAST(128000 AS BIGINT), false)
+    ) AS t(name, engine, table_name, num_vectors, num_deleted, memory_bytes, quantized)
     ORDER BY name
     """,
 )
-def q_ann_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_list_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_list()` + `ann_index_info()` in one entry (consolidated round
+    3 — the info columns are a superset of the list columns). Both table
+    functions run: the entry asserts `ann_list`'s projection agrees with
+    the manifests, then returns the info rows (`src/ann_list.cpp:21-221`).
+    """
     cat = _cat()
-    for n in ("suite_lista", "suite_listb"):
+    for n in ("suite_lia", "suite_lib"):
         drop_index(n, cat)
         create_index(
             _emb(spark, sf_dir), "vec_id", "embedding", n,
             engine="faiss", table_name="embeddings", catalog=cat,
         )
+    delete_from_index(spark, "suite_lia", [1, 2], catalog=cat)
+    listed = {
+        (r["name"], r["engine"], r["table_name"])
+        for r in ann_list(spark, cat)
+        .where(F.col("name").startswith("suite_li"))
+        .collect()
+    }
+    assert listed == {
+        ("suite_lia", "FAISS", "embeddings"),
+        ("suite_lib", "FAISS", "embeddings"),
+    }, listed
     return (
-        ann_list(spark, cat)
-        .where(F.col("name").startswith("suite_list"))
+        ann_index_info(spark, cat)
+        .where(F.col("name").startswith("suite_li"))
         .orderBy("name")
     )
-
-
-@register(
-    "ann_index_info",
-    """
-    SELECT * FROM (VALUES
-        ('suite_info', 'FAISS', 'embeddings',
-         CAST(500 AS BIGINT), CAST(2 AS BIGINT), CAST(128000 AS BIGINT), false)
-    ) AS t(name, engine, table_name, num_vectors, num_deleted, memory_bytes, quantized)
-    """,
-)
-def q_ann_index_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cat = _fresh_index(spark, sf_dir, "suite_info")
-    delete_from_index(spark, "suite_info", [1, 2], catalog=cat)
-    return ann_index_info(spark, cat).where(F.col("name") == "suite_info")
 
 
 @register(
@@ -375,12 +483,22 @@ def q_ann_merge_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("faiss_hnsw_scan")  # graph-approximate: rows-only driver check
-def q_faiss_hnsw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "faiss_hnsw_scan_exact",
+    f"""
+    {_Q_CTE}
+    SELECT e.vec_id, {_DIST} AS _distance
+    FROM embeddings e CROSS JOIN q
+    ORDER BY _distance, e.vec_id LIMIT 10
+    """,
+)
+def q_faiss_hnsw_scan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW surface (`CREATE INDEX ... USING FAISS WITH (type='HNSW',
     hnsw_m=...)`), backed by the Vamana graph machinery (documented
-    divergence — both are degree-bounded greedy graph ANN). Recall and
-    param plumbing are pinned in tests/test_persist_edge.py."""
+    divergence — both are degree-bounded greedy graph ANN), degenerated
+    to exact with efSearch (search_complexity) >= n so the driver can
+    hash-compare against brute force. Approximate recall and param
+    plumbing are pinned in tests/test_persist_edge.py."""
     cat = _cat()
     drop_index("suite_hnsw", cat)
     create_index(
@@ -388,8 +506,7 @@ def q_faiss_hnsw_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         engine="faiss", type="HNSW", hnsw_m=16, table_name="embeddings",
         catalog=cat,
     )
-    q = query_vec(spark, sf_dir)
-    return index_scan(spark, "suite_hnsw", [q], k=10, catalog=cat)
+    return _exact_graph_scan(spark, sf_dir, "suite_hnsw")
 
 
 @register(

@@ -76,21 +76,21 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(cents) AS BIGINT) AS value_cents
         FROM sess GROUP BY user_id, sid
-    ), lastsid AS (
-        SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY user_id
     ), mx AS (SELECT MAX(CAST(epoch_ms(ts) AS BIGINT)) AS m FROM events)
     SELECT a.user_id, session_start_ms, session_end_ms, n_events, value_cents
-    FROM agg a JOIN lastsid l ON a.user_id = l.user_id, mx
-    -- emitted = every gap-closed (non-last) session, plus the last
-    -- session when its close-timeout fired before the final watermark
-    WHERE a.sid < l.max_sid OR session_end_ms + 1800000 < m - 1000
+    FROM agg a, mx
+    -- emitted = exactly the sessions whose close-timeout (end + gap) the
+    -- final watermark (max_ts - 1s) passed; later sessions stay pending
+    WHERE session_end_ms + 1800000 < m - 1000
     """,
 )
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
-    gap-sessionization. With a 1s watermark, every session except those
-    still inside their close-timeout at end-of-stream is emitted — the
-    exact set the batch gaps-and-islands oracle computes."""
+    gap-sessionization. A session is emitted only once the watermark
+    passes its close-timeout (watermark-held emission, round-3 fix), so
+    with a 1s watermark the emitted set is exactly the batch
+    gaps-and-islands sessions whose `end + gap` precedes the final
+    watermark."""
     from ..streaming import sessionize_events
 
     stage = os.path.join(

@@ -5,9 +5,18 @@ all six §2.4 scalar distance functions. Oracles use the self-contained
 CTE pattern (query vector = embeddings.vec_id 0) so the SQL needs no
 inlined literals and both engines read the identical float32 parquet
 values.
+
+Entries are consolidated (round 3): the driver harness records at most
+~50 rows, so the three per-metric top-k entries fold into one
+multi-metric union, the three `vector_distances` entries into one
+three-column row, and the six scalar functions into two three-column
+rows (array_* / list_*). Every §2.4 function and every metric is still
+exercised and hash-compared — just fewer registry slots.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,99 +49,104 @@ def emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _topk_oracle(metric: str, k: int = 10) -> str:
+def _topk_branch_sql(metric: str, k: int = 10) -> str:
     dist = sql_index_distance(metric, "e.embedding", "q.qv")
     return f"""
-        {_Q_CTE}
-        SELECT e.vec_id, {dist} AS _distance
-        FROM embeddings e CROSS JOIN q
-        ORDER BY _distance, e.vec_id LIMIT {k}
+        SELECT '{metric}' AS metric, vec_id, _distance FROM (
+            SELECT e.vec_id, {dist} AS _distance
+            FROM embeddings e CROSS JOIN q
+            ORDER BY _distance, e.vec_id LIMIT {k}
+        )
     """
 
 
-def _make_topk(metric: str):
-    @register(f"topk_{metric}", _topk_oracle(metric))
-    def _q(spark: SparkSession, sf_dir: str, metric=metric) -> DataFrame:
-        q = query_vec(spark, sf_dir)
-        return topk(
-            emb(spark, sf_dir), "embedding", q, k=10, metric=metric, id_col="vec_id"
-        ).select("vec_id", "_distance")
-
-    return _q
-
-
-for _m in D.METRICS:
-    _make_topk(_m)
+@register(
+    "topk_multi_metric",
+    _Q_CTE
+    + "\n    SELECT * FROM (\n"
+    + "\n    UNION ALL\n".join(_topk_branch_sql(m) for m in D.METRICS)
+    + "\n    ) ORDER BY metric, _distance, vec_id",
+)
+def q_topk_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 under every index metric (l2 / ip / cosine), one
+    union with a `metric` tag column. `TakeOrderedAndProject` per branch:
+    each task keeps a k-heap, the shuffle moves only k rows/partition."""
+    q = query_vec(spark, sf_dir)
+    e = emb(spark, sf_dir)
+    branches = [
+        topk(e, "embedding", q, k=10, metric=m, id_col="vec_id")
+        .select(F.lit(m).alias("metric"), "vec_id", "_distance")
+        for m in D.METRICS
+    ]
+    return reduce(DataFrame.unionAll, branches).orderBy(
+        "metric", "_distance", "vec_id"
+    )
 
 
 @register(
-    "vector_distances_l2",
+    "vector_distances",
     f"""
     {_Q_CTE}
-    SELECT e.vec_id, e.label, {sql_index_distance('l2', 'e.embedding', 'q.qv')} AS _distance
+    SELECT e.vec_id, e.label,
+           {sql_index_distance('l2', 'e.embedding', 'q.qv')} AS _distance_l2,
+           {sql_index_distance('ip', 'e.embedding', 'q.qv')} AS _distance_ip,
+           {sql_index_distance('cosine', 'e.embedding', 'q.qv')} AS _distance_cosine
     FROM embeddings e CROSS JOIN q
     """,
 )
 def q_vector_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`vector_distances` under all three metrics as one three-column
+    projection (each column is the same JVM fold the per-metric operator
+    emits, so all three hash-match bitwise)."""
     q = query_vec(spark, sf_dir)
-    return vector_distances(emb(spark, sf_dir), "embedding", q, metric="l2").select(
-        "vec_id", "label", "_distance"
+    out = emb(spark, sf_dir)
+    for m in D.METRICS:
+        out = vector_distances(
+            out, "embedding", q, metric=m, distance_col=f"_distance_{m}"
+        )
+    return out.select(
+        "vec_id", "label", "_distance_l2", "_distance_ip", "_distance_cosine"
     )
 
 
-# --- §2.4 scalar functions, one driver row each (array_* / list_* pairs
-# share an implementation; both spellings are exercised). ---------------
+# --- §2.4 scalar functions: array_*/list_* pairs share an implementation;
+# both spellings are exercised, three functions per row. -----------------
 
 _EUCLID = f"sqrt({sql_l2sq('e.embedding', 'q.qv')})"
 _IP = sql_inner_product("e.embedding", "q.qv")
 _COS = sql_cosine_sim("e.embedding", "q.qv")
 
-
-def _scalar_oracle(expr: str) -> str:
-    return f"{_Q_CTE} SELECT e.vec_id, {expr} AS value FROM embeddings e CROSS JOIN q"
-
-
-def _make_scalar(name: str, fn, expr: str):
-    @register(f"fn_{name}", _scalar_oracle(expr))
-    def _q(spark: SparkSession, sf_dir: str, fn=fn) -> DataFrame:
-        q = query_vec(spark, sf_dir)
-        return emb(spark, sf_dir).select(
-            "vec_id", fn("embedding", q).alias("value")
-        )
-
-    return _q
+_SCALAR_ORACLE = f"""
+    {_Q_CTE}
+    SELECT e.vec_id,
+           {_EUCLID} AS distance,
+           {_IP} AS inner_product,
+           {_COS} AS cosine_similarity
+    FROM embeddings e CROSS JOIN q
+"""
 
 
-for _name, _fn, _expr in [
-    ("array_distance", D.array_distance, _EUCLID),
-    ("list_distance", D.list_distance, _EUCLID),
-    ("array_inner_product", D.array_inner_product, _IP),
-    ("list_inner_product", D.list_inner_product, _IP),
-    ("array_cosine_similarity", D.array_cosine_similarity, _COS),
-    ("list_cosine_similarity", D.list_cosine_similarity, _COS),
-]:
-    _make_scalar(_name, _fn, _expr)
-
-
-def _make_vector_distances(metric: str):
-    @register(
-        f"vector_distances_{metric}",
-        f"""
-        {_Q_CTE}
-        SELECT e.vec_id, e.label,
-               {sql_index_distance(metric, 'e.embedding', 'q.qv')} AS _distance
-        FROM embeddings e CROSS JOIN q
-        """,
+@register("fn_array_distances", _SCALAR_ORACLE)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`array_distance` / `array_inner_product` / `array_cosine_similarity`
+    (fixed-size-array spellings, §2.4) in one projection."""
+    q = query_vec(spark, sf_dir)
+    return emb(spark, sf_dir).select(
+        "vec_id",
+        D.array_distance("embedding", q).alias("distance"),
+        D.array_inner_product("embedding", q).alias("inner_product"),
+        D.array_cosine_similarity("embedding", q).alias("cosine_similarity"),
     )
-    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        q = query_vec(spark, sf_dir)
-        return vector_distances(
-            emb(spark, sf_dir), "embedding", q, metric=metric
-        ).select("vec_id", "label", "_distance")
-
-    _q.__name__ = f"q_vector_distances_{metric}"
-    return _q
 
 
-for _m in ("ip", "cosine"):
-    _make_vector_distances(_m)
+@register("fn_list_distances", _SCALAR_ORACLE)
+def q_fn_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`list_distance` / `list_inner_product` / `list_cosine_similarity`
+    (variable-length-list spellings, §2.4) in one projection."""
+    q = query_vec(spark, sf_dir)
+    return emb(spark, sf_dir).select(
+        "vec_id",
+        D.list_distance("embedding", q).alias("distance"),
+        D.list_inner_product("embedding", q).alias("inner_product"),
+        D.list_cosine_similarity("embedding", q).alias("cosine_similarity"),
+    )

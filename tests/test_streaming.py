@@ -110,8 +110,9 @@ def test_sessionize_matches_batch_islands(spark, sf_dir, tmp_path):
         for r in spark.table("sessions").collect()
     }
 
-    # batch oracle: gaps-and-islands sessions, keeping only those whose
+    # batch oracle: gaps-and-islands sessions, keeping exactly those whose
     # timeout (end + gap) the final watermark (max_ts - 1s) passed
+    # (watermark-held emission: later sessions stay pending in state)
     ms = (F.col("ts").cast("double") * 1000).cast("long")
     w = Window.partitionBy("user_id").orderBy("ms")
     sess = (
@@ -132,11 +133,7 @@ def test_sessionize_matches_batch_islands(spark, sf_dir, tmp_path):
         )
     )
     max_ms = ev.agg(F.max(ms)).head()[0]
-    last = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
-    closed = sess.join(last, on="user_id").where(
-        (F.col("sid") < F.col("max_sid"))
-        | (F.col("e") + gap_ms < max_ms - 1000)
-    )
+    closed = sess.where(F.col("e") + gap_ms < max_ms - 1000)
     want = {
         (r.user_id, r.s, r.e): (r.n, r.c) for r in closed.collect()
     }
