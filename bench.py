@@ -8,6 +8,9 @@ Workloads:
 * `topk_sf`, `batch_sf`: exact top-k and 50-query batch over the driver
   testdata embeddings at $SPARK_GRAFT_SF_DIR.
 * `rel_q1`, `rel_star_join`: the relational substrate at the same SF.
+* `hybrid_sf`, `dedup_minhash_sf`, `knn_join_sf`: the LLM-pipeline
+  operator families (BM25+RRF hybrid search, MinHash-LSH candidate
+  pairs, distributed IVF-cell k-NN join) at the same SF.
 
 Metric: total wall seconds over all workloads (lower is better), with the
 per-query breakdown in "queries".
@@ -100,13 +103,14 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
         return n_hit / (N_QUERIES * K)
 
     t0 = time.perf_counter()
-    # nprobe=24/64: the smallest probe fraction that clears the
-    # reference's 0.70 recall floor on UNIFORM vectors (the bench
-    # workload is uniform random, IVF's worst case — clustered real
-    # embeddings reach the floor at far smaller fractions)
+    # nprobe=28/64: clears the reference's 0.70 recall floor WITH margin
+    # (>=0.75) on UNIFORM vectors — the bench workload is uniform random,
+    # IVF's worst case; clustered real embeddings reach the floor at far
+    # smaller probe fractions. (Round 2 ran nprobe=24 and landed at 0.71,
+    # one unlucky seed from red.)
     create_index(
         vecs, "vec_id", "embedding", "bench_ivf", engine="faiss",
-        type="IVFFlat", ivf_nlist=64, nprobe=24, catalog=cat,
+        type="IVFFlat", ivf_nlist=64, nprobe=28, catalog=cat,
     )
     out["ivf_build_d%d" % dim] = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -179,6 +183,36 @@ def main() -> None:
     t0 = time.perf_counter()
     q_multi_join_region_sales(spark, SF_DIR).collect()
     timings["rel_star_join"] = time.perf_counter() - t0
+
+    # --- LLM-pipeline operators at SF (round-3 addition: the dedup /
+    # hybrid / knn-join families get perf numbers so regressions show) --
+    from duckdb_ann_spark.operators.dedup import minhash_candidate_pairs
+    from duckdb_ann_spark.operators.hybrid import hybrid_search
+    from duckdb_ann_spark.operators.knn_join import knn_join
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    t0 = time.perf_counter()
+    n = hybrid_search(
+        base, "doc_id", qvec, "spark join query data", text_col="text",
+        vec_col="embedding", k=10,
+    ).count()
+    timings["hybrid_sf"] = time.perf_counter() - t0
+    assert n == 10, n
+
+    t0 = time.perf_counter()
+    minhash_candidate_pairs(docs, "doc_id", "text").count()
+    timings["dedup_minhash_sf"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n = knn_join(
+        emb.select(F.col("vec_id").alias("qid"), "embedding"), "qid",
+        "embedding", emb, "vec_id", "embedding", k=5, nlist=16, nprobe=4,
+    ).count()
+    timings["knn_join_sf"] = time.perf_counter() - t0
+    assert n > 0, n
 
     total = sum(timings.values())
     print(

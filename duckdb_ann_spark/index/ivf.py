@@ -126,7 +126,7 @@ class IvfFlatEngine:
         # Arrow collect (toPandas), not row collect: same values, ~3x
         # faster for array columns
         train = np.array(
-            sample.limit(200_000).toPandas()[vec_col].tolist(), dtype=np.float32
+            sample.limit(cap).toPandas()[vec_col].tolist(), dtype=np.float32
         )
         centroids = _kmeans(train, nlist)
         k_eff = centroids.shape[0]
@@ -150,8 +150,6 @@ class IvfFlatEngine:
         # co-locate each cell before the partitioned write: without this,
         # every task writes a sliver of every cell (tasks x nlist tiny
         # files); with it, file count ~= nlist and cell scans are compact
-        from pyspark.sql import functions as F
-
         assigned.repartition(k_eff, F.col(CELL_COL)).write.mode(
             "overwrite"
         ).partitionBy(CELL_COL).parquet(f"{artifact_dir}/{VECTORS_DIR}")
@@ -163,7 +161,14 @@ class IvfFlatEngine:
         cdf.coalesce(1).write.mode("overwrite").parquet(
             f"{artifact_dir}/{CENTROIDS_DIR}"
         )
-        return {"layout": "ivf-parquet-v1", "nlist_effective": int(k_eff)}
+        return {
+            "layout": "ivf-parquet-v1",
+            "nlist_effective": int(k_eff),
+            # train-set size contract (recorded so train_sample semantics
+            # are observable/testable; reference stride-samples by
+            # insertion order, we hash-sample by id — documented divergence)
+            "train_size": int(train.shape[0]),
+        }
 
     def vectors(self, spark: SparkSession, artifact_dir: str) -> DataFrame:
         return spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}").drop(CELL_COL)

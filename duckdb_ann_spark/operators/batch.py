@@ -46,6 +46,11 @@ __all__ = ["search_batch_ids", "ann_search_batch", "ann_search_table"]
 
 DISTANCE_COL = "_distance"
 
+# ann_search_table collects the query table driver-side (one in-memory
+# batch per call, the reference's shape); above this many rows the
+# operator refuses and points at knn_join, the both-sides-large path
+MAX_QUERY_ROWS = 100_000
+
 
 def _queries_matrix(queries: Sequence[Sequence[float]]) -> np.ndarray:
     q = np.asarray(queries, dtype=np.float32)
@@ -191,11 +196,22 @@ def ann_search_table(
 
     The query table is collected to the driver to form the broadcast
     matrix — the reference has the same shape (queries are one in-memory
-    batch per call); for huge query sets, use `knn_join` instead.
+    batch per call); for huge query sets, use `knn_join` instead. A hard
+    row cap (`MAX_QUERY_ROWS`) guards the driver: exceeding it raises
+    instead of OOM-ing the collect.
     """
     spark = queries_df.sparkSession
     if query_vec_col is None:
         query_vec_col = _detect_vector_col(queries_df)
+    # cheap guard: count stops the driver collect before it OOMs
+    n_q = queries_df.limit(MAX_QUERY_ROWS + 1).count()
+    if n_q > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"ann_search_table: query table exceeds {MAX_QUERY_ROWS} rows; "
+            "it is collected to the driver as one batch (reference shape). "
+            "For large query sets use duckdb_ann_spark.operators.knn_join "
+            "(both-sides-distributed k-NN join) instead."
+        )
     qrows = queries_df.collect()
     queries = [[float(x) for x in r[query_vec_col]] for r in qrows]
     hits = search_batch_ids(base_df, id_col, vec_col, queries, k, metric, method).select(

@@ -27,6 +27,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expr import bind_once as _bind
 from ..functions.text import tokenize
 
 N_HASHES = 12
@@ -67,15 +68,18 @@ def dedup_exact(
 
 def shingles(text_col, n: int = SHINGLE_WORDS) -> Column:
     """array<string> of n-word shingles (the whole text when shorter)."""
-    toks = tokenize(text_col)
-    few = F.array(F.concat_ws(" ", toks))
-    many = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) < n, few).otherwise(many)
+
+    def build(toks: Column) -> Column:
+        few = F.array(F.concat_ws(" ", toks))
+        many = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) < n, few).otherwise(many)
+
+    return _bind(tokenize(text_col), build)
 
 
 def _minhash_component(sh: Column, j: int) -> Column:
@@ -91,11 +95,17 @@ def minhash_signatures(
     n_hashes: int = N_HASHES,
     shingle_words: int = SHINGLE_WORDS,
 ) -> DataFrame:
-    """→ (id, sig array<string>[n_hashes]) — one narrow pass, no shuffle."""
+    """→ (id, sig array<string>[n_hashes]) — one narrow pass, no shuffle.
+
+    The shingle array is `_bind`-bound so the n_hashes components share
+    ONE evaluation of it (an aliased column would be re-inlined by
+    CollapseProject into every component)."""
     sh = shingles(text_col, shingle_words)
-    df = df.select(F.col(id_col), sh.alias("_sh"))
-    sig = F.array(*[_minhash_component(F.col("_sh"), j) for j in range(n_hashes)])
-    return df.select(id_col, sig.alias("sig"))
+    sig = _bind(
+        sh,
+        lambda s: F.array(*[_minhash_component(s, j) for j in range(n_hashes)]),
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_candidate_pairs(
@@ -110,34 +120,45 @@ def minhash_candidate_pairs(
     (id_a < id_b). est_jaccard = matching signature fraction."""
     r = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_words)
+    # the signature table is consumed FOUR times (two band-join branches +
+    # two est-jaccard joins): persist it so the tokenize→shingle→minhash
+    # pipeline runs once — at scale this is the "write the signature
+    # table, then band it" structure every production LSH pipeline uses.
+    # The persisted projection is (id, 12 hex strings): a small fixed
+    # fraction of the corpus, MEMORY_AND_DISK-evictable.
+    sigs = sigs.persist()
+
+    def band_keys(s: Column) -> Column:
+        # s is the bound signature array: the n_bands keys share one
+        # evaluation instead of re-inlining the signature expression
+        return F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[s[b * r + i] for i in range(r)])
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ])
+
     bands = sigs.select(
         F.col(id_col),
-        F.col("sig"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws("|", *[F.col("sig")[b * r + i] for i in range(r)])
-                    ).alias("bkey"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bk"),
-    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        F.explode(_bind(F.col("sig"), band_keys)).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bkey"
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bkey"
-    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    # pairs carry only ids through the band join + distinct (signature
+    # arrays ride along in neither the shuffle nor the dedupe); the
+    # est-jaccard join pulls signatures back for just the candidate set
     pairs = (
         a.join(b, on=["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -147,7 +168,11 @@ def minhash_candidate_pairs(
         ).cast("double")
         / F.lit(float(n_hashes))
     )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -186,9 +211,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     to 32 bits (md5 prefix); bit b of the fingerprint is 1 when more
     token-hashes set b than clear it (ties → 0). Near-duplicate texts
     land within small Hamming distance."""
-    toks = F.array_distinct(tokenize(text_col))
-    th = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    th_expr = F.transform(
+        F.array_distinct(tokenize(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
 
     # (h >> b) & 1 without shift builtins (they only take int literals):
@@ -196,26 +221,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def bit(h, b):
         return F.pmod(F.floor(h / F.pow(F.lit(2.0), b)).cast("long"), F.lit(2))
 
-    bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(31)),
-        lambda b: F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc + F.when(bit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        ),
-    )
-    fp = F.aggregate(
-        F.zip_with(
-            bit_sums,
+    def fingerprint(th: Column) -> Column:
+        # th is _bind-bound: the 32 per-bit aggregates share one
+        # evaluation of the tokenize+md5 pipeline (an inline expression
+        # would re-run it for every bit of every row)
+        bit_sums = F.transform(
             F.sequence(F.lit(0), F.lit(31)),
-            lambda s, b: F.when(
-                s > 0, F.pow(F.lit(2.0), b).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return df.select(F.col(id_col), fp.alias("simhash"))
+            lambda b: F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(bit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                bit_sums,
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda s, b: F.when(
+                    s > 0, F.pow(F.lit(2.0), b).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return df.select(F.col(id_col), _bind(th_expr, fingerprint).alias("simhash"))
 
 
 def embedding_near_dup_pairs(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expr import bind_once
 from ..functions.text import tokenize
 
 STOPWORDS = (
@@ -42,16 +43,26 @@ def _toks(text_col) -> Column:
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = _toks(text_col)
+    # stats share ONE tokenize evaluation via bind_once (four inline
+    # references would re-run the regexp split four times per row)
+    stats = bind_once(
+        _toks(text_col),
+        lambda toks: F.struct(
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+            F.try_divide(
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, t: acc + F.length(t)
+                ).cast("double"),
+                F.size(toks).cast("double"),
+            ).alias("avg_token_len"),
+        ),
+    )
     return df.select(
-        F.col(id_col),
-        F.length(text_col).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.try_divide(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double"),
-            F.size(toks).cast("double"),
-        ).alias("avg_token_len"),
+        F.col(id_col), F.length(text_col).alias("n_chars"), stats.alias("_s")
+    ).select(
+        id_col, "n_chars", "_s.n_tokens", "_s.n_unique_tokens",
+        "_s.avg_token_len",
     )
 
 
@@ -60,48 +71,65 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     score = 0.25*len_ok + 0.25*stopword_ratio_clamped
           + 0.25*alpha_ratio + 0.25*(unique/total)."""
-    toks = _toks(text_col)
     stop = F.split(F.lit(STOPWORDS[0]), " ")
-    n = F.size(toks).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
-    uniq = F.size(F.array_distinct(toks)).cast("double")
-    len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
-    stop_ratio = F.try_divide(n_stop, n)
-    alpha_ratio = F.try_divide(n_alpha, n)
-    rep = F.try_divide(uniq, n)
-    score = (
-        F.lit(0.25) * len_ok
-        + F.lit(0.25) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
-        + F.lit(0.25) * alpha_ratio
-        + F.lit(0.25) * rep
-    )
+
+    def feats(toks: Column) -> Column:
+        # one tokenize evaluation feeds every feature AND the composite
+        # score (inline references would re-split the text ~10x per row)
+        n = F.size(toks).cast("double")
+        n_stop = F.size(
+            F.filter(toks, lambda t: F.array_contains(stop, t))
+        ).cast("double")
+        n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast(
+            "double"
+        )
+        uniq = F.size(F.array_distinct(toks)).cast("double")
+        len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+        stop_ratio = F.try_divide(n_stop, n)
+        alpha_ratio = F.try_divide(n_alpha, n)
+        rep = F.try_divide(uniq, n)
+        score = (
+            F.lit(0.25) * len_ok
+            + F.lit(0.25) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+            + F.lit(0.25) * alpha_ratio
+            + F.lit(0.25) * rep
+        )
+        return F.struct(
+            stop_ratio.alias("stopword_ratio"),
+            alpha_ratio.alias("alpha_ratio"),
+            rep.alias("unique_ratio"),
+            score.alias("quality_score"),
+        )
+
     return df.select(
-        F.col(id_col),
-        stop_ratio.alias("stopword_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        rep.alias("unique_ratio"),
-        score.alias("quality_score"),
+        F.col(id_col), bind_once(_toks(text_col), feats).alias("_f")
+    ).select(
+        id_col, "_f.stopword_ratio", "_f.alpha_ratio", "_f.unique_ratio",
+        "_f.quality_score",
     )
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """→ (id, lang_pred, lang_hits): language with the most marker-token
     hits; ties and zero hits fall back in LANG_MARKERS order / 'und'."""
-    toks = _toks(text_col)
-
     def _contains(arr):
         # NB: a two-parameter lambda would be treated as (x, idx) by
         # F.filter — capture the marker array via closure instead.
         return lambda t: F.array_contains(arr, t)
 
-    hit_cols = []
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        hit_cols.append(
-            F.size(F.filter(toks, _contains(arr))).alias(f"_h_{lang}")
-        )
-    with_hits = df.select(F.col(id_col), *hit_cols)
+    def hits(toks: Column) -> Column:
+        # the five per-language filters share one tokenize evaluation
+        cols = []
+        for lang, markers in LANG_MARKERS.items():
+            arr = F.array(*[F.lit(m) for m in markers])
+            cols.append(F.size(F.filter(toks, _contains(arr))).alias(f"h_{lang}"))
+        return F.struct(*cols)
+
+    with_hits = df.select(
+        F.col(id_col), bind_once(_toks(text_col), hits).alias("_h")
+    ).select(
+        id_col, *[F.col(f"_h.h_{lang}").alias(f"_h_{lang}") for lang in LANG_MARKERS]
+    )
     best = F.lit("und")
     best_hits = F.lit(0)
     for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
@@ -139,11 +167,17 @@ def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     → (id, n_pretokens, n_ws_tokens, pretoken_ratio)"""
     pre = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
     ws = _toks(text_col)
-    return df.select(
+    # two-step projection: each regexp runs once; the ratio reads the
+    # already-computed counts (inline size(...) refs would re-run both)
+    counts = df.select(
         F.col(id_col),
         F.size(pre).alias("n_pretokens"),
         F.size(ws).alias("n_ws_tokens"),
+    )
+    return counts.select(
+        id_col, "n_pretokens", "n_ws_tokens",
         F.try_divide(
-            F.size(pre).cast("double"), F.size(ws).cast("double")
+            F.col("n_pretokens").cast("double"),
+            F.col("n_ws_tokens").cast("double"),
         ).alias("pretoken_ratio"),
     )

@@ -122,3 +122,15 @@ def test_table_search_autodetects_vector_col(spark, sf_dir):
     from duckdb_ann_spark.operators.batch import _detect_vector_col
     with pytest.raises(ValueError, match="numeric child"):
         _detect_vector_col(queries.select("vec_id"))
+
+
+def test_ann_search_table_row_cap(spark, emb, monkeypatch):
+    """The query table is collected driver-side (reference shape); above
+    MAX_QUERY_ROWS the operator must refuse and point at knn_join
+    instead of OOM-ing the driver."""
+    import duckdb_ann_spark.operators.batch as B
+
+    monkeypatch.setattr(B, "MAX_QUERY_ROWS", 10)
+    qdf = emb.limit(50).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="knn_join"):
+        B.ann_search_table(qdf, "embedding", emb, "vec_id", "embedding", k=3)

@@ -141,3 +141,24 @@ def test_append_assigns_to_existing_cells(spark, emb, cat):
     # the appended vector itself is found at distance 0
     assert hits[0]["vec_id"] == 450 and hits[0]["_distance"] == 0.0
     drop_index(name, cat)
+
+
+def test_train_sample_user_cap_honored(emb, cat):
+    """A user train_sample below the automatic 10k floor must be honored
+    as the cap (round-2 advisory: it was silently overridden). The
+    manifest records the realized train-set size."""
+    m = create_index(
+        emb, "vec_id", "embedding", "ivf_ts", engine="faiss", type="IVFFlat",
+        ivf_nlist=4, nprobe=4, train_sample=300, catalog=cat,
+    )
+    assert m["train_size"] == 300  # == min(user cap, n); not the 10k floor
+
+
+def test_train_sample_default_floor(emb, cat):
+    """Without train_sample, the automatic cap (50*nlist, 10k floor,
+    clamped to n) applies — at n=500 that is the whole table."""
+    m = create_index(
+        emb, "vec_id", "embedding", "ivf_tf", engine="faiss", type="IVFFlat",
+        ivf_nlist=4, nprobe=4, catalog=cat,
+    )
+    assert m["train_size"] == emb.count()

@@ -130,3 +130,36 @@ def test_empty_index(spark, emb, qvec, tmp_path):
     m = create_index(emb.where(F.lit(False)), "vec_id", "embedding", "e",
                      catalog=cat)
     assert m["num_vectors"] == 0 and m["dim"] == 0
+
+
+def test_merge_src_tombstones_different_id_col(spark, emb, qvec, tmp_path):
+    """Merging a source index whose id column name differs from the
+    destination's, with tombstones on the source, must anti-join the
+    deleted ids BEFORE the column rename (round-2 advisory: the join
+    column no longer existed after toDF)."""
+    from duckdb_ann_spark.index import delete_from_index, merge_indexes
+
+    cat = Catalog(str(tmp_path / "idx"))
+    lo = emb.where(F.col("vec_id") < 250)
+    hi = (
+        emb.where(F.col("vec_id") >= 250)
+        .withColumnRenamed("vec_id", "other_id")
+        .withColumnRenamed("embedding", "other_vec")
+    )
+    create_index(lo, "vec_id", "embedding", "dst", engine="faiss", catalog=cat)
+    create_index(hi, "other_id", "other_vec", "src", engine="faiss", catalog=cat)
+    delete_from_index(spark, "src", [300, 301], catalog=cat)
+    m = merge_indexes(spark, "dst", "src", catalog=cat)
+    assert m["num_vectors"] == emb.count() - 2
+    got = [
+        r.vec_id
+        for r in index_scan(spark, "dst", [qvec], 10, catalog=cat).collect()
+    ]
+    want = [
+        r.vec_id
+        for r in topk(
+            emb.where(~F.col("vec_id").isin(300, 301)), "embedding", qvec,
+            10, "l2", id_col="vec_id",
+        ).collect()
+    ]
+    assert got == want

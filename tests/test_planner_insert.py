@@ -179,3 +179,52 @@ def test_faiss_gpu_info(spark):
     rows = faiss_gpu_info(spark).collect()
     assert len(rows) == 1
     assert rows[0].available is False and "cpu" in rows[0].device
+
+
+def test_streaming_build_multi_rowgroup_outofcore(tmp_path):
+    """Parquet input streams row-group batches (never one full-table
+    materialization): the chunk iterator must yield multiple bounded
+    chunks for a multi-row-group file, and the built graph must match the
+    all-at-once two-pass build exactly (same insert order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_ann_spark.index.streaming_build import _iter_parquet_chunks
+    from duckdb_ann_spark.index.vamana_core import two_pass_build
+
+    rng = np.random.default_rng(7)
+    vecs = rng.random((500, 8), dtype=np.float32)
+    path = str(tmp_path / "vecs.parquet")
+    pq.write_table(
+        pa.table({"embedding": [list(map(float, v)) for v in vecs]}),
+        path, row_group_size=100,
+    )
+    chunks = list(_iter_parquet_chunks(path, "embedding"))
+    assert len(chunks) >= 5  # row-group granularity, bounded memory
+    assert max(len(c) for c in chunks) <= 100
+
+    out = str(tmp_path / "s.diskann")
+    n, dim, used = diskann_streaming_build(
+        path, out, max_degree=16, build_complexity=32, sample_size=50
+    )
+    assert (n, dim, used) == (500, 8, 50)
+    g = read_diskann(out)
+    ref = two_pass_build(vecs, sample_size=50, max_degree=16,
+                         build_complexity=32)
+    assert g.n == ref.n
+    assert np.array_equal(np.asarray(g.vectors[: g.n]), ref.vectors[: ref.n])
+    assert np.array_equal(np.asarray(g.adjacency[: g.n]), ref.adjacency[: ref.n])
+
+
+def test_default_k_bare_order_by(spark, emb, cat):
+    """k=None models a LIMIT-less ORDER BY: the reference rewrites it with
+    k=100 (src/ann_optimizer.cpp:475,554-557)."""
+    from duckdb_ann_spark.plans import topk_auto
+
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    res, dec = topk_auto(
+        emb, "embedding", qvec, k=None, id_col="vec_id",
+        table_name="embeddings", catalog=cat, explain=True,
+    )
+    assert res.count() == 100
