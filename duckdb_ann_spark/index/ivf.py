@@ -124,9 +124,12 @@ class IvfFlatEngine:
                 F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(modulus)) == 0
             ).select(vec_col)
         # Arrow collect (toPandas), not row collect: same values, ~3x
-        # faster for array columns
+        # faster for array columns. The exact-cap cut happens in numpy —
+        # a Spark limit() would funnel the collect through CollectLimit's
+        # single-task path (~8x slower). The hash-sample above already
+        # bounds the collected rows to O(cap).
         train = np.array(
-            sample.limit(cap).toPandas()[vec_col].tolist(), dtype=np.float32
+            sample.toPandas()[vec_col].tolist()[:cap], dtype=np.float32
         )
         centroids = _kmeans(train, nlist)
         k_eff = centroids.shape[0]

@@ -12,11 +12,13 @@ sorted descending, top k; a missing rank is reported as 0 and
 contributes nothing (`:1091-1115`). FTS failure degrades to vector-only
 (`:1056`); we mirror that when `query_text` is empty/has no tokens.
 
-Spark-first BM25 (no FTS extension — TF/DF/IDF as DataFrame aggs):
+Spark-first BM25 (no FTS extension):
 Okapi BM25 (k1=1.2, b=0.75) with `idf = ln(1 + (N - df + .5)/(df + .5))`.
-Scale shape: one tokenize+explode pass, map-side-combined groupBys for
-tf/dl, a broadcast join against the (tiny) query-term set, and a
-sequential per-doc fold over term-sorted scores so the result is
+Scale shape: the query-term set is tiny, so per-doc tf/dl are array ops
+over ONE bound tokenize evaluation — no explode, no per-term shuffle.
+One aggregate computes the corpus constants (N, total tokens, per-term
+doc frequencies) as a single broadcast row; one projection scores every
+doc with a sequential term-sorted fold so the result is
 bit-deterministic (and hash-matchable by the DuckDB oracle). Ranking
 happens after `limit(candidates)` — the global window only ever sees
 `candidates` rows.
@@ -46,56 +48,73 @@ def bm25_scores(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """→ (id, _bm25_score) for docs containing >=1 query term."""
+    """→ (id, _bm25_score) for docs containing >=1 query term.
+
+    Scale shape (round-3 rewrite): the query-term set is tiny, so tf/dl
+    are per-doc ARRAY ops over one bound tokenize evaluation — no
+    explode, no groupBy(id, term) shuffle, no join back. Two narrow
+    scans total: one aggregate for the corpus constants (N, total
+    tokens, per-term doc frequencies — one broadcast row), one
+    projection computing every doc's score with the constants cross-
+    joined in. The old explode→3x-scan→2x-shuffle pipeline did the same
+    arithmetic with three full passes over the token stream."""
+    from ..functions.expr import bind_once
+
     qterms = sorted(set(py_tokenize(query_text)))
     spark = docs.sparkSession
     if not qterms:
         return spark.createDataFrame([], f"{id_col} long, _bm25_score double")
+    m = len(qterms)
 
-    n_docs = docs.count()
-    toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    total_tokens = toks.count()
-    avgdl = float(total_tokens) / float(n_docs) if n_docs else 0.0
+    def _eq(term):
+        return lambda t: t == F.lit(term)
 
-    from ..local import local_df
-
-    qdf = F.broadcast(local_df(spark, [(t,) for t in qterms], "term string"))
-    tf = toks.join(qdf, on="term").groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    scored = (
-        tf.join(F.broadcast(df_), on="term")
-        .join(dl, on=id_col)
-        .withColumn(
-            "_s",
-            _term_score(
-                F.col("tf").cast("double"),
-                F.col("df").cast("double"),
-                F.col("dl").cast("double"),
-                float(n_docs),
-                avgdl,
-                k1,
-                b,
-            ),
+    def counts(toks: Column) -> Column:
+        return F.struct(
+            F.size(toks).cast("double").alias("dl"),
+            *[
+                F.size(F.filter(toks, _eq(t))).cast("double").alias(f"tf{i}")
+                for i, t in enumerate(qterms)
+            ],
         )
-    )
-    # per-doc sequential fold in term order → bit-deterministic sum
-    return scored.groupBy(id_col).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "_s"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["_s"],
-        ).alias("_bm25_score")
+
+    per_doc = docs.select(
+        F.col(id_col), bind_once(tokenize(text_col), counts).alias("_t")
+    ).select(id_col, "_t.dl", *[f"_t.tf{i}" for i in range(m)])
+
+    consts = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.sum("dl").alias("_total_tokens"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(m)
+        ],
     )
 
+    hit = per_doc.where(
+        F.greatest(*[F.col(f"tf{i}") for i in range(m)]) > 0
+        if m > 1
+        else F.col("tf0") > 0
+    )
+    joined = hit.crossJoin(F.broadcast(consts))
+    avgdl = F.col("_total_tokens") / F.col("_n_docs")
+    # sequential fold in sorted term order, skipping absent terms —
+    # bit-identical to the oracle's list_reduce over list(s ORDER BY term)
+    # (0.0 + s == s exactly, and each add is left-associated)
+    acc: Column = F.lit(0.0)
+    for i in range(m):
+        tf_i = F.col(f"tf{i}")
+        s_i = _term_score(
+            tf_i, F.col(f"_df{i}"), F.col("dl"), F.col("_n_docs"), avgdl, k1, b
+        )
+        acc = F.when(tf_i > 0, acc + s_i).otherwise(acc)
+    return joined.select(F.col(id_col), acc.alias("_bm25_score"))
 
-def _term_score(tf: Column, df: Column, dl: Column, n_docs: float, avgdl: float,
-                k1: float, b: float) -> Column:
-    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - df + F.lit(0.5)) / (df + F.lit(0.5)))
-    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+
+def _term_score(tf: Column, df: Column, dl: Column, n_docs: Column,
+                avgdl: Column, k1: float, b: float) -> Column:
+    idf = F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
     return idf * (tf * F.lit(k1 + 1.0)) / denom
 
 
