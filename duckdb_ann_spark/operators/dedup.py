@@ -272,30 +272,37 @@ def embedding_near_dup_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
 
+    def bucket_for(t: int) -> Column:
+        def bits(v: Column) -> Column:
+            # v is the bound f64 vector: all n_planes projections share
+            # one cast/evaluation instead of re-casting per plane
+            return F.concat(*[
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            F.array(*[F.lit(float(x)) for x in planes[t, p]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for p in range(n_planes)
+            ])
+
+        return _bind(F.col(vec_col).cast("array<double>"), bits)
+
     tables = []
     for t in range(n_tables):
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col).cast("array<double>"),
-                        F.array(*[F.lit(float(x)) for x in planes[t, p]]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ]
         tables.append(
             df.select(
                 F.col(id_col),
                 F.col(vec_col),
                 F.lit(t).alias("table"),
-                F.concat(*bits).alias("bucket"),
+                bucket_for(t).alias("bucket"),
             )
         )
     bucketed = tables[0]

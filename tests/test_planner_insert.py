@@ -228,3 +228,21 @@ def test_default_k_bare_order_by(spark, emb, cat):
         table_name="embeddings", catalog=cat, explain=True,
     )
     assert res.count() == 100
+
+
+def test_filtered_path_runs_join_once(spark, emb, cat):
+    """The filtered index route materializes the joined+filtered result
+    ONCE (localCheckpoint): the returned plan must read the checkpointed
+    RDD, not contain the index-hits join — re-executing the join for the
+    sufficiency count was the round-2 double-execution finding."""
+    _flat(emb, cat)
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    res, dec = topk_auto(
+        emb, "embedding", qvec, 5, table_name="embeddings", catalog=cat,
+        filter=F.col("label") >= 0, explain=True,
+    )
+    assert dec.strategy == "index_scan", dec
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan

@@ -108,3 +108,36 @@ def test_ivf_probe_scan_has_no_join(spark, sf_dir, tmp_path):
     plan = _plan(index_scan(spark, "plan_ivf", [[0.0] * 64], 5, catalog=cat))
     assert "Join" not in plan, plan
     assert "PartitionFilters" in plan, plan
+
+
+def test_bm25_plan_no_explode_no_join_shuffle(spark, sf_dir):
+    """Round-3 BM25 shape: per-doc tf/dl are array ops over one bound
+    tokenize evaluation — the plan must contain NO Generate (explode),
+    NO SortMergeJoin, and only the constants-aggregate exchange(s); the
+    constants arrive via broadcast."""
+    from duckdb_ann_spark.operators.hybrid import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(bm25_scores(docs, "doc_id", "text", "spark join query data"))
+    assert "Generate" not in plan, plan          # no explode pass
+    assert "SortMergeJoin" not in plan, plan     # no per-term shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the only exchanges allowed are the single-row constants aggregate
+    # (partial -> final) — no hashpartitioning of the doc stream
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_minhash_signature_single_scan(spark, sf_dir):
+    """Signatures are one narrow projection: no shuffle, no explode, no
+    Python eval — the tokenize/shingle/md5 pipeline stays JVM-side."""
+    from duckdb_ann_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(minhash_signatures(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
