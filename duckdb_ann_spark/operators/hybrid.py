@@ -202,8 +202,10 @@ def hybrid_search(
         .orderBy(F.desc("_rrf_score"), F.asc(id_col))
         .limit(k)
     )
+    # fused is <= k rows: broadcast it so the doc-column fetch is one
+    # more narrow scan of docs, never a shuffle of the docs table
     return (
-        fused.join(docs, on=id_col, how="inner")
+        F.broadcast(fused).join(docs, on=id_col, how="inner")
         .select(*docs.columns, "_rrf_score", "_bm25_rank", "_vector_rank")
         .orderBy(F.desc("_rrf_score"), F.asc(id_col))
     )
