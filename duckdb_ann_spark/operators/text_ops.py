@@ -35,7 +35,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 __all__ = ["token_stats", "quality_score", "lang_id", "fingerprint",
-           "bpe_token_count", "LANG_MARKERS", "STOPWORDS", "BPE_PRETOKEN_RE"]
+           "bpe_token_count", "quality_features", "lang_hit_struct",
+           "lang_pred_from_hits", "LANG_MARKERS", "STOPWORDS",
+           "BPE_PRETOKEN_RE"]
 
 
 def _toks(text_col) -> Column:
@@ -66,79 +68,94 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_features(toks: Column) -> Column:
+    """Expression builder over a bound token array →
+    struct(stopword_ratio, alpha_ratio, unique_ratio, quality_score).
+
+    Exposed so composed pipelines (:mod:`..pipeline`) can fuse the
+    features into one scan alongside other annotations; `toks` must be a
+    `bind_once`-bound reference or the tokenize re-runs per feature."""
+    stop = F.split(F.lit(STOPWORDS[0]), " ")
+    n = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, t))
+    ).cast("double")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast(
+        "double"
+    )
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ratio = F.try_divide(n_stop, n)
+    alpha_ratio = F.try_divide(n_alpha, n)
+    rep = F.try_divide(uniq, n)
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * rep
+    )
+    return F.struct(
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        rep.alias("unique_ratio"),
+        score.alias("quality_score"),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Length/stopword/alpha/repetition features + composite score in [0,1].
 
     score = 0.25*len_ok + 0.25*stopword_ratio_clamped
           + 0.25*alpha_ratio + 0.25*(unique/total)."""
-    stop = F.split(F.lit(STOPWORDS[0]), " ")
-
-    def feats(toks: Column) -> Column:
-        # one tokenize evaluation feeds every feature AND the composite
-        # score (inline references would re-split the text ~10x per row)
-        n = F.size(toks).cast("double")
-        n_stop = F.size(
-            F.filter(toks, lambda t: F.array_contains(stop, t))
-        ).cast("double")
-        n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast(
-            "double"
-        )
-        uniq = F.size(F.array_distinct(toks)).cast("double")
-        len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
-        stop_ratio = F.try_divide(n_stop, n)
-        alpha_ratio = F.try_divide(n_alpha, n)
-        rep = F.try_divide(uniq, n)
-        score = (
-            F.lit(0.25) * len_ok
-            + F.lit(0.25) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
-            + F.lit(0.25) * alpha_ratio
-            + F.lit(0.25) * rep
-        )
-        return F.struct(
-            stop_ratio.alias("stopword_ratio"),
-            alpha_ratio.alias("alpha_ratio"),
-            rep.alias("unique_ratio"),
-            score.alias("quality_score"),
-        )
-
     return df.select(
-        F.col(id_col), bind_once(_toks(text_col), feats).alias("_f")
+        F.col(id_col), bind_once(_toks(text_col), quality_features).alias("_f")
     ).select(
         id_col, "_f.stopword_ratio", "_f.alpha_ratio", "_f.unique_ratio",
         "_f.quality_score",
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """→ (id, lang_pred, lang_hits): language with the most marker-token
-    hits; ties and zero hits fall back in LANG_MARKERS order / 'und'."""
+def lang_hit_struct(toks: Column) -> Column:
+    """Expression builder → struct(h_en, h_es, ...) of per-language
+    marker-token hit counts over a bound token array."""
     def _contains(arr):
         # NB: a two-parameter lambda would be treated as (x, idx) by
         # F.filter — capture the marker array via closure instead.
         return lambda t: F.array_contains(arr, t)
 
-    def hits(toks: Column) -> Column:
-        # the five per-language filters share one tokenize evaluation
-        cols = []
-        for lang, markers in LANG_MARKERS.items():
-            arr = F.array(*[F.lit(m) for m in markers])
-            cols.append(F.size(F.filter(toks, _contains(arr))).alias(f"h_{lang}"))
-        return F.struct(*cols)
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        cols.append(F.size(F.filter(toks, _contains(arr))).alias(f"h_{lang}"))
+    return F.struct(*cols)
 
+
+def lang_pred_from_hits(h) -> Column:
+    """Decision over materialized hit counts: `h(lang)` → that language's
+    hit-count Column. Ties and zero hits fall back in LANG_MARKERS order
+    / 'und'."""
+    best = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        hit = h(lang)
+        cond = hit >= F.greatest(*[h(lg) for lg in LANG_MARKERS])
+        best = F.when((hit > 0) & cond, F.lit(lang)).otherwise(best)
+    return best
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, lang_pred, lang_hits): language with the most marker-token
+    hits; ties and zero hits fall back in LANG_MARKERS order / 'und'."""
     with_hits = df.select(
-        F.col(id_col), bind_once(_toks(text_col), hits).alias("_h")
+        F.col(id_col), bind_once(_toks(text_col), lang_hit_struct).alias("_h")
     ).select(
         id_col, *[F.col(f"_h.h_{lang}").alias(f"_h_{lang}") for lang in LANG_MARKERS]
     )
-    best = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
-        h = F.col(f"_h_{lang}")
-        cond = h >= F.greatest(*[F.col(f"_h_{lg}") for lg in LANG_MARKERS])
-        best = F.when((h > 0) & cond, F.lit(lang)).otherwise(best)
-    best_hits = F.greatest(*[F.col(f"_h_{lg}") for lg in LANG_MARKERS])
+    h = lambda lg: F.col(f"_h_{lg}")
+    best_hits = F.greatest(*[h(lg) for lg in LANG_MARKERS])
     return with_hits.select(
-        F.col(id_col), best.alias("lang_pred"), best_hits.alias("lang_hits")
+        F.col(id_col),
+        lang_pred_from_hits(h).alias("lang_pred"),
+        best_hits.alias("lang_hits"),
     )
 
 

@@ -1,0 +1,107 @@
+"""`prepare_corpus`: the composed training-data prep pipeline.
+
+This is the end-to-end flow a large-scale LLM-data team runs over a raw
+document corpus, expressed as ONE declarative Spark plan built from the
+engine's own operators (`operators/text_ops.py`, `operators/dedup.py`):
+
+1. **annotate** — token stats, quality features, language-ID, and the
+   exact-dup fingerprint, all computed in a single narrow scan sharing
+   ONE tokenize evaluation per row (no shuffle, whole-stage codegen);
+2. **filter** — keep documents whose predicted language is allowed and
+   whose composite quality score clears the floor (narrow, pushed to
+   the same scan by Catalyst);
+3. **exact dedup** — keep the smallest id per normalized-text
+   fingerprint: one shuffle keyed on the 32-hex-char digest (the only
+   data that moves is (id, digest, scalar annotations) — never bodies
+   twice);
+4. **near dedup** — MinHash-LSH candidate pairs verified with exact
+   shingle Jaccard (`ngram_jaccard_pairs`); the LARGER id of each
+   verified pair is dropped (deterministic, no transitive-closure
+   iteration — the policy production pipelines use to stay one-pass).
+
+Scale shape at 100 TB: stage 1-2 stream; stage 3 shuffles ids+digests;
+stage 4 is bounded by the LSH band structure (pairs only form inside
+band buckets). Nothing collects to the driver.
+
+The reference has no composed pipeline operator — this is the
+beyond-reference surface the Spark engine adds (brief: "the operations
+a large-scale training-data pipeline would need").
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions.expr import bind_once
+from .functions.text import tokenize
+from .operators.dedup import ngram_jaccard_pairs
+from .operators.text_ops import lang_hit_struct, lang_pred_from_hits, quality_features
+
+__all__ = ["prepare_corpus"]
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    langs: Sequence[str] = ("en",),
+    min_quality: float = 0.65,
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """→ the cleaned corpus: (id, text, n_chars, n_tokens, quality_score,
+    lang_pred), ascending id.
+
+    Annotate → language/quality filter → exact dedup (min-id per
+    fingerprint) → MinHash-LSH near-dedup (drop the larger id of each
+    verified pair)."""
+    annotations = bind_once(
+        tokenize(text_col),
+        lambda toks: F.struct(
+            F.size(toks).alias("n_tokens"),
+            quality_features(toks).alias("q"),
+            lang_hit_struct(toks).alias("h"),
+            F.md5(F.concat_ws(" ", toks)).alias("fp"),
+        ),
+    )
+    ann = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.length(text_col).alias("n_chars"),
+        annotations.alias("_a"),
+    ).select(
+        id_col,
+        text_col,
+        "n_chars",
+        F.col("_a.n_tokens").alias("n_tokens"),
+        F.col("_a.q.quality_score").alias("quality_score"),
+        lang_pred_from_hits(lambda lg: F.col(f"_a.h.h_{lg}")).alias("lang_pred"),
+        F.col("_a.fp").alias("_fp"),
+    )
+
+    kept = ann.where(
+        F.col("lang_pred").isin(list(langs))
+        & (F.col("quality_score") >= F.lit(float(min_quality)))
+    )
+
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    uniq = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+
+    pairs = ngram_jaccard_pairs(
+        uniq.select(id_col, text_col), id_col, text_col,
+        threshold=near_dup_threshold,
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        uniq.join(drops, on=id_col, how="anti")
+        .select(id_col, text_col, "n_chars", "n_tokens", "quality_score",
+                "lang_pred")
+        .orderBy(F.col(id_col).asc())
+    )
