@@ -8,9 +8,10 @@ Workloads:
 * `topk_sf`, `batch_sf`: exact top-k and 50-query batch over the driver
   testdata embeddings at $SPARK_GRAFT_SF_DIR.
 * `rel_q1`, `rel_star_join`: the relational substrate at the same SF.
-* `hybrid_sf`, `dedup_minhash_sf`, `knn_join_sf`: the LLM-pipeline
-  operator families (BM25+RRF hybrid search, MinHash-LSH candidate
-  pairs, distributed IVF-cell k-NN join) at the same SF.
+* `hybrid_sf`, `dedup_minhash_sf`, `knn_join_sf`, `pipeline_sf`: the
+  LLM-pipeline operator families (BM25+RRF hybrid search, MinHash-LSH
+  candidate pairs, distributed IVF-cell k-NN join, composed corpus
+  prep) at the same SF.
 
 Metric: total wall seconds over all workloads (lower is better), with the
 per-query breakdown in "queries".
@@ -207,6 +208,15 @@ def run_workloads(spark) -> tuple[dict[str, float], dict[str, float]]:
         "embedding", emb, "vec_id", "embedding", k=5, nlist=16, nprobe=4,
     ).count()
     timings["knn_join_sf"] = time.perf_counter() - t0
+    assert n > 0, n
+
+    from duckdb_ann_spark.pipeline import prepare_corpus
+
+    t0 = time.perf_counter()
+    n = prepare_corpus(
+        docs, "doc_id", "text", langs=("en",), min_quality=0.65
+    ).count()
+    timings["pipeline_sf"] = time.perf_counter() - t0
     assert n > 0, n
     return timings, recall
 

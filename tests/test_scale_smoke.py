@@ -1,0 +1,156 @@
+"""Scale smoke: the bench workloads at 100x their usual local size.
+
+Gated behind SPARK_GRAFT_SCALE_SMOKE=1 (several minutes of wall time;
+the regular suite stays fast). These tests exist to check the claims the
+architecture makes about scale, on the largest data a local[32] box
+exercises meaningfully:
+
+* IVF build assigns 1M vectors in one narrow mapInPandas pass and writes
+  one file per cell — driver memory stays O(train-sample), never O(N);
+* IVF probe search reads only nprobe/nlist of the data (partition
+  pruning) and still clears the recall floor;
+* the k-NN join's candidate set is the nprobe/nlist fraction of the
+  cross product — 100k x 100k completes without any collect;
+* the sharded Vamana build runs one graph per task with bounded shard
+  size.
+
+Run: SPARK_GRAFT_SCALE_SMOKE=1 python -m pytest tests/test_scale_smoke.py -v
+"""
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.index import Catalog, create_index, drop_index, index_scan
+from duckdb_ann_spark.operators.batch import search_batch_ids
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),
+    reason="set SPARK_GRAFT_SCALE_SMOKE=1 to run the multi-minute scale smoke",
+)
+
+DIM = 64
+N_QUERIES = 100
+K = 10
+
+
+def _vectors(spark, n: int, partitions: int = 64):
+    return (
+        spark.range(0, n, 1, partitions)
+        .withColumn(
+            "embedding",
+            F.array(*[F.rand(1000 + j).cast("float") for j in range(DIM)]),
+        )
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return Catalog(os.path.join(tempfile.gettempdir(), f"scale_smoke_{os.getpid()}"))
+
+
+def _recall(rows, truth) -> float:
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    hit = sum(len(got.get(i, set()) & truth[i]) for i in range(N_QUERIES))
+    return hit / (N_QUERIES * K)
+
+
+def test_ivf_1m_build_and_probe(spark, cat):
+    n = 1_000_000
+    vecs = _vectors(spark, n).persist()
+    vecs.count()
+    rng = np.random.default_rng(99)
+    queries = rng.random((N_QUERIES, DIM), dtype=np.float32)
+
+    # exact ground truth through the distributed BLAS batch engine
+    # (itself a scale check: 100 queries x 1M vectors, no driver matrix)
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "smoke_ivf", engine="faiss",
+        type="IVFFlat", ivf_nlist=256, nprobe=32, catalog=cat,
+    )
+    build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rows = index_scan(spark, "smoke_ivf", queries, K, catalog=cat).collect()
+    search_s = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K
+
+    rec = _recall(rows, truth)
+    print(f"\nivf 1M: build {build_s:.1f}s, search {search_s:.1f}s, "
+          f"recall@{K} {rec:.3f}")
+    # uniform vectors at nprobe/nlist = 1/8 — the worst case for IVF;
+    # the floor checks pruning didn't break, not tuned recall
+    assert rec >= 0.60, rec
+    drop_index("smoke_ivf", cat)
+    vecs.unpersist()
+
+
+def test_vamana_200k_sharded(spark, cat):
+    n = 200_000
+    vecs = _vectors(spark, n).persist()
+    vecs.count()
+    rng = np.random.default_rng(7)
+    queries = rng.random((N_QUERIES, DIM), dtype=np.float32)
+
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "smoke_vam", engine="diskann",
+        max_degree=16, build_complexity=32, shards=32, catalog=cat,
+    )
+    build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rows = index_scan(spark, "smoke_vam", queries, K, catalog=cat).collect()
+    search_s = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K
+
+    rec = _recall(rows, truth)
+    print(f"\nvamana 200k/32 shards: build {build_s:.1f}s, "
+          f"search {search_s:.1f}s, recall@{K} {rec:.3f}")
+    assert rec >= 0.70, rec
+    drop_index("smoke_vam", cat)
+    vecs.unpersist()
+
+
+def test_knn_join_100k(spark):
+    from duckdb_ann_spark.operators.knn_join import knn_join
+
+    n = 100_000
+    base = _vectors(spark, n).persist()
+    base.count()
+    qs = base.select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    ).where(F.col("qid") % 2 == 0)
+
+    t0 = time.perf_counter()
+    res = knn_join(
+        qs, "qid", "embedding", base, "vec_id", "embedding",
+        k=1, nlist=128, nprobe=4, n_rows=n,
+    )
+    cnt = res.count()
+    join_s = time.perf_counter() - t0
+    assert cnt == n // 2, cnt
+    # every query's 1-NN at nprobe>=1 must include itself (distance 0 in
+    # its own cell)
+    selfhits = res.where(F.col("qid") == F.col("vec_id")).count()
+    print(f"\nknn_join 50k x 100k: {join_s:.1f}s, self-hit {selfhits}/{cnt}")
+    assert selfhits == cnt
+    base.unpersist()
