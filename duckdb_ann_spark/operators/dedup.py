@@ -187,11 +187,22 @@ def ngram_jaccard_pairs(
     (id_a, id_b, jaccard) for jaccard >= threshold."""
     cands = minhash_candidate_pairs(
         df, id_col, text_col, shingle_words=shingle_words, **lsh_kw
-    ).select("id_a", "id_b")
-    sh = df.select(
+    ).select("id_a", "id_b").persist()
+    # shingle only the rows that appear in a candidate pair: the exact
+    # verification set is bounded by the LSH band structure, so the
+    # (heavy) shingle arrays are built for a candidate-sized slice of the
+    # corpus, not all of it — and the persisted slice is what both
+    # verification joins read (one tokenize pass, not two full-corpus
+    # passes)
+    ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(ids, on=id_col, how="leftsemi").select(
         F.col(id_col),
         F.array_distinct(shingles(text_col, shingle_words)).alias("_sh"),
-    )
+    ).persist()
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sa"),
                    on="id_a")
@@ -308,6 +319,10 @@ def embedding_near_dup_pairs(
     bucketed = tables[0]
     for t in tables[1:]:
         bucketed = bucketed.unionByName(t)
+    # the bucketed table is self-joined (a x b): persist so the
+    # n_tables x n_planes sign projections are computed once per row,
+    # not once per join side
+    bucketed = bucketed.persist()
 
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "table", "bucket"

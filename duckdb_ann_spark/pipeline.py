@@ -93,6 +93,12 @@ def prepare_corpus(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_fp")
     )
+    # uniq fans out to the near-dup detector AND the final anti-join:
+    # persist it so the annotate scan + dedup window run once, not once
+    # per consumer. At cluster scale this is the standard "materialize
+    # the cleaned working set" checkpoint (MEMORY_AND_DISK, evictable) —
+    # re-deriving it per consumer would re-read the raw corpus each time.
+    uniq = uniq.persist()
 
     pairs = ngram_jaccard_pairs(
         uniq.select(id_col, text_col), id_col, text_col,

@@ -14,6 +14,11 @@ needs:
   :func:`duckdb_ann_spark.index.insert_into_index`, the streaming analog
   of the reference's insert-after-DML consistency
   (`src/diskann_index.cpp:316-361`);
+* :func:`stream_dedup_exact` — streaming exact deduplication of a
+  document stream: the first row per normalized-text digest inside the
+  watermark horizon passes, later copies are dropped, and digest state
+  ages out with the watermark (the continuously-ingesting counterpart
+  of `operators.dedup.dedup_exact`);
 * :func:`sessionize_events` — a CUSTOM STATEFUL operator
   (`applyInPandasWithState`): per-user gap-based sessionization with
   event-time state timeout. The per-group state is the list of pending
@@ -71,6 +76,38 @@ def windowed_event_counts(
             "n",
             "value_cents",
         )
+    )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per normalized-text
+    digest seen inside the watermark horizon, drop later copies.
+
+    The dedup key is the same 256-bit digest `dedup_exact` groups on, so
+    state carries (digest, timestamp) — never document bodies — and
+    `dropDuplicatesWithinWatermark` expires keys once the watermark
+    passes them. That bound is what makes this runnable forever on a
+    100 TB/day ingest: state ≈ distinct digests per watermark window,
+    not per stream lifetime. (A plain `dropDuplicates` on a stream
+    accumulates state without bound.)
+
+    Exactly-once caveat shared with every watermarked dedup: a duplicate
+    arriving later than the watermark horizon is admitted again — pair
+    with a periodic batch `dedup_exact` compaction for full-history
+    guarantees.
+    """
+    norm = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    keyed = stream.withColumn("_key", F.sha2(norm, 256))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_key"])
+        .drop("_key")
     )
 
 

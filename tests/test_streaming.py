@@ -199,3 +199,50 @@ def test_sessionize_late_segment_not_merged(spark, tmp_path):
         (1, ms(base - pd.Timedelta(minutes=105)), 1),
         (1, ms(base), 1),
     ], rows
+
+
+def test_stream_dedup_exact_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming exact dedup keeps one row per normalized-text digest and
+    matches the batch dedup_exact key-set on the same data."""
+    from duckdb_ann_spark.operators.dedup import dedup_exact
+    from duckdb_ann_spark.streaming import stream_dedup_exact
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+        )
+    )
+    d = str(tmp_path / "docs_stream")
+    docs.coalesce(1).write.parquet(d)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(d)
+    q = (
+        stream_dedup_exact(stream, "text", "ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream")
+
+    # one survivor per digest, and the digest set matches batch dedup_exact
+    want_keys = {
+        r.cluster_id
+        for r in dedup_exact(docs, "doc_id", "text").where(~F.col("is_duplicate")).collect()
+    }  # cluster ids = one representative per distinct normalized text
+    n_got = got.count()
+    assert n_got == len(want_keys), (n_got, len(want_keys))
+    got_digests = {
+        r[0]
+        for r in got.select(F.sha2(F.lower(F.trim(F.col("text"))), 256)).collect()
+    }
+    assert len(got_digests) == n_got  # no duplicate texts survive
