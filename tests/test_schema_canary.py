@@ -1,0 +1,75 @@
+"""Testdata-schema canary.
+
+The driver regenerates the parquet testdata between rounds; a silent schema
+change (e.g. `events.ts` flipping between TIMESTAMP(NANOS) and plain
+timestamp[us], which happened between rounds 2 and 3) otherwise surfaces as a
+scatter of analysis errors deep inside unrelated queries. This test fails
+loudly, at one obvious place, naming the table and column that drifted —
+update `sources/tables.py` (or this expectation) when it fires.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from duckdb_ann_spark.sources import read_table
+
+EXPECTED = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    },
+    "lineitem": {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+@pytest.mark.parametrize("table", sorted(EXPECTED))
+def test_table_columns_present(spark, sf_dir, table):
+    df = read_table(spark, sf_dir, table)
+    missing = EXPECTED[table] - set(df.columns)
+    assert not missing, (
+        f"{table}.parquet at {sf_dir} lost columns {sorted(missing)}; "
+        f"has {df.columns}"
+    )
+
+
+def test_events_ts_dtype_branch(spark, sf_dir):
+    """Pin the `events.ts` physical type AND the dtype branch taken.
+
+    The reader accepts either epoch-ns-as-long (legacy NANOS files) or a
+    native µs timestamp, always surfacing TimestampType. If the physical
+    type becomes anything else, fail here with the actual type so the
+    branch in sources/tables.py:read_table can be extended deliberately.
+    """
+    raw = pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+    ts_type = str(raw.field("ts").type)
+    assert ts_type in ("timestamp[us]", "timestamp[ns]", "int64"), (
+        f"events.ts physical type drifted to {ts_type}; "
+        "extend read_table's dtype branch"
+    )
+    got = read_table(spark, sf_dir, "events").schema["ts"].dataType
+    assert isinstance(got, T.TimestampType), (
+        f"read_table normalized events.ts to {got}, expected TimestampType"
+    )
+
+
+def test_embeddings_vector_column(spark, sf_dir):
+    """ANN paths require array<float>-compatible embeddings."""
+    dt = read_table(spark, sf_dir, "embeddings").schema["embedding"].dataType
+    assert isinstance(dt, T.ArrayType) and isinstance(
+        dt.elementType, (T.FloatType, T.DoubleType)
+    ), f"embeddings.embedding drifted to {dt}"
