@@ -311,7 +311,6 @@ def embedding_near_dup_pairs(
         tables.append(
             df.select(
                 F.col(id_col),
-                F.col(vec_col),
                 F.lit(t).alias("table"),
                 bucket_for(t).alias("bucket"),
             )
@@ -319,22 +318,33 @@ def embedding_near_dup_pairs(
     bucketed = tables[0]
     for t in tables[1:]:
         bucketed = bucketed.unionByName(t)
-    # the bucketed table is self-joined (a x b): persist so the
-    # n_tables x n_planes sign projections are computed once per row,
-    # not once per join side
+    # the bucket table is self-joined (a x b): persist so the
+    # n_tables x n_planes sign projections are computed once per row, not
+    # once per join side. It carries (id, table, bucket) ONLY — the band
+    # join, the id_a<id_b filter and the distinct all move fixed-width
+    # rows; the ~KB-per-row vectors never enter a wide exchange.
     bucketed = bucketed.persist()
 
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "table", "bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "table", "bucket"
-    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
     pairs = (
         a.join(b, on=["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    # vectors join back for the candidate slice only (mirrors
+    # minhash_candidate_pairs' signature join-back)
+    vecs = df.select(F.col(id_col), F.col(vec_col)).persist()
+    pairs = (
+        pairs.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            on="id_b",
+        )
     )
     dot = F.aggregate(
         F.zip_with(F.col("_va").cast("array<double>"),

@@ -129,6 +129,22 @@ def test_bm25_plan_no_explode_no_join_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_embedding_dedup_distinct_carries_no_vectors(spark, sf_dir):
+    """The sign-LSH candidate distinct must dedupe (id_a, id_b) rows only;
+    the embedding arrays join back AFTER it. If a vector column rode
+    through the distinct's exchange, every candidate pair would shuffle
+    ~2 x dim x 4 bytes plus array-equality hashing."""
+    from duckdb_ann_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    plan = _plan(embedding_near_dup_pairs(emb, "vec_id", "embedding"))
+    # every distinct compiles to HashAggregate(keys=[...]) pairs around an
+    # exchange; none of those key lists may contain the vector aliases
+    for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        keys = m.group(1)
+        assert "_va" not in keys and "_vb" not in keys and "embedding" not in keys, plan
+
+
 def test_minhash_signature_single_scan(spark, sf_dir):
     """Signatures are one narrow projection: no shuffle, no explode, no
     Python eval — the tokenize/shingle/md5 pipeline stays JVM-side."""
