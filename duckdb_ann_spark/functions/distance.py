@@ -141,6 +141,23 @@ def index_distance(metric: str, a: ColumnOrName, b) -> Column:
     raise ValueError(f"Unknown metric '{metric}'. Supported: {', '.join(METRICS)}")
 
 
+def np_stack_vectors(series, dtype=np.float32) -> np.ndarray:
+    """Stack a pandas Series of fixed-length vectors into an (n, d) matrix.
+
+    Arrow hands `array<float>` columns to mapInPandas as an object-dtype
+    Series whose elements are already numpy float32 views of the Arrow
+    child buffers; `np.vstack(series.to_numpy())` stacks those buffers
+    directly. The previous spelling, `np.array(series.tolist())`,
+    round-tripped every element through a Python list — the slowest
+    correct conversion, and these call sites are the hottest loops in the
+    engine (every ANN scan/build batch).
+    """
+    vals = series.to_numpy()
+    if len(vals) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    return np.vstack(vals).astype(dtype, copy=False)
+
+
 def np_index_distances(metric: str, mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
     """Batched index distances: (n, d) x (q, d) -> (q, n), float32 BLAS path.
 

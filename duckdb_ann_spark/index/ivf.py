@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.distance import (
     index_distance,
     np_index_distances,
+    np_stack_vectors,
     np_topk_frame,
 )
 from ..local import local_df
@@ -142,7 +143,7 @@ class IvfFlatEngine:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+                mat = np_stack_vectors(pdf[vec_col])
                 cells = np_index_distances(metric, mat, cm).argmin(axis=0)
                 pdf = pdf[[id_col, vec_col]].copy()
                 pdf[CELL_COL] = cells.astype(np.int32)
@@ -196,7 +197,7 @@ class IvfFlatEngine:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+                mat = np_stack_vectors(pdf[vec_col])
                 cells = np_index_distances(metric, mat, cm).argmin(axis=0)
                 pdf = pdf[[id_col, vec_col]].copy()
                 pdf[CELL_COL] = cells.astype(np.int32)
@@ -316,7 +317,7 @@ class IvfFlatEngine:
                     qidx = pmap.get(int(cell))
                     if qidx is None:
                         continue
-                    mat = np.array(grp[vec_col].tolist(), dtype=np.float32)
+                    mat = np_stack_vectors(grp[vec_col])
                     ids = grp[id_col].to_numpy()
                     d = np_index_distances(metric, mat, qm[qidx])  # (nq, n)
                     kk = min(k, mat.shape[0])

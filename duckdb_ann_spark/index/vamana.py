@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..local import local_df
 from .engines import register_engine
+from ..functions.distance import np_stack_vectors
 from .file_format import read_diskann, read_sq8, write_diskann
 from .vamana_core import VamanaGraph, build_graph, sq8_dequantize, sq8_quantize
 
@@ -102,7 +103,7 @@ class VamanaEngine:
 
         def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
             pdf = pdf.sort_values(id_col).reset_index(drop=True)
-            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            vecs = np_stack_vectors(pdf[vec_col])
             g = build_graph(
                 vecs,
                 max_degree=params.max_degree,
@@ -226,7 +227,7 @@ class VamanaEngine:
         pdf = df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
         if not len(pdf):
             return {}
-        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+        vecs = np_stack_vectors(pdf[vec_col])
 
         shard_files = self._shard_files(artifact_dir)
         # smallest shard by file size (header-free proxy for vector count;
@@ -336,7 +337,7 @@ class VamanaEngine:
                 out = []
                 if not len(pdf):
                     continue
-                qs = np.array(pdf["_qv"].tolist(), dtype=np.float32)
+                qs = np_stack_vectors(pdf["_qv"])
                 qids = pdf["query_idx"].tolist()
                 for shard, path in shard_files:
                     g = _load_shard(path)

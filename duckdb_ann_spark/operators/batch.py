@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.distance import (
     index_distance,
     np_index_distances,
+    np_stack_vectors,
     np_topk_frame,
 )
 from ..local import local_df
@@ -91,7 +92,7 @@ def search_batch_ids(
             n = len(pdf)
             if n == 0:
                 continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            mat = np_stack_vectors(pdf[vec_col])
             ids = pdf[id_col].to_numpy()
             dists = np_index_distances(metric, mat, qm)  # (q, n)
             kk = min(k, n)

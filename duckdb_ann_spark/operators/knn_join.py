@@ -34,6 +34,7 @@ from ..functions.distance import (
     index_distance,
     np_index_distances,
     np_paired_distances,
+    np_stack_vectors,
 )
 from ..index.ivf import _kmeans
 from ..local import local_df
@@ -53,7 +54,7 @@ def _assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            mat = np_stack_vectors(pdf[vec_col])
             d = np_index_distances(metric, mat, cm)  # (nlist, n)
             cells = np.argsort(d, axis=0, kind="stable")[:nprobe]  # (p, n)
             out = pdf[out_cols].iloc[
@@ -145,8 +146,8 @@ def knn_join(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                qm = np.array(pdf[query_vec_col].tolist(), dtype=np.float32)
-                bm = np.array(pdf[base_vec_col].tolist(), dtype=np.float32)
+                qm = np_stack_vectors(pdf[query_vec_col])
+                bm = np_stack_vectors(pdf[base_vec_col])
                 d = np_paired_distances(metric, bm, qm)
                 out = pd.DataFrame(
                     {
