@@ -38,6 +38,25 @@ def schema_names(schema: str) -> list[str]:
     return names
 
 
+def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition UP when the upstream scan yields fewer partitions than
+    the session's parallelism.
+
+    A small single-file (single-row-group) parquet input plans as ONE
+    scan task, which serializes every downstream per-row expression —
+    tokenize, quality features, minhash — on one core no matter how many
+    the session has. Parquet can't split below a row group, so the only
+    lever is an explicit round-robin exchange. On a healthy input (many
+    files / row groups — any real cluster read) this is a no-op, so the
+    shuffle exists exactly where it buys full-width parallelism and
+    nowhere at 100 TB."""
+    sc = df.sparkSession.sparkContext
+    target = int(target or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def local_df(
     spark: SparkSession,
     rows: Iterable[Sequence] | pd.DataFrame,

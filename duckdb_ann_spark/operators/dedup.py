@@ -7,8 +7,13 @@ Five families, all shuffle-bounded (no all-pairs crossJoin anywhere):
 * :func:`minhash_signatures` / :func:`minhash_candidate_pairs` —
   word-shingle MinHash with banded LSH: pairs meet only inside a band
   bucket, so the shuffle is O(n·bands) and the pair set is the classic
-  LSH candidate set. Hashes are md5 hex strings (identical in Spark and
-  DuckDB → oracle hash-matchable), min-reduced lexicographically.
+  LSH candidate set. Each shingle is hashed ONCE (md5 → first 32 bits);
+  the signature components are affine derivations ``(a_j*h + b_j) mod p``
+  of that one hash (Broder's universal-hash min-wise scheme — the same
+  structure Spark ML's MinHashLSH uses), so signature cost is one md5
+  per shingle instead of n_hashes of them. All arithmetic is 64-bit
+  integer → bitwise identical in Spark and DuckDB (oracle
+  hash-matchable).
 * :func:`ngram_jaccard_pairs` — exact shingle-set Jaccard computed only
   for LSH candidates (verification step after banding).
 * :func:`simhash` — 32-bit SimHash over token md5 prefixes; near-dups
@@ -29,10 +34,25 @@ from pyspark.sql import functions as F
 
 from ..functions.expr import bind_once as _bind
 from ..functions.text import tokenize
+from ..local import widen_if_narrow
 
 N_HASHES = 12
 N_BANDS = 4
 SHINGLE_WORDS = 3
+
+# Affine min-wise hashing: component j = min over shingles of
+# (a_j*h + b_j) mod MINHASH_PRIME, where h is the shingle's 32-bit hash.
+# Bounds keep the arithmetic exactly representable in signed 64-bit on
+# both engines: h < 2^32, a < 2^30 → a*h + b < 2^63.
+MINHASH_PRIME = 4_294_967_291  # largest prime < 2^32
+_coeff_rng = np.random.default_rng(1337)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (int(a) * 2 + 1, int(b))  # odd a in [1, 2^30)
+    for a, b in zip(
+        _coeff_rng.integers(0, 2**29, size=N_HASHES),
+        _coeff_rng.integers(0, MINHASH_PRIME, size=N_HASHES),
+    )
+]
 
 __all__ = [
     "dedup_exact",
@@ -82,9 +102,20 @@ def shingles(text_col, n: int = SHINGLE_WORDS) -> Column:
     return _bind(tokenize(text_col), build)
 
 
-def _minhash_component(sh: Column, j: int) -> Column:
+def _minhash_component(hs: Column, j: int) -> Column:
+    a, b = MINHASH_COEFFS[j]
     return F.array_min(
-        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+        F.transform(
+            hs, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
+        )
+    )
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """array<bigint>: each shingle's 32-bit hash (md5 prefix), computed
+    once — the only cryptographic hash in the signature pipeline."""
+    return F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
     )
 
 
@@ -95,15 +126,22 @@ def minhash_signatures(
     n_hashes: int = N_HASHES,
     shingle_words: int = SHINGLE_WORDS,
 ) -> DataFrame:
-    """→ (id, sig array<string>[n_hashes]) — one narrow pass, no shuffle.
+    """→ (id, sig array<bigint>[n_hashes]) — one narrow pass, no shuffle.
 
-    The shingle array is `_bind`-bound so the n_hashes components share
-    ONE evaluation of it (an aliased column would be re-inlined by
-    CollapseProject into every component)."""
+    The shingle array AND the per-shingle hash array are `_bind`-bound so
+    the n_hashes components share ONE evaluation of each (an aliased
+    column would be re-inlined by CollapseProject into every component);
+    each component is then a cheap integer transform of the shared hash
+    array."""
     sh = shingles(text_col, shingle_words)
     sig = _bind(
         sh,
-        lambda s: F.array(*[_minhash_component(s, j) for j in range(n_hashes)]),
+        lambda s: _bind(
+            shingle_hashes(s),
+            lambda hs: F.array(
+                *[_minhash_component(hs, j) for j in range(n_hashes)]
+            ),
+        ),
     )
     return df.select(F.col(id_col), sig.alias("sig"))
 
@@ -119,7 +157,11 @@ def minhash_candidate_pairs(
     """→ (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band bucket
     (id_a < id_b). est_jaccard = matching signature fraction."""
     r = n_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_words)
+    # signatures are the heavy per-row expression chain (tokenize →
+    # shingle → hash); don't let a single-file input serialize them
+    sigs = minhash_signatures(
+        widen_if_narrow(df), id_col, text_col, n_hashes, shingle_words
+    )
     # the signature table is consumed FOUR times (two band-join branches +
     # two est-jaccard joins): persist it so the tokenize→shingle→minhash
     # pipeline runs once — at scale this is the "write the signature
@@ -135,7 +177,9 @@ def minhash_candidate_pairs(
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.concat_ws("|", *[s[b * r + i] for i in range(r)])
+                    F.concat_ws(
+                        "|", *[s[b * r + i].cast("string") for i in range(r)]
+                    )
                 ).alias("bkey"),
             )
             for b in range(n_bands)

@@ -11,9 +11,10 @@ engine's own operators (`operators/text_ops.py`, `operators/dedup.py`):
    whose composite quality score clears the floor (narrow, pushed to
    the same scan by Catalyst);
 3. **exact dedup** — keep the smallest id per normalized-text
-   fingerprint: one shuffle keyed on the 32-hex-char digest (the only
-   data that moves is (id, digest, scalar annotations) — never bodies
-   twice);
+   fingerprint via `min_by` hash aggregation: map-side partial combine
+   before ONE shuffle keyed on the 32-hex-char digest, no per-partition
+   sort (a row_number window would sort every partition and hold whole
+   partitions, where the agg keeps one running row per distinct digest);
 4. **near dedup** — MinHash-LSH candidate pairs verified with exact
    shingle Jaccard (`ngram_jaccard_pairs`); the LARGER id of each
    verified pair is dropped (deterministic, no transitive-closure
@@ -32,11 +33,12 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.expr import bind_once
 from .functions.text import tokenize
+from .local import widen_if_narrow
 from .operators.dedup import ngram_jaccard_pairs
 from .operators.text_ops import lang_hit_struct, lang_pred_from_hits, quality_features
 
@@ -58,6 +60,9 @@ def prepare_corpus(
     Annotate → language/quality filter → exact dedup (min-id per
     fingerprint) → MinHash-LSH near-dedup (drop the larger id of each
     verified pair)."""
+    # per-row annotate work is the pipeline's heaviest expression chain;
+    # make sure a narrow input (one small file) doesn't serialize it
+    docs = widen_if_narrow(docs)
     annotations = bind_once(
         tokenize(text_col),
         lambda toks: F.struct(
@@ -87,11 +92,13 @@ def prepare_corpus(
         & (F.col("quality_score") >= F.lit(float(min_quality)))
     )
 
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    keep_cols = [c for c in kept.columns if c != "_fp"]
     uniq = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_fp")
+        kept.groupBy("_fp")
+        .agg(
+            F.min_by(F.struct(*keep_cols), F.col(id_col)).alias("_r")
+        )
+        .select("_r.*")
     )
     # uniq fans out to the near-dup detector AND the final anti-join:
     # persist it so the annotate scan + dedup window run once, not once

@@ -6,8 +6,9 @@ entry augments the input with deterministic duplicates/near-duplicates
 augmented table), making real dedup behavior — not just the empty case —
 part of the gate.
 
-MinHash components are md5 hex strings (identical bytes in Spark and
-DuckDB), so the LSH signatures and estimated Jaccards hash-match
+MinHash components are 64-bit integer expressions over one md5-derived
+32-bit hash per shingle (`(a_j*h + b_j) mod p`, exact in BIGINT on both
+engines), so the LSH signatures and estimated Jaccards hash-match
 bitwise.
 """
 
@@ -19,6 +20,8 @@ from pyspark.sql import functions as F
 from ..functions.text import sql_tokenize
 from ..operators.batch import search_batch_ids
 from ..operators.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
     dedup_exact,
     embedding_near_dup_pairs,
     minhash_candidate_pairs,
@@ -76,21 +79,30 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- shared SQL fragments for the MinHash pipeline ---------------------
 
-# shingles: 3-word, whole text when shorter (mirrors operators.dedup.shingles)
+# shingles: 3-word, whole text when shorter (mirrors operators.dedup.shingles),
+# plus the per-shingle 32-bit hash (mirrors operators.dedup.shingle_hashes)
 _SH_CTE = f"""
 sh AS (
-    SELECT doc_id,
-        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(range(1, len(toks) - 1),
-                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        END AS sh
-    FROM (SELECT doc_id, {_TOK} AS toks FROM aug)
+    SELECT doc_id, sh,
+        list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))
+            AS hs
+    FROM (
+        SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END AS sh
+        FROM (SELECT doc_id, {_TOK} AS toks FROM aug)
+    )
 )
 """
 
+# affine min-wise components in exact BIGINT arithmetic (same constants
+# as the Spark side — imported, not copied)
 _SIG_COMPONENTS = ", ".join(
-    f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min')"
-    for j in range(12)
+    f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_PRIME}),"
+    " 'min')"
+    for a, b in MINHASH_COEFFS
 )
 
 _SIG_CTE = f"sig AS (SELECT doc_id, [{_SIG_COMPONENTS}] AS sig FROM sh)"
@@ -98,8 +110,9 @@ _SIG_CTE = f"sig AS (SELECT doc_id, [{_SIG_COMPONENTS}] AS sig FROM sh)"
 _BANDS_CTE = """
 bands AS (
     SELECT doc_id, sig, b.band,
-           md5(sig[b.band*3 + 1] || '|' || sig[b.band*3 + 2] || '|' ||
-               sig[b.band*3 + 3]) AS bkey
+           md5(CAST(sig[b.band*3 + 1] AS VARCHAR) || '|' ||
+               CAST(sig[b.band*3 + 2] AS VARCHAR) || '|' ||
+               CAST(sig[b.band*3 + 3] AS VARCHAR)) AS bkey
     FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
 )
 """

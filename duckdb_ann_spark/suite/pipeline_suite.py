@@ -17,7 +17,7 @@ from ..functions.text import sql_tokenize
 from ..pipeline import prepare_corpus
 from ..operators.text_ops import LANG_MARKERS
 from . import register
-from .dedup import _DOCS_AUG_CTE, _docs_aug
+from .dedup import _DOCS_AUG_CTE, _SIG_COMPONENTS, _docs_aug
 from .text import _STOP_SQL
 
 _TOK = sql_tokenize("text")
@@ -32,11 +32,6 @@ _GREATEST = "greatest(" + ", ".join(f"h_{lg}" for lg in LANG_MARKERS) + ")"
 _LANG_CASES = "\n                ".join(
     f"WHEN h_{lg} > 0 AND h_{lg} >= {_GREATEST} THEN '{lg}'"
     for lg in LANG_MARKERS
-)
-
-_SIG_COMPONENTS = ", ".join(
-    f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min')"
-    for j in range(12)
 )
 
 _ORACLE = f"""
@@ -77,18 +72,24 @@ _ORACLE = f"""
         WHERE rn = 1
     ),
     ush AS (
-        SELECT doc_id,
-            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                 ELSE list_transform(range(1, len(toks) - 1),
-                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-            END AS sh
-        FROM (SELECT doc_id, {_TOK} AS toks FROM uniq)
+        SELECT doc_id, sh,
+            list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))
+                AS hs
+        FROM (
+            SELECT doc_id,
+                CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                END AS sh
+            FROM (SELECT doc_id, {_TOK} AS toks FROM uniq)
+        )
     ),
     usig AS (SELECT doc_id, [{_SIG_COMPONENTS}] AS sig FROM ush),
     ubands AS (
         SELECT doc_id, b.band,
-               md5(sig[b.band*3 + 1] || '|' || sig[b.band*3 + 2] || '|' ||
-                   sig[b.band*3 + 3]) AS bkey
+               md5(CAST(sig[b.band*3 + 1] AS VARCHAR) || '|' ||
+                   CAST(sig[b.band*3 + 2] AS VARCHAR) || '|' ||
+                   CAST(sig[b.band*3 + 3] AS VARCHAR)) AS bkey
         FROM usig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
     ),
     upairs AS (

@@ -15,7 +15,10 @@ def corpus(spark):
     rows = [
         (0, BASE),
         (1, BASE),                       # exact dup of 0 → dropped
-        (2, BASE + " more words of the story keep going here and here"),
+        # distinct text (shingle Jaccard with BASE ~0): BASE + a short
+        # suffix would be a TRUE near-dup (J = 11/21 > 0.5) that a sharp
+        # LSH is allowed to catch
+        (2, "the ship sailed over a calm sea while the crew slept and dreamed"),
         (3, "el la los de y es en que un una perro gato casa sol mar"),  # es
         (4, "  " + BASE.upper() + "  "),  # dup of 0 after normalization
         (5, BASE + " x"),                # near dup of 0 → dropped
@@ -46,14 +49,14 @@ def test_prepare_corpus_quality_filter(spark, corpus):
 
 
 def test_prepare_corpus_annotate_is_single_scan(spark, corpus):
-    """The annotate+filter prefix must not shuffle: tokenize runs once
-    per row inside one projection; the first Exchange in the plan is the
-    fingerprint-window hashpartitioning of exact dedup."""
+    """Exact dedup must be a map-side-combinable hash aggregation
+    (partial min_by before the fingerprint exchange), not a sort-based
+    window — at scale the agg shuffles one running row per distinct
+    digest where a window would sort and hold whole partitions."""
     out = prepare_corpus(corpus, "doc_id", "text", min_quality=0.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("rn") >= 1
-    # exactly one tokenize (filter(split(lower(text)))) evaluation per
-    # side of the near-dup LSH reuse; the annotate stage contributes ONE
+    assert "partial_min_by" in plan, plan
+    assert "Window" not in plan, plan
     first_exchange = plan.find("Exchange")
     assert first_exchange != -1
     assert "EvalPython" not in plan  # pure JVM end to end
