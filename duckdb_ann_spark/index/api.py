@@ -267,6 +267,9 @@ def _memory_bytes(m: dict) -> int:
     graph_bytes = 0
     if m["subtype"] == "vamana":
         graph_bytes = n * int(m["params"].get("max_degree", 64)) * 4
+    if m["subtype"] == "hnsw":
+        # layer-0 dominates: degree bound 2M u32 slots per node
+        graph_bytes = n * 2 * int(m["params"].get("hnsw_m", 32)) * 4
     if m["subtype"] == "ivfflat":
         graph_bytes = int(m["params"].get("ivf_nlist", 0)) * dim * 4
     return int(vec_bytes + graph_bytes)
@@ -275,7 +278,7 @@ def _memory_bytes(m: dict) -> int:
 _LIST_SCHEMA = "name string, engine string, table_name string"
 _INFO_SCHEMA = (
     "name string, engine string, table_name string, num_vectors long, "
-    "num_deleted long, memory_bytes long, quantized boolean"
+    "num_deleted long, memory_bytes long, quantized boolean, layout string"
 )
 
 
@@ -287,7 +290,10 @@ def ann_list(spark: SparkSession, catalog: Optional[Catalog] = None) -> DataFram
 
 
 def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> DataFrame:
-    """`ann_index_info()` diagnostics (`src/ann_list.cpp:97-221`)."""
+    """`ann_index_info()` diagnostics (`src/ann_list.cpp:97-221`), plus a
+    `layout` column naming the physical structure (e.g. `hnsw-layered`,
+    `diskann-v2`, `ivf-parquet-v1`) so structural divergences from the
+    reference's backends are discoverable at runtime."""
     cat = catalog or Catalog()
     rows = [
         (
@@ -298,6 +304,7 @@ def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> Da
             m.get("num_deleted", 0),
             _memory_bytes(m),
             m.get("params", {}).get("quantization", "") == "sq8",
+            m.get("layout", ""),
         )
         for m in cat.list()
     ]

@@ -19,6 +19,15 @@ All little-endian. Optional SQ8 appendix
 The fixed-width layout means executors can `np.memmap` the vector and
 adjacency segments straight from shared storage — the Spark analog of
 the reference's mmap DiskProvider (`rust_lib/src/disk_provider.rs`).
+
+Layered-HNSW shards reuse the same body (layer-0 adjacency in the
+adjacency segment → still mmap-able, still reconstructable by
+`vectors()`), plus an HNSW appendix carrying the thin upper layers:
+
+    "HNSW" | m u32 | ef_construction u32 | entry u32 | max_level u32 |
+    n u32 | levels u8*n |
+    per layer 1..max_level:
+      count u32 | count x (label u32 | deg u32 | nbrs u32*deg)
 """
 
 from __future__ import annotations
@@ -34,16 +43,21 @@ MAGIC = b"DANN"
 VERSION = 2
 HEADER_SIZE = 32
 SQ8_MAGIC = b"SQ8\x00"
+HNSW_MAGIC = b"HNSW"
 
 _METRIC_TO_U8 = {"l2": 0, "ip": 1}
 _U8_TO_METRIC = {0: "l2", 1: "ip"}
 
 
-def write_diskann(path: str, graph: VamanaGraph,
-                  sq8: tuple | None = None) -> None:
-    """Write a VamanaGraph as a v2 `.diskann` file (+ optional SQ8 appendix
-    of (codes, mins, scales)). Written to a temp file and renamed so a
-    retried/speculative executor task can never leave a torn shard."""
+def write_diskann(path: str, graph, sq8: tuple | None = None,
+                  hnsw=None) -> None:
+    """Write a graph as a v2 `.diskann` file (+ optional SQ8 appendix of
+    (codes, mins, scales), + optional HNSW upper-layer appendix when
+    `hnsw` is the HnswGraph itself). Accepts any graph exposing the
+    VamanaGraph storage attributes (HnswGraph serializes its layer-0
+    matrix as the body's adjacency). Written to a temp file and renamed
+    so a retried/speculative executor task can never leave a torn
+    shard."""
     n, dim = graph.n, graph.dim
     eps = np.asarray(graph.entry_points, dtype="<u4")
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -62,6 +76,22 @@ def write_diskann(path: str, graph: VamanaGraph,
             f.write(np.ascontiguousarray(mins, dtype="<f4").tobytes())
             f.write(np.ascontiguousarray(scales, dtype="<f4").tobytes())
             f.write(np.ascontiguousarray(codes, dtype="u1").tobytes())
+        if hnsw is not None:
+            f.write(HNSW_MAGIC)
+            f.write(struct.pack(
+                "<IIIII", hnsw.m, hnsw.ef_construction,
+                max(hnsw.entry_point, 0), hnsw.max_level, n,
+            ))
+            f.write(np.ascontiguousarray(
+                hnsw.levels[:n], dtype="u1").tobytes())
+            for layer in range(1, hnsw.max_level + 1):
+                d = hnsw.upper[layer - 1] if layer <= len(hnsw.upper) else {}
+                items = sorted((lab, ids) for lab, ids in d.items())
+                f.write(struct.pack("<I", len(items)))
+                for lab, ids in items:
+                    ids = np.asarray(ids, dtype="<u4")
+                    f.write(struct.pack("<II", int(lab), ids.size))
+                    f.write(ids.tobytes())
     os.replace(tmp, path)
 
 
@@ -132,3 +162,47 @@ def read_sq8(path: str) -> tuple | None:
         scales = np.frombuffer(f.read(qdim * 4), dtype="<f4")
         codes = np.frombuffer(f.read(qlen), dtype="u1").reshape(-1, qdim)
     return codes, mins, scales
+
+
+def read_hnsw(path: str, mmap: bool = False):
+    """Load a shard as a layered HnswGraph, or None when the file has no
+    HNSW appendix (plain Vamana shard). The v2 body supplies vectors +
+    layer-0 adjacency (mmap-able); the appendix supplies levels and the
+    thin upper layers."""
+    from .hnsw_core import HnswGraph
+
+    h = read_header(path)
+    n, dim, deg = h["num_vectors"], h["dimension"], h["max_degree"]
+    base = HEADER_SIZE + h["num_entry_points"] * 4 + n * dim * 4 + n * deg * 4
+    with open(path, "rb") as f:
+        f.seek(base)
+        marker = f.read(4)
+        if marker == SQ8_MAGIC:  # skip a quantization appendix
+            qdim, qlen = struct.unpack("<IQ", f.read(12))
+            f.seek(qdim * 8 + qlen, 1)
+            marker = f.read(4)
+        if marker != HNSW_MAGIC:
+            return None
+        m, ef, entry, max_level, n2 = struct.unpack("<IIIII", f.read(20))
+        levels = np.frombuffer(f.read(n2), dtype=np.uint8).copy()
+        upper: list[dict] = []
+        for _layer in range(1, max_level + 1):
+            (count,) = struct.unpack("<I", f.read(4))
+            d = {}
+            for _ in range(count):
+                lab, deg_l = struct.unpack("<II", f.read(8))
+                d[int(lab)] = np.frombuffer(
+                    f.read(4 * deg_l), dtype="<u4"
+                ).astype(np.int64)
+            upper.append(d)
+
+    body = read_diskann(path, mmap=mmap)
+    g = HnswGraph(body.dim, m, ef, metric=body.metric, capacity=1)
+    g.n = body.n
+    g.vectors = body.vectors
+    g.adjacency = body.adjacency
+    g.levels = levels
+    g.upper = upper
+    g.entry_point = int(entry) if body.n else -1
+    g.max_level = int(max_level)
+    return g

@@ -1,0 +1,262 @@
+"""Layered HNSW graph (Malkov & Yashunin 2016) in numpy.
+
+Real multi-layer HNSW backing `CREATE INDEX ... USING FAISS WITH
+(type='HNSW', hnsw_m=...)` — the reference delegates to libfaiss's
+`IndexHNSWFlat(dimension, hnsw_m)` (`/root/reference/src/faiss_index.cpp:47-48`,
+param plumbing `src/include/faiss_index.hpp:37-113`); this is an
+independent re-implementation of the same published algorithm:
+
+* geometric level assignment with ``mL = 1/ln(M)`` — deterministic per
+  label via a splitmix64 mixer instead of an RNG, so rebuilds of the
+  same rows produce byte-identical graphs (required by the restart /
+  serialization round-trip tests);
+* layer 0 holds every node with degree bound ``2M`` (faiss convention),
+  upper layers hold a geometrically thinning subset with bound ``M``;
+* insert: greedy 1-NN descent from the top entry to ``level+1``, then
+  per-layer ``efConstruction`` beam search + the paper's Algorithm-4
+  neighbor-selection heuristic, bidirectional linking with overflow
+  re-selection;
+* search: greedy descent to layer 1, beam search with
+  ``ef = max(k, efSearch)`` on layer 0 — `efSearch` arrives through the
+  engine's `search_complexity` plumbing, like the reference maps it.
+
+Distances use the shared `_dists` kernel from `vamana_core`, so HNSW
+ranks candidates bitwise-identically to every other engine path.
+"""
+
+from __future__ import annotations
+
+import bisect
+import heapq
+import math
+
+import numpy as np
+
+from .vamana_core import NO_EDGE, _dist, _dists
+
+_M64 = (1 << 64) - 1
+
+
+def _level_for(label: int, ml: float) -> int:
+    """Deterministic geometric level: splitmix64(label) → U(0,1] →
+    floor(-ln(u) * mL). An RNG would make the graph depend on build
+    order/restarts; a mixed hash of the label keeps it a pure function
+    of the row set."""
+    z = (label + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    z ^= z >> 31
+    u = (z + 1) / 2.0**64  # (0, 1]
+    return int(-math.log(u) * ml)
+
+
+class HnswGraph:
+    """In-memory layered HNSW over float32 vectors.
+
+    Layer 0 adjacency lives in a dense (n, 2M) u32 matrix (the same
+    shape `.diskann` serializes, so the on-disk body stays mmap-able);
+    upper layers are {label: np.ndarray} dicts, one per layer."""
+
+    def __init__(self, dim: int, m: int = 32, ef_construction: int = 64,
+                 metric: str = "l2", capacity: int = 1024):
+        self.dim = dim
+        self.m = int(m)
+        self.m0 = 2 * self.m
+        self.ef_construction = int(ef_construction)
+        self.metric = metric
+        self.ml = 1.0 / math.log(self.m) if self.m > 1 else 1.0
+        self.n = 0
+        self.vectors = np.zeros((capacity, dim), dtype=np.float32)
+        self.adjacency = np.full((capacity, self.m0), NO_EDGE, dtype=np.uint32)
+        self.levels = np.zeros(capacity, dtype=np.uint8)
+        self.upper: list[dict[int, np.ndarray]] = []  # upper[l-1][label]
+        self.entry_point = -1
+        self.max_level = 0
+
+    # engine-facing parity with VamanaGraph -----------------------------
+    @property
+    def entry_points(self) -> list[int]:
+        return [self.entry_point] if self.entry_point >= 0 else []
+
+    @property
+    def max_degree(self) -> int:  # serialized body degree = layer 0
+        return self.m0
+
+    @property
+    def build_complexity(self) -> int:
+        return self.ef_construction
+
+    # -- storage --------------------------------------------------------
+    def _grow(self, need: int) -> None:
+        cap = self.vectors.shape[0]
+        if need <= cap:
+            return
+        new_cap = max(need, cap * 2)
+        self.vectors = np.vstack(
+            [self.vectors, np.zeros((new_cap - cap, self.dim), dtype=np.float32)]
+        )
+        self.adjacency = np.vstack(
+            [self.adjacency,
+             np.full((new_cap - cap, self.m0), NO_EDGE, dtype=np.uint32)]
+        )
+        self.levels = np.concatenate(
+            [self.levels, np.zeros(new_cap - cap, dtype=np.uint8)]
+        )
+
+    def _neighbors(self, i: int, layer: int) -> list[int]:
+        if layer == 0:
+            adj = self.adjacency[i]
+            return adj[adj != NO_EDGE].tolist()
+        if layer > len(self.upper):  # node assigned here, no links yet
+            return []
+        arr = self.upper[layer - 1].get(i)
+        return [] if arr is None else arr.tolist()
+
+    def _set_neighbors(self, i: int, layer: int, ids: list[int]) -> None:
+        if layer == 0:
+            row = np.full(self.m0, NO_EDGE, dtype=np.uint32)
+            ids = ids[: self.m0]
+            row[: len(ids)] = np.asarray(ids, dtype=np.uint32)
+            self.adjacency[i] = row
+        else:
+            while len(self.upper) < layer:
+                self.upper.append({})
+            self.upper[layer - 1][i] = np.asarray(ids[: self.m], dtype=np.int64)
+
+    # -- search ---------------------------------------------------------
+    def _search_layer(self, q: np.ndarray, entries: list[tuple[float, int]],
+                      ef: int, layer: int) -> list[tuple[float, int]]:
+        """Beam search on one layer → ascending (dist, label), len <= ef.
+        Neighbor distances of each hop are evaluated in ONE batched
+        kernel call (same `_dists` reduction as every other path)."""
+        visited = {i for _, i in entries}
+        cand = list(entries)
+        heapq.heapify(cand)
+        result = sorted(entries)[:ef]
+        while cand:
+            c_dist, c_id = heapq.heappop(cand)
+            if len(result) >= ef and c_dist > result[-1][0]:
+                break
+            nbrs = [nb for nb in self._neighbors(c_id, layer)
+                    if nb not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            ds = _dists(self.metric, self.vectors[np.asarray(nbrs)], q)
+            for nb, d in zip(nbrs, ds.tolist()):
+                if len(result) < ef or d < result[-1][0]:
+                    bisect.insort(result, (d, nb))
+                    if len(result) > ef:
+                        result.pop()
+                    heapq.heappush(cand, (d, nb))
+        return result
+
+    def _select(self, cands: list[tuple[float, int]], mm: int) -> list[int]:
+        """Algorithm 4 neighbor selection: scan candidates by ascending
+        distance, keep e only when it is closer to q than to every
+        already-kept neighbor (diversity pruning). Ties are broken by
+        the (dist, id) candidate order, keeping selection deterministic."""
+        kept: list[int] = []
+        for d, e in cands:
+            if len(kept) >= mm:
+                break
+            ve = self.vectors[e]
+            ok = True
+            for s in kept:
+                if _dist(self.metric, ve, self.vectors[s]) < d:
+                    ok = False
+                    break
+            if ok:
+                kept.append(e)
+        if not kept:  # degenerate pool (all occluded): keep the nearest
+            kept = [e for _, e in cands[:1]]
+        return kept
+
+    # -- insert ---------------------------------------------------------
+    def insert(self, vector) -> int:
+        v = np.asarray(vector, dtype=np.float32)
+        label = self.n
+        self._grow(label + 1)
+        self.vectors[label] = v
+        self.n += 1
+        lvl = _level_for(label, self.ml)
+        self.levels[label] = min(lvl, 255)
+
+        if label == 0:
+            self.entry_point = 0
+            self.max_level = lvl
+            return 0
+
+        ep = [(_dist(self.metric, v, self.vectors[self.entry_point]),
+               self.entry_point)]
+        for lc in range(self.max_level, lvl, -1):
+            ep = self._search_layer(v, ep, 1, lc)
+        for lc in range(min(lvl, self.max_level), -1, -1):
+            w = self._search_layer(v, ep, self.ef_construction, lc)
+            mm = self.m0 if lc == 0 else self.m
+            nbrs = self._select(w, mm)
+            self._set_neighbors(label, lc, nbrs)
+            for nb in nbrs:
+                cur = self._neighbors(nb, lc)
+                if label in cur:
+                    continue
+                if len(cur) < mm:
+                    self._set_neighbors(nb, lc, cur + [label])
+                else:
+                    # overflow: re-select among current + new by distance
+                    # to nb, with the same deterministic heuristic
+                    pool_ids = cur + [label]
+                    pd = _dists(
+                        self.metric, self.vectors[np.asarray(pool_ids)],
+                        self.vectors[nb],
+                    )
+                    pool = sorted(zip(pd.tolist(), pool_ids))
+                    self._set_neighbors(nb, lc, self._select(pool, mm))
+            ep = w
+        if lvl > self.max_level:
+            self.max_level = lvl
+            self.entry_point = label
+        return label
+
+    # -- queries --------------------------------------------------------
+    def search(self, query, k: int, search_complexity: int | None = None,
+               return_visited: bool = False):
+        """→ list[(label, distance)], ascending (dist, id) like every
+        engine path; `search_complexity` plays efSearch."""
+        if self.n == 0 or k == 0:
+            return ([], []) if return_visited else []
+        q = np.asarray(query, dtype=np.float32)
+        k_eff = min(k, self.n)
+        ef = max(k_eff, search_complexity or self.ef_construction)
+        ep = [(_dist(self.metric, q, self.vectors[self.entry_point]),
+               self.entry_point)]
+        for lc in range(self.max_level, 0, -1):
+            ep = self._search_layer(q, ep, 1, lc)
+        res = self._search_layer(q, ep, ef, 0)
+        # deterministic (dist, id) order for equal distances
+        res = sorted((d, i) for d, i in res)[:k_eff]
+        hits = [(i, d) for d, i in res]
+        if return_visited:
+            return hits, sorted({i for _, i in res})
+        return hits
+
+    def search_batch(self, queries, k: int,
+                     search_complexity: int | None = None):
+        """Per-query loop (HNSW descent is inherently sequential per
+        query); the engine's distributed path batches across partitions
+        instead."""
+        qm = np.asarray(queries, dtype=np.float32)
+        return [self.search(qm[i], k, search_complexity)
+                for i in range(qm.shape[0])]
+
+
+def build_hnsw(vectors: np.ndarray, m: int = 32, ef_construction: int = 64,
+               metric: str = "l2") -> HnswGraph:
+    """Sequential build by repeated insert — the reference shape
+    (faiss `IndexHNSWFlat::add`, single graph)."""
+    vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+    g = HnswGraph(vectors.shape[1] if vectors.size else 0, m, ef_construction,
+                  metric, capacity=max(len(vectors), 16))
+    for v in vectors:
+        g.insert(v)
+    return g

@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from ..local import local_df
 from .engines import register_engine
 from ..functions.distance import np_stack_vectors
-from .file_format import read_diskann, read_sq8, write_diskann
+from .file_format import read_diskann, read_hnsw, read_sq8, write_diskann
+from .hnsw_core import build_hnsw
 from .vamana_core import VamanaGraph, build_graph, sq8_dequantize, sq8_quantize
 
 GRAPH_DIR = "graph"
@@ -63,15 +64,20 @@ def _read_labels(spark: SparkSession, artifact_dir: str) -> pd.DataFrame:
         return spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}").toPandas()
 
 
-def _load_shard(path: str) -> VamanaGraph:
+def _load_shard(path: str):
     key = (path, os.path.getmtime(path))
     g = _GRAPH_CACHE.get(key)
     if g is None:
-        g = read_diskann(path, mmap=True)
-        sq8 = read_sq8(path)
-        if sq8 is not None:
-            # search over dequantized codes, like the reference's SQ8 provider
-            g.vectors = sq8_dequantize(*sq8)
+        # a shard with an HNSW appendix loads as a layered HnswGraph
+        # (same search interface); plain shards load as VamanaGraph
+        g = read_hnsw(path, mmap=True)
+        if g is None:
+            g = read_diskann(path, mmap=True)
+            sq8 = read_sq8(path)
+            if sq8 is not None:
+                # search over dequantized codes, like the reference's
+                # SQ8 provider
+                g.vectors = sq8_dequantize(*sq8)
         _GRAPH_CACHE[key] = g
     return g
 
@@ -375,39 +381,75 @@ class VamanaEngine:
         )
 
 
-class HnswLikeEngine(VamanaEngine):
-    """`CREATE INDEX ... USING FAISS WITH (type='HNSW', hnsw_m=...)`.
+class HnswEngine(VamanaEngine):
+    """`CREATE INDEX ... USING FAISS WITH (type='HNSW', hnsw_m=...)`:
+    REAL layered HNSW (`hnsw_core.HnswGraph`), matching the reference's
+    `faiss::IndexHNSWFlat(dimension, hnsw_m)` structure
+    (`src/faiss_index.cpp:47-48`, params `src/include/faiss_index.hpp:37-113`):
+    geometric layer assignment, per-layer beam search + Algorithm-4
+    neighbor selection, efSearch via `search_complexity`.
 
-    Documented divergence: the reference delegates to libfaiss's HNSW;
-    we back the same surface with the Vamana graph machinery (both are
-    graph-ANN with a degree bound and greedy best-first search —
-    `hnsw_m` maps to max_degree, efSearch to search_complexity).
-    Correctness is gated the same way as the reference gates HNSW: recall
-    floors vs brute force, param plumbing, lifecycle tests."""
+    Single graph like the reference (faiss builds one HNSW per index);
+    the shard file reuses the `.diskann` v2 body (layer-0 adjacency →
+    mmap-able, `vectors()` reconstruction works unchanged) plus an
+    upper-layer appendix. Search/distribution plumbing is inherited —
+    `_load_shard` returns an HnswGraph whenever the appendix is present.
+    Correctness is gated the way the reference gates HNSW: recall floors
+    vs brute force, exact degeneracy at efSearch >= n, param plumbing,
+    lifecycle/restart tests."""
 
     name = "hnsw"
 
-    class _P:
-        def __init__(self, fp):
-            self.metric = fp.metric
-            self.max_degree = int(fp.hnsw_m)
-            self.build_complexity = max(2 * int(fp.hnsw_m), 40)
-            self.alpha = 1.0  # plain greedy pruning, HNSW-style
-            self.quantize_sq8 = False
-            self.shards = 1
+    @staticmethod
+    def _ef_construction(params) -> int:
+        return max(2 * int(params.hnsw_m), 40)
 
     def build(self, spark, df, id_col, vec_col, artifact_dir, params, dim):
-        out = super().build(
-            spark, df, id_col, vec_col, artifact_dir, self._P(params), dim
+        os.makedirs(f"{artifact_dir}/{GRAPH_DIR}", exist_ok=True)
+        pdf = df.select(id_col, vec_col).orderBy(id_col).toPandas()
+        vecs = (
+            np_stack_vectors(pdf[vec_col]) if len(pdf)
+            else np.zeros((0, dim), dtype=np.float32)
         )
-        out["layout"] = "hnsw-as-vamana-graph"
-        return out
+        g = build_hnsw(
+            vecs, m=int(params.hnsw_m),
+            ef_construction=self._ef_construction(params),
+            metric=params.metric,
+        )
+        write_diskann(
+            f"{artifact_dir}/{GRAPH_DIR}/shard_0.diskann", g, None, hnsw=g
+        )
+        labels = pd.DataFrame(
+            {
+                "shard": np.int32(0),
+                "label": np.arange(len(pdf), dtype=np.int64),
+                "id": pdf[id_col].to_numpy()
+                if len(pdf) else np.array([], dtype=np.int64),
+            }
+        )
+        spark.createDataFrame(
+            labels, schema="shard int, label long, id long"
+        ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
+        return {"layout": "hnsw-layered", "shards": 1}
 
     def append(self, spark, manifest, artifact_dir, df_new, params):
-        return super().append(
-            spark, manifest, artifact_dir, df_new, self._P(params)
-        )
+        id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+        pdf = df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
+        if not len(pdf):
+            return {}
+        vecs = np_stack_vectors(pdf[vec_col])
+        shard_id, path = self._shard_files(artifact_dir)[0]
+        g = read_hnsw(path, mmap=False)
+        labels = []
+        for rid, vec in zip(pdf[id_col], vecs):
+            label = g.insert(vec)
+            labels.append((shard_id, label, int(rid)))
+        write_diskann(path, g, None, hnsw=g)
+        local_df(
+            spark, labels, "shard int, label long, id long"
+        ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
+        return {"shards": 1}
 
 
 register_engine("diskann", "vamana", VamanaEngine())
-register_engine("faiss", "hnsw", HnswLikeEngine())
+register_engine("faiss", "hnsw", HnswEngine())

@@ -295,7 +295,16 @@ class VamanaGraph:
         # factor like the reference, not collapse to fmax.
         ratio = np.full((m, m), fmax, dtype=np.float32)
         np.divide(dists[None, :], pair, out=ratio, where=pair != 0)
-        occlude = np.zeros(m, dtype=np.float32)
+        # The choose loop runs over PYTHON floats: `tolist()` converts the
+        # f32 ratio entries exactly (every float32 is representable in
+        # f64), and the loop only compares/selects — no arithmetic — so
+        # decisions are bitwise-identical to the earlier numpy version
+        # while dodging ~degree slice-kernel dispatches per call. This is
+        # the hottest scalar loop in the build (called ~15x per insert:
+        # once for the visited pool, once per overflowing back-edge).
+        # Rows convert lazily: only chosen rows (<= degree of m) are read.
+        fmax_f = float(fmax)
+        occlude = [0.0] * m
         chosen: list[int] = []  # positions into ids
         cur_alpha = 1.0
         inc = min(self.alpha, 1.2)
@@ -309,11 +318,12 @@ class VamanaGraph:
                 # (equivalent to the reference's lazy `last_checked` resume:
                 # only chosen-j with pool position < k ever occlude k, and the
                 # factor is a running max over all of them).
-                occlude[i] = fmax
+                occlude[i] = fmax_f
                 chosen.append(i)
-                if i + 1 < m:
-                    np.maximum(occlude[i + 1 :], ratio[i, i + 1 :],
-                               out=occlude[i + 1 :])
+                ri = ratio[i].tolist()
+                for j in range(i + 1, m):
+                    if ri[j] > occlude[j]:
+                        occlude[j] = ri[j]
             if cur_alpha == self.alpha:
                 break
             cur_alpha = min(cur_alpha * inc, self.alpha)

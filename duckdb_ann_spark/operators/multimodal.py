@@ -188,6 +188,8 @@ def extract_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
         "features array<float>"
     )
 
+    import math
+
     def run(batches):
         for pdf in batches:
             if not len(pdf):
@@ -196,14 +198,24 @@ def extract_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             for rid, blob in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(blob) if blob is not None else b""
                 arr = np.frombuffer(b, dtype=np.uint8)
+                n = arr.size
+                # mean/std from EXACT integer sums (byte values are small,
+                # so sum and sum-of-squares are exact in int64 and in f64),
+                # evaluated with one fixed f64 expression tree:
+                #   mean = sm/n;  std = sqrt(max(sq/n - mean*mean, 0))
+                # Every op is a correctly-rounded IEEE primitive, so an
+                # SQL oracle evaluating the same tree over the same sums
+                # is bit-identical. np.std's centered pairwise
+                # accumulation differs in last-ulp and has no SQL twin.
+                if n:
+                    sm = int(arr.sum(dtype=np.int64))
+                    sq = int((arr.astype(np.int64) ** 2).sum())
+                    mean = sm / n
+                    std = math.sqrt(max(sq / n - mean * mean, 0.0))
+                else:
+                    mean = std = 0.0
                 out.append(
-                    (
-                        rid,
-                        len(b),
-                        float(arr.mean()) if arr.size else 0.0,
-                        float(arr.std()) if arr.size else 0.0,
-                        [float(x) for x in _fake_decode(b)],
-                    )
+                    (rid, n, mean, std, [float(x) for x in _fake_decode(b)])
                 )
             yield pd.DataFrame(
                 out, columns=[id_col, "n_bytes", "byte_mean", "byte_std", "features"]

@@ -57,6 +57,7 @@ def vector_distances(
     query: Sequence[float],
     metric: str = "l2",
     distance_col: str = DISTANCE_COL,
+    strict: bool = True,
 ) -> DataFrame:
     """All input columns + `_distance` of `query` vs every row.
 
@@ -65,9 +66,19 @@ def vector_distances(
     distance is a native column expression so it stays inside whole-stage
     codegen (the reference's GPU batch path maps to JVM codegen here).
 
-    Documented divergence: the reference zero-fills dimension-mismatched
-    rows and returns a finite distance (`ann_search.cpp` VectorDistancesInOut);
-    here `zip_with` padding propagates NULL into `_distance`, which sorts
-    last (never nearest). Validate dimensions at ingest if parity matters.
-    """
-    return df.withColumn(distance_col, index_distance(metric, vec_col, query))
+    Dimension mismatches: with ``strict=True`` (default) `zip_with`
+    padding propagates NULL into `_distance`, which sorts last (never
+    nearest) — the safe choice when a mismatch means bad data. With
+    ``strict=False`` every row is zero-padded / truncated to the query's
+    dimension and gets a FINITE distance over that buffer, matching the
+    reference's `VectorDistancesInOut` behavior
+    (`src/ann_search.cpp:697-732`)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if not strict:
+        qdim = len(list(query))
+        v = vec.cast("array<double>")
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(qdim)),
+            lambda i: F.coalesce(F.try_element_at(v, i), F.lit(0.0)),
+        )
+    return df.withColumn(distance_col, index_distance(metric, vec, query))

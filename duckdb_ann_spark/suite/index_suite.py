@@ -386,10 +386,16 @@ def q_diskann_streaming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT * FROM (VALUES
         ('suite_lia', 'FAISS', 'embeddings',
-         CAST(500 AS BIGINT), CAST(2 AS BIGINT), CAST(128000 AS BIGINT), false),
+         CAST(500 AS BIGINT), CAST(2 AS BIGINT), CAST(128000 AS BIGINT),
+         false, 'flat-parquet-v1'),
         ('suite_lib', 'FAISS', 'embeddings',
-         CAST(500 AS BIGINT), CAST(0 AS BIGINT), CAST(128000 AS BIGINT), false)
-    ) AS t(name, engine, table_name, num_vectors, num_deleted, memory_bytes, quantized)
+         CAST(500 AS BIGINT), CAST(0 AS BIGINT), CAST(128000 AS BIGINT),
+         false, 'flat-parquet-v1'),
+        ('suite_lih', 'FAISS', 'embeddings',
+         CAST(500 AS BIGINT), CAST(0 AS BIGINT), CAST(192000 AS BIGINT),
+         false, 'hnsw-layered')
+    ) AS t(name, engine, table_name, num_vectors, num_deleted, memory_bytes,
+           quantized, layout)
     ORDER BY name
     """,
 )
@@ -397,14 +403,19 @@ def q_ann_list_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`ann_list()` + `ann_index_info()` in one entry (consolidated round
     3 — the info columns are a superset of the list columns). Both table
     functions run: the entry asserts `ann_list`'s projection agrees with
-    the manifests, then returns the info rows (`src/ann_list.cpp:21-221`).
-    """
+    the manifests, then returns the info rows (`src/ann_list.cpp:21-221`),
+    including the hash-checked `layout` diagnostic (the HNSW index must
+    report the layered structure, not a flat-graph stand-in)."""
     cat = _cat()
-    for n in ("suite_lia", "suite_lib"):
+    for n, opts in (
+        ("suite_lia", {}),
+        ("suite_lib", {}),
+        ("suite_lih", {"type": "HNSW", "hnsw_m": 16}),
+    ):
         drop_index(n, cat)
         create_index(
             _emb(spark, sf_dir), "vec_id", "embedding", n,
-            engine="faiss", table_name="embeddings", catalog=cat,
+            engine="faiss", table_name="embeddings", catalog=cat, **opts,
         )
     delete_from_index(spark, "suite_lia", [1, 2], catalog=cat)
     listed = {
@@ -416,6 +427,7 @@ def q_ann_list_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert listed == {
         ("suite_lia", "FAISS", "embeddings"),
         ("suite_lib", "FAISS", "embeddings"),
+        ("suite_lih", "FAISS", "embeddings"),
     }, listed
     return (
         ann_index_info(spark, cat)
@@ -494,11 +506,13 @@ def q_ann_merge_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_faiss_hnsw_scan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW surface (`CREATE INDEX ... USING FAISS WITH (type='HNSW',
-    hnsw_m=...)`), backed by the Vamana graph machinery (documented
-    divergence — both are degree-bounded greedy graph ANN), degenerated
-    to exact with efSearch (search_complexity) >= n so the driver can
-    hash-compare against brute force. Approximate recall and param
-    plumbing are pinned in tests/test_persist_edge.py."""
+    hnsw_m=...)`), backed by REAL layered HNSW (`index/hnsw_core.py`:
+    geometric level assignment, per-layer beam search, Algorithm-4
+    selection — the reference's `faiss::IndexHNSWFlat` structure),
+    degenerated to exact with efSearch (search_complexity) >= n so the
+    driver can hash-compare against brute force. Approximate recall,
+    layering, and param plumbing are pinned in tests/test_hnsw.py and
+    tests/test_persist_edge.py."""
     cat = _cat()
     drop_index("suite_hnsw", cat)
     create_index(

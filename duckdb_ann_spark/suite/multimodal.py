@@ -36,12 +36,49 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_stats(_blobs(spark, sf_dir), "doc_id", "blob")
 
 
-@register("multimodal_features")  # mapInPandas + stubbed decoder: rows-only
+_FEATURE_BINS = ",\n           ".join(
+    f"CAST(sum(CASE WHEN byte // 32 = {i} THEN 1 ELSE 0 END) AS DOUBLE) AS h{i}"
+    for i in range(8)
+)
+_FEATURE_COLS = ", ".join(
+    f"CAST(h{i} / n_bytes AS FLOAT) AS f{i}" for i in range(8)
+)
+
+_FEATURES_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id, strlen(text) AS n,
+               ord(substring(text, CAST(j + 1 AS INT), 1)) AS byte
+        FROM documents, unnest(range(strlen(text))) AS t(j)
+    ),
+    s AS (
+        SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_bytes,
+           CAST(sum(byte) AS DOUBLE) AS sm,
+           CAST(sum(byte * byte) AS DOUBLE) AS sq,
+           {_FEATURE_BINS}
+        FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n_bytes,
+           sm / n_bytes AS byte_mean,
+           sqrt(greatest(sq / n_bytes - (sm / n_bytes) * (sm / n_bytes), 0.0))
+               AS byte_std,
+           {_FEATURE_COLS}
+    FROM s
+    """
+
+
+@register("multimodal_features", _FEATURES_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over blobs (deterministic byte
     histogram standing in for a real image/audio decoder — see
     operators/multimodal.py). The feature vector is flattened to scalar
-    columns for the driver's row hashing."""
+    columns for the driver's row hashing.
+
+    Oracle parity: the testdata text is pure ASCII (strlen == byte
+    length, ord == byte value), so the per-byte unnest reproduces the
+    blob bytes exactly, and mean/std/histogram all derive from exact
+    integer sums through the same f64 expression tree the operator
+    evaluates (see extract_features) — bit-identical, hash-checkable."""
     res = extract_features(_blobs(spark, sf_dir), "doc_id", "blob")
     return res.select(
         "doc_id", "n_bytes", "byte_mean", "byte_std",

@@ -92,3 +92,25 @@ def test_np_twin_matches_column_exprs(vectors3):
     assert d.tolist() == pytest.approx([0.0, 2.0, 2.0, 0.5, 1.5])
     dip = np_index_distances("ip", mat, q)[0]
     assert dip.tolist() == pytest.approx([-1.0, 0.0, 0.0, -0.5, 0.0])
+
+
+def test_vector_distances_strict_vs_zero_fill(spark):
+    """Dimension mismatch: strict propagates NULL (sorts last); the
+    strict=False path zero-pads/truncates to the query dim and returns a
+    finite distance like the reference's VectorDistancesInOut
+    (src/ann_search.cpp:697-732)."""
+    from duckdb_ann_spark.operators.topk import vector_distances
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0, 9.0])],
+        "id long, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0]
+    strict = {r.id: r._distance for r in vector_distances(df, "embedding", q).collect()}
+    assert strict[0] == 0.0 and strict[1] is None and strict[2] is None
+    loose = {
+        r.id: r._distance
+        for r in vector_distances(df, "embedding", q, strict=False).collect()
+    }
+    # short row zero-padded to [1,0,0] -> 0.0; long row truncated -> 0.0
+    assert loose == {0: 0.0, 1: 0.0, 2: 0.0}

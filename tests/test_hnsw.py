@@ -1,0 +1,123 @@
+"""Layered HNSW core: structure, recall, determinism, serialization.
+
+Gated the way the reference gates its faiss HNSW (recall floors, param
+plumbing, lifecycle) plus structural checks that this is genuinely the
+layered algorithm, not a flat graph under HNSW names."""
+
+import numpy as np
+import pytest
+
+from duckdb_ann_spark.index.file_format import read_hnsw, write_diskann
+from duckdb_ann_spark.index.hnsw_core import HnswGraph, _level_for, build_hnsw
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.default_rng(7)
+    return rng.random((600, 32), dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def graph(vecs):
+    return build_hnsw(vecs, m=16, ef_construction=40, metric="l2")
+
+
+def _brute(vecs, q, k):
+    d = ((vecs - q) ** 2).sum(axis=1)
+    return [int(i) for i in np.lexsort((np.arange(len(vecs)), d))[:k]]
+
+
+def test_levels_are_geometric(graph):
+    """A real HNSW has a thinning hierarchy: most nodes only on layer 0,
+    a ~1/M fraction per extra level, and at least one upper level for
+    600 nodes at M=16."""
+    lv = graph.levels[: graph.n]
+    assert graph.max_level >= 1
+    assert (lv == 0).sum() > 0.8 * graph.n  # overwhelmingly layer-0-only
+    assert (lv >= 1).sum() >= 1
+    # the entry point is a top-level node
+    assert lv[graph.entry_point] == graph.max_level
+    # upper-layer adjacency exists exactly for the nodes assigned there
+    assert set(graph.upper[0].keys()) == {int(i) for i in np.where(lv >= 1)[0]}
+
+
+def test_level_assignment_deterministic():
+    ml = 1.0 / np.log(16)
+    a = [_level_for(i, ml) for i in range(1000)]
+    b = [_level_for(i, ml) for i in range(1000)]
+    assert a == b
+    # expected geometric decay: fraction at level>=1 near 1/16
+    frac = sum(1 for x in a if x >= 1) / 1000
+    assert 0.02 < frac < 0.15
+
+
+def test_degree_bounds(graph):
+    assert (
+        (graph.adjacency[: graph.n] != np.uint32(0xFFFFFFFF)).sum(axis=1)
+        <= graph.m0
+    ).all()
+    for layer in graph.upper:
+        for ids in layer.values():
+            assert len(ids) <= graph.m
+
+
+def test_recall_floor(vecs, graph):
+    """>= 0.9 recall@10 at efSearch=80 on 600 uniform vectors — well
+    above the reference's asserted 0.70 floor."""
+    rng = np.random.default_rng(11)
+    qs = rng.random((30, 32), dtype=np.float32)
+    hit = 0
+    for q in qs:
+        want = set(_brute(vecs, q, 10))
+        got = {i for i, _ in graph.search(q, 10, search_complexity=80)}
+        hit += len(got & want)
+    assert hit / (30 * 10) >= 0.9, hit / 300
+
+
+def test_exact_when_ef_covers_all(vecs, graph):
+    """efSearch >= n degenerates to exact (the driver's hash-compared
+    entry relies on this)."""
+    q = vecs[0]
+    got = [i for i, _ in graph.search(q, 10, search_complexity=graph.n)]
+    assert got == _brute(vecs, q, 10)
+
+
+def test_build_deterministic(vecs):
+    g2 = build_hnsw(vecs, m=16, ef_construction=40, metric="l2")
+    g1 = build_hnsw(vecs, m=16, ef_construction=40, metric="l2")
+    assert np.array_equal(
+        g1.adjacency[: g1.n], g2.adjacency[: g2.n]
+    )
+    assert g1.entry_point == g2.entry_point and g1.max_level == g2.max_level
+
+
+def test_serialization_roundtrip(tmp_path, vecs, graph):
+    path = str(tmp_path / "h.diskann")
+    write_diskann(path, graph, None, hnsw=graph)
+    g2 = read_hnsw(path, mmap=True)
+    assert g2 is not None
+    assert g2.n == graph.n and g2.m == graph.m
+    assert g2.entry_point == graph.entry_point
+    assert g2.max_level == graph.max_level
+    assert np.array_equal(g2.levels[: g2.n], graph.levels[: graph.n])
+    assert np.array_equal(g2.adjacency[: g2.n], graph.adjacency[: graph.n])
+    for la, lb in zip(graph.upper, g2.upper):
+        assert set(la) == set(lb)
+        for k in la:
+            assert np.array_equal(la[k], lb[k])
+    q = vecs[3]
+    assert graph.search(q, 5, 64) == g2.search(q, 5, 64)
+
+
+def test_insert_after_load(tmp_path, vecs):
+    """Append path: inserts into a reloaded graph keep searching."""
+    g = build_hnsw(vecs[:500], m=16, ef_construction=40)
+    path = str(tmp_path / "h2.diskann")
+    write_diskann(path, g, None, hnsw=g)
+    g2 = read_hnsw(path, mmap=False)
+    for v in vecs[500:]:
+        g2.insert(v)
+    assert g2.n == 600
+    q = vecs[510]
+    hits = [i for i, _ in g2.search(q, 3, search_complexity=120)]
+    assert 510 in hits

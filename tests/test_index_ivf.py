@@ -68,6 +68,53 @@ def test_partial_probe_recall_floor(spark, emb, qvec, cat):
     assert len(got & want) >= 7, (sorted(got), sorted(want))
 
 
+def test_partial_probe_exact_ids_at_fixed_seed(spark, emb, qvec, cat):
+    """The probe path is deterministic given the seeded KMeans: an
+    INDEPENDENT numpy recomputation — reassign every vector to its
+    nearest persisted centroid, pick the nprobe nearest centroids to the
+    query, brute-force top-k within those cells with the engine's
+    tie-break — must reproduce the engine's (id, distance) list exactly.
+    This is the hard gate behind the driver's rows-only
+    `ann_search_ivfflat_probe` entry (no SQL oracle can exist: the cell
+    structure lives in index state, not in the source tables)."""
+    import numpy as np
+    from duckdb_ann_spark.functions.distance import np_index_distances
+
+    create_index(
+        emb, "vec_id", "embedding", "ivf_gold", engine="faiss", type="IVFFlat",
+        ivf_nlist=8, nprobe=2, catalog=cat,
+    )
+    art = cat.path("ivf_gold")
+    cent = (
+        spark.read.parquet(f"{art}/centroids")
+        .toPandas().sort_values("__cell")
+    )
+    centroids = np.array(cent["centroid"].tolist(), dtype=np.float32)
+    vp = (
+        spark.read.parquet(f"{art}/vectors")
+        .select("vec_id", "embedding").toPandas()
+    )
+    mat = np.array(vp["embedding"].tolist(), dtype=np.float32)
+    ids = vp["vec_id"].to_numpy()
+    q = np.asarray([qvec], dtype=np.float32)
+
+    cells = np_index_distances("l2", mat, centroids).argmin(axis=0)
+    probe = np.argsort(
+        np_index_distances("l2", centroids, q)[0], kind="stable"
+    )[:2]
+    in_probe = np.isin(cells, probe)
+    cand_ids, cand = ids[in_probe], mat[in_probe]
+    d = np_index_distances("l2", cand, q)[0].astype(np.float64)
+    order = np.lexsort((cand_ids, d))[:10]
+    want = [(int(cand_ids[i]), float(d[i])) for i in order]
+
+    got = [
+        (r.vec_id, r._distance)
+        for r in index_scan(spark, "ivf_gold", [qvec], 10, catalog=cat).collect()
+    ]
+    assert got == want, (got, want)
+
+
 def test_nprobe_monotone_recall(spark, emb, qvec, cat):
     create_index(
         emb, "vec_id", "embedding", "ivf", engine="faiss", type="IVFFlat",

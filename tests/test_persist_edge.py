@@ -74,7 +74,7 @@ def test_hnsw_params_and_recall(spark, emb, qvec, tmp_path):
     m = create_index(emb, "vec_id", "embedding", "h", engine="faiss",
                      type="HNSW", hnsw_m=16, catalog=cat)
     assert m["subtype"] == "hnsw" and m["params"]["hnsw_m"] == 16
-    assert m["layout"] == "hnsw-as-vamana-graph"
+    assert m["layout"] == "hnsw-layered"
     got = {r.vec_id for r in index_scan(spark, "h", [qvec], 10, catalog=cat).collect()}
     want = {r.vec_id for r in
             topk(emb, "embedding", qvec, 10, "l2", id_col="vec_id").collect()}
