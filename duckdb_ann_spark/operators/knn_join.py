@@ -13,14 +13,21 @@ Plan (IVF-style cell co-partitioning):
    table size);
 2. one narrow pass assigns each base row to its nearest cell and each
    query row to its `nprobe` nearest cells (queries explode ×nprobe);
-3. an equi-join on `cell` produces candidate pairs — the only wide
-   exchange, sized Σ_cell |q_cell|·|b_cell|, a `nprobe/nlist` fraction
-   of the full cross product;
-4. per-pair distances (JVM fold for the bit-exact path, Arrow/numpy
-   row-kernel for the fast path) and a per-query window keep the top-k.
+3. score within cells:
+   * fast path (default): COGROUP both sides on `cell`
+     (`applyInPandas`) — the only exchange moves each base row once and
+     each query row `nprobe` times; every cell scores as ONE
+     (|q_cell|, |b_cell|) BLAS GEMM + tie-safe partial top-k. Candidate
+     pairs are never materialized as rows.
+   * exact path (`method='exact'`): equi-join on `cell` + the JVM
+     sequential-fold distance — bit-exact vs the DuckDB LATERAL oracle
+     (this is the hash-compared driver entry at `nprobe >= nlist`).
+4. a per-query window merges cell-local top-k into the global top-k.
 
 `nprobe >= nlist` degenerates to the exact k-NN join (every pair
-scored), which is what the DuckDB LATERAL oracle checks.
+scored). Cells are the unit of parallelism on the fast path — pick
+`nlist` at least the cluster parallelism so no task owns too much of
+the corpus.
 """
 
 from __future__ import annotations
@@ -33,8 +40,8 @@ from pyspark.sql import functions as F
 from ..functions.distance import (
     index_distance,
     np_index_distances,
-    np_paired_distances,
     np_stack_vectors,
+    np_topk_frame,
 )
 from ..index.ivf import _kmeans
 from ..local import local_df
@@ -127,9 +134,14 @@ def knn_join(
         queries_df.select(query_id_col, query_vec_col), query_vec_col,
         centroids, metric, nprobe, [query_id_col, query_vec_col],
     )
-    cand = q.join(b, on=CELL_COL)  # the ONLY wide exchange: equi-join on cell
 
+    out_schema = (
+        f"{query_id_col} long, {base_id_col} long, {DISTANCE_COL} double"
+    )
     if method == "exact":
+        # bit-exact JVM fold over materialized candidate pairs — the
+        # oracle path (hash-compared against DuckDB's LATERAL join)
+        cand = q.join(b, on=CELL_COL)  # ONLY wide exchange: cell equi-join
         scored = cand.withColumn(
             DISTANCE_COL,
             index_distance(
@@ -138,32 +150,36 @@ def knn_join(
             ),
         )
     else:
-        out_schema = (
-            f"{query_id_col} long, {base_id_col} long, {DISTANCE_COL} double"
+        # fast path: COGROUP both sides by cell instead of materializing
+        # candidate pairs. The exchange then carries each base row once
+        # and each query row nprobe times — never |q_cell| x |b_cell|
+        # pair rows with two vectors aboard — and each cell scores as
+        # ONE (nq, nb) GEMM + tie-safe partial top-k. Cells are the unit
+        # of parallelism: pick nlist >= cluster parallelism so no single
+        # task owns too much of the corpus.
+
+        def score_cell(qpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(qpdf) or not len(bpdf):
+                return pd.DataFrame(
+                    {query_id_col: np.array([], dtype=np.int64),
+                     base_id_col: np.array([], dtype=np.int64),
+                     DISTANCE_COL: np.array([], dtype=np.float64)}
+                )
+            qm = np_stack_vectors(qpdf[query_vec_col])
+            bm = np_stack_vectors(bpdf[base_vec_col])
+            d = np_index_distances(metric, bm, qm)  # (nq, nb)
+            kk = min(k, bm.shape[0])
+            return np_topk_frame(
+                d, bpdf[base_id_col].to_numpy(),
+                qpdf[query_id_col].to_numpy(), kk, base_id_col,
+                DISTANCE_COL, qidx_col=query_id_col, qidx_dtype=np.int64,
+            )
+
+        scored = (
+            q.groupby(CELL_COL)
+            .cogroup(b.groupby(CELL_COL))
+            .applyInPandas(score_cell, schema=out_schema)
         )
-
-        def score(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                qm = np_stack_vectors(pdf[query_vec_col])
-                bm = np_stack_vectors(pdf[base_vec_col])
-                d = np_paired_distances(metric, bm, qm)
-                out = pd.DataFrame(
-                    {
-                        query_id_col: pdf[query_id_col].to_numpy(),
-                        base_id_col: pdf[base_id_col].to_numpy(),
-                        DISTANCE_COL: d.astype(np.float64),
-                    }
-                )
-                # partial per-query top-k inside the batch
-                yield (
-                    out.sort_values([query_id_col, DISTANCE_COL, base_id_col])
-                    .groupby(query_id_col, sort=False)
-                    .head(k)
-                )
-
-        scored = cand.mapInPandas(score, schema=out_schema)
 
     w = Window.partitionBy(query_id_col).orderBy(
         F.col(DISTANCE_COL).asc_nulls_last(), F.col(base_id_col).asc()
