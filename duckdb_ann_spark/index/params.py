@@ -34,6 +34,9 @@ class DiskannParams:
     build_complexity: int = 128
     alpha: float = 1.2
     quantization: str = ""  # 'sq8' to enable
+    # entry-point strategy (start_point.rs:19-41): 'first' = FirstVector
+    # (the reference's engine default), 'medoid' = Medoid
+    start_strategy: str = "first"
     # Spark extension (not in the reference): number of independent graph
     # shards built in parallel; 1 = reference-parity sequential build,
     # 0 = AUTO (1 shard up to AUTO_SHARD_ROWS vectors — identical to the
@@ -55,6 +58,12 @@ class DiskannParams:
             raise ValueError(
                 f"Unknown quantization '{self.quantization}'. Supported: sq8"
             )
+        self.start_strategy = (self.start_strategy or "first").lower()
+        if self.start_strategy not in ("first", "medoid"):
+            raise ValueError(
+                f"Unknown start_strategy '{self.start_strategy}'. "
+                "Supported: first, medoid"
+            )
 
     @property
     def quantize_sq8(self) -> bool:
@@ -68,6 +77,7 @@ class DiskannParams:
             "alpha": self.alpha,
             "quantization": self.quantization,
             "shards": self.shards,
+            "start_strategy": self.start_strategy,
         }
 
 

@@ -116,6 +116,7 @@ class VamanaEngine:
                 build_complexity=params.build_complexity,
                 alpha=params.alpha,
                 metric=params.metric,
+                start_strategy=getattr(params, "start_strategy", "first"),
             )
             sq8 = sq8_quantize(vecs) if params.quantize_sq8 and len(vecs) else None
             write_diskann(

@@ -366,17 +366,46 @@ class VamanaGraph:
         return label
 
 
+def compute_medoid(vectors: np.ndarray, metric: str = "l2") -> int:
+    """Label of the dataset medoid: the vector nearest the centroid
+    (ties → lowest label). The reference's `StartPointStrategy::Medoid`
+    (`rust_lib/diskann-patch/src/graph/start_point.rs:33,106-108`)."""
+    v = np.asarray(vectors, dtype=np.float32)
+    if not len(v):
+        return 0
+    mean = v.mean(axis=0)
+    d = _dists("l2" if metric == "l2" else metric, v, mean)
+    return int(np.lexsort((np.arange(len(v)), d))[0])
+
+
 def build_graph(vectors: np.ndarray, max_degree: int = 64,
                 build_complexity: int = 128, alpha: float = 1.2,
-                metric: str = "l2") -> VamanaGraph:
+                metric: str = "l2",
+                start_strategy: str = "first") -> VamanaGraph:
     """Sequential build by repeated insert — the reference's CREATE INDEX
-    shape (single-threaded Finalize, `src/diskann_index.cpp:202-249`)."""
+    shape (single-threaded Finalize, `src/diskann_index.cpp:202-249`).
+
+    `start_strategy` mirrors the reference's entry-point strategies
+    (`start_point.rs:19-41`): 'first' = FirstVector (default, also the
+    engine default upstream), 'medoid' = Medoid — the medoid label is
+    computed upfront and becomes the search entry point as soon as it is
+    inserted, so later inserts and all searches descend from it."""
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     g = VamanaGraph(vectors.shape[1] if vectors.size else 0, max_degree,
                     build_complexity, alpha, metric,
                     capacity=max(len(vectors), 16))
-    for v in vectors:
+    if start_strategy not in ("first", "medoid"):
+        raise ValueError(
+            f"Unknown start_strategy '{start_strategy}'. "
+            "Supported: first, medoid"
+        )
+    medoid = (
+        compute_medoid(vectors, metric) if start_strategy == "medoid" else -1
+    )
+    for label, v in enumerate(vectors):
         g.insert(v)
+        if label == medoid:
+            g.entry_points = [medoid]
     return g
 
 

@@ -12,10 +12,19 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..oracle import sql_index_distance
 from ..sources import read_table
 from ..streaming import read_event_stream, windowed_event_counts
 from . import register
+
+
+def _stage_dir(tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), f"suite_{tag}_{os.getpid()}")
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    return d
 
 
 @register(
@@ -49,6 +58,101 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "streaming_dedup_exact",
+    """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM aug GROUP BY sha256(lower(trim(text)))
+    """,
+)
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (`dropDuplicatesWithinWatermark` on the
+    normalized-text digest): survivors of a duplicate-augmented document
+    stream. Staged as ONE file sorted by doc_id — a single source
+    partition, so per-key 'first seen' is file order and the survivor is
+    the smallest doc_id, which is exactly what the batch oracle picks."""
+    from ..streaming import stream_dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    aug = docs.unionByName(
+        docs.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    ).withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+    )
+    stage = _stage_dir("docs_dedup_stream")
+    aug.orderBy("doc_id").coalesce(1).write.parquet(stage)
+    name = f"suite_stream_dedup_{os.getpid()}"
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(stage)
+    q = (
+        stream_dedup_exact(stream, "text", "ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("doc_id")
+
+
+@register(
+    "streaming_index_append",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 450)
+    SELECT e.vec_id, {sql_index_distance('l2', 'e.embedding', 'q.qv')}
+               AS _distance
+    FROM embeddings e CROSS JOIN q
+    ORDER BY _distance, e.vec_id LIMIT 10
+    """,
+)
+def q_streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live index maintenance: a FAISS Flat index built on part of the
+    embeddings table is kept current by `stream_index_append` micro-batches
+    over the rest; the post-stream exact scan must equal brute force over
+    the WHOLE table (streamed-in rows are immediately searchable — the
+    insert-after-DML consistency the reference pins in
+    `src/diskann_index.cpp:316-361`)."""
+    from ..index import Catalog, create_index, drop_index, index_scan
+    from ..streaming import stream_index_append
+
+    cat = Catalog(os.path.join(
+        tempfile.gettempdir(), f"suite_stream_idx_{os.getpid()}"
+    ))
+    drop_index("suite_live", cat)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    create_index(
+        emb.where(F.col("vec_id") < 400), "vec_id", "embedding",
+        "suite_live", engine="faiss", catalog=cat,
+    )
+    stage = _stage_dir("vec_stream")
+    emb.where(F.col("vec_id") >= 400).write.parquet(stage)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(stage)
+    q = stream_index_append(
+        stream.select("vec_id", "embedding"), "suite_live", cat,
+        checkpoint_dir=_stage_dir("vec_stream_ckpt"),
+    )
+    q.awaitTermination(300)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 450).select("embedding").head()[0]]
+    return index_scan(spark, "suite_live", [qv], 10, catalog=cat).drop(
+        "query_idx"
+    )
 
 
 @register(

@@ -121,32 +121,28 @@ _SCALAR_ORACLE = f"""
     SELECT e.vec_id,
            {_EUCLID} AS distance,
            {_IP} AS inner_product,
-           {_COS} AS cosine_similarity
+           {_COS} AS cosine_similarity,
+           {_EUCLID} AS list_distance,
+           {_IP} AS list_inner_product,
+           {_COS} AS list_cosine_similarity
     FROM embeddings e CROSS JOIN q
 """
 
 
-@register("fn_array_distances", _SCALAR_ORACLE)
-def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`array_distance` / `array_inner_product` / `array_cosine_similarity`
-    (fixed-size-array spellings, §2.4) in one projection."""
+@register("fn_scalar_distances", _SCALAR_ORACLE)
+def q_fn_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six §2.4 scalar distance functions in ONE projection: the
+    `array_*` (fixed-size-array) and `list_*` (variable-length-list)
+    spellings are the same math over our array<float> columns, so one
+    entry hash-checks all six against one oracle (consolidated to keep
+    the registry at the driver's 50-entry recording cap)."""
     q = query_vec(spark, sf_dir)
     return emb(spark, sf_dir).select(
         "vec_id",
         D.array_distance("embedding", q).alias("distance"),
         D.array_inner_product("embedding", q).alias("inner_product"),
         D.array_cosine_similarity("embedding", q).alias("cosine_similarity"),
-    )
-
-
-@register("fn_list_distances", _SCALAR_ORACLE)
-def q_fn_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`list_distance` / `list_inner_product` / `list_cosine_similarity`
-    (variable-length-list spellings, §2.4) in one projection."""
-    q = query_vec(spark, sf_dir)
-    return emb(spark, sf_dir).select(
-        "vec_id",
-        D.list_distance("embedding", q).alias("distance"),
-        D.list_inner_product("embedding", q).alias("inner_product"),
-        D.list_cosine_similarity("embedding", q).alias("cosine_similarity"),
+        D.list_distance("embedding", q).alias("list_distance"),
+        D.list_inner_product("embedding", q).alias("list_inner_product"),
+        D.list_cosine_similarity("embedding", q).alias("list_cosine_similarity"),
     )

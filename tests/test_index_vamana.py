@@ -213,3 +213,28 @@ def test_ragged_query_batch_returns_empty(spark, emb, qvec, cat):
     )
     ragged = [qvec, qvec[: len(qvec) // 2]]
     assert index_scan(spark, "dkr", ragged, 5, catalog=cat).count() == 0
+
+
+def test_create_index_medoid_start(spark, tmp_path):
+    """start_strategy plumbs WITH-options -> params -> build; the shard
+    entry point is the medoid and search stays correct."""
+    import numpy as np
+    from duckdb_ann_spark.index import Catalog, create_index, index_scan
+    from duckdb_ann_spark.index.file_format import read_diskann
+    from duckdb_ann_spark.index.vamana_core import compute_medoid
+
+    rng = np.random.default_rng(3)
+    vecs = rng.random((120, 8)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "id long, v array<float>",
+    )
+    cat = Catalog(str(tmp_path / "idx"))
+    m = create_index(df, "id", "v", "med", engine="diskann", shards=1,
+                     max_degree=12, build_complexity=24,
+                     start_strategy="medoid", catalog=cat)
+    assert m["params"]["start_strategy"] == "medoid"
+    g = read_diskann(f"{cat.path('med')}/graph/shard_0.diskann")
+    assert g.entry_points == [compute_medoid(g.vectors[:g.n], "l2")]
+    hits = index_scan(spark, "med", [[0.5] * 8], 3, catalog=cat).collect()
+    assert len(hits) == 3

@@ -180,3 +180,32 @@ def test_sq8_roundtrip(tmp_path, vecs200):
     p2 = str(tmp_path / "nq.diskann")
     write_diskann(p2, g)
     assert read_sq8(p2) is None
+
+
+def test_medoid_start_strategy():
+    """start_strategy='medoid' (reference StartPointStrategy::Medoid,
+    start_point.rs:33,106-108): the entry point becomes the vector
+    nearest the dataset centroid; search still reaches exact results at
+    full complexity."""
+    import numpy as np
+    from duckdb_ann_spark.index.vamana_core import (
+        build_graph, compute_medoid, _dists,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.random((200, 16), dtype=np.float32)
+    want = compute_medoid(vecs, "l2")
+    d = _dists("l2", vecs, vecs.mean(axis=0))
+    assert d[want] == d.min()
+
+    g = build_graph(vecs, max_degree=16, build_complexity=32,
+                    start_strategy="medoid")
+    assert g.entry_points == [want]
+    q = vecs[7]
+    got = [i for i, _ in g.search(q, 5, search_complexity=200)]
+    brute = np.lexsort((np.arange(200), _dists("l2", vecs, q)))[:5]
+    assert got == [int(i) for i in brute]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="start_strategy"):
+        build_graph(vecs, start_strategy="random")
