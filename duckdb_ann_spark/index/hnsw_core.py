@@ -125,10 +125,13 @@ class HnswGraph:
 
     # -- search ---------------------------------------------------------
     def _search_layer(self, q: np.ndarray, entries: list[tuple[float, int]],
-                      ef: int, layer: int) -> list[tuple[float, int]]:
+                      ef: int, layer: int,
+                      visited_out: set | None = None) -> list[tuple[float, int]]:
         """Beam search on one layer → ascending (dist, label), len <= ef.
         Neighbor distances of each hop are evaluated in ONE batched
-        kernel call (same `_dists` reduction as every other path)."""
+        kernel call (same `_dists` reduction as every other path).
+        `visited_out` collects every node touched (the VamanaGraph
+        `return_visited` contract)."""
         visited = {i for _, i in entries}
         cand = list(entries)
         heapq.heapify(cand)
@@ -149,28 +152,40 @@ class HnswGraph:
                     if len(result) > ef:
                         result.pop()
                     heapq.heappush(cand, (d, nb))
+        if visited_out is not None:
+            visited_out.update(visited)
         return result
 
     def _select(self, cands: list[tuple[float, int]], mm: int) -> list[int]:
         """Algorithm 4 neighbor selection: scan candidates by ascending
         distance, keep e only when it is closer to q than to every
         already-kept neighbor (diversity pruning). Ties are broken by
-        the (dist, id) candidate order, keeping selection deterministic."""
-        kept: list[int] = []
-        for d, e in cands:
+        the (dist, id) candidate order, keeping selection deterministic.
+
+        The candidate-pool pairwise distances are computed as ONE kernel
+        upfront (same GEMM shape robust_prune uses) — per-pair scalar
+        `_dist` calls inside the keep loop dominated build time."""
+        if not cands:
+            return []
+        ids = [e for _, e in cands]
+        pool = np.ascontiguousarray(self.vectors[np.asarray(ids)])
+        if self.metric == "ip":
+            pair = -(pool @ pool.T)
+        else:
+            n2 = np.einsum("ij,ij->i", pool, pool)
+            pair = n2[:, None] + n2[None, :] - 2.0 * (pool @ pool.T)
+            np.maximum(pair, 0.0, out=pair)
+        pair_l = pair.tolist()
+        kept: list[int] = []  # positions into cands
+        for i, (d, _e) in enumerate(cands):
             if len(kept) >= mm:
                 break
-            ve = self.vectors[e]
-            ok = True
-            for s in kept:
-                if _dist(self.metric, ve, self.vectors[s]) < d:
-                    ok = False
-                    break
-            if ok:
-                kept.append(e)
+            ri = pair_l[i]
+            if all(ri[s] >= d for s in kept):
+                kept.append(i)
         if not kept:  # degenerate pool (all occluded): keep the nearest
-            kept = [e for _, e in cands[:1]]
-        return kept
+            kept = [0]
+        return [ids[i] for i in kept]
 
     # -- insert ---------------------------------------------------------
     def insert(self, vector) -> int:
@@ -228,16 +243,17 @@ class HnswGraph:
         q = np.asarray(query, dtype=np.float32)
         k_eff = min(k, self.n)
         ef = max(k_eff, search_complexity or self.ef_construction)
+        visited: set | None = set() if return_visited else None
         ep = [(_dist(self.metric, q, self.vectors[self.entry_point]),
                self.entry_point)]
         for lc in range(self.max_level, 0, -1):
-            ep = self._search_layer(q, ep, 1, lc)
-        res = self._search_layer(q, ep, ef, 0)
+            ep = self._search_layer(q, ep, 1, lc, visited_out=visited)
+        res = self._search_layer(q, ep, ef, 0, visited_out=visited)
         # deterministic (dist, id) order for equal distances
         res = sorted((d, i) for d, i in res)[:k_eff]
         hits = [(i, d) for d, i in res]
         if return_visited:
-            return hits, sorted({i for _, i in res})
+            return hits, sorted(visited)
         return hits
 
     def search_batch(self, queries, k: int,

@@ -251,6 +251,7 @@ class VamanaEngine:
                 build_complexity=params.build_complexity,
                 alpha=getattr(params, "alpha", 1.2),
                 metric=params.metric,
+                start_strategy=getattr(params, "start_strategy", "first"),
             )
             labels = [
                 (shard_id, label, int(rid))

@@ -30,6 +30,7 @@ import heapq
 import numpy as np
 
 NO_EDGE = np.uint32(0xFFFFFFFF)  # u32::MAX adjacency padding sentinel
+_NO_EDGE_INT = 0xFFFFFFFF  # python-int twin for tolist()-space filtering
 
 
 def _dists(metric: str, mat: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -112,8 +113,13 @@ class VamanaGraph:
             c_dist, c_id = heapq.heappop(candidates)
             if len(result) >= L and c_dist > result[L - 1][0]:
                 break
-            adj = self.adjacency[c_id]
-            nbrs = [nb for nb in adj[adj != NO_EDGE].tolist() if nb not in visited]
+            # tolist-then-filter: one bulk conversion beats the boolean
+            # mask + fancy index + per-element numpy scalar reads on the
+            # (hot) per-hop path
+            nbrs = [
+                nb for nb in self.adjacency[c_id].tolist()
+                if nb != _NO_EDGE_INT and nb not in visited
+            ]
             if not nbrs:
                 continue
             visited.update(nbrs)
@@ -194,10 +200,9 @@ class VamanaGraph:
                     if len(res) >= L and c_dist > res[L - 1][0]:
                         active.discard(qi)
                         break
-                    adj = self.adjacency[c_id]
                     nbrs = [
-                        int(nb) for nb in adj[adj != NO_EDGE]
-                        if nb not in visited[qi]
+                        nb for nb in self.adjacency[c_id].tolist()
+                        if nb != _NO_EDGE_INT and nb not in visited[qi]
                     ]
                     if nbrs:
                         break
@@ -374,7 +379,10 @@ def compute_medoid(vectors: np.ndarray, metric: str = "l2") -> int:
     if not len(v):
         return 0
     mean = v.mean(axis=0)
-    d = _dists("l2" if metric == "l2" else metric, v, mean)
+    # geometric nearest-to-centroid regardless of the index metric: under
+    # 'ip' the argmin of -dot would pick the longest vector, not the
+    # medoid (the metric arg is kept for future metric-aware strategies)
+    d = _dists("l2", v, mean)
     return int(np.lexsort((np.arange(len(v)), d))[0])
 
 

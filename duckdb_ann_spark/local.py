@@ -49,10 +49,20 @@ def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
     lever is an explicit round-robin exchange. On a healthy input (many
     files / row groups — any real cluster read) this is a no-op, so the
     shuffle exists exactly where it buys full-width parallelism and
-    nowhere at 100 TB."""
-    sc = df.sparkSession.sparkContext
-    target = int(target or sc.defaultParallelism)
-    if df.rdd.getNumPartitions() < target:
+    nowhere at 100 TB.
+
+    The probe compiles the physical plan once (`df.rdd`); callers that
+    already widened should not re-probe (see prepare_corpus, which
+    passes widen=False into the LSH stage). On runtimes without
+    DataFrame.rdd (Spark Connect) the probe is skipped and the input
+    passes through unchanged."""
+    try:
+        sc = df.sparkSession.sparkContext
+        target = int(target or sc.defaultParallelism)
+        n_part = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n_part < target:
         return df.repartition(target)
     return df
 

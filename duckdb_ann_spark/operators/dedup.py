@@ -153,14 +153,18 @@ def minhash_candidate_pairs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     shingle_words: int = SHINGLE_WORDS,
+    widen: bool = True,
 ) -> DataFrame:
     """→ (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band bucket
-    (id_a < id_b). est_jaccard = matching signature fraction."""
+    (id_a < id_b). est_jaccard = matching signature fraction.
+    ``widen=False`` skips the narrow-input probe when the caller already
+    guaranteed a wide input (avoids a redundant plan compile)."""
     r = n_hashes // n_bands
     # signatures are the heavy per-row expression chain (tokenize →
     # shingle → hash); don't let a single-file input serialize them
     sigs = minhash_signatures(
-        widen_if_narrow(df), id_col, text_col, n_hashes, shingle_words
+        widen_if_narrow(df) if widen else df,
+        id_col, text_col, n_hashes, shingle_words,
     )
     # the signature table is consumed FOUR times (two band-join branches +
     # two est-jaccard joins): persist it so the tokenize→shingle→minhash
@@ -377,9 +381,21 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # vectors join back for the candidate slice only (mirrors
-    # minhash_candidate_pairs' signature join-back)
-    vecs = df.select(F.col(id_col), F.col(vec_col)).persist()
+    # vectors join back for the CANDIDATE slice only (mirrors
+    # ngram_jaccard_pairs' shingle slice): leftsemi down to ids that
+    # appear in a pair before persisting, so the cached/joined vector
+    # payload is bounded by the LSH band structure, not the corpus
+    pairs = pairs.persist()
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    vecs = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(pair_ids, on=id_col, how="leftsemi")
+        .persist()
+    )
     pairs = (
         pairs.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),

@@ -55,7 +55,9 @@ def prepare_corpus(
     near_dup_threshold: float = 0.5,
 ) -> DataFrame:
     """→ the cleaned corpus: (id, text, n_chars, n_tokens, quality_score,
-    lang_pred), ascending id.
+    lang_pred). Row order is NOT guaranteed (no global sort: at corpus
+    scale an output ORDER BY is a full range-shuffle that downstream
+    writers immediately destroy; sort explicitly if you need one).
 
     Annotate → language/quality filter → exact dedup (min-id per
     fingerprint) → MinHash-LSH near-dedup (drop the larger id of each
@@ -107,14 +109,15 @@ def prepare_corpus(
     # re-deriving it per consumer would re-read the raw corpus each time.
     uniq = uniq.persist()
 
+    # uniq sits downstream of the dedup agg's exchange, so it is already
+    # wide — widen=False skips a redundant plan-compile probe
     pairs = ngram_jaccard_pairs(
         uniq.select(id_col, text_col), id_col, text_col,
-        threshold=near_dup_threshold,
+        threshold=near_dup_threshold, widen=False,
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (
         uniq.join(drops, on=id_col, how="anti")
         .select(id_col, text_col, "n_chars", "n_tokens", "quality_score",
                 "lang_pred")
-        .orderBy(F.col(id_col).asc())
     )

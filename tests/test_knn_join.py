@@ -70,6 +70,23 @@ def test_no_cartesian_product(spark, emb):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_blas_path_cogroups_never_materializes_pairs(spark, emb):
+    """The fast path must be the cell COGROUP shape: one exchange per
+    side keyed on cell + FlatMapCoGroupsInPandas, no join operator, and
+    exactly three exchanges total (q cells, b cells, final window merge)
+    — a pair-materializing join would put |q_cell| x |b_cell| vector
+    rows on the wire."""
+    queries = emb.where(F.col("vec_id") < 10)
+    df = knn_join(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=2, nlist=8, nprobe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 3, plan
+
+
 def test_exact_method_matches_blas_ids(spark, emb):
     queries = emb.where(F.col("vec_id") < 10)
     a = knn_join(

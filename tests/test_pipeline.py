@@ -31,7 +31,7 @@ def test_prepare_corpus_stages(spark, corpus):
         corpus, "doc_id", "text", langs=("en",), min_quality=0.0,
         near_dup_threshold=0.5,
     ).collect()
-    ids = [r["doc_id"] for r in out]
+    ids = sorted(r["doc_id"] for r in out)
     # 1 and 4 fall to exact dedup (same normalized fingerprint as 0),
     # 3 to the language filter, 5 to near-dedup (larger id of the pair)
     assert ids == [0, 2], ids
