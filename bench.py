@@ -5,6 +5,10 @@ Workloads:
   (`/root/reference/bench/metal_diskann_bench.sql:7-39`): 10k synthetic
   vectors, 50 queries x k=10 top-k-per-query, via the BLAS batch engine
   (mapInPandas partial top-k + window merge).
+* `ivf_*`, `vamana_*`, `hnsw_*`: index build + 50-query search + recall
+  for the three approximate engines (HNSW on a 2k slice: it is a single
+  sequential graph like the reference's faiss backend; sharded Vamana is
+  the scale path for graph ANN).
 * `topk_sf`, `batch_sf`: exact top-k and 50-query batch over the driver
   testdata embeddings at $SPARK_GRAFT_SF_DIR.
 * `rel_q1`, `rel_star_join`: the relational substrate at the same SF.
@@ -149,6 +153,39 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
     out["vamana_search_d%d" % dim] = time.perf_counter() - t0
     assert len(vam_rows) == N_QUERIES * K, len(vam_rows)
     recall["vamana_d%d" % dim] = round(_recall(vam_rows), 3)
+
+    # layered HNSW: single sequential graph like the reference's faiss
+    # backend, so bench a 2k slice (build cost is per-vector python; the
+    # scale story for graph ANN is the sharded vamana build above)
+    n_h = 2000
+    hv = vecs.where(F.col("vec_id") < n_h).persist()
+    hv.count()
+    truth_h = []
+    hm, hids = mat[:n_h], ids[:n_h]
+    for q in queries:
+        d = ((hm - q) ** 2).sum(axis=1)
+        truth_h.append(set(hids[np.lexsort((hids, d))[:K]].tolist()))
+    t0 = time.perf_counter()
+    create_index(
+        hv, "vec_id", "embedding", "bench_hnsw", engine="faiss",
+        type="HNSW", hnsw_m=16, catalog=cat,
+    )
+    out["hnsw_build_d%d" % dim] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    h_rows = index_scan(
+        spark, "bench_hnsw", queries, K, search_complexity=64, catalog=cat
+    ).collect()
+    out["hnsw_search_d%d" % dim] = time.perf_counter() - t0
+    assert len(h_rows) == N_QUERIES * K, len(h_rows)
+    got_h: dict[int, set] = {}
+    for r in h_rows:
+        got_h.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    recall["hnsw_d%d" % dim] = round(
+        sum(len(got_h.get(i, set()) & truth_h[i]) for i in range(N_QUERIES))
+        / (N_QUERIES * K), 3,
+    )
+    drop_index("bench_hnsw", cat)
+    hv.unpersist()
 
     drop_index("bench_ivf", cat)
     drop_index("bench_vamana", cat)

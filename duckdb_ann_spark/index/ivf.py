@@ -129,9 +129,7 @@ class IvfFlatEngine:
         # a Spark limit() would funnel the collect through CollectLimit's
         # single-task path (~8x slower). The hash-sample above already
         # bounds the collected rows to O(cap).
-        train = np.array(
-            sample.toPandas()[vec_col].tolist()[:cap], dtype=np.float32
-        )
+        train = np_stack_vectors(sample.toPandas()[vec_col])[:cap]
         centroids = _kmeans(train, nlist)
         k_eff = centroids.shape[0]
 

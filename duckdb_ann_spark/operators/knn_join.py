@@ -119,9 +119,7 @@ def knn_join(
         sample = base_df.where(
             F.pmod(F.abs(F.hash(F.col(base_id_col))), F.lit(modulus)) == 0
         ).select(base_vec_col)
-    train = np.array(
-        sample.limit(cap).toPandas()[base_vec_col].tolist(), dtype=np.float32
-    )
+    train = np_stack_vectors(sample.limit(cap).toPandas()[base_vec_col])
     centroids = _kmeans(train, min(nlist, max(1, len(train))))
     nlist_eff = centroids.shape[0]
     nprobe = min(max(1, nprobe), nlist_eff)
