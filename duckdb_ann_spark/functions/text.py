@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
-__all__ = ["tokenize", "token_count", "sql_tokenize", "TOKEN_SPLIT_RE"]
+__all__ = ["tokenize", "token_count", "sql_tokenize", "spark_sql_tokenize",
+           "TOKEN_SPLIT_RE"]
 
 
 def tokenize(text: Column | str) -> Column:
@@ -24,6 +25,16 @@ def tokenize(text: Column | str) -> Column:
 
 def token_count(text: Column | str) -> Column:
     return F.size(tokenize(text))
+
+
+def spark_sql_tokenize(expr: str) -> str:
+    """Spark SQL fragment producing the identical token list to
+    :func:`tokenize`. Used to assemble big expression trees as ONE
+    `F.expr()` string: the Python Column builders pay one py4j
+    round-trip per node (a deep HOF tree costs seconds of driver time
+    per plan), where a SQL string parses JVM-side in one call into the
+    same Catalyst nodes."""
+    return f"filter(split(lower({expr}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
 
 
 def sql_tokenize(expr: str) -> str:

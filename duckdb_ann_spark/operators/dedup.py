@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.expr import bind_once as _bind
-from ..functions.text import tokenize
+from ..functions.text import spark_sql_tokenize, tokenize
 from ..local import widen_if_narrow
 
 N_HASHES = 12
@@ -86,36 +86,54 @@ def dedup_exact(
     )
 
 
-def shingles(text_col, n: int = SHINGLE_WORDS) -> Column:
-    """array<string> of n-word shingles (the whole text when shorter)."""
-
-    def build(toks: Column) -> Column:
-        few = F.array(F.concat_ws(" ", toks))
-        many = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-        return F.when(F.size(toks) < n, few).otherwise(many)
-
-    return _bind(tokenize(text_col), build)
-
-
-def _minhash_component(hs: Column, j: int) -> Column:
-    a, b = MINHASH_COEFFS[j]
-    return F.array_min(
-        F.transform(
-            hs, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
-        )
+def shingle_sql(text_col: str, n: int = SHINGLE_WORDS) -> str:
+    """Spark SQL fragment: array<string> of n-word shingles (the whole
+    text when shorter), over ONE bound tokenize evaluation. Assembled as
+    a string so the deep HOF tree parses JVM-side in one py4j call (the
+    per-node Column builders cost seconds of driver time per plan)."""
+    elems = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    body = (
+        f"case when size(toks) < {n} then array(concat_ws(' ', toks)) "
+        f"else transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {elems})) end"
+    )
+    return (
+        "element_at(transform(array("
+        + spark_sql_tokenize(text_col)
+        + f"), toks -> {body}), 1)"
     )
 
 
-def shingle_hashes(sh: Column) -> Column:
-    """array<bigint>: each shingle's 32-bit hash (md5 prefix), computed
-    once — the only cryptographic hash in the signature pipeline."""
-    return F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+def shingles(text_col: str, n: int = SHINGLE_WORDS) -> Column:
+    """array<string> of n-word shingles (the whole text when shorter)."""
+    return F.expr(shingle_sql(text_col, n))
+
+
+def signature_sql(text_col: str, n_hashes: int = N_HASHES,
+                  shingle_words: int = SHINGLE_WORDS) -> str:
+    """Spark SQL fragment: the MinHash signature array<bigint>.
+
+    The shingle array AND the per-shingle hash array are bound once
+    (`element_at(transform(array(..)), 1)` — the SQL spelling of
+    `bind_once`) so the n_hashes components share ONE evaluation of
+    each; every component is a cheap integer transform of the shared
+    hash array. One md5 per shingle, total."""
+    if n_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"n_hashes must be <= {len(MINHASH_COEFFS)}")
+    comps = ", ".join(
+        f"array_min(transform(hs, h -> pmod(h * {a} + {b}, {MINHASH_PRIME})))"
+        for a, b in MINHASH_COEFFS[:n_hashes]
+    )
+    hs = (
+        "transform(s, x -> "
+        "cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"
+    )
+    return (
+        "element_at(transform(array("
+        + shingle_sql(text_col, shingle_words)
+        + "), s -> element_at(transform(array("
+        + hs
+        + f"), hs -> array({comps})), 1)), 1)"
     )
 
 
@@ -128,21 +146,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """→ (id, sig array<bigint>[n_hashes]) — one narrow pass, no shuffle.
 
-    The shingle array AND the per-shingle hash array are `_bind`-bound so
-    the n_hashes components share ONE evaluation of each (an aliased
-    column would be re-inlined by CollapseProject into every component);
-    each component is then a cheap integer transform of the shared hash
-    array."""
-    sh = shingles(text_col, shingle_words)
-    sig = _bind(
-        sh,
-        lambda s: _bind(
-            shingle_hashes(s),
-            lambda hs: F.array(
-                *[_minhash_component(hs, j) for j in range(n_hashes)]
-            ),
-        ),
-    )
+    The whole signature expression is assembled as ONE SQL string
+    (:func:`signature_sql`): the per-node Column builders paid ~1s of
+    py4j round-trips per plan for this tree alone."""
+    sig = F.expr(signature_sql(text_col, n_hashes, shingle_words))
     return df.select(F.col(id_col), sig.alias("sig"))
 
 

@@ -80,7 +80,7 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- shared SQL fragments for the MinHash pipeline ---------------------
 
 # shingles: 3-word, whole text when shorter (mirrors operators.dedup.shingles),
-# plus the per-shingle 32-bit hash (mirrors operators.dedup.shingle_hashes)
+# plus the per-shingle 32-bit hash (mirrors the hs binding in operators.dedup.signature_sql)
 _SH_CTE = f"""
 sh AS (
     SELECT doc_id, sh,
