@@ -31,7 +31,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import py_tokenize, tokenize
+from ..functions.text import py_tokenize
 
 RRF_K = 60.0
 BM25_K1 = 1.2
@@ -58,7 +58,7 @@ def bm25_scores(
     projection computing every doc's score with the constants cross-
     joined in. The old explode→3x-scan→2x-shuffle pipeline did the same
     arithmetic with three full passes over the token stream."""
-    from ..functions.expr import bind_once
+    from ..functions.text import spark_sql_tokenize
 
     qterms = sorted(set(py_tokenize(query_text)))
     spark = docs.sparkSession
@@ -66,20 +66,22 @@ def bm25_scores(
         return spark.createDataFrame([], f"{id_col} long, _bm25_score double")
     m = len(qterms)
 
-    def _eq(term):
-        return lambda t: t == F.lit(term)
-
-    def counts(toks: Column) -> Column:
-        return F.struct(
-            F.size(toks).cast("double").alias("dl"),
-            *[
-                F.size(F.filter(toks, _eq(t))).cast("double").alias(f"tf{i}")
-                for i, t in enumerate(qterms)
-            ],
-        )
-
+    # the whole per-doc counts struct as ONE SQL string (one py4j call;
+    # the per-node builders paid a round-trip per term). Query terms are
+    # py_tokenize output — strictly [a-z0-9]+ — so inlining them in the
+    # string is injection-safe. The element_at(transform(array(..)), 1)
+    # wrapper is bind_once: every tf and dl shares one tokenize pass.
+    tfs = ", ".join(
+        f"cast(size(filter(toks, t -> t = '{t}')) as double) as tf{i}"
+        for i, t in enumerate(qterms)
+    )
+    counts_sql = (
+        "element_at(transform(array("
+        + spark_sql_tokenize(text_col)
+        + f"), toks -> struct(cast(size(toks) as double) as dl, {tfs})), 1)"
+    )
     per_doc = docs.select(
-        F.col(id_col), bind_once(tokenize(text_col), counts).alias("_t")
+        F.col(id_col), F.expr(counts_sql).alias("_t")
     ).select(id_col, "_t.dl", *[f"_t.tf{i}" for i in range(m)])
 
     consts = per_doc.agg(

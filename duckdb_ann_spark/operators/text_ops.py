@@ -68,13 +68,56 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def sql_quality_struct(toks: str = "toks") -> str:
+    """Spark SQL fragment: :func:`quality_features` over a bound token
+    array named `toks` — identical expression tree (double literals use
+    the D suffix so nothing parses as DECIMAL), assembled as a string so
+    big annotate plans cost one py4j call instead of one per node."""
+    n = f"cast(size({toks}) as double)"
+    n_stop = (
+        f"cast(size(filter({toks}, t -> "
+        f"array_contains(split('{STOPWORDS[0]}', ' '), t))) as double)"
+    )
+    n_alpha = (
+        f"cast(size(filter({toks}, t -> t rlike '^[a-z]+$')) as double)"
+    )
+    uniq = f"cast(size(array_distinct({toks})) as double)"
+    len_ok = f"case when {n} >= 5 and {n} <= 5000 then 1.0D else 0.0D end"
+    stop_ratio = f"try_divide({n_stop}, {n})"
+    alpha_ratio = f"try_divide({n_alpha}, {n})"
+    rep = f"try_divide({uniq}, {n})"
+    score = (
+        f"0.25D * ({len_ok}) + 0.25D * least(({stop_ratio}) * 5.0D, 1.0D) "
+        f"+ 0.25D * ({alpha_ratio}) + 0.25D * ({rep})"
+    )
+    return (
+        f"struct({stop_ratio} as stopword_ratio, {alpha_ratio} as alpha_ratio, "
+        f"{rep} as unique_ratio, {score} as quality_score)"
+    )
+
+
+def sql_lang_hits_struct(toks: str = "toks") -> str:
+    """Spark SQL fragment: :func:`lang_hit_struct` over a bound token
+    array named `toks`."""
+    cols = ", ".join(
+        "size(filter({t}, t -> array_contains(array({ms}), t))) as h_{lg}".format(
+            t=toks,
+            ms=", ".join(f"'{m}'" for m in markers),
+            lg=lang,
+        )
+        for lang, markers in LANG_MARKERS.items()
+    )
+    return f"struct({cols})"
+
+
 def quality_features(toks: Column) -> Column:
     """Expression builder over a bound token array →
     struct(stopword_ratio, alpha_ratio, unique_ratio, quality_score).
 
-    Exposed so composed pipelines (:mod:`..pipeline`) can fuse the
-    features into one scan alongside other annotations; `toks` must be a
-    `bind_once`-bound reference or the tokenize re-runs per feature."""
+    Column-API twin of :func:`sql_quality_struct` (which internal
+    callers use — one py4j call instead of one per node); keep the two
+    in lockstep. `toks` must be a `bind_once`-bound reference or the
+    tokenize re-runs per feature."""
     stop = F.split(F.lit(STOPWORDS[0]), " ")
     n = F.size(toks).cast("double")
     n_stop = F.size(
@@ -107,9 +150,14 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     score = 0.25*len_ok + 0.25*stopword_ratio_clamped
           + 0.25*alpha_ratio + 0.25*(unique/total)."""
-    return df.select(
-        F.col(id_col), bind_once(_toks(text_col), quality_features).alias("_f")
-    ).select(
+    from ..functions.text import spark_sql_tokenize
+
+    feats = (
+        "element_at(transform(array("
+        + spark_sql_tokenize(text_col)
+        + f"), toks -> {sql_quality_struct()}), 1)"
+    )
+    return df.select(F.col(id_col), F.expr(feats).alias("_f")).select(
         id_col, "_f.stopword_ratio", "_f.alpha_ratio", "_f.unique_ratio",
         "_f.quality_score",
     )
@@ -117,7 +165,8 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def lang_hit_struct(toks: Column) -> Column:
     """Expression builder → struct(h_en, h_es, ...) of per-language
-    marker-token hit counts over a bound token array."""
+    marker-token hit counts over a bound token array. Column-API twin of
+    :func:`sql_lang_hits_struct`; keep in lockstep."""
     def _contains(arr):
         # NB: a two-parameter lambda would be treated as (x, idx) by
         # F.filter — capture the marker array via closure instead.
@@ -145,8 +194,15 @@ def lang_pred_from_hits(h) -> Column:
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """→ (id, lang_pred, lang_hits): language with the most marker-token
     hits; ties and zero hits fall back in LANG_MARKERS order / 'und'."""
+    from ..functions.text import spark_sql_tokenize
+
+    hits_expr = (
+        "element_at(transform(array("
+        + spark_sql_tokenize(text_col)
+        + f"), toks -> {sql_lang_hits_struct()}), 1)"
+    )
     with_hits = df.select(
-        F.col(id_col), bind_once(_toks(text_col), lang_hit_struct).alias("_h")
+        F.col(id_col), F.expr(hits_expr).alias("_h")
     ).select(
         id_col, *[F.col(f"_h.h_{lang}").alias(f"_h_{lang}") for lang in LANG_MARKERS]
     )

@@ -36,11 +36,10 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions.expr import bind_once
-from .functions.text import tokenize
+from .functions.text import spark_sql_tokenize
 from .local import widen_if_narrow
 from .operators.dedup import ngram_jaccard_pairs
-from .operators.text_ops import lang_hit_struct, lang_pred_from_hits, quality_features
+from .operators.text_ops import lang_pred_from_hits, sql_lang_hits_struct, sql_quality_struct
 
 __all__ = ["prepare_corpus"]
 
@@ -65,14 +64,18 @@ def prepare_corpus(
     # per-row annotate work is the pipeline's heaviest expression chain;
     # make sure a narrow input (one small file) doesn't serialize it
     docs = widen_if_narrow(docs)
-    annotations = bind_once(
-        tokenize(text_col),
-        lambda toks: F.struct(
-            F.size(toks).alias("n_tokens"),
-            quality_features(toks).alias("q"),
-            lang_hit_struct(toks).alias("h"),
-            F.md5(F.concat_ws(" ", toks)).alias("fp"),
-        ),
+    # the whole annotate struct as ONE SQL string (the node-by-node
+    # Column builders paid a py4j round-trip per node — seconds of
+    # driver time per plan); element_at(transform(array(..)), 1) is the
+    # SQL spelling of bind_once: one tokenize evaluation per row
+    annotations = F.expr(
+        "element_at(transform(array("
+        + spark_sql_tokenize(text_col)
+        + "), toks -> struct("
+        "size(toks) as n_tokens, "
+        f"{sql_quality_struct()} as q, "
+        f"{sql_lang_hits_struct()} as h, "
+        "md5(concat_ws(' ', toks)) as fp)), 1)"
     )
     ann = docs.select(
         F.col(id_col),
@@ -94,7 +97,10 @@ def prepare_corpus(
         & (F.col("quality_score") >= F.lit(float(min_quality)))
     )
 
-    keep_cols = [c for c in kept.columns if c != "_fp"]
+    # statically known (== kept.columns minus _fp): touching .columns
+    # would force a full Catalyst analysis of the annotate tree mid-build
+    keep_cols = [id_col, text_col, "n_chars", "n_tokens", "quality_score",
+                 "lang_pred"]
     uniq = (
         kept.groupBy("_fp")
         .agg(

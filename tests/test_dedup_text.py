@@ -170,3 +170,32 @@ def test_resize_features_pooling(spark):
     r = resize_features(df, "id", "blob", src_width=32, out_h=2, out_w=2).head()
     assert (r.src_h, r.src_w) == (2, 32)
     assert r.pixels == [10.0, 10.0, 20.0, 20.0]
+
+
+def test_sql_fragments_match_column_builders(spark, docs):
+    """The SQL-string twins (one py4j call) must stay in lockstep with
+    the public Column builders — bitwise, since downstream oracle
+    hashes ride on the SQL path."""
+    from pyspark.sql import functions as F
+    from duckdb_ann_spark.functions.expr import bind_once
+    from duckdb_ann_spark.functions.text import spark_sql_tokenize, tokenize
+    from duckdb_ann_spark.operators.text_ops import (
+        lang_hit_struct, quality_features,
+        sql_lang_hits_struct, sql_quality_struct,
+    )
+
+    via_sql = docs.select(
+        F.expr(
+            "element_at(transform(array(" + spark_sql_tokenize("text")
+            + f"), toks -> {sql_quality_struct()}), 1)"
+        ).alias("q"),
+        F.expr(
+            "element_at(transform(array(" + spark_sql_tokenize("text")
+            + f"), toks -> {sql_lang_hits_struct()}), 1)"
+        ).alias("h"),
+    ).collect()
+    via_cols = docs.select(
+        bind_once(tokenize("text"), quality_features).alias("q"),
+        bind_once(tokenize("text"), lang_hit_struct).alias("h"),
+    ).collect()
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_cols]

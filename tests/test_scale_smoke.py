@@ -130,6 +130,41 @@ def test_vamana_200k_sharded(spark, cat):
     vecs.unpersist()
 
 
+def test_hnsw_20k_single_graph(spark, cat):
+    """Layered HNSW at 20k vectors (driver-side sequential build, like
+    the reference's faiss backend): build stays minutes-scale, search
+    clears the recall floor through the engine's shard plumbing."""
+    n = 20_000
+    vecs = _vectors(spark, n).persist()
+    vecs.count()
+    rng = np.random.default_rng(21)
+    queries = rng.random((N_QUERIES, DIM), dtype=np.float32)
+
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "smoke_hnsw", engine="faiss",
+        type="HNSW", hnsw_m=16, catalog=cat,
+    )
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = index_scan(
+        spark, "smoke_hnsw", queries, K, search_complexity=64, catalog=cat
+    ).collect()
+    search_s = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K
+    rec = _recall(rows, truth)
+    print(f"\nhnsw 20k: build {build_s:.1f}s, search {search_s:.1f}s, "
+          f"recall@{K} {rec:.3f}")
+    assert rec >= 0.70, rec
+    drop_index("smoke_hnsw", cat)
+    vecs.unpersist()
+
+
 def test_knn_join_100k(spark):
     from duckdb_ann_spark.operators.knn_join import knn_join
 
