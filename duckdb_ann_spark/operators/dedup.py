@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.expr import bind_once as _bind
-from ..functions.text import spark_sql_tokenize, tokenize
+from ..functions.text import spark_sql_tokenize
 from ..local import widen_if_narrow
 
 N_HASHES = 12
@@ -276,43 +276,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """→ (id, simhash bigint): 32-bit SimHash. Each distinct token hashes
     to 32 bits (md5 prefix); bit b of the fingerprint is 1 when more
     token-hashes set b than clear it (ties → 0). Near-duplicate texts
-    land within small Hamming distance."""
-    th_expr = F.transform(
-        F.array_distinct(tokenize(text_col)),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    land within small Hamming distance.
+
+    Assembled as one SQL string (the nested per-bit aggregate lambdas
+    cost a py4j round-trip per node through the Column API). Bit b is
+    read as floor(h / 2^b) % 2 — h < 2^32 and 2^b are exact in doubles —
+    because the shift builtins only take int literals."""
+    th = (
+        "transform(array_distinct("
+        + spark_sql_tokenize(text_col)
+        + "), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
     )
-
-    # (h >> b) & 1 without shift builtins (they only take int literals):
-    # h < 2^32 and 2^b are exact in doubles, so floor(h / 2^b) % 2 is exact.
-    def bit(h, b):
-        return F.pmod(F.floor(h / F.pow(F.lit(2.0), b)).cast("long"), F.lit(2))
-
-    def fingerprint(th: Column) -> Column:
-        # th is _bind-bound: the 32 per-bit aggregates share one
-        # evaluation of the tokenize+md5 pipeline (an inline expression
-        # would re-run it for every bit of every row)
-        bit_sums = F.transform(
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda b: F.aggregate(
-                th,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(bit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
-            ),
-        )
-        return F.aggregate(
-            F.zip_with(
-                bit_sums,
-                F.sequence(F.lit(0), F.lit(31)),
-                lambda s, b: F.when(
-                    s > 0, F.pow(F.lit(2.0), b).cast("long")
-                ).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    return df.select(F.col(id_col), _bind(th_expr, fingerprint).alias("simhash"))
+    bit_sums = (
+        "transform(sequence(0, 31), b -> aggregate(th, 0, (acc, h) -> "
+        "acc + (case when pmod(cast(floor(h / power(2.0D, b)) as bigint), 2)"
+        " = 1 then 1 else -1 end)))"
+    )
+    fp = (
+        "aggregate(zip_with("
+        + bit_sums
+        + ", sequence(0, 31), (s, b) -> case when s > 0 then "
+        "cast(power(2.0D, b) as bigint) else cast(0 as bigint) end), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    expr = f"element_at(transform(array({th}), th -> {fp}), 1)"
+    return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
 
 
 def embedding_near_dup_pairs(
