@@ -93,6 +93,13 @@ class FaissParams:
     nprobe: int = 1
     train_sample: int = 0
     description: str = field(default="")
+    # Spark extension (not in the reference): HNSW graph shards built in
+    # parallel executors; 1 = reference-parity single graph (faiss
+    # builds one HNSW per index), 0 = AUTO (single graph up to
+    # AUTO_SHARD_ROWS, then one shard per AUTO_SHARD_ROWS — a
+    # sequential python build is unusable past ~10^5 rows)
+    shards: int = 1
+    AUTO_SHARD_ROWS = 25_000
     # GPU placement (`src/faiss_index.cpp:84-152`): cpu / gpu / auto.
     # This engine's kernels are numpy/BLAS — there is never a GPU
     # backend (faiss_gpu_info reports available=false), so mode='gpu'
@@ -114,6 +121,8 @@ class FaissParams:
             )
         # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61)
         self.nprobe = max(1, int(self.nprobe))
+        if int(self.shards) < 0:
+            raise ValueError("shards must be >= 1 (or 0 for auto)")
         if self.gpu is not None:
             if (self.mode or "auto").lower() != "auto":
                 raise ValueError(
@@ -180,6 +189,7 @@ class FaissParams:
             "train_sample": self.train_sample,
             "description": self.description,
             "mode": self.mode,
+            "shards": self.shards,
         }
 
 

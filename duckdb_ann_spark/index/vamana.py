@@ -391,8 +391,12 @@ class HnswEngine(VamanaEngine):
     geometric layer assignment, per-layer beam search + Algorithm-4
     neighbor selection, efSearch via `search_complexity`.
 
-    Single graph like the reference (faiss builds one HNSW per index);
-    the shard file reuses the `.diskann` v2 body (layer-0 adjacency →
+    Default = one graph like the reference (faiss builds one HNSW per
+    index); `shards=N` (Spark extension, same semantics as the DiskANN
+    engine's) builds N independent layered graphs in parallel executors
+    and merges search results — the scale path for HNSW at corpus size,
+    since a single sequential build is unusable past ~10^5 rows. The
+    shard file reuses the `.diskann` v2 body (layer-0 adjacency →
     mmap-able, `vectors()` reconstruction works unchanged) plus an
     upper-layer appendix. Search/distribution plumbing is inherited —
     `_load_shard` returns an HnswGraph whenever the appendix is present.
@@ -406,51 +410,110 @@ class HnswEngine(VamanaEngine):
     def _ef_construction(params) -> int:
         return max(2 * int(params.hnsw_m), 40)
 
+    def _build_shard_fn(self, artifact_dir: str, id_col: str, vec_col: str,
+                        params):
+        m, ef = int(params.hnsw_m), self._ef_construction(params)
+        metric = params.metric
+
+        def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            vecs = (
+                np_stack_vectors(pdf[vec_col]) if len(pdf)
+                else np.zeros((0, 0), dtype=np.float32)
+            )
+            g = build_hnsw(vecs, m=m, ef_construction=ef, metric=metric)
+            write_diskann(
+                f"{artifact_dir}/{GRAPH_DIR}/shard_{shard}.diskann", g,
+                None, hnsw=g,
+            )
+            return pd.DataFrame(
+                {
+                    "shard": np.int32(shard),
+                    "label": np.arange(len(pdf), dtype=np.int64),
+                    "id": pdf[id_col].to_numpy()
+                    if len(pdf) else np.array([], dtype=np.int64),
+                }
+            )
+
+        return build_shard
+
     def build(self, spark, df, id_col, vec_col, artifact_dir, params, dim):
         os.makedirs(f"{artifact_dir}/{GRAPH_DIR}", exist_ok=True)
-        pdf = df.select(id_col, vec_col).orderBy(id_col).toPandas()
-        vecs = (
-            np_stack_vectors(pdf[vec_col]) if len(pdf)
-            else np.zeros((0, dim), dtype=np.float32)
-        )
-        g = build_hnsw(
-            vecs, m=int(params.hnsw_m),
-            ef_construction=self._ef_construction(params),
-            metric=params.metric,
-        )
-        write_diskann(
-            f"{artifact_dir}/{GRAPH_DIR}/shard_0.diskann", g, None, hnsw=g
-        )
-        labels = pd.DataFrame(
-            {
-                "shard": np.int32(0),
-                "label": np.arange(len(pdf), dtype=np.int64),
-                "id": pdf[id_col].to_numpy()
-                if len(pdf) else np.array([], dtype=np.int64),
-            }
-        )
-        spark.createDataFrame(
-            labels, schema="shard int, label long, id long"
-        ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
-        return {"layout": "hnsw-layered", "shards": 1}
+        src = df.select(id_col, vec_col)
+        shards = int(getattr(params, "shards", 1))
+        if shards == 0:  # auto: reference-parity single graph while the
+            # sequential build stays cheap, then bounded shards
+            n_rows = src.count()
+            per = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
+            shards = max(1, -(-int(n_rows) // per))
+        build_shard = self._build_shard_fn(artifact_dir, id_col, vec_col,
+                                           params)
+
+        if shards == 1:
+            labels = build_shard(src.toPandas(), 0)
+            spark.createDataFrame(
+                labels, schema="shard int, label long, id long"
+            ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
+        else:
+            # identical shard-and-merge shape to VamanaEngine.build: the
+            # shuffle partition IS the shard, one graph per task
+            def build_partition(batches):
+                pdfs = [p for p in batches if len(p)]
+                if not pdfs:
+                    return
+                pdf = pd.concat(pdfs)
+                yield build_shard(
+                    pdf.drop(columns=["shard"]), int(pdf["shard"].iloc[0])
+                )
+
+            (
+                src.repartition(shards, F.col(id_col))
+                .withColumn("shard", F.spark_partition_id())
+                .mapInPandas(
+                    build_partition, schema="shard int, label long, id long"
+                )
+                .write.mode("overwrite")
+                .parquet(f"{artifact_dir}/{LABELS_DIR}")
+            )
+        return {"layout": "hnsw-layered", "shards": shards}
 
     def append(self, spark, manifest, artifact_dir, df_new, params):
+        """Shard-routed append (same policy as VamanaEngine.append):
+        smallest shard receives the rows; at APPEND_SHARD_CAP a fresh
+        overflow shard is built instead. Exactly one shard file is
+        rewritten."""
         id_col, vec_col = manifest["id_col"], manifest["vec_col"]
         pdf = df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
         if not len(pdf):
             return {}
         vecs = np_stack_vectors(pdf[vec_col])
-        shard_id, path = self._shard_files(artifact_dir)[0]
+        shard_files = self._shard_files(artifact_dir)
+        shard_id, path = min(
+            shard_files, key=lambda sf: os.path.getsize(sf[1])
+        )
         g = read_hnsw(path, mmap=False)
-        labels = []
-        for rid, vec in zip(pdf[id_col], vecs):
-            label = g.insert(vec)
-            labels.append((shard_id, label, int(rid)))
+        if g.n >= self.APPEND_SHARD_CAP:
+            shard_id = max(s for s, _ in shard_files) + 1
+            path = f"{artifact_dir}/{GRAPH_DIR}/shard_{shard_id}.diskann"
+            g = build_hnsw(
+                vecs, m=int(params.hnsw_m),
+                ef_construction=self._ef_construction(params),
+                metric=params.metric,
+            )
+            labels = [
+                (shard_id, label, int(rid))
+                for label, rid in enumerate(pdf[id_col])
+            ]
+        else:
+            labels = []
+            for rid, vec in zip(pdf[id_col], vecs):
+                label = g.insert(vec)
+                labels.append((shard_id, label, int(rid)))
         write_diskann(path, g, None, hnsw=g)
         local_df(
             spark, labels, "shard int, label long, id long"
         ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
-        return {"shards": 1}
+        return {"shards": max(len(shard_files), shard_id + 1)}
 
 
 register_engine("diskann", "vamana", VamanaEngine())

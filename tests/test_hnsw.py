@@ -4,6 +4,7 @@ Gated the way the reference gates its faiss HNSW (recall floors, param
 plumbing, lifecycle) plus structural checks that this is genuinely the
 layered algorithm, not a flat graph under HNSW names."""
 
+import os
 import numpy as np
 import pytest
 
@@ -121,3 +122,69 @@ def test_insert_after_load(tmp_path, vecs):
     q = vecs[510]
     hits = [i for i, _ in g2.search(q, 3, search_complexity=120)]
     assert 510 in hits
+
+
+def test_sharded_hnsw_engine(spark, sf_dir, tmp_path):
+    """shards=4: four independent layered graphs built in executors, all
+    searched and merged; recall vs brute force clears the floor and the
+    artifact holds 4 HNSW-appendix shard files."""
+    import glob
+    from pyspark.sql import functions as F
+    from duckdb_ann_spark.index import Catalog, create_index, index_scan
+    from duckdb_ann_spark.operators.topk import topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(str(tmp_path / "idx"))
+    m = create_index(
+        emb, "vec_id", "embedding", "sh", engine="faiss", type="HNSW",
+        hnsw_m=16, shards=4, catalog=cat,
+    )
+    assert m["shards"] == 4 and m["layout"] == "hnsw-layered"
+    paths = glob.glob(f"{cat.path('sh')}/graph/*.diskann")
+    assert len(paths) == 4
+    for p in paths:
+        assert read_hnsw(p) is not None  # every shard is layered
+
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    got = {r.vec_id for r in
+           index_scan(spark, "sh", [qv], 10, search_complexity=64,
+                      catalog=cat).collect()}
+    want = {r.vec_id for r in
+            topk(emb, "embedding", qv, 10, "l2", id_col="vec_id").collect()}
+    assert len(got & want) >= 7, (sorted(got), sorted(want))
+
+
+def test_sharded_hnsw_append_routes_smallest(spark, tmp_path):
+    """Appends land in ONE shard (smallest), stay layered, and are
+    immediately searchable."""
+    import glob
+    import numpy as np
+    from duckdb_ann_spark.index import (
+        Catalog, create_index, index_scan, insert_into_index,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = rng.random((300, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "id long, v array<float>",
+    )
+    cat = Catalog(str(tmp_path / "idx2"))
+    create_index(df.where("id < 280"), "id", "v", "ha", engine="faiss",
+                 type="HNSW", hnsw_m=8, shards=2, catalog=cat)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{cat.path('ha')}/graph/*.diskann")
+    }
+    insert_into_index(spark, "ha", df.where("id >= 280"), cat)
+    after = glob.glob(f"{cat.path('ha')}/graph/*.diskann")
+    rewritten = [p for p in after
+                 if p not in before or os.path.getmtime(p) != before[p]]
+    assert len(rewritten) == 1  # exactly one shard file touched
+    assert read_hnsw(rewritten[0]) is not None  # still layered
+    q = [float(x) for x in vecs[290]]
+    hits = [r.id for r in
+            index_scan(spark, "ha", [q], 3, search_complexity=100,
+                       catalog=cat).collect()]
+    assert hits[0] == 290

@@ -165,6 +165,41 @@ def test_hnsw_20k_single_graph(spark, cat):
     vecs.unpersist()
 
 
+def test_hnsw_100k_sharded(spark, cat):
+    """Sharded layered HNSW at 100k vectors: 16 graphs built in parallel
+    executors (the HNSW scale path — a single sequential build would
+    take ~minutes), searched and merged, recall floor held."""
+    n = 100_000
+    vecs = _vectors(spark, n).persist()
+    vecs.count()
+    rng = np.random.default_rng(31)
+    queries = rng.random((N_QUERIES, DIM), dtype=np.float32)
+
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "smoke_hnsw_sh", engine="faiss",
+        type="HNSW", hnsw_m=16, shards=16, catalog=cat,
+    )
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = index_scan(
+        spark, "smoke_hnsw_sh", queries, K, search_complexity=64, catalog=cat
+    ).collect()
+    search_s = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K
+    rec = _recall(rows, truth)
+    print(f"\nhnsw 100k/16 shards: build {build_s:.1f}s, "
+          f"search {search_s:.1f}s, recall@{K} {rec:.3f}")
+    assert rec >= 0.70, rec
+    drop_index("smoke_hnsw_sh", cat)
+    vecs.unpersist()
+
+
 def test_knn_join_100k(spark):
     from duckdb_ann_spark.operators.knn_join import knn_join
 
