@@ -188,3 +188,13 @@ def test_sharded_hnsw_append_routes_smallest(spark, tmp_path):
             index_scan(spark, "ha", [q], 3, search_complexity=100,
                        catalog=cat).collect()]
     assert hits[0] == 290
+
+
+def test_ip_metric_hnsw(vecs):
+    """metric='ip': ranking by negated dot product, exact at ef >= n."""
+    g = build_hnsw(vecs, m=16, ef_construction=40, metric="ip")
+    q = vecs[5]
+    got = [i for i, _ in g.search(q, 10, search_complexity=g.n)]
+    d = -(vecs @ q)
+    want = [int(i) for i in np.lexsort((np.arange(len(vecs)), d))[:10]]
+    assert got == want
