@@ -114,11 +114,13 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
         d = ((mat - q) ** 2).sum(axis=1)
         truth.append(set(ids[np.lexsort((ids, d))[:K]].tolist()))
 
-    def _recall(rows) -> float:
+    def _recall(rows, truth_sets) -> float:
         got: dict[int, set] = {}
         for r in rows:
             got.setdefault(r["query_idx"], set()).add(r["vec_id"])
-        n_hit = sum(len(got.get(i, set()) & truth[i]) for i in range(N_QUERIES))
+        n_hit = sum(
+            len(got.get(i, set()) & truth_sets[i]) for i in range(N_QUERIES)
+        )
         return n_hit / (N_QUERIES * K)
 
     t0 = time.perf_counter()
@@ -138,7 +140,7 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
     ivf_rows = index_scan(spark, "bench_ivf", queries, K, catalog=cat).collect()
     out["ivf_search_d%d" % dim] = time.perf_counter() - t0
     assert len(ivf_rows) == N_QUERIES * K, len(ivf_rows)
-    recall["ivf_d%d" % dim] = round(_recall(ivf_rows), 3)
+    recall["ivf_d%d" % dim] = round(_recall(ivf_rows, truth), 3)
 
     t0 = time.perf_counter()
     create_index(
@@ -152,7 +154,7 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
     ).collect()
     out["vamana_search_d%d" % dim] = time.perf_counter() - t0
     assert len(vam_rows) == N_QUERIES * K, len(vam_rows)
-    recall["vamana_d%d" % dim] = round(_recall(vam_rows), 3)
+    recall["vamana_d%d" % dim] = round(_recall(vam_rows, truth), 3)
 
     # layered HNSW: single sequential graph like the reference's faiss
     # backend, so bench a 2k slice (build cost is per-vector python; the
@@ -177,13 +179,7 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
     ).collect()
     out["hnsw_search_d%d" % dim] = time.perf_counter() - t0
     assert len(h_rows) == N_QUERIES * K, len(h_rows)
-    got_h: dict[int, set] = {}
-    for r in h_rows:
-        got_h.setdefault(r["query_idx"], set()).add(r["vec_id"])
-    recall["hnsw_d%d" % dim] = round(
-        sum(len(got_h.get(i, set()) & truth_h[i]) for i in range(N_QUERIES))
-        / (N_QUERIES * K), 3,
-    )
+    recall["hnsw_d%d" % dim] = round(_recall(h_rows, truth_h), 3)
     drop_index("bench_hnsw", cat)
     hv.unpersist()
 

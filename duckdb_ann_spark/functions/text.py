@@ -14,7 +14,25 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 __all__ = ["tokenize", "token_count", "sql_tokenize", "spark_sql_tokenize",
-           "TOKEN_SPLIT_RE"]
+           "sql_bind_once", "quote_ident", "TOKEN_SPLIT_RE"]
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in a Spark SQL string.
+    Without this, a name like `text-body` parses as subtraction and a
+    reserved word errors — things `F.col()` handled transparently."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_bind_once(value_sql: str, var: str, body_sql: str) -> str:
+    """The SQL spelling of :func:`..functions.expr.bind_once`:
+    ``element_at(transform(array(<value>), <var> -> <body>), 1)`` —
+    evaluates `value_sql` ONCE per row and exposes it to `body_sql` as
+    the lambda variable `var`. Single-sourced here so the load-bearing
+    wrapper can't drift between the string-assembled expression sites."""
+    return (
+        f"element_at(transform(array({value_sql}), {var} -> {body_sql}), 1)"
+    )
 
 
 def tokenize(text: Column | str) -> Column:
@@ -27,14 +45,18 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokenize(text))
 
 
-def spark_sql_tokenize(expr: str) -> str:
+def spark_sql_tokenize(col_name: str) -> str:
     """Spark SQL fragment producing the identical token list to
-    :func:`tokenize`. Used to assemble big expression trees as ONE
-    `F.expr()` string: the Python Column builders pay one py4j
-    round-trip per node (a deep HOF tree costs seconds of driver time
-    per plan), where a SQL string parses JVM-side in one call into the
-    same Catalyst nodes."""
-    return f"filter(split(lower({expr}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    :func:`tokenize` over the COLUMN NAME given (backtick-quoted, so
+    names `F.col` accepted keep working). Used to assemble big
+    expression trees as ONE `F.expr()` string: the Python Column
+    builders pay one py4j round-trip per node (a deep HOF tree costs
+    seconds of driver time per plan), where a SQL string parses
+    JVM-side in one call into the same Catalyst nodes."""
+    return (
+        f"filter(split(lower({quote_ident(col_name)}), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
 
 
 def sql_tokenize(expr: str) -> str:

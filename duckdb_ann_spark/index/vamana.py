@@ -130,38 +130,48 @@ class VamanaEngine:
                 }
             )
 
+        shards = self._run_sharded_build(
+            spark, src, id_col, shards, build_shard, artifact_dir
+        )
+        return {"layout": "diskann-v2", "shards": shards}
+
+    def _run_sharded_build(self, spark, src, id_col, shards, build_shard,
+                           artifact_dir) -> int:
+        """Shared shard-and-merge driver for every graph engine: 1 shard
+        = reference-parity driver build; N shards = the shuffle partition
+        IS the shard — repartition(shards, id) spreads rows uniformly
+        (hash of a unique id) and each task builds exactly one graph from
+        its whole partition. One shuffle, perfect task balance, no hidden
+        sampling job (repartitionByRange runs one to estimate bounds).
+        Returns the number of shard files actually written (empty hash
+        partitions write none — the manifest must report what exists,
+        since append's overflow numbering and diagnostics read it)."""
         if shards == 1:
-            pdf = src.toPandas()  # reference parity: one global buffered build
-            labels = build_shard(pdf, 0)
+            labels = build_shard(src.toPandas(), 0)
             spark.createDataFrame(
                 labels, schema="shard int, label long, id long"
             ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
-        else:
-            # the shuffle partition IS the shard: repartition(shards, id)
-            # spreads rows uniformly (hash of a unique id), and each task
-            # builds exactly one graph from its whole partition. One
-            # shuffle, perfect task balance, and no hidden sampling job
-            # (repartitionByRange runs one to estimate range bounds).
-            def build_partition(batches):
-                pdfs = [p for p in batches if len(p)]
-                if not pdfs:
-                    return
-                pdf = pd.concat(pdfs)
-                yield build_shard(
-                    pdf.drop(columns=["shard"]), int(pdf["shard"].iloc[0])
-                )
+            return 1
 
-            (
-                src.repartition(shards, F.col(id_col))
-                .withColumn("shard", F.spark_partition_id())
-                .mapInPandas(
-                    build_partition, schema="shard int, label long, id long"
-                )
-                .write.mode("overwrite")
-                .parquet(f"{artifact_dir}/{LABELS_DIR}")
+        def build_partition(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs)
+            yield build_shard(
+                pdf.drop(columns=["shard"]), int(pdf["shard"].iloc[0])
             )
 
-        return {"layout": "diskann-v2", "shards": shards}
+        (
+            src.repartition(shards, F.col(id_col))
+            .withColumn("shard", F.spark_partition_id())
+            .mapInPandas(
+                build_partition, schema="shard int, label long, id long"
+            )
+            .write.mode("overwrite")
+            .parquet(f"{artifact_dir}/{LABELS_DIR}")
+        )
+        return len(self._shard_files(artifact_dir))
 
     def ids(self, spark: SparkSession, artifact_dir: str, id_col: str) -> DataFrame:
         """Just the indexed ids — a column-pruned label-map scan, no
@@ -417,11 +427,10 @@ class HnswEngine(VamanaEngine):
 
         def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
             pdf = pdf.sort_values(id_col).reset_index(drop=True)
-            vecs = (
-                np_stack_vectors(pdf[vec_col]) if len(pdf)
-                else np.zeros((0, 0), dtype=np.float32)
+            g = build_hnsw(
+                np_stack_vectors(pdf[vec_col]), m=m, ef_construction=ef,
+                metric=metric,
             )
-            g = build_hnsw(vecs, m=m, ef_construction=ef, metric=metric)
             write_diskann(
                 f"{artifact_dir}/{GRAPH_DIR}/shard_{shard}.diskann", g,
                 None, hnsw=g,
@@ -443,38 +452,17 @@ class HnswEngine(VamanaEngine):
         shards = int(getattr(params, "shards", 1))
         if shards == 0:  # auto: reference-parity single graph while the
             # sequential build stays cheap, then bounded shards
-            n_rows = src.count()
+            n_rows = getattr(params, "_n_rows", None)
+            if n_rows is None:
+                n_rows = src.count()
             per = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
             shards = max(1, -(-int(n_rows) // per))
         build_shard = self._build_shard_fn(artifact_dir, id_col, vec_col,
                                            params)
 
-        if shards == 1:
-            labels = build_shard(src.toPandas(), 0)
-            spark.createDataFrame(
-                labels, schema="shard int, label long, id long"
-            ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
-        else:
-            # identical shard-and-merge shape to VamanaEngine.build: the
-            # shuffle partition IS the shard, one graph per task
-            def build_partition(batches):
-                pdfs = [p for p in batches if len(p)]
-                if not pdfs:
-                    return
-                pdf = pd.concat(pdfs)
-                yield build_shard(
-                    pdf.drop(columns=["shard"]), int(pdf["shard"].iloc[0])
-                )
-
-            (
-                src.repartition(shards, F.col(id_col))
-                .withColumn("shard", F.spark_partition_id())
-                .mapInPandas(
-                    build_partition, schema="shard int, label long, id long"
-                )
-                .write.mode("overwrite")
-                .parquet(f"{artifact_dir}/{LABELS_DIR}")
-            )
+        shards = self._run_sharded_build(
+            spark, src, id_col, shards, build_shard, artifact_dir
+        )
         return {"layout": "hnsw-layered", "shards": shards}
 
     def append(self, spark, manifest, artifact_dir, df_new, params):

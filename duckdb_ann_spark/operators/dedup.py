@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.expr import bind_once as _bind
-from ..functions.text import spark_sql_tokenize
+from ..functions.text import spark_sql_tokenize, sql_bind_once
 from ..local import widen_if_narrow
 
 N_HASHES = 12
@@ -97,11 +97,7 @@ def shingle_sql(text_col: str, n: int = SHINGLE_WORDS) -> str:
         f"else transform(sequence(1, size(toks) - {n - 1}), "
         f"i -> concat_ws(' ', {elems})) end"
     )
-    return (
-        "element_at(transform(array("
-        + spark_sql_tokenize(text_col)
-        + f"), toks -> {body}), 1)"
-    )
+    return sql_bind_once(spark_sql_tokenize(text_col), "toks", body)
 
 
 def shingles(text_col: str, n: int = SHINGLE_WORDS) -> Column:
@@ -128,12 +124,9 @@ def signature_sql(text_col: str, n_hashes: int = N_HASHES,
         "transform(s, x -> "
         "cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"
     )
-    return (
-        "element_at(transform(array("
-        + shingle_sql(text_col, shingle_words)
-        + "), s -> element_at(transform(array("
-        + hs
-        + f"), hs -> array({comps})), 1)), 1)"
+    return sql_bind_once(
+        shingle_sql(text_col, shingle_words), "s",
+        sql_bind_once(hs, "hs", f"array({comps})"),
     )
 
 
@@ -299,7 +292,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "cast(power(2.0D, b) as bigint) else cast(0 as bigint) end), "
         "cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    expr = f"element_at(transform(array({th}), th -> {fp}), 1)"
+    expr = sql_bind_once(th, "th", fp)
     return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
 
 

@@ -58,7 +58,7 @@ def bm25_scores(
     projection computing every doc's score with the constants cross-
     joined in. The old explode→3x-scan→2x-shuffle pipeline did the same
     arithmetic with three full passes over the token stream."""
-    from ..functions.text import spark_sql_tokenize
+    from ..functions.text import spark_sql_tokenize, sql_bind_once
 
     qterms = sorted(set(py_tokenize(query_text)))
     spark = docs.sparkSession
@@ -75,10 +75,9 @@ def bm25_scores(
         f"cast(size(filter(toks, t -> t = '{t}')) as double) as tf{i}"
         for i, t in enumerate(qterms)
     )
-    counts_sql = (
-        "element_at(transform(array("
-        + spark_sql_tokenize(text_col)
-        + f"), toks -> struct(cast(size(toks) as double) as dl, {tfs})), 1)"
+    counts_sql = sql_bind_once(
+        spark_sql_tokenize(text_col), "toks",
+        f"struct(cast(size(toks) as double) as dl, {tfs})",
     )
     per_doc = docs.select(
         F.col(id_col), F.expr(counts_sql).alias("_t")

@@ -109,7 +109,7 @@ def frame_sample(
         .withColumn(
             "frame",
             F.expr(
-                f"substring({bin_col}, cast(frame_idx * {frame_bytes} + 1 "
+                f"substring(`{bin_col}`, cast(frame_idx * {frame_bytes} + 1 "
                 f"as int), {frame_bytes})"
             ),
         )

@@ -150,12 +150,10 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     score = 0.25*len_ok + 0.25*stopword_ratio_clamped
           + 0.25*alpha_ratio + 0.25*(unique/total)."""
-    from ..functions.text import spark_sql_tokenize
+    from ..functions.text import spark_sql_tokenize, sql_bind_once
 
-    feats = (
-        "element_at(transform(array("
-        + spark_sql_tokenize(text_col)
-        + f"), toks -> {sql_quality_struct()}), 1)"
+    feats = sql_bind_once(
+        spark_sql_tokenize(text_col), "toks", sql_quality_struct()
     )
     return df.select(F.col(id_col), F.expr(feats).alias("_f")).select(
         id_col, "_f.stopword_ratio", "_f.alpha_ratio", "_f.unique_ratio",
@@ -194,12 +192,10 @@ def lang_pred_from_hits(h) -> Column:
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """→ (id, lang_pred, lang_hits): language with the most marker-token
     hits; ties and zero hits fall back in LANG_MARKERS order / 'und'."""
-    from ..functions.text import spark_sql_tokenize
+    from ..functions.text import spark_sql_tokenize, sql_bind_once
 
-    hits_expr = (
-        "element_at(transform(array("
-        + spark_sql_tokenize(text_col)
-        + f"), toks -> {sql_lang_hits_struct()}), 1)"
+    hits_expr = sql_bind_once(
+        spark_sql_tokenize(text_col), "toks", sql_lang_hits_struct()
     )
     with_hits = df.select(
         F.col(id_col), F.expr(hits_expr).alias("_h")

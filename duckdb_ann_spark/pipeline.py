@@ -36,7 +36,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions.text import spark_sql_tokenize
+from .functions.text import spark_sql_tokenize, sql_bind_once
 from .local import widen_if_narrow
 from .operators.dedup import ngram_jaccard_pairs
 from .operators.text_ops import lang_pred_from_hits, sql_lang_hits_struct, sql_quality_struct
@@ -69,13 +69,13 @@ def prepare_corpus(
     # driver time per plan); element_at(transform(array(..)), 1) is the
     # SQL spelling of bind_once: one tokenize evaluation per row
     annotations = F.expr(
-        "element_at(transform(array("
-        + spark_sql_tokenize(text_col)
-        + "), toks -> struct("
-        "size(toks) as n_tokens, "
-        f"{sql_quality_struct()} as q, "
-        f"{sql_lang_hits_struct()} as h, "
-        "md5(concat_ws(' ', toks)) as fp)), 1)"
+        sql_bind_once(
+            spark_sql_tokenize(text_col), "toks",
+            "struct(size(toks) as n_tokens, "
+            f"{sql_quality_struct()} as q, "
+            f"{sql_lang_hits_struct()} as h, "
+            "md5(concat_ws(' ', toks)) as fp)",
+        )
     )
     ann = docs.select(
         F.col(id_col),

@@ -178,21 +178,21 @@ def test_sql_fragments_match_column_builders(spark, docs):
     hashes ride on the SQL path."""
     from pyspark.sql import functions as F
     from duckdb_ann_spark.functions.expr import bind_once
-    from duckdb_ann_spark.functions.text import spark_sql_tokenize, tokenize
+    from duckdb_ann_spark.functions.text import (
+        spark_sql_tokenize, sql_bind_once, tokenize,
+    )
     from duckdb_ann_spark.operators.text_ops import (
         lang_hit_struct, quality_features,
         sql_lang_hits_struct, sql_quality_struct,
     )
 
     via_sql = docs.select(
-        F.expr(
-            "element_at(transform(array(" + spark_sql_tokenize("text")
-            + f"), toks -> {sql_quality_struct()}), 1)"
-        ).alias("q"),
-        F.expr(
-            "element_at(transform(array(" + spark_sql_tokenize("text")
-            + f"), toks -> {sql_lang_hits_struct()}), 1)"
-        ).alias("h"),
+        F.expr(sql_bind_once(
+            spark_sql_tokenize("text"), "toks", sql_quality_struct()
+        )).alias("q"),
+        F.expr(sql_bind_once(
+            spark_sql_tokenize("text"), "toks", sql_lang_hits_struct()
+        )).alias("h"),
     ).collect()
     via_cols = docs.select(
         bind_once(tokenize("text"), quality_features).alias("q"),
