@@ -120,3 +120,40 @@ def test_sq8_error_bound(vecs):
     for j in range(vecs.shape[1]):
         if spread[j] > 0:
             assert codes[:, j].min() == 0 and codes[:, j].max() == 255
+
+
+@settings(max_examples=25, deadline=None)
+@given(vecs=vectors_st, k=st.integers(1, 8),
+       m=st.integers(2, 8), metric=st.sampled_from(["l2", "ip"]))
+def test_hnsw_invariants(vecs, k, m, metric):
+    """Layered HNSW under arbitrary shapes: results are valid labels,
+    sorted by (dist, id), degree bounds hold on every layer, levels
+    thin monotonically, and build is deterministic."""
+    from duckdb_ann_spark.index.hnsw_core import build_hnsw
+
+    g = build_hnsw(vecs, m=m, ef_construction=2 * m + 4, metric=metric)
+    assert g.n == len(vecs)
+    # degree bounds
+    assert ((g.adjacency[: g.n] != np.uint32(0xFFFFFFFF)).sum(axis=1)
+            <= g.m0).all()
+    for layer in g.upper:
+        for ids in layer.values():
+            assert len(ids) <= g.m
+    # layer membership: a node linked on layer l must be assigned
+    # level >= l, and all its link targets must be too
+    for lth, layer in enumerate(g.upper, start=1):
+        for node, ids in layer.items():
+            assert g.levels[node] >= lth
+            assert all(g.levels[nb] >= lth for nb in ids)
+    # search contract
+    hits = g.search(vecs[0], k, search_complexity=4 * m)
+    assert len(hits) == min(k, g.n)
+    labels = [i for i, _ in hits]
+    assert len(set(labels)) == len(labels)
+    assert all(0 <= i < g.n for i in labels)
+    ds = [d for _, d in hits]
+    assert all(a <= b for a, b in zip(ds, ds[1:]))
+    # determinism
+    g2 = build_hnsw(vecs, m=m, ef_construction=2 * m + 4, metric=metric)
+    assert np.array_equal(g.adjacency[: g.n], g2.adjacency[: g2.n])
+    assert g.entry_point == g2.entry_point
