@@ -27,7 +27,8 @@ Plan (IVF-style cell co-partitioning):
 `nprobe >= nlist` degenerates to the exact k-NN join (every pair
 scored). Cells are the unit of parallelism on the fast path — pick
 `nlist` at least the cluster parallelism so no task owns too much of
-the corpus.
+the corpus, and `salt=s` to sub-split skewed cells (the one shuffle
+AQE's skew-join cannot touch) into s tasks each.
 """
 
 from __future__ import annotations
@@ -90,6 +91,7 @@ def knn_join(
     nprobe: int = 8,
     method: str = "blas",
     n_rows: int | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """→ DataFrame(<query_id_col>, <base_id_col>, _distance), the k
     nearest base rows per query row (ties on base id ascending).
@@ -97,6 +99,14 @@ def knn_join(
     Exact when `nprobe >= nlist`; otherwise approximate with IVF-probe
     recall characteristics. Pass `n_rows` (the base row count) when
     known to skip the counting pass over the base side.
+
+    `salt` handles CELL SKEW on the cogroup fast path — the one shuffle
+    AQE's skew-join cannot split (a whole cell is one task). With
+    salt=s, each base row lands in sub-bucket (cell, hash(id) mod s)
+    and each query replicates to all s sub-buckets of its probed cells,
+    so the largest task is 1/s of the hottest cell by construction; the
+    per-query window merge already unions partial top-k correctly.
+    Exchange cost: base x1 (unchanged), queries x(nprobe*s).
     """
     spark = base_df.sparkSession
     if query_vec_col == base_vec_col:
@@ -173,9 +183,24 @@ def knn_join(
                 DISTANCE_COL, qidx_col=query_id_col, qidx_dtype=np.int64,
             )
 
+        salt = max(1, int(salt))
+        if salt > 1:
+            # deterministic sub-split: base by id hash, queries to all
+            # sub-buckets (see docstring; exactness per (cell, salt)
+            # pair is preserved — every (q, b) candidate pair still
+            # meets in exactly one group)
+            b = b.withColumn(
+                "_salt", F.pmod(F.abs(F.hash(F.col(base_id_col))), F.lit(salt))
+            )
+            q = q.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
+            group_cols = [CELL_COL, "_salt"]
+        else:
+            group_cols = [CELL_COL]
         scored = (
-            q.groupby(CELL_COL)
-            .cogroup(b.groupby(CELL_COL))
+            q.groupby(*group_cols)
+            .cogroup(b.groupby(*group_cols))
             .applyInPandas(score_cell, schema=out_schema)
         )
 

@@ -100,3 +100,19 @@ def test_exact_method_matches_blas_ids(spark, emb):
     ka = {(r["_q_vec_id"], r["vec_id"]) for r in a}
     kb = {(r["_q_vec_id"], r["vec_id"]) for r in b}
     assert ka == kb
+
+
+def test_salted_cogroup_matches_unsalted(spark, emb):
+    """salt=s splits each cell into s cogroup tasks without changing
+    results: every (query, base) candidate pair still meets in exactly
+    one (cell, salt) group and the window merge unions partial top-k."""
+    queries = emb.where(F.col("vec_id") < 25)
+    kw = dict(k=3, nlist=8, nprobe=3)
+    plain = knn_join(queries, "vec_id", "embedding", emb, "vec_id",
+                     "embedding", **kw).collect()
+    salted = knn_join(queries, "vec_id", "embedding", emb, "vec_id",
+                      "embedding", salt=4, **kw).collect()
+    key = lambda rows: sorted(
+        (r["_q_vec_id"], r["vec_id"], round(r["_distance"], 6)) for r in rows
+    )
+    assert key(plain) == key(salted)
