@@ -94,11 +94,12 @@ class FaissParams:
     train_sample: int = 0
     description: str = field(default="")
     # Spark extension (not in the reference): HNSW graph shards built in
-    # parallel executors; 1 = reference-parity single graph (faiss
-    # builds one HNSW per index), 0 = AUTO (single graph up to
-    # AUTO_SHARD_ROWS, then one shard per AUTO_SHARD_ROWS — a
-    # sequential python build is unusable past ~10^5 rows)
-    shards: int = 1
+    # parallel executors; 0 = AUTO (single graph up to AUTO_SHARD_ROWS —
+    # structurally identical to the reference's one-HNSW-per-index —
+    # then one shard per AUTO_SHARD_ROWS, so a big CREATE INDEX never
+    # collects the table to the driver); 1 = forced reference-parity
+    # single graph (kept for byte-stable single-graph tests)
+    shards: int = 0
     AUTO_SHARD_ROWS = 25_000
     # GPU placement (`src/faiss_index.cpp:84-152`): cpu / gpu / auto.
     # This engine's kernels are numpy/BLAS — there is never a GPU

@@ -97,15 +97,6 @@ class VamanaEngine:
     ) -> dict:
         os.makedirs(f"{artifact_dir}/{GRAPH_DIR}", exist_ok=True)
         src = df.select(id_col, vec_col)
-        shards = int(getattr(params, "shards", 0))
-        if shards == 0:  # auto: reference-parity single graph while the
-            # sequential python build stays cheap, then one shard per
-            # AUTO_SHARD_ROWS so build wall-time stays bounded at scale
-            n_rows = getattr(params, "_n_rows", None)
-            if n_rows is None:
-                n_rows = src.count()
-            per = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
-            shards = max(1, -(-int(n_rows) // per))
 
         def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
             pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -131,11 +122,11 @@ class VamanaEngine:
             )
 
         shards = self._run_sharded_build(
-            spark, src, id_col, shards, build_shard, artifact_dir
+            spark, src, id_col, params, build_shard, artifact_dir
         )
         return {"layout": "diskann-v2", "shards": shards}
 
-    def _run_sharded_build(self, spark, src, id_col, shards, build_shard,
+    def _run_sharded_build(self, spark, src, id_col, params, build_shard,
                            artifact_dir) -> int:
         """Shared shard-and-merge driver for every graph engine: 1 shard
         = reference-parity driver build; N shards = the shuffle partition
@@ -143,9 +134,20 @@ class VamanaEngine:
         (hash of a unique id) and each task builds exactly one graph from
         its whole partition. One shuffle, perfect task balance, no hidden
         sampling job (repartitionByRange runs one to estimate bounds).
+        `params.shards == 0` (both engines' default) resolves here:
+        reference-parity single graph up to AUTO_SHARD_ROWS vectors, then
+        one shard per AUTO_SHARD_ROWS — so a big CREATE INDEX never
+        routes the whole table through the driver.
         Returns the number of shard files actually written (empty hash
         partitions write none — the manifest must report what exists,
         since append's overflow numbering and diagnostics read it)."""
+        shards = int(getattr(params, "shards", 0))
+        if shards == 0:
+            n_rows = getattr(params, "_n_rows", None)
+            if n_rows is None:
+                n_rows = src.count()
+            per = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
+            shards = max(1, -(-int(n_rows) // per))
         if shards == 1:
             labels = build_shard(src.toPandas(), 0)
             spark.createDataFrame(
@@ -282,7 +284,10 @@ class VamanaEngine:
         local_df(
             spark, labels, "shard int, label long, id long"
         ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
-        return {"shards": max(len(shard_files), shard_id + 1)}
+        # recount from disk: build shard numbering can be non-contiguous
+        # (empty hash partitions write no file), so shard_id+1 would
+        # overstate the count after an overflow append
+        return {"shards": len(self._shard_files(artifact_dir))}
 
     # above this many queries, fan out across executors instead of
     # looping on the driver
@@ -401,11 +406,13 @@ class HnswEngine(VamanaEngine):
     geometric layer assignment, per-layer beam search + Algorithm-4
     neighbor selection, efSearch via `search_complexity`.
 
-    Default = one graph like the reference (faiss builds one HNSW per
-    index); `shards=N` (Spark extension, same semantics as the DiskANN
-    engine's) builds N independent layered graphs in parallel executors
-    and merges search results — the scale path for HNSW at corpus size,
-    since a single sequential build is unusable past ~10^5 rows. The
+    Default `shards=0` = auto (same policy as the DiskANN engine): one
+    graph like the reference (faiss builds one HNSW per index) up to
+    AUTO_SHARD_ROWS vectors, then one shard per AUTO_SHARD_ROWS so a big
+    build never collects the table to the driver; `shards=N` forces a
+    count, with N independent layered graphs built in parallel executors
+    and search results merged — a single sequential build is unusable
+    past ~10^5 rows. The
     shard file reuses the `.diskann` v2 body (layer-0 adjacency →
     mmap-able, `vectors()` reconstruction works unchanged) plus an
     upper-layer appendix. Search/distribution plumbing is inherited —
@@ -449,19 +456,10 @@ class HnswEngine(VamanaEngine):
     def build(self, spark, df, id_col, vec_col, artifact_dir, params, dim):
         os.makedirs(f"{artifact_dir}/{GRAPH_DIR}", exist_ok=True)
         src = df.select(id_col, vec_col)
-        shards = int(getattr(params, "shards", 1))
-        if shards == 0:  # auto: reference-parity single graph while the
-            # sequential build stays cheap, then bounded shards
-            n_rows = getattr(params, "_n_rows", None)
-            if n_rows is None:
-                n_rows = src.count()
-            per = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
-            shards = max(1, -(-int(n_rows) // per))
         build_shard = self._build_shard_fn(artifact_dir, id_col, vec_col,
                                            params)
-
         shards = self._run_sharded_build(
-            spark, src, id_col, shards, build_shard, artifact_dir
+            spark, src, id_col, params, build_shard, artifact_dir
         )
         return {"layout": "hnsw-layered", "shards": shards}
 
@@ -480,6 +478,14 @@ class HnswEngine(VamanaEngine):
             shard_files, key=lambda sf: os.path.getsize(sf[1])
         )
         g = read_hnsw(path, mmap=False)
+        if g is None:
+            # shard has no HNSW appendix — an artifact from the old
+            # 'hnsw-as-vamana-graph' layout; its shards are plain Vamana
+            # bodies an HnswGraph can't extend
+            raise ValueError(
+                f"Index shard '{path}' predates the layered-HNSW format; "
+                "drop and recreate the index to append to it"
+            )
         if g.n >= self.APPEND_SHARD_CAP:
             shard_id = max(s for s, _ in shard_files) + 1
             path = f"{artifact_dir}/{GRAPH_DIR}/shard_{shard_id}.diskann"
@@ -501,7 +507,10 @@ class HnswEngine(VamanaEngine):
         local_df(
             spark, labels, "shard int, label long, id long"
         ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
-        return {"shards": max(len(shard_files), shard_id + 1)}
+        # recount from disk: build shard numbering can be non-contiguous
+        # (empty hash partitions write no file), so shard_id+1 would
+        # overstate the count after an overflow append
+        return {"shards": len(self._shard_files(artifact_dir))}
 
 
 register_engine("diskann", "vamana", VamanaEngine())

@@ -155,6 +155,46 @@ def test_sharded_hnsw_engine(spark, sf_dir, tmp_path):
     assert len(got & want) >= 7, (sorted(got), sorted(want))
 
 
+def test_hnsw_auto_shards_no_driver_collect(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """Default shards=0 resolves to one shard per AUTO_SHARD_ROWS above
+    the threshold, and the build never collects the source table to the
+    driver (the round-4 scale-killer: shards=1 routed CREATE INDEX
+    through src.toPandas())."""
+    import glob
+    from pyspark.sql import DataFrame, functions as F
+    from duckdb_ann_spark.index import Catalog, create_index, index_scan
+    from duckdb_ann_spark.index.params import FaissParams
+    from duckdb_ann_spark.operators.topk import topk
+
+    monkeypatch.setattr(FaissParams, "AUTO_SHARD_ROWS", 100)
+    calls = []
+    orig = DataFrame.toPandas
+    monkeypatch.setattr(
+        DataFrame, "toPandas",
+        lambda self: (calls.append(1), orig(self))[1],
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(str(tmp_path / "idx3"))
+    m = create_index(emb, "vec_id", "embedding", "hauto", engine="faiss",
+                     type="HNSW", hnsw_m=16, catalog=cat)
+    assert not calls, "auto-sharded HNSW build collected to the driver"
+    assert m["shards"] == 5  # 500 rows / 100 per shard
+    paths = glob.glob(f"{cat.path('hauto')}/graph/*.diskann")
+    assert len(paths) == 5
+    for p in paths:
+        assert read_hnsw(p) is not None  # every shard is layered
+
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    got = {r.vec_id for r in
+           index_scan(spark, "hauto", [qv], 10, search_complexity=64,
+                      catalog=cat).collect()}
+    want = {r.vec_id for r in
+            topk(emb, "embedding", qv, 10, "l2", id_col="vec_id").collect()}
+    assert len(got & want) >= 7, (sorted(got), sorted(want))
+
+
 def test_sharded_hnsw_append_routes_smallest(spark, tmp_path):
     """Appends land in ONE shard (smallest), stay layered, and are
     immediately searchable."""
