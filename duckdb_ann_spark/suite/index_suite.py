@@ -149,16 +149,57 @@ def q_ann_search_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_search_ivfflat_probe")  # approximate: rows-only driver check
+# The partial probe is approximate vs brute force but DETERMINISTIC given
+# the seeded KMeans (ivf.py TRAIN_SEED): the oracle replays the probe from
+# the persisted artifact — rank cells by centroid distance, brute-force
+# only the probed cells' vectors — so even the approximate path is
+# hash-compared, not just row-counted. The artifact is plain parquet; the
+# path is process-local (same pid builds and compares).
+_IVF_PROBE_ART = os.path.join(_ROOT, "suite_ivf")
+_IVF_PROBE_ORACLE = f"""
+    {_Q_CTE}
+    , cent AS (
+        SELECT CAST(__cell AS INT) AS cell, centroid
+        FROM read_parquet('{_IVF_PROBE_ART}/centroids/*.parquet')
+    ), probe AS (
+        SELECT cell FROM cent CROSS JOIN q
+        ORDER BY {sql_index_distance('l2', 'cent.centroid', 'q.qv')}, cell
+        LIMIT 6
+    ), cand AS (
+        SELECT CAST(v.vec_id AS BIGINT) AS vec_id, v.embedding
+        FROM read_parquet('{_IVF_PROBE_ART}/vectors/*/*.parquet',
+                          hive_partitioning=1) v
+        WHERE CAST(v.__cell AS INT) IN (SELECT cell FROM probe)
+    )
+    SELECT c.vec_id, {sql_index_distance('l2', 'c.embedding', 'q.qv')} AS _distance
+    FROM cand c CROSS JOIN q
+    ORDER BY _distance, c.vec_id LIMIT 10
+    """
+
+
+@register("ann_search_ivfflat_probe", _IVF_PROBE_ORACLE)
 def q_ann_search_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-probe IVF (the 100 TB path: partition-pruned cell scan).
-    Approximate → no SQL oracle; recall floor is pinned in
-    tests/test_index_ivf.py."""
+    The probe itself runs the engine's BLAS path (f32 ranking); the
+    returned `_distance` is recomputed with the f64 JVM fold so values
+    hash-match the artifact-replaying DuckDB oracle above (same move as
+    `_exact_graph_scan`). Recall floor + exact-ids-at-fixed-seed are
+    additionally pinned in tests/test_index_ivf.py."""
+    from ..functions.distance import index_distance
+
     cat = _fresh_index(
         spark, sf_dir, "suite_ivf", type="IVFFlat", ivf_nlist=16, nprobe=6
     )
     q = query_vec(spark, sf_dir)
-    return index_scan(spark, "suite_ivf", [q], k=10, catalog=cat).drop("query_idx")
+    hits = index_scan(spark, "suite_ivf", [q], k=10, catalog=cat)
+    e = _emb(spark, sf_dir)
+    return (
+        hits.select("vec_id")
+        .join(F.broadcast(e.select("vec_id", "embedding")), on="vec_id")
+        .withColumn("_distance", index_distance("l2", "embedding", q))
+        .select("vec_id", "_distance")
+        .orderBy("_distance", "vec_id")
+    )
 
 
 def _exact_graph_scan(

@@ -74,9 +74,10 @@ def test_partial_probe_exact_ids_at_fixed_seed(spark, emb, qvec, cat):
     nearest persisted centroid, pick the nprobe nearest centroids to the
     query, brute-force top-k within those cells with the engine's
     tie-break — must reproduce the engine's (id, distance) list exactly.
-    This is the hard gate behind the driver's rows-only
-    `ann_search_ivfflat_probe` entry (no SQL oracle can exist: the cell
-    structure lives in index state, not in the source tables)."""
+    Together with the artifact-replaying DuckDB oracle registered for
+    `ann_search_ivfflat_probe` (index_suite.py reads centroids/ and the
+    probed vectors/ partitions in SQL), this pins the probe path from two
+    independent directions."""
     import numpy as np
     from duckdb_ann_spark.functions.distance import np_index_distances
 
