@@ -35,6 +35,12 @@ __all__ = ["diskann_streaming_build", "read_raw_vectors", "write_raw_vectors"]
 
 CHUNK_ROWS = 8192
 
+# The Spark fallback (path schemes pyarrow can't open) collects the
+# vectors to the driver in one batch; above this many rows it refuses —
+# an error beats a driver OOM, and the pyarrow path is the real
+# out-of-core route (same guard idea as batch.MAX_QUERY_ROWS).
+MAX_FALLBACK_ROWS = 500_000
+
 
 def read_raw_vectors(path: str) -> np.ndarray:
     """Read the reference's raw input format: [u32 n][u32 dim][f32 data]."""
@@ -170,7 +176,20 @@ def diskann_streaming_build(
             # the pyarrow path above is the out-of-core one)
             if spark is None:
                 raise
-            rows = spark.read.parquet(input_path).select(vec_col).collect()
+            src = spark.read.parquet(input_path).select(vec_col)
+            # cheap guard: count stops the collect before it OOMs
+            n_probe = src.limit(MAX_FALLBACK_ROWS + 1).count()
+            if n_probe > MAX_FALLBACK_ROWS:
+                raise ValueError(
+                    f"diskann_streaming_build: input exceeds "
+                    f"{MAX_FALLBACK_ROWS} rows and is not readable by "
+                    "pyarrow (the out-of-core path); the Spark fallback "
+                    "collects to the driver in one batch. Copy the input "
+                    "to a pyarrow-readable location, or use "
+                    "create_index(engine='diskann') for a distributed "
+                    "sharded build."
+                )
+            rows = src.collect()
             vectors = np.array([r[0] for r in rows], dtype=np.float32)
             n = len(vectors)
             chunks = iter([vectors] if n else [])

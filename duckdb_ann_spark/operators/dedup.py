@@ -45,14 +45,20 @@ SHINGLE_WORDS = 3
 # Bounds keep the arithmetic exactly representable in signed 64-bit on
 # both engines: h < 2^32, a < 2^30 → a*h + b < 2^63.
 MINHASH_PRIME = 4_294_967_291  # largest prime < 2^32
-_coeff_rng = np.random.default_rng(1337)
+# Frozen literals (odd a in [1, 2^30), b in [0, PRIME)) — originally
+# drawn from default_rng(1337) but pinned as constants: NumPy's
+# compatibility policy allows Generator streams to change across
+# versions, and persisted signatures must stay comparable across
+# environments.
 MINHASH_COEFFS: list[tuple[int, int]] = [
-    (int(a) * 2 + 1, int(b))  # odd a in [1, 2^30)
-    for a, b in zip(
-        _coeff_rng.integers(0, 2**29, size=N_HASHES),
-        _coeff_rng.integers(0, MINHASH_PRIME, size=N_HASHES),
-    )
+    (586611233, 256679336), (942854737, 832071153),
+    (780617357, 708693735), (199209131, 1467750085),
+    (580040769, 1187820521), (988809335, 2129405699),
+    (420395769, 2426415130), (1016367357, 3858475059),
+    (310853819, 1027655057), (938995913, 27739557),
+    (495735179, 2241753832), (124277845, 976724811),
 ]
+assert len(MINHASH_COEFFS) == N_HASHES
 
 __all__ = [
     "dedup_exact",

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import quote_ident
+
 __all__ = [
     "binary_stats",
     "extract_features",
@@ -109,7 +111,8 @@ def frame_sample(
         .withColumn(
             "frame",
             F.expr(
-                f"substring(`{bin_col}`, cast(frame_idx * {frame_bytes} + 1 "
+                f"substring({quote_ident(bin_col)}, "
+                f"cast(frame_idx * {frame_bytes} + 1 "
                 f"as int), {frame_bytes})"
             ),
         )

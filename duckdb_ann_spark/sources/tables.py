@@ -40,9 +40,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-testdata table as a DataFrame."""
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = df.schema["ts"].dataType
+        # Flip nanosAsLong only for the duration of the read (the schema
+        # freezes into the plan at read time — verified: a NANOS file
+        # still collects as LongType after the conf is restored), so this
+        # helper leaves no session-level side effect behind.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+            ts_type = df.schema["ts"].dataType
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         if isinstance(ts_type, LongType):
             # ns since epoch → µs timestamp (DuckDB semantics for the same
             # file). Integer `div`, NOT `/`: epoch-ns values (~1.7e18) exceed

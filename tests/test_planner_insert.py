@@ -175,6 +175,24 @@ def test_streaming_build_from_parquet(spark, sf_dir, tmp_path):
     assert read_diskann(out).n == n
 
 
+def test_streaming_build_fallback_row_cap(spark, sf_dir, tmp_path,
+                                          monkeypatch):
+    """The Spark fallback (input unreadable by pyarrow) must refuse huge
+    inputs with a clear error instead of collecting them to the driver."""
+    import duckdb_ann_spark.index.streaming_build as sb
+
+    def boom(path):
+        raise OSError("simulated: pyarrow cannot open this path scheme")
+
+    monkeypatch.setattr(sb, "_parquet_count", boom)
+    monkeypatch.setattr(sb, "MAX_FALLBACK_ROWS", 100)
+    with pytest.raises(ValueError, match="exceeds 100 rows"):
+        diskann_streaming_build(
+            f"{sf_dir}/embeddings.parquet", str(tmp_path / "cap.diskann"),
+            max_degree=16, build_complexity=32, spark=spark,
+        )
+
+
 def test_faiss_gpu_info(spark):
     rows = faiss_gpu_info(spark).collect()
     assert len(rows) == 1
