@@ -16,6 +16,10 @@ Workloads:
   LLM-pipeline operator families (BM25+RRF hybrid search, MinHash-LSH
   candidate pairs, distributed IVF-cell k-NN join, composed corpus
   prep) at the same SF.
+* `scale100k_*`: 100k x d128 spot-check of the scale paths (IVF probe
+  search, sharded Vamana, 10k x 100k knn_join) — see `bench_scale`;
+  runs once, excluded from the headline total so `value` stays
+  comparable across rounds.
 
 Metric: total wall seconds over all workloads (lower is better), with the
 per-query breakdown in "queries".
@@ -189,6 +193,105 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
     return out, recall
 
 
+SCALE_N = 100_000
+
+
+def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """100k x d128 spot-check (round-5 addition): measures that the
+    scale arguments hold an order of magnitude past the 10k workloads
+    instead of only being read off the plans.
+
+    * `scale100k_ivf_*`: nlist scales with N (64 -> 256) so cells stay
+      ~constant-size; probing the same ~43% cell fraction as the 10k run
+      must hold the recall floor while search wall-time grows far less
+      than the 10x data growth (the probe scan is partition-pruned).
+    * `scale100k_vamana_*`: 64 shard graphs built in parallel executors,
+      distributed 50-query search over all shards.
+    * `scale100k_knn_join`: 10k queries x 100k base through the IVF-cell
+      cogroup join; at this N the probed fraction is 4/512 cells (<1%),
+      vs 4/16 at sf-scale — the work per query SHRINKS as N grows with
+      cells held constant-size.
+
+    Runs ONCE (no min-of-2): these are multi-second distributed jobs
+    where host noise is amortized and a second pass would double bench
+    wall-time for little signal. Disable with SPARK_GRAFT_SCALE100K=0.
+    Excluded from the headline `value` so totals stay comparable with
+    rounds 1-4; reported under `queries` + `recall` like everything else.
+    """
+    import tempfile
+
+    dim = 128
+    out: dict[str, float] = {}
+    recall: dict[str, float] = {}
+    rng = np.random.default_rng(4242)
+    queries = rng.random((N_QUERIES, dim), dtype=np.float32)
+    vecs = _synthetic_vectors(spark, SCALE_N, dim, seed=dim).persist()
+    vecs.count()
+    cat = Catalog(
+        os.path.join(tempfile.gettempdir(), f"bench_scale_{os.getpid()}")
+    )
+
+    # exact ground truth (driver BLAS, ~51 MB matrix, excluded from timing)
+    vp = vecs.orderBy("vec_id").toPandas()
+    mat = np.array(vp["embedding"].tolist(), dtype=np.float32)
+    ids = vp["vec_id"].to_numpy()
+    truth = []
+    for q in queries:
+        d = ((mat - q) ** 2).sum(axis=1)
+        truth.append(set(ids[np.lexsort((ids, d))[:K]].tolist()))
+    del vp, mat
+
+    def _recall(rows) -> float:
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r["query_idx"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(i, set()) & truth[i]) for i in range(N_QUERIES)
+        ) / (N_QUERIES * K)
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "scale_ivf", engine="faiss",
+        type="IVFFlat", ivf_nlist=256, nprobe=110, catalog=cat,
+    )
+    out["scale100k_ivf_build"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = index_scan(spark, "scale_ivf", queries, K, catalog=cat).collect()
+    out["scale100k_ivf_search"] = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K, len(rows)
+    recall["scale100k_ivf"] = round(_recall(rows), 3)
+    drop_index("scale_ivf", cat)
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "scale_vam", engine="diskann",
+        max_degree=16, build_complexity=32, shards=64, catalog=cat,
+    )
+    out["scale100k_vamana_build"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = index_scan(spark, "scale_vam", queries, K, catalog=cat).collect()
+    out["scale100k_vamana_search"] = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K, len(rows)
+    recall["scale100k_vamana"] = round(_recall(rows), 3)
+    drop_index("scale_vam", cat)
+
+    from duckdb_ann_spark.operators.knn_join import knn_join
+
+    qside = vecs.where(F.col("vec_id") < 10_000).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    t0 = time.perf_counter()
+    n = knn_join(
+        qside, "qid", "embedding", vecs, "vec_id", "embedding",
+        k=5, nlist=512, nprobe=4, n_rows=SCALE_N,
+    ).count()
+    out["scale100k_knn_join"] = time.perf_counter() - t0
+    assert n == 10_000 * 5, n
+
+    vecs.unpersist()
+    return out, recall
+
+
 def run_workloads(spark) -> tuple[dict[str, float], dict[str, float]]:
     """One full pass over every workload → (timings, recall)."""
     timings: dict[str, float] = {}
@@ -289,7 +392,14 @@ def main() -> None:
         # blocks for executor memory
         spark.catalog.clearCache()
 
-    total = sum(timings.values())
+    total = sum(timings.values())  # headline: shared workloads only
+
+    if os.environ.get("SPARK_GRAFT_SCALE100K", "1") != "0":
+        scale_t, scale_r = bench_scale(spark)
+        timings.update(scale_t)
+        recall.update(scale_r)
+        spark.catalog.clearCache()
+
     print(
         json.dumps(
             {
@@ -299,6 +409,8 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "recall": recall,
                 "sf": sf,
+                "scale_n": SCALE_N,
+                "scale_excluded_from_total": True,
             }
         )
     )
