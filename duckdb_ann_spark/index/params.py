@@ -35,8 +35,15 @@ class DiskannParams:
     alpha: float = 1.2
     quantization: str = ""  # 'sq8' to enable
     # entry-point strategy (start_point.rs:19-41): 'first' = FirstVector
-    # (the reference's engine default), 'medoid' = Medoid
+    # (the reference's engine default), 'medoid' = Medoid, 'random' =
+    # RandomSamples, 'latin_hypercube' = LatinHyperCube (snapped to
+    # nearest dataset rows — see vamana_core.select_entry_points)
     start_strategy: str = "first"
+    # sample count + seed for the sampling strategies (random /
+    # latin_hypercube); ignored by first/medoid like the reference's
+    # per-variant params
+    start_nsamples: int = 1
+    start_seed: int = 42
     # Spark extension (not in the reference): number of independent graph
     # shards built in parallel; 1 = reference-parity sequential build,
     # 0 = AUTO (1 shard up to AUTO_SHARD_ROWS vectors — identical to the
@@ -59,11 +66,15 @@ class DiskannParams:
                 f"Unknown quantization '{self.quantization}'. Supported: sq8"
             )
         self.start_strategy = (self.start_strategy or "first").lower()
-        if self.start_strategy not in ("first", "medoid"):
+        from .vamana_core import START_STRATEGIES
+
+        if self.start_strategy not in START_STRATEGIES:
             raise ValueError(
                 f"Unknown start_strategy '{self.start_strategy}'. "
-                "Supported: first, medoid"
+                f"Supported: {', '.join(START_STRATEGIES)}"
             )
+        if int(self.start_nsamples) < 1:
+            raise ValueError("start_nsamples must be >= 1")
 
     @property
     def quantize_sq8(self) -> bool:
@@ -78,6 +89,8 @@ class DiskannParams:
             "quantization": self.quantization,
             "shards": self.shards,
             "start_strategy": self.start_strategy,
+            "start_nsamples": self.start_nsamples,
+            "start_seed": self.start_seed,
         }
 
 

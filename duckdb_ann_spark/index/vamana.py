@@ -108,6 +108,8 @@ class VamanaEngine:
                 alpha=params.alpha,
                 metric=params.metric,
                 start_strategy=getattr(params, "start_strategy", "first"),
+                start_nsamples=getattr(params, "start_nsamples", 1),
+                start_seed=getattr(params, "start_seed", 42),
             )
             sq8 = sq8_quantize(vecs) if params.quantize_sq8 and len(vecs) else None
             write_diskann(
@@ -264,6 +266,8 @@ class VamanaEngine:
                 alpha=getattr(params, "alpha", 1.2),
                 metric=params.metric,
                 start_strategy=getattr(params, "start_strategy", "first"),
+                start_nsamples=getattr(params, "start_nsamples", 1),
+                start_seed=getattr(params, "start_seed", 42),
             )
             labels = [
                 (shard_id, label, int(rid))

@@ -371,6 +371,20 @@ class VamanaGraph:
         return label
 
 
+_M64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — the same version-stable mixer the HNSW
+    level assignment uses; entry-point sampling must not depend on a
+    NumPy Generator stream (streams may change across numpy versions,
+    and rebuilt shards must stay byte-identical across environments)."""
+    z = (x + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return (z ^ (z >> 31)) & _M64
+
+
 def compute_medoid(vectors: np.ndarray, metric: str = "l2") -> int:
     """Label of the dataset medoid: the vector nearest the centroid
     (ties → lowest label). The reference's `StartPointStrategy::Medoid`
@@ -386,34 +400,111 @@ def compute_medoid(vectors: np.ndarray, metric: str = "l2") -> int:
     return int(np.lexsort((np.arange(len(v)), d))[0])
 
 
+START_STRATEGIES = ("first", "medoid", "random", "latin_hypercube")
+
+
+def select_entry_points(vectors: np.ndarray, strategy: str = "first",
+                        nsamples: int = 1, seed: int = 42,
+                        metric: str = "l2") -> list[int]:
+    """Entry-point labels for a build — parity with the reference's
+    `StartPointStrategy` (`rust_lib/diskann-patch/src/graph/start_point.rs:19-41`):
+
+    * 'first'  = FirstVector (label 0);
+    * 'medoid' = Medoid (nearest-to-centroid);
+    * 'random' = RandomSamples: `nsamples` distinct dataset rows from a
+      seeded deterministic stream (splitmix64, not a NumPy Generator —
+      byte-stable across numpy versions);
+    * 'latin_hypercube' = LatinHyperCube: stratified synthetic points
+      over the data's per-dimension range (one stratum midpoint per
+      sample per dim, seeded stratum permutation), each then mapped to
+      its NEAREST dataset row. The mapping is a documented divergence:
+      the `.diskann` v2 format (like the reference's, header
+      `num_entry_points` + ids) stores entry points as labels, so
+      synthetic coordinates must be snapped to dataset members.
+      (`RandomVectors` — synthetic points with a target norm — is not
+      ported for the same reason: it cannot round-trip an id-based
+      entry-point format.)
+    """
+    if strategy not in START_STRATEGIES:
+        raise ValueError(
+            f"Unknown start_strategy '{strategy}'. "
+            f"Supported: {', '.join(START_STRATEGIES)}"
+        )
+    n = len(vectors)
+    if n == 0:
+        return []
+    if strategy == "first":
+        return [0]
+    if strategy == "medoid":
+        return [compute_medoid(vectors, metric)]
+    nsamples = int(nsamples)
+    if nsamples < 1:
+        raise ValueError("start_nsamples must be >= 1")
+    if nsamples > n:
+        # reference wording: StartPointError::NotEnoughTrainingData
+        raise ValueError(
+            f"Not enough input data was supplied, {nsamples} samples "
+            f"were requested but {n} were supplied"
+        )
+    if strategy == "random":
+        out: list[int] = []
+        seen: set[int] = set()
+        i = 0
+        while len(out) < nsamples:
+            lab = _mix64(seed * 0x9E3779B9 + i) % n
+            i += 1
+            if lab not in seen:
+                seen.add(lab)
+                out.append(lab)
+        return out
+    # latin_hypercube
+    v = np.asarray(vectors, dtype=np.float32)
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    s, d = nsamples, v.shape[1]
+    pts = np.empty((s, d), dtype=np.float32)
+    for j in range(d):
+        keys = [_mix64(seed * 0x85EBCA6B + j * s + i) for i in range(s)]
+        perm = np.argsort(np.asarray(keys, dtype=np.uint64), kind="stable")
+        pts[:, j] = lo[j] + (perm.astype(np.float32) + 0.5) / s * (hi[j] - lo[j])
+    labels: list[int] = []
+    order = np.arange(n)
+    for p in pts:
+        dd = _dists("l2", v, p)
+        lab = int(np.lexsort((order, dd))[0])
+        if lab not in labels:
+            labels.append(lab)
+    return labels
+
+
 def build_graph(vectors: np.ndarray, max_degree: int = 64,
                 build_complexity: int = 128, alpha: float = 1.2,
                 metric: str = "l2",
-                start_strategy: str = "first") -> VamanaGraph:
+                start_strategy: str = "first",
+                start_nsamples: int = 1,
+                start_seed: int = 42) -> VamanaGraph:
     """Sequential build by repeated insert — the reference's CREATE INDEX
     shape (single-threaded Finalize, `src/diskann_index.cpp:202-249`).
 
     `start_strategy` mirrors the reference's entry-point strategies
-    (`start_point.rs:19-41`): 'first' = FirstVector (default, also the
-    engine default upstream), 'medoid' = Medoid — the medoid label is
-    computed upfront and becomes the search entry point as soon as it is
-    inserted, so later inserts and all searches descend from it."""
+    (see `select_entry_points`); the chosen labels are computed upfront
+    and become the search entry points as soon as they are inserted, so
+    later inserts and all searches descend from them."""
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     g = VamanaGraph(vectors.shape[1] if vectors.size else 0, max_degree,
                     build_complexity, alpha, metric,
                     capacity=max(len(vectors), 16))
-    if start_strategy not in ("first", "medoid"):
-        raise ValueError(
-            f"Unknown start_strategy '{start_strategy}'. "
-            "Supported: first, medoid"
-        )
-    medoid = (
-        compute_medoid(vectors, metric) if start_strategy == "medoid" else -1
-    )
+    chosen = select_entry_points(vectors, start_strategy, start_nsamples,
+                                 start_seed, metric)
+    if start_strategy == "first":
+        # insert() already seeds entry_points = [0]
+        for v in vectors:
+            g.insert(v)
+        return g
+    chosen_set = set(chosen)
     for label, v in enumerate(vectors):
         g.insert(v)
-        if label == medoid:
-            g.entry_points = [medoid]
+        if label in chosen_set:
+            g.entry_points = [c for c in chosen if c <= label]
     return g
 
 

@@ -53,6 +53,27 @@ def test_grid_search_goldens(dims, size):
         assert v.sum() == 1.0 and (v >= 0).all()  # exactly one coord = 1
 
 
+@pytest.mark.parametrize(
+    "strategy", ["first", "medoid", "random", "latin_hypercube"]
+)
+def test_grid_goldens_hold_for_all_start_strategies(strategy):
+    """Entry-point strategy changes where searches start, never what an
+    exact-complexity search returns: all four strategies reproduce the
+    grid goldens' nearest-corner + one-step-tier claims."""
+    pts = _grid(3, 5)
+    g = build_graph(pts, max_degree=16, build_complexity=64,
+                    start_strategy=strategy, start_nsamples=4)
+    query = np.full(3, -1.0, dtype=np.float32)
+    hits = g.search(query, 4, search_complexity=len(pts))
+    lab0, d0 = hits[0]
+    assert np.array_equal(g.vectors[lab0], np.zeros(3, dtype=np.float32))
+    assert d0 == pytest.approx(3.0)
+    for lab, d in hits[1:]:
+        assert d == pytest.approx(6.0)
+        v = g.vectors[lab]
+        assert v.sum() == 1.0 and (v >= 0).all()
+
+
 def test_grid_batch_matches_single():
     pts = _grid(3, 5)
     g = build_graph(pts, max_degree=16, build_complexity=64)

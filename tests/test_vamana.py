@@ -208,4 +208,44 @@ def test_medoid_start_strategy():
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="start_strategy"):
-        build_graph(vecs, start_strategy="random")
+        build_graph(vecs, start_strategy="bogus")
+
+
+def test_sampling_start_strategies():
+    """'random' (StartPointStrategy::RandomSamples) and 'latin_hypercube'
+    (::LatinHyperCube, snapped to nearest dataset rows — see
+    select_entry_points) — parity with start_point.rs:19-41: seeded,
+    deterministic, multi-entry-point; every strategy still reaches exact
+    results at full search complexity and survives serialization (the v2
+    header carries num_entry_points + ids)."""
+    import numpy as np
+    import pytest as _pytest
+    from duckdb_ann_spark.index.vamana_core import (
+        START_STRATEGIES, _dists, build_graph, select_entry_points,
+    )
+
+    rng = np.random.default_rng(6)
+    vecs = rng.random((300, 16), dtype=np.float32)
+
+    for strategy in ("random", "latin_hypercube"):
+        a = select_entry_points(vecs, strategy, nsamples=4, seed=7)
+        b = select_entry_points(vecs, strategy, nsamples=4, seed=7)
+        assert a == b and len(set(a)) == len(a)  # deterministic, distinct
+        assert all(0 <= lab < 300 for lab in a)
+        c = select_entry_points(vecs, strategy, nsamples=4, seed=8)
+        assert c != a  # seed matters
+
+    with _pytest.raises(ValueError, match="Not enough input data"):
+        select_entry_points(vecs, "random", nsamples=301)
+
+    q = vecs[11]
+    brute = [int(i) for i in
+             np.lexsort((np.arange(300), _dists("l2", vecs, q)))[:5]]
+    for strategy in START_STRATEGIES:
+        g = build_graph(vecs, max_degree=16, build_complexity=32,
+                        start_strategy=strategy, start_nsamples=3,
+                        start_seed=7)
+        exp = select_entry_points(vecs, strategy, 3, 7, "l2")
+        assert g.entry_points == exp
+        got = [i for i, _ in g.search(q, 5, search_complexity=300)]
+        assert got == brute, strategy
