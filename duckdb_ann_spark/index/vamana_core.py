@@ -81,10 +81,10 @@ class VamanaGraph:
         return adj[adj != NO_EDGE].astype(np.int64)
 
     def _set_neighbors(self, i: int, ids) -> None:
-        row = np.full(self.max_degree, NO_EDGE, dtype=np.uint32)
         ids = list(ids)[: self.max_degree]
-        row[: len(ids)] = np.asarray(ids, dtype=np.uint32)
-        self.adjacency[i] = row
+        row = self.adjacency[i]
+        row[: len(ids)] = ids
+        row[len(ids):] = NO_EDGE
 
     # -- search --------------------------------------------------------
     def search(self, query, k: int, search_complexity: int | None = None,
@@ -308,6 +308,9 @@ class VamanaGraph:
         # the hottest scalar loop in the build (called ~15x per insert:
         # once for the visited pool, once per overflowing back-edge).
         # Rows convert lazily: only chosen rows (<= degree of m) are read.
+        # (Round-5 re-measured the numpy-slice np.maximum variant: 25%
+        # SLOWER at these pool sizes — per-chosen kernel dispatch costs
+        # more than the saved python iterations. Keeping the loop.)
         fmax_f = float(fmax)
         occlude = [0.0] * m
         chosen: list[int] = []  # positions into ids
