@@ -46,21 +46,16 @@ import math
 
 import numpy as np
 
-from .vamana_core import NO_EDGE, _dist, _dists
-
-_M64 = (1 << 64) - 1
+from .vamana_core import NO_EDGE, _dist, _dists, _mix64
 
 
 def _level_for(label: int, ml: float) -> int:
     """Deterministic geometric level: splitmix64(label) → U(0,1] →
     floor(-ln(u) * mL). An RNG would make the graph depend on build
     order/restarts; a mixed hash of the label keeps it a pure function
-    of the row set."""
-    z = (label + 0x9E3779B97F4A7C15) & _M64
-    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
-    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
-    z ^= z >> 31
-    u = (z + 1) / 2.0**64  # (0, 1]
+    of the row set. Shares `_mix64` with the entry-point sampling so the
+    'same version-stable mixer' invariant has one implementation."""
+    u = (_mix64(label) + 1) / 2.0**64  # (0, 1]
     return int(-math.log(u) * ml)
 
 

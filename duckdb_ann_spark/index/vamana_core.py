@@ -420,7 +420,8 @@ def select_entry_points(vectors: np.ndarray, strategy: str = "first",
     * 'latin_hypercube' = LatinHyperCube: stratified synthetic points
       over the data's per-dimension range (one stratum midpoint per
       sample per dim, seeded stratum permutation), each then mapped to
-      its NEAREST dataset row. The mapping is a documented divergence:
+      its NEAREST dataset row (geometric l2 snap; colliding snaps
+      collapse, so the result may hold fewer than nsamples labels). The mapping is a documented divergence:
       the `.diskann` v2 format (like the reference's, header
       `num_entry_points` + ids) stores entry points as labels, so
       synthetic coordinates must be snapped to dataset members.
@@ -472,10 +473,17 @@ def select_entry_points(vectors: np.ndarray, strategy: str = "first",
     labels: list[int] = []
     order = np.arange(n)
     for p in pts:
+        # geometric (l2) snap regardless of the index metric, same
+        # policy as compute_medoid: under 'ip' the argmin of -dot would
+        # pick the longest vector, not the stratum's spatial neighbor
         dd = _dists("l2", v, p)
         lab = int(np.lexsort((order, dd))[0])
         if lab not in labels:
             labels.append(lab)
+    # two strata snapping to the same row collapse to one entry point
+    # (entry points are a search seed set — fewer seeds is safe, and
+    # padding with farther rows would break the stratification intent);
+    # 'random' by contrast guarantees exactly nsamples distinct labels
     return labels
 
 

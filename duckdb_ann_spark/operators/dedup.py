@@ -58,7 +58,11 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
     (310853819, 1027655057), (938995913, 27739557),
     (495735179, 2241753832), (124277845, 976724811),
 ]
-assert len(MINHASH_COEFFS) == N_HASHES
+if len(MINHASH_COEFFS) != N_HASHES:  # not assert: must survive python -O
+    raise RuntimeError(
+        "MINHASH_COEFFS must hold exactly N_HASHES frozen pairs; "
+        "extending N_HASHES requires appending new literal coefficients"
+    )
 
 __all__ = [
     "dedup_exact",

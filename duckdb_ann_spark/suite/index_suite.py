@@ -155,6 +155,14 @@ def q_ann_search_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only the probed cells' vectors — so even the approximate path is
 # hash-compared, not just row-counted. The artifact is plain parquet; the
 # path is process-local (same pid builds and compares).
+#
+# Stated assumption: the engine ranks cells and candidates in f32
+# (np_index_distances) while the oracle ranks in f64 SQL — the compare
+# holds because neither the 6-cell probe boundary nor the k=10 cut has a
+# near-tie on this fixture (seed + testdata pinned). If the testdata or
+# the TRAIN_SEED/nlist/nprobe constants are ever regenerated, a boundary
+# tie could flip one set: tests/test_index_ivf.py's
+# exact-ids-at-fixed-seed pytest is the local canary for that.
 _IVF_PROBE_ART = os.path.join(_ROOT, "suite_ivf")
 _IVF_PROBE_ORACLE = f"""
     {_Q_CTE}
