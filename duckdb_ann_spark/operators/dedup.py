@@ -68,6 +68,7 @@ __all__ = [
     "dedup_exact",
     "shingles",
     "minhash_signatures",
+    "band_keys_from_signatures",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
@@ -156,33 +157,17 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
+def band_keys_from_signatures(
+    sigs: DataFrame,
     id_col: str,
-    text_col: str,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
-    shingle_words: int = SHINGLE_WORDS,
-    widen: bool = True,
 ) -> DataFrame:
-    """→ (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band bucket
-    (id_a < id_b). est_jaccard = matching signature fraction.
-    ``widen=False`` skips the narrow-input probe when the caller already
-    guaranteed a wide input (avoids a redundant plan compile)."""
+    """(id, sig) → (id, band, bkey): one 32-hex LSH bucket key per band
+    (md5 over the band's signature slice). Shared by the batch pair
+    generator and the streaming near-dedup — both sides MUST derive keys
+    identically or stream-vs-batch dedup decisions diverge."""
     r = n_hashes // n_bands
-    # signatures are the heavy per-row expression chain (tokenize →
-    # shingle → hash); don't let a single-file input serialize them
-    sigs = minhash_signatures(
-        widen_if_narrow(df) if widen else df,
-        id_col, text_col, n_hashes, shingle_words,
-    )
-    # the signature table is consumed FOUR times (two band-join branches +
-    # two est-jaccard joins): persist it so the tokenize→shingle→minhash
-    # pipeline runs once — at scale this is the "write the signature
-    # table, then band it" structure every production LSH pipeline uses.
-    # The persisted projection is (id, 12 hex strings): a small fixed
-    # fraction of the corpus, MEMORY_AND_DISK-evictable.
-    sigs = sigs.persist()
 
     def band_keys(s: Column) -> Column:
         # s is the bound signature array: the n_bands keys share one
@@ -199,10 +184,41 @@ def minhash_candidate_pairs(
             for b in range(n_bands)
         ])
 
-    bands = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(_bind(F.col("sig"), band_keys)).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    shingle_words: int = SHINGLE_WORDS,
+    widen: bool = True,
+) -> DataFrame:
+    """→ (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band bucket
+    (id_a < id_b). est_jaccard = matching signature fraction.
+    ``widen=False`` skips the narrow-input probe when the caller already
+    guaranteed a wide input (avoids a redundant plan compile)."""
+    # signatures are the heavy per-row expression chain (tokenize →
+    # shingle → hash); don't let a single-file input serialize them
+    sigs = minhash_signatures(
+        widen_if_narrow(df) if widen else df,
+        id_col, text_col, n_hashes, shingle_words,
+    )
+    # the signature table is consumed FOUR times (two band-join branches +
+    # two est-jaccard joins): persist it so the tokenize→shingle→minhash
+    # pipeline runs once — at scale this is the "write the signature
+    # table, then band it" structure every production LSH pipeline uses.
+    # The persisted projection is (id, 12 hex strings): a small fixed
+    # fraction of the corpus, MEMORY_AND_DISK-evictable.
+    sigs = sigs.persist()
+    bands = band_keys_from_signatures(sigs, id_col, n_hashes, n_bands)
 
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bkey")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "bkey")

@@ -19,6 +19,11 @@ needs:
   watermark horizon passes, later copies are dropped, and digest state
   ages out with the watermark (the continuously-ingesting counterpart
   of `operators.dedup.dedup_exact`);
+* :func:`stream_dedup_minhash` — streaming MinHash-LSH NEAR-dedup via
+  `foreachBatch` against a keys-only parquet state table with
+  retention-horizon expiry and periodic compaction (the streaming
+  counterpart of `minhash_candidate_pairs`, identical band-key
+  derivation);
 * :func:`sessionize_events` — a CUSTOM STATEFUL operator
   (`applyInPandasWithState`): per-user gap-based sessionization with
   event-time state timeout. The per-group state is the list of pending
@@ -229,6 +234,138 @@ def sessionize_events(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_dedup_minhash(
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    retention_ms: int = 2 * 3600 * 1000,
+    compact_every: int = 8,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming MinHash-LSH near-deduplication via ``foreachBatch``.
+
+    The streaming counterpart of `operators.dedup.minhash_candidate_pairs`
+    + the pipeline's drop policy: a document is DROPPED when any of its
+    LSH band keys (identical derivation to the batch path —
+    `band_keys_from_signatures`) was already seen, either
+
+    * by an earlier document in the same micro-batch (earlier =
+      smaller (event-time, id), the same deterministic "first wins"
+      batch policy), or
+    * by any prior batch inside the retention horizon.
+
+    State is a parquet table of (band, bkey, ts_ms) — 32-hex keys ONLY,
+    never text bodies or signatures, so state size is
+    O(docs-per-horizon x n_bands x ~40 B) however large the documents
+    are. Every batch appends its keys (dropped docs' keys too, matching
+    the batch policy where dropped docs still anchor future pairs) and
+    every `compact_every`-th batch rewrites the table with expired keys
+    removed, bounding both disk and the per-batch anti-join input.
+
+    Divergence from the batch pipeline, documented: the batch path
+    verifies LSH candidates with exact shingle Jaccard before dropping;
+    the stream drops on band collision alone (one-pass latency — a
+    verification would need text bodies in state). Band-collision false
+    positives pass at the banded-LSH rate; pair with a periodic batch
+    `prepare_corpus` compaction for exact-verified history, the same
+    pairing `stream_dedup_exact` documents.
+
+    Returns the StreamingQuery writing survivors to `out_dir` (parquet,
+    append).
+    """
+    import os
+
+    from ..operators.dedup import band_keys_from_signatures, minhash_signatures
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
+            docs = batch_df.select(
+                F.col(id_col), F.col(text_col), ts_ms.alias("_ts_ms")
+            )
+            bands = band_keys_from_signatures(
+                minhash_signatures(docs, id_col, text_col), id_col
+            ).join(docs.select(id_col, "_ts_ms"), on=id_col)
+
+            # intra-batch: first (ts, id) per bucket wins
+            first = bands.groupBy("band", "bkey").agg(
+                F.min(F.struct("_ts_ms", id_col)).alias("_first")
+            )
+            intra_losers = (
+                bands.join(first, on=["band", "bkey"])
+                .where(
+                    F.struct("_ts_ms", F.col(id_col)) != F.col("_first")
+                )
+                .select(id_col)
+            )
+
+            # cross-batch: any band key already in retained state
+            from pyspark.errors import AnalysisException
+
+            state_path = os.path.join(state_dir, "bands")
+            horizon = None
+            try:
+                state = spark.read.parquet(state_path)
+                max_ts = batch_df.agg(F.max(ts_ms)).collect()[0][0]
+                horizon = int(max_ts) - int(retention_ms)
+                state = state.where(F.col("ts_ms") >= F.lit(horizon))
+                cross_losers = (
+                    bands.join(state, on=["band", "bkey"], how="leftsemi")
+                    .select(id_col)
+                )
+            except AnalysisException:  # first batch: no state yet
+                cross_losers = None
+
+            losers = (
+                intra_losers if cross_losers is None
+                else intra_losers.unionByName(cross_losers)
+            ).distinct()
+            batch_df.join(losers, on=id_col, how="anti").write.mode(
+                "append"
+            ).parquet(out_dir)
+
+            new_state = bands.select(
+                "band", "bkey", F.col("_ts_ms").alias("ts_ms")
+            )
+            new_state.write.mode("append").parquet(state_path)
+
+            if horizon is not None and compact_every and (
+                batch_id % compact_every == compact_every - 1
+            ):
+                # rewrite retained keys only; swap via rename (the state
+                # dir is this operator's private layout)
+                import shutil
+
+                tmp = state_path + ".compact"
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+                (
+                    spark.read.parquet(state_path)
+                    .where(F.col("ts_ms") >= F.lit(horizon))
+                    .repartition(1)
+                    .write.parquet(tmp)
+                )
+                shutil.rmtree(state_path)
+                os.rename(tmp, state_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(feed).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_index_append(

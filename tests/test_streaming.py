@@ -246,3 +246,101 @@ def test_stream_dedup_exact_matches_batch(spark, sf_dir, tmp_path):
         for r in got.select(F.sha2(F.lower(F.trim(F.col("text"))), 256)).collect()
     }
     assert len(got_digests) == n_got  # no duplicate texts survive
+
+
+def test_stream_dedup_minhash_matches_sequential_policy(spark, tmp_path):
+    """Streaming near-dedup must reproduce the one-pass band-collision
+    policy simulated sequentially over (batch, event-time, id) order:
+    drop a doc iff any of its LSH band keys was seen by an earlier doc
+    inside the retention horizon; expired keys readmit copies."""
+    import os
+    import shutil
+
+    from duckdb_ann_spark.operators.dedup import (
+        band_keys_from_signatures,
+        minhash_signatures,
+    )
+    from duckdb_ann_spark.streaming import stream_dedup_minhash
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm fire in the old stone house")
+    texts = {
+        1: base,
+        2: base + " tonight",  # near-dup of 1 (mostly shared shingles)
+        3: ("completely different content describing spark dataframes "
+            "parquet files and adaptive query execution at scale"),
+        4: base,               # exact copy arriving in batch 2
+        5: ("another unrelated document mentioning streaming watermarks "
+            "state stores and checkpoint recovery semantics"),
+        6: base,               # batch 3: beyond retention, readmitted
+    }
+    t0 = 1_700_000_000
+    RET_MS = 2 * 3600 * 1000
+    ts = {1: t0, 2: t0 + 10, 3: t0 + 20,
+          4: t0 + 3600, 5: t0 + 3610,
+          6: t0 + 30_000}
+    batches = [[1, 2, 3], [4, 5], [6]]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for n, batch in enumerate(batches):
+        staged = str(tmp_path / f"stage{n}")
+        (
+            spark.createDataFrame(
+                [(i, texts[i], ts[i]) for i in batch],
+                "doc_id long, text string, ts_epoch long",
+            )
+            .withColumn("ts", F.timestamp_seconds("ts_epoch"))
+            .select("doc_id", "text", "ts")
+            .coalesce(1)
+            .write.parquet(staged)
+        )
+        part = next(p for p in os.listdir(staged) if p.endswith(".parquet"))
+        dst = str(in_dir / f"batch_{n}.parquet")
+        shutil.copy(os.path.join(staged, part), dst)
+        # file source orders batches by modification time
+        os.utime(dst, (t0 + n, t0 + n))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    out_dir, state_dir = str(tmp_path / "out"), str(tmp_path / "state")
+    q = stream_dedup_minhash(
+        stream, out_dir, state_dir, retention_ms=RET_MS, compact_every=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+
+    # sequential oracle over the SAME band keys the batch machinery derives
+    all_docs = spark.createDataFrame(
+        [(i, texts[i]) for i in sorted(texts)], "doc_id long, text string"
+    )
+    bp = band_keys_from_signatures(
+        minhash_signatures(all_docs, "doc_id", "text"), "doc_id"
+    ).toPandas()
+    keys = {
+        i: {(int(b), k) for b, k in
+            bp[bp.doc_id == i][["band", "bkey"]].itertuples(index=False)}
+        for i in texts
+    }
+    state: list[tuple[int, tuple]] = []  # (ts_ms, key)
+    keep = []
+    for batch in batches:
+        horizon = max(ts[i] for i in batch) * 1000 - RET_MS
+        retained = {k for t, k in state if t >= horizon}
+        batch_seen: set = set()
+        for i in sorted(batch, key=lambda i: (ts[i], i)):
+            if not keys[i] & (retained | batch_seen):
+                keep.append(i)
+            batch_seen |= keys[i]
+        state.extend((ts[i] * 1000, k) for i in batch for k in keys[i])
+    assert got == sorted(keep), (got, sorted(keep))
+    # the constructed certainties: exact copy dropped, expired copy back
+    assert 4 not in got and 6 in got and 1 in got
+
+    # state carries keys only (no text bodies), and compaction kept it
+    st = spark.read.parquet(os.path.join(state_dir, "bands"))
+    assert sorted(st.columns) == ["band", "bkey", "ts_ms"]
