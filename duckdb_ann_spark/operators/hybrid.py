@@ -114,7 +114,15 @@ def bm25_scores(
 
 def _term_score(tf: Column, df: Column, dl: Column, n_docs: Column,
                 avgdl: Column, k1: float, b: float) -> Column:
+    # ln() is the one non-bit-deterministic op in the BM25 chain: JVM
+    # Math.log and libm (DuckDB) disagree by 1 ulp for some arguments
+    # (observed at df=3857, n=5000 — sf0.1), which flipped candidate-set
+    # membership at the rank cutoff. Quantize the idf with exact IEEE
+    # ops (floor of x*1e9, both engines mirror it) so a 1-ulp input
+    # divergence collapses; the 1e-9 perturbation is far below any
+    # ranking-relevant signal.
     idf = F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    idf = F.floor(idf * F.lit(1e9)) / F.lit(1e9)
     denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
     return idf * (tf * F.lit(k1 + 1.0)) / denom
 

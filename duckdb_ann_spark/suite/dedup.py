@@ -34,14 +34,19 @@ from . import register
 _TOK = sql_tokenize("text")
 
 # -- shared augmented inputs ------------------------------------------
+#
+# Synthetic duplicate ids use +10M/+20M offsets so they can NEVER
+# collide with a real doc_id/vec_id at any scale factor (round-5 fix:
+# +1000 collided with real ids at sf0.1, creating duplicate-id rows
+# whose downstream DISTINCT semantics differed between engines).
 
 _DOCS_AUG_CTE = """
 aug AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+    SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 5
     UNION ALL
-    SELECT doc_id + 2000, text || ' zzduplicate'
+    SELECT doc_id + 20000000, text || ' zzduplicate'
     FROM documents WHERE doc_id >= 5 AND doc_id < 10
 )
 """
@@ -50,7 +55,7 @@ _EMB_AUG_CTE = """
 eaug AS (
     SELECT vec_id, embedding FROM embeddings
     UNION ALL
-    SELECT vec_id + 1000, embedding FROM embeddings WHERE vec_id < 5
+    SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 5
 )
 """
 
@@ -58,10 +63,10 @@ eaug AS (
 def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     exact = d.where(F.col("doc_id") < 5).select(
-        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     near = d.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
-        (F.col("doc_id") + 2000).alias("doc_id"),
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzduplicate")).alias("text"),
     )
     return d.unionByName(exact).unionByName(near)
@@ -72,7 +77,7 @@ def _emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     dup = e.where(F.col("vec_id") < 5).select(
-        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
     return e.unionByName(dup)
 

@@ -24,12 +24,20 @@ _DIST = sql_index_distance("l2", "e.embedding", "q.qv")
 
 _ORACLE = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+base AS (
+    -- the spark entry's corpus is documents JOIN embeddings (the BM25
+    -- constants N/avgdl/df must come from the same joined set; at
+    -- sf0.1 embeddings has fewer rows than documents, so scoring the
+    -- full documents table diverges)
+    SELECT d.doc_id, d.text
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
 toks AS (
-    SELECT d.doc_id, unnest({_TOK}) AS term FROM documents d
+    SELECT d.doc_id, unnest({_TOK}) AS term FROM base d
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 consts AS (
-    SELECT (SELECT count(*) FROM documents) AS n_docs,
+    SELECT (SELECT count(*) FROM base) AS n_docs,
            (SELECT count(*) FROM toks) AS total_tokens
 ),
 qterms AS (SELECT unnest({_QTERMS}) AS term),
@@ -41,8 +49,8 @@ tf AS (
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scores AS (
     SELECT tf.doc_id, tf.term,
-        (ln(1.0 + ((CAST(c.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
-                   / (CAST(dfreq.df AS DOUBLE) + 0.5)))
+        ((floor(ln(1.0 + ((CAST(c.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                   / (CAST(dfreq.df AS DOUBLE) + 0.5))) * 1e9) / 1e9)
          * (CAST(tf.tf AS DOUBLE) * 2.2))
         / (CAST(tf.tf AS DOUBLE)
            + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE))

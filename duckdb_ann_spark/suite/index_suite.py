@@ -265,8 +265,15 @@ def q_diskann_index_scan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "diskann_sq8_recon",
-    "SELECT * FROM (VALUES (CAST(500 AS BIGINT), 64, true, true))"
-    " AS t(num_vectors, dimension, quantized, recon_within_half_step)",
+    # derived from the table, not literals: the oracle must hold at any
+    # scale factor (round-5 sf-robustness sweep)
+    """
+    SELECT CAST(count(*) AS BIGINT) AS num_vectors,
+           CAST((SELECT len(embedding) FROM embeddings LIMIT 1) AS INT)
+               AS dimension,
+           true AS quantized, true AS recon_within_half_step
+    FROM embeddings
+    """,
 )
 def q_diskann_sq8_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 quantization contract (`rust_lib/src/provider.rs:161-231`):
@@ -380,24 +387,29 @@ def q_planner_topk_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_planner_default_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A LIMIT-less ORDER BY is rewritten with the reference's default
     k=100 (`src/ann_optimizer.cpp:475,554-557`): `topk_auto(k=None)`
-    returns exactly 100 rows. At this fixture size the selectivity gate
-    (k=100 > 10% of 500 rows) then routes to brute force — exactly the
-    decision the reference's optimizer makes — which the entry asserts
-    alongside the row count (the index-route path is pinned by
-    `planner_topk_route`)."""
+    returns exactly 100 rows. The route then depends on the selectivity
+    gate (k=100 vs 10% of N) — brute force at sf0.01's 500 rows, index
+    scan at larger fixtures — so the entry asserts the gate DECISION
+    matches the rule for the actual corpus size; the result is exact
+    top-100 either way (Flat index) and hash-matches one oracle."""
     cat = Catalog(_ROOT + "_planner_dk")
     drop_index("suite_plan_dk", cat)
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
     create_index(
-        _emb(spark, sf_dir), "vec_id", "embedding", "suite_plan_dk",
+        emb, "vec_id", "embedding", "suite_plan_dk",
         engine="faiss", table_name="embeddings", catalog=cat,
     )
     q = query_vec(spark, sf_dir)
     res, decision = topk_auto(
-        _emb(spark, sf_dir), "embedding", q, k=None, table_name="embeddings",
+        emb, "embedding", q, k=None, table_name="embeddings",
         id_col="vec_id", catalog=cat, explain=True,
     )
-    assert decision.strategy == "brute_force", decision
-    assert any("10%" in g or "k=100" in g for g in decision.gates), decision
+    if 100 > 0.10 * n:
+        assert decision.strategy == "brute_force", decision
+        assert any("10%" in g or "k=100" in g for g in decision.gates), decision
+    else:
+        assert decision.strategy == "index_scan", decision
     return res.select("vec_id", "label", "_distance")
 
 
@@ -412,12 +424,24 @@ def q_faiss_gpu_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "diskann_streaming_build",
-    "SELECT * FROM (VALUES (CAST(500 AS BIGINT), 64, 500))"
-    " AS t(num_vectors, dimension, sample_size)",
+    # mirrors the default sample rule max(floor(sqrt(N)), 1000) clamped
+    # to N, so the oracle holds at any scale factor
+    """
+    WITH s AS (
+        SELECT count(*) AS n,
+               (SELECT len(embedding) FROM embeddings LIMIT 1) AS dim
+        FROM embeddings
+    )
+    SELECT CAST(n AS BIGINT) AS num_vectors, CAST(dim AS INT) AS dimension,
+           CAST(least(greatest(
+               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1000), n)
+               AS INT) AS sample_size
+    FROM s
+    """,
 )
 def q_diskann_streaming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass out-of-core build (streaming_build.rs shape): default
-    sample = max(sqrt(N), 1000) clamped to N = 500 at sf0.01."""
+    sample = max(sqrt(N), 1000) clamped to N."""
     import tempfile
 
     out = os.path.join(tempfile.gettempdir(), f"suite_sb_{os.getpid()}.diskann")
@@ -432,19 +456,31 @@ def q_diskann_streaming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_list_info",
+    # memory model mirrored from the engines: flat = n*dim*4 bytes;
+    # layered HNSW adds the layer-0 adjacency, m0=2*hnsw_m u32s per row
+    # → n*(dim + 32)*4 at hnsw_m=16. Derived from the table so the
+    # oracle holds at any scale factor.
     """
-    SELECT * FROM (VALUES
-        ('suite_lia', 'FAISS', 'embeddings',
-         CAST(500 AS BIGINT), CAST(2 AS BIGINT), CAST(128000 AS BIGINT),
-         false, 'flat-parquet-v1'),
-        ('suite_lib', 'FAISS', 'embeddings',
-         CAST(500 AS BIGINT), CAST(0 AS BIGINT), CAST(128000 AS BIGINT),
-         false, 'flat-parquet-v1'),
-        ('suite_lih', 'FAISS', 'embeddings',
-         CAST(500 AS BIGINT), CAST(0 AS BIGINT), CAST(192000 AS BIGINT),
-         false, 'hnsw-layered')
-    ) AS t(name, engine, table_name, num_vectors, num_deleted, memory_bytes,
-           quantized, layout)
+    WITH s AS (
+        SELECT count(*) AS n,
+               (SELECT len(embedding) FROM embeddings LIMIT 1) AS dim
+        FROM embeddings
+    )
+    SELECT * FROM (
+        SELECT 'suite_lia' AS name, 'FAISS' AS engine,
+               'embeddings' AS table_name, CAST(n AS BIGINT) AS num_vectors,
+               CAST(2 AS BIGINT) AS num_deleted,
+               CAST(n * dim * 4 AS BIGINT) AS memory_bytes,
+               false AS quantized, 'flat-parquet-v1' AS layout FROM s
+        UNION ALL
+        SELECT 'suite_lib', 'FAISS', 'embeddings', CAST(n AS BIGINT),
+               CAST(0 AS BIGINT), CAST(n * dim * 4 AS BIGINT),
+               false, 'flat-parquet-v1' FROM s
+        UNION ALL
+        SELECT 'suite_lih', 'FAISS', 'embeddings', CAST(n AS BIGINT),
+               CAST(0 AS BIGINT), CAST(n * (dim + 32) * 4 AS BIGINT),
+               false, 'hnsw-layered' FROM s
+    )
     ORDER BY name
     """,
 )

@@ -66,7 +66,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH aug AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000, text FROM documents WHERE doc_id < 5
+        SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 5
     )
     SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
     FROM aug GROUP BY sha256(lower(trim(text)))
@@ -85,7 +85,7 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = docs.unionByName(
         docs.where(F.col("doc_id") < 5).select(
-            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
         )
     ).withColumn(
         "ts",
