@@ -268,9 +268,12 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     drop_index("scale_ivf", cat)
 
     t0 = time.perf_counter()
+    # shards=128 measured fastest at this N on local[32] (781-row graphs:
+    # 14.2s vs 19.5s at 64 shards and 22.4s at 192 — per-insert cost is
+    # superlinear in shard size, task overhead wins past ~4 waves)
     create_index(
         vecs, "vec_id", "embedding", "scale_vam", engine="diskann",
-        max_degree=16, build_complexity=32, shards=64, catalog=cat,
+        max_degree=16, build_complexity=32, shards=128, catalog=cat,
     )
     out["scale100k_vamana_build"] = time.perf_counter() - t0
     t0 = time.perf_counter()
