@@ -96,6 +96,10 @@ class IvfFlatEngine:
         n = getattr(params, "_n_rows", None)
         if n is None:
             n = df.count()
+        if nlist == 0:
+            # auto: cells stay ~sqrt(N) rows — the sizing rule that keeps
+            # a probe's scan fraction shrinking as N grows
+            nlist = min(max(int(np.sqrt(n)), 16), 65_536) if n else 1
         if n == 0:
             df.select(id_col, vec_col).withColumn(
                 CELL_COL, F.lit(0)

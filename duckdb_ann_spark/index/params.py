@@ -102,6 +102,9 @@ class FaissParams:
     metric: str = "l2"
     type: str = "Flat"
     hnsw_m: int = 32
+    # reference default 100; 0 = AUTO (Spark extension): nlist =
+    # clamp(floor(sqrt(N)), 16, 65536) at build time, the README's
+    # "cells stay ~sqrt(N) rows" sizing rule applied automatically
     ivf_nlist: int = 100
     nprobe: int = 1
     train_sample: int = 0
@@ -135,6 +138,8 @@ class FaissParams:
             )
         # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61)
         self.nprobe = max(1, int(self.nprobe))
+        if int(self.ivf_nlist) < 0:
+            raise ValueError("ivf_nlist must be >= 1 (or 0 for auto)")
         if int(self.shards) < 0:
             raise ValueError("shards must be >= 1 (or 0 for auto)")
         if self.gpu is not None:

@@ -6,6 +6,13 @@ the *same IEEE754 operations in the same order*, so these fragments mirror
 `functions/distance.py` exactly: cast elements to DOUBLE, combine pairwise,
 fold sequentially left-to-right (`list_reduce` is a seedless sequential fold;
 our Spark fold seeds with 0.0, and 0.0+x == x exactly).
+
+Op determinism rules (round-5 lesson): +, -, *, /, sqrt are IEEE-exact
+and safe to hash-compare; transcendentals (ln/log/exp/pow) are NOT —
+JVM Math.log and libm disagree by 1 ulp for some arguments (observed in
+BM25's idf at df=3857). Any hash-gated expression using one must
+quantize its output with exact IEEE ops on both sides (the BM25 oracle
+uses floor(ln(x)*1e9)/1e9).
 """
 
 from __future__ import annotations

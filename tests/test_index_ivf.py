@@ -210,3 +210,19 @@ def test_train_sample_default_floor(emb, cat):
         ivf_nlist=4, nprobe=4, catalog=cat,
     )
     assert m["train_size"] == emb.count()
+
+
+def test_auto_nlist_sqrt_rule(emb, cat):
+    """ivf_nlist=0 resolves to clamp(floor(sqrt(N)), 16, 65536): at
+    N=500 that is 22 cells (the README's sizing rule applied
+    automatically; the reference default of 100 stays the default)."""
+    m = create_index(
+        emb, "vec_id", "embedding", "ivf_auto", engine="faiss",
+        type="IVFFlat", ivf_nlist=0, nprobe=4, catalog=cat,
+    )
+    assert m["nlist_effective"] == 22  # floor(sqrt(500))
+    with pytest.raises(ValueError, match="ivf_nlist"):
+        create_index(
+            emb, "vec_id", "embedding", "ivf_neg", engine="faiss",
+            type="IVFFlat", ivf_nlist=-1, catalog=cat,
+        )
