@@ -116,3 +116,22 @@ def test_salted_cogroup_matches_unsalted(spark, emb):
         (r["_q_vec_id"], r["vec_id"], round(r["_distance"], 6)) for r in rows
     )
     assert key(plain) == key(salted)
+
+
+def test_knn_join_auto_nlist(spark, sf_dir):
+    """nlist=0 resolves via the sqrt-N cell rule (same as ivf_nlist=0)
+    and still returns exactly k matches per query."""
+    from duckdb_ann_spark.operators.knn_join import knn_join
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = knn_join(q, "qid", "embedding", emb, "vec_id", "embedding",
+                   k=3, nlist=0, nprobe=16).toPandas()
+    assert len(out) == 20 * 3
+    self_hits = out[(out.qid == out.vec_id)]
+    # BLAS path scores with the norms-trick GEMM: self-distance is
+    # ~1e-7 f32 cancellation noise, not exactly 0
+    assert len(self_hits) == 20 and (self_hits._distance < 1e-5).all()
