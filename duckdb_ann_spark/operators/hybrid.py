@@ -120,7 +120,10 @@ def _term_score(tf: Column, df: Column, dl: Column, n_docs: Column,
     # membership at the rank cutoff. Quantize the idf with exact IEEE
     # ops (floor of x*1e9, both engines mirror it) so a 1-ulp input
     # divergence collapses; the 1e-9 perturbation is far below any
-    # ranking-relevant signal.
+    # ranking-relevant signal. NOT a complete fix: if ln(x)*1e9 lands
+    # within 1 ulp of an integer the two engines can still floor apart
+    # (~1e-6 chance per distinct idf value) — if the hybrid hash gate
+    # ever flakes after a testdata regen, suspect this boundary first.
     idf = F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
     idf = F.floor(idf * F.lit(1e9)) / F.lit(1e9)
     denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)

@@ -276,26 +276,64 @@ def stream_dedup_minhash(
     `prepare_corpus` compaction for exact-verified history, the same
     pairing `stream_dedup_exact` documents.
 
-    Returns the StreamingQuery writing survivors to `out_dir` (parquet,
-    append).
-    """
-    import os
+    Crash-safety (foreachBatch is at-least-once, so every write is
+    fenced by batch id):
 
+    * survivors land in `out_dir/batch_id=<id>/` with mode=overwrite —
+      a re-executed batch replaces its own output instead of appending
+      duplicates; `spark.read.parquet(out_dir)` consumers see an extra
+      `batch_id` partition column;
+    * state is a set of parquet GENERATIONS `state_dir/bands/b<id>` (one
+      per batch, overwrite) plus compaction generations `c<id>`; the
+      cross-batch check reads every generation EXCEPT the current
+      batch's own, so a retry never collides with its first attempt;
+    * compaction merges retained keys of all generations into `c<id>`
+      and only then deletes the sources — a crash mid-delete leaves
+      duplicate keys, which are harmless to the leftsemi collision
+      check (state is a set); a retry that finds `c<id>` already
+      present skips the merge.
+    * the retention horizon is watermark-style MONOTONE: max event time
+      ever seen (batch ∪ state) minus `retention_ms`, so an out-of-order
+      batch cannot resurrect or out-run expired keys; like any
+      watermarked dedup, data arriving later than the horizon is
+      deduplicated best-effort only.
+
+    Rows with a null `ts_col` cannot be placed on the event-time
+    horizon: they pass through to the output un-deduplicated and never
+    enter state.
+
+    All filesystem maintenance goes through the Hadoop FileSystem API,
+    so `state_dir`/`out_dir` may live on any Spark-readable scheme
+    (local, HDFS, S3A, ...).
+
+    Returns the StreamingQuery writing survivors to `out_dir`.
+    """
     from ..operators.dedup import band_keys_from_signatures, minhash_signatures
+
+    def _fs(spark, path: str):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
     def feed(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        bands = None
         try:
             ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
-            docs = batch_df.select(
+            timed = batch_df.where(F.col(ts_col).isNotNull())
+            docs = timed.select(
                 F.col(id_col), F.col(text_col), ts_ms.alias("_ts_ms")
             )
+            # keys only, tiny — persist: consumed by the intra-batch agg
+            # + join, the cross-batch leftsemi, and the state write (the
+            # batch path persists its signature table for the same
+            # multi-consumer reason)
             bands = band_keys_from_signatures(
                 minhash_signatures(docs, id_col, text_col), id_col
-            ).join(docs.select(id_col, "_ts_ms"), on=id_col)
+            ).join(docs.select(id_col, "_ts_ms"), on=id_col).persist()
 
             # intra-batch: first (ts, id) per bucket wins
             first = bands.groupBy("band", "bkey").agg(
@@ -309,55 +347,80 @@ def stream_dedup_minhash(
                 .select(id_col)
             )
 
-            # cross-batch: any band key already in retained state
-            from pyspark.errors import AnalysisException
-
-            state_path = os.path.join(state_dir, "bands")
+            # cross-batch: any band key already in a retained generation
+            root = state_dir.rstrip("/") + "/bands"
+            fs, root_p, jvm = _fs(spark, root)
+            gens = []
+            if fs.exists(root_p):
+                gens = [
+                    s.getPath().toString()
+                    for s in fs.listStatus(root_p)
+                    if s.getPath().getName() != f"b{batch_id}"
+                ]
+            max_ts_row = timed.agg(F.max(ts_ms)).collect()[0][0]
+            batch_max = int(max_ts_row) if max_ts_row is not None else None
             horizon = None
-            try:
-                state = spark.read.parquet(state_path)
-                max_ts = batch_df.agg(F.max(ts_ms)).collect()[0][0]
-                horizon = int(max_ts) - int(retention_ms)
-                state = state.where(F.col("ts_ms") >= F.lit(horizon))
-                cross_losers = (
-                    bands.join(state, on=["band", "bkey"], how="leftsemi")
-                    .select(id_col)
-                )
-            except AnalysisException:  # first batch: no state yet
-                cross_losers = None
+            cross_losers = None
+            state = None
+            if gens:
+                state = spark.read.parquet(*gens)
+                seen_max = state.agg(F.max("ts_ms")).collect()[0][0]
+                cand = [t for t in (batch_max, seen_max) if t is not None]
+                if cand:
+                    horizon = max(cand) - int(retention_ms)
+                    retained = state.where(F.col("ts_ms") >= F.lit(horizon))
+                    cross_losers = (
+                        bands.join(retained, on=["band", "bkey"],
+                                   how="leftsemi")
+                        .select(id_col)
+                    )
+            elif batch_max is not None:
+                horizon = batch_max - int(retention_ms)
 
             losers = (
                 intra_losers if cross_losers is None
                 else intra_losers.unionByName(cross_losers)
             ).distinct()
             batch_df.join(losers, on=id_col, how="anti").write.mode(
-                "append"
-            ).parquet(out_dir)
+                "overwrite"
+            ).parquet(f"{out_dir.rstrip('/')}/batch_id={batch_id}")
 
-            new_state = bands.select(
+            bands.select(
                 "band", "bkey", F.col("_ts_ms").alias("ts_ms")
-            )
-            new_state.write.mode("append").parquet(state_path)
+            ).write.mode("overwrite").parquet(f"{root}/b{batch_id}")
 
             if horizon is not None and compact_every and (
                 batch_id % compact_every == compact_every - 1
             ):
-                # rewrite retained keys only; swap via rename (the state
-                # dir is this operator's private layout)
-                import shutil
-
-                tmp = state_path + ".compact"
-                if os.path.exists(tmp):
-                    shutil.rmtree(tmp)
-                (
-                    spark.read.parquet(state_path)
-                    .where(F.col("ts_ms") >= F.lit(horizon))
-                    .repartition(1)
-                    .write.parquet(tmp)
-                )
-                shutil.rmtree(state_path)
-                os.rename(tmp, state_path)
+                cpath = f"{root}/c{batch_id}"
+                _, cp, _ = _fs(spark, cpath)
+                if not fs.exists(cp):  # retry: earlier merge already valid
+                    # never fold the current batch's own generation: the
+                    # cross-batch read of a RETRY excludes b<id> but not
+                    # c<id>, so c<id> containing this batch's keys would
+                    # make the retry collide with itself
+                    sources = [
+                        s.getPath() for s in fs.listStatus(root_p)
+                        if s.getPath().getName()
+                        not in (f"c{batch_id}", f"b{batch_id}")
+                    ]
+                    if sources:
+                        (
+                            spark.read.parquet(
+                                *[p.toString() for p in sources]
+                            )
+                            .where(F.col("ts_ms") >= F.lit(horizon))
+                            .repartition(1)
+                            .write.parquet(cpath)
+                        )
+                        # delete AFTER the merge is durable; a crash
+                        # mid-way leaves duplicate keys (harmless set
+                        # semantics)
+                        for p in sources:
+                            fs.delete(p, True)
         finally:
+            if bands is not None:
+                bands.unpersist()
             batch_df.unpersist()
 
     writer = stream.writeStream.foreachBatch(feed).outputMode("update")

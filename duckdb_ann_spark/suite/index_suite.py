@@ -407,7 +407,11 @@ def q_planner_default_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if 100 > 0.10 * n:
         assert decision.strategy == "brute_force", decision
-        assert any("10%" in g or "k=100" in g for g in decision.gates), decision
+        if n >= 50:  # below MIN_ROWS_FOR_INDEX the cardinality gate
+            # fires first with its own message
+            assert any(
+                "10%" in g or "k=100" in g for g in decision.gates
+            ), decision
     else:
         assert decision.strategy == "index_scan", decision
     return res.select("vec_id", "label", "_distance")

@@ -273,13 +273,14 @@ def test_stream_dedup_minhash_matches_sequential_policy(spark, tmp_path):
         5: ("another unrelated document mentioning streaming watermarks "
             "state stores and checkpoint recovery semantics"),
         6: base,               # batch 3: beyond retention, readmitted
+        7: base,               # null event time: passes through untouched
     }
     t0 = 1_700_000_000
     RET_MS = 2 * 3600 * 1000
     ts = {1: t0, 2: t0 + 10, 3: t0 + 20,
           4: t0 + 3600, 5: t0 + 3610,
-          6: t0 + 30_000}
-    batches = [[1, 2, 3], [4, 5], [6]]
+          6: t0 + 30_000, 7: None}
+    batches = [[1, 2, 3], [4, 5, 7], [6]]
 
     in_dir = tmp_path / "in"
     in_dir.mkdir()
@@ -328,19 +329,30 @@ def test_stream_dedup_minhash_matches_sequential_policy(spark, tmp_path):
     }
     state: list[tuple[int, tuple]] = []  # (ts_ms, key)
     keep = []
+    running_max = None  # the operator's horizon is watermark-style monotone
     for batch in batches:
-        horizon = max(ts[i] for i in batch) * 1000 - RET_MS
+        timed = [i for i in batch if ts[i] is not None]
+        keep.extend(i for i in batch if ts[i] is None)  # null ts: pass through
+        cand = [ts[i] * 1000 for i in timed]
+        if running_max is not None:
+            cand.append(running_max)
+        running_max = max(cand)
+        horizon = running_max - RET_MS
         retained = {k for t, k in state if t >= horizon}
         batch_seen: set = set()
-        for i in sorted(batch, key=lambda i: (ts[i], i)):
+        for i in sorted(timed, key=lambda i: (ts[i], i)):
             if not keys[i] & (retained | batch_seen):
                 keep.append(i)
             batch_seen |= keys[i]
-        state.extend((ts[i] * 1000, k) for i in batch for k in keys[i])
+        state.extend((ts[i] * 1000, k) for i in timed for k in keys[i])
     assert got == sorted(keep), (got, sorted(keep))
-    # the constructed certainties: exact copy dropped, expired copy back
-    assert 4 not in got and 6 in got and 1 in got
+    # the constructed certainties: exact copy dropped, expired copy back,
+    # null-ts row passed through
+    assert 4 not in got and 6 in got and 1 in got and 7 in got
 
-    # state carries keys only (no text bodies), and compaction kept it
-    st = spark.read.parquet(os.path.join(state_dir, "bands"))
+    # state carries keys only (no text bodies) in per-batch generations
+    st = spark.read.parquet(os.path.join(state_dir, "bands", "*"))
     assert sorted(st.columns) == ["band", "bkey", "ts_ms"]
+    # compaction at batch 1 (compact_every=2) folded earlier generations
+    gens = sorted(os.listdir(os.path.join(state_dir, "bands")))
+    assert "c1" in gens, gens
