@@ -1,0 +1,96 @@
+"""End-to-end tour of duckdb_ann_spark on the bundled testdata.
+
+Run:  python examples/quickstart.py [SF_DIR]
+
+Covers the full surface a reference (decisiongraph/duckdb-ann) user
+needs: index build + ANN search (exact Flat, IVF partial probe, sharded
+DiskANN, layered HNSW), the top-k planner rewrite, hybrid BM25+vector
+search, the LLM-data operators (dedup, text analysis, k-NN join), and
+the composed corpus-prep pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.index import (
+    Catalog, ann_index_info, create_index, drop_index, index_scan,
+)
+from duckdb_ann_spark.operators.hybrid import hybrid_search
+from duckdb_ann_spark.operators.knn_join import knn_join
+from duckdb_ann_spark.operators.topk import topk
+from duckdb_ann_spark.pipeline import prepare_corpus
+from duckdb_ann_spark.plans import topk_auto
+from duckdb_ann_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("quickstart")
+    cat = Catalog(os.path.join(tempfile.mkdtemp(), "indexes"))
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+
+    # -- exact top-k (no index) ---------------------------------------
+    print("\n== exact top-5 (brute force) ==")
+    topk(emb, "embedding", qvec, k=5, metric="l2", id_col="vec_id").show()
+
+    # -- CREATE INDEX + search ----------------------------------------
+    for name, engine, opts in (
+        ("demo_flat", "faiss", {}),
+        ("demo_ivf", "faiss", {"type": "IVFFlat", "ivf_nlist": 0, "nprobe": 6}),
+        ("demo_vamana", "diskann", {"max_degree": 32, "build_complexity": 64}),
+        ("demo_hnsw", "faiss", {"type": "HNSW", "hnsw_m": 16}),
+    ):
+        drop_index(name, cat)
+        create_index(emb, "vec_id", "embedding", name, engine=engine,
+                     table_name="embeddings", catalog=cat, **opts)
+        hits = index_scan(spark, name, [qvec], k=3, catalog=cat).collect()
+        print(f"{name:12s} top-3: "
+              f"{[(r.vec_id, round(r._distance, 4)) for r in hits]}")
+    print("\n== ann_index_info ==")
+    ann_index_info(spark, cat).show(truncate=False)
+
+    # -- the optimizer-rewrite analog ---------------------------------
+    res, decision = topk_auto(
+        emb, "embedding", qvec, k=5, table_name="embeddings",
+        id_col="vec_id", catalog=cat, explain=True,
+    )
+    print(f"planner routed through: {decision.strategy} ({decision.index})")
+
+    # -- hybrid BM25 + vector with RRF --------------------------------
+    print("\n== hybrid search ==")
+    base = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    hybrid_search(base, "doc_id", qvec, "spark join query data",
+                  text_col="text", vec_col="embedding", k=5).show()
+
+    # -- distributed k-NN join (both sides large) ---------------------
+    print("== 1-NN join, 20 queries x full base ==")
+    q20 = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    knn_join(q20, "qid", "embedding", emb, "vec_id", "embedding",
+             k=1, nlist=0, nprobe=4).show(5)
+
+    # -- LLM corpus prep pipeline -------------------------------------
+    cleaned = prepare_corpus(docs, "doc_id", "text", langs=("en",),
+                             min_quality=0.65)
+    print(f"prepare_corpus: {docs.count()} docs -> {cleaned.count()} "
+          "after language/quality filter + exact & near dedup")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
