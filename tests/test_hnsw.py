@@ -238,3 +238,46 @@ def test_ip_metric_hnsw(vecs):
     d = -(vecs @ q)
     want = [int(i) for i in np.lexsort((np.arange(len(vecs)), d))[:10]]
     assert got == want
+
+
+def test_hnsw_vacuum_and_merge_lifecycle(spark, sf_dir, tmp_path):
+    """Vacuum rebuilds an HNSW index without tombstones (still layered);
+    merge_indexes folds another index's vectors in — including a
+    CROSS-ENGINE source (IVF artifact vectors into an HNSW index), since
+    every engine exposes the same vectors() reconstruction."""
+    import glob
+    from pyspark.sql import functions as F
+    from duckdb_ann_spark.index import (
+        Catalog, create_index, delete_from_index, index_scan,
+        merge_indexes, vacuum_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cat = Catalog(str(tmp_path / "idx"))
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+
+    create_index(emb, "vec_id", "embedding", "hv", engine="faiss",
+                 type="HNSW", hnsw_m=8, catalog=cat)
+    delete_from_index(spark, "hv", [1, 2, 3], catalog=cat)
+    m = vacuum_index(spark, "hv", catalog=cat)
+    assert m["num_vectors"] == emb.count() - 3 and m["num_deleted"] == 0
+    for p in glob.glob(f"{cat.path('hv')}/graph/*.diskann"):
+        assert read_hnsw(p) is not None  # rebuild stayed layered
+    got = [r.vec_id for r in
+           index_scan(spark, "hv", [qv], 5, search_complexity=500,
+                      catalog=cat).collect()]
+    assert got[0] == 0 and {1, 2, 3}.isdisjoint(got)
+
+    # cross-engine merge: IVF source vectors into the HNSW destination
+    create_index(emb.where("vec_id < 100"), "vec_id", "embedding", "src_ivf",
+                 engine="faiss", type="IVFFlat", ivf_nlist=4, nprobe=4,
+                 catalog=cat)
+    create_index(emb.where("vec_id >= 100"), "vec_id", "embedding", "dst_h",
+                 engine="faiss", type="HNSW", hnsw_m=8, catalog=cat)
+    mm = merge_indexes(spark, "dst_h", "src_ivf", catalog=cat)
+    assert mm["num_vectors"] == emb.count()
+    got = [r.vec_id for r in
+           index_scan(spark, "dst_h", [qv], 3, search_complexity=500,
+                      catalog=cat).collect()]
+    assert got[0] == 0  # vec 0 came from the merged IVF source
