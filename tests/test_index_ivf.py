@@ -226,3 +226,23 @@ def test_auto_nlist_sqrt_rule(emb, cat):
             emb, "vec_id", "embedding", "ivf_neg", engine="faiss",
             type="IVFFlat", ivf_nlist=-1, catalog=cat,
         )
+
+
+def test_kmeans_deterministic_and_covering():
+    """The round-5 kmeans rewrite (shared norms + reduceat update) must
+    stay seeded-deterministic, produce finite centroids, and leave no
+    empty cell unreseeded."""
+    import numpy as np
+    from duckdb_ann_spark.index.ivf import _kmeans
+    from duckdb_ann_spark.functions.distance import np_index_distances
+
+    rng = np.random.default_rng(3)
+    data = rng.random((2000, 16), dtype=np.float32)
+    a = _kmeans(data, 32)
+    b = _kmeans(data, 32)
+    assert np.array_equal(a, b)
+    assert a.shape == (32, 16) and np.isfinite(a).all()
+    assign = np_index_distances("l2", data, a).argmin(axis=0)
+    # Lloyd with farthest-point reseeding keeps the clustering
+    # non-degenerate: most cells own points
+    assert len(set(assign.tolist())) >= 24
