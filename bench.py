@@ -406,7 +406,6 @@ def main() -> None:
         "metric": "bench_total_wall",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
         "recall": recall,
         "sf": sf,
     }

@@ -271,7 +271,12 @@ def _memory_bytes(m: dict) -> int:
         # layer-0 dominates: degree bound 2M u32 slots per node
         graph_bytes = n * 2 * int(m["params"].get("hnsw_m", 32)) * 4
     if m["subtype"] == "ivfflat":
-        graph_bytes = int(m["params"].get("ivf_nlist", 0)) * dim * 4
+        # nlist_effective is the RESOLVED cell count (params.ivf_nlist
+        # stays 0 under the auto-sizing mode)
+        nlist = int(
+            m.get("nlist_effective") or m["params"].get("ivf_nlist", 0)
+        )
+        graph_bytes = nlist * dim * 4
     return int(vec_bytes + graph_bytes)
 
 

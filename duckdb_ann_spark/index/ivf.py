@@ -51,6 +51,13 @@ TRAIN_SEED = 42
 KMEANS_ITERS = 10
 
 
+def auto_nlist(n: int) -> int:
+    """`nlist=0` resolution shared by IVF builds and `knn_join`: cells
+    stay ~sqrt(N) rows (clamped to [16, 65536]) so a probe's scan
+    fraction shrinks as N grows."""
+    return min(max(int(np.sqrt(n)), 16), 65_536) if n else 1
+
+
 def _kmeans(data: np.ndarray, k: int, seed: int = TRAIN_SEED,
             iters: int = KMEANS_ITERS) -> np.ndarray:
     """Seeded Lloyd's with kmeans++ init; deterministic for fixed input.
@@ -121,9 +128,7 @@ class IvfFlatEngine:
         if n is None:
             n = df.count()
         if nlist == 0:
-            # auto: cells stay ~sqrt(N) rows — the sizing rule that keeps
-            # a probe's scan fraction shrinking as N grows
-            nlist = min(max(int(np.sqrt(n)), 16), 65_536) if n else 1
+            nlist = auto_nlist(n)
         if n == 0:
             df.select(id_col, vec_col).withColumn(
                 CELL_COL, F.lit(0)

@@ -44,7 +44,7 @@ from ..functions.distance import (
     np_stack_vectors,
     np_topk_frame,
 )
-from ..index.ivf import _kmeans
+from ..index.ivf import _kmeans, auto_nlist
 from ..local import local_df
 
 DISTANCE_COL = "_distance"
@@ -123,8 +123,7 @@ def knn_join(
     # bounded deterministic train sample from the base side
     n = base_df.count() if n_rows is None else int(n_rows)
     if nlist == 0:
-        # auto: ~sqrt(N)-row cells, same rule as ivf_nlist=0
-        nlist = min(max(int(np.sqrt(n)), 16), 65_536) if n else 1
+        nlist = auto_nlist(n)  # shared sqrt-N rule, same as ivf_nlist=0
     cap = min(max(50 * nlist, 10_000), 200_000)
     sample = base_df.select(base_vec_col)
     if n > cap:

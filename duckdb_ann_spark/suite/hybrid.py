@@ -72,9 +72,15 @@ bmr AS (
     QUALIFY _bm25_rank <= 50
 ),
 vr AS (
+    -- vector ranks over the SAME joined corpus as the entry (mirror of
+    -- the BM25 corpus fix: 'FROM embeddings' unjoined only agrees while
+    -- every vec_id has a matching doc_id)
     SELECT vec_id AS doc_id,
            CAST(row_number() OVER (ORDER BY _d, vec_id) AS INT) AS _vector_rank
-    FROM (SELECT e.vec_id, {_DIST} AS _d FROM embeddings e CROSS JOIN q)
+    FROM (
+        SELECT e.vec_id, {_DIST} AS _d
+        FROM embeddings e JOIN base bs ON e.vec_id = bs.doc_id CROSS JOIN q
+    )
     QUALIFY _vector_rank <= 50
 ),
 fused AS (
