@@ -35,6 +35,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 __all__ = ["token_stats", "quality_score", "lang_id", "fingerprint",
+           "lm_unigram_scores",
            "bpe_token_count", "quality_features", "lang_hit_struct",
            "lang_pred_from_hits", "LANG_MARKERS", "STOPWORDS",
            "BPE_PRETOKEN_RE"]
@@ -249,4 +250,68 @@ def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col("n_pretokens").cast("double"),
             F.col("n_ws_tokens").cast("double"),
         ).alias("pretoken_ratio"),
+    )
+
+
+def lm_unigram_scores(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 50_000
+) -> DataFrame:
+    """Corpus-trained unigram-LM scoring — the CCNet/Gopher-style
+    "perplexity filter" signal a training-data pipeline ranks documents
+    by (low average log-probability = gibberish / boilerplate-mix).
+
+    → (id, n_scored_tokens, sum_logprob_nano, avg_logprob): per doc,
+    the sum over tokens of ln(p(token)) where p = corpus_count/total,
+    with tokens capped out of the top-`vocab_size` vocabulary floored
+    to count 1.
+
+    Scale shape: pass 1 explodes tokens into ONE map-side-combined
+    count shuffle (token vocabulary, zipf-bounded) and takes the top-V
+    via TakeOrdered, broadcast back (V x ~20 B); pass 2 re-explodes,
+    broadcast-joins the vocabulary, and aggregates per doc — the
+    shuffle carries (id, one bigint) per token. Two scans of the raw
+    text, nothing driver-side.
+
+    Float discipline: each token's ln(p) is quantized to INTEGER
+    nanonats (floor(ln(p)*1e9) as BIGINT) and summed as BIGINT, so the
+    per-doc sum is exact and ORDER-FREE — a double sum across shuffled
+    rows would be nondeterministic, and ln itself is the one
+    non-bit-deterministic op cross-engine (see operators/hybrid.py).
+    `avg_logprob` = sum/1e9/n is two exact IEEE divisions. Perplexity
+    is exp(-avg_logprob) — left to the caller because exp is also
+    engine-divergent at the last ulp.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("_tok")
+    )
+    counts = toks.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    total = counts.agg(F.sum("_cnt").alias("_total"))
+    vocab = counts.orderBy(F.desc("_cnt"), F.asc("_tok")).limit(vocab_size)
+
+    logp_nano = F.floor(
+        F.log(
+            F.coalesce(F.col("_cnt"), F.lit(1)).cast("double")
+            / F.col("_total").cast("double")
+        ) * F.lit(1e9)
+    ).cast("bigint")
+    per_doc = (
+        toks.join(F.broadcast(vocab), on="_tok", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), logp_nano.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored_tokens"),
+            F.sum("_lp").alias("sum_logprob_nano"),
+        )
+    )
+    return df.select(id_col).join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_scored_tokens", F.lit(0)).alias("n_scored_tokens"),
+        "sum_logprob_nano",
+        (
+            F.col("sum_logprob_nano").cast("double") / F.lit(1e9)
+            / F.col("n_scored_tokens").cast("double")
+        ).alias("avg_logprob"),
     )

@@ -1,5 +1,6 @@
 """Dedup + text-analysis + multimodal operators on constructed data."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -199,3 +200,65 @@ def test_sql_fragments_match_column_builders(spark, docs):
         bind_once(tokenize("text"), lang_hit_struct).alias("h"),
     ).collect()
     assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_cols]
+
+
+def test_lm_unigram_scores_oracle_parity(spark, sf_dir):
+    """lm_unigram_scores hash-matches a DuckDB re-implementation bitwise
+    (integer-nanonat quantization makes the per-doc sum order-free and
+    the ln 1-ulp cross-engine divergence collapses under floor(x*1e9))."""
+    import duckdb
+
+    from duckdb_ann_spark.functions.text import sql_tokenize
+    from duckdb_ann_spark.operators.text_ops import lm_unigram_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (
+        lm_unigram_scores(docs, "doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({sql_tokenize('text')}) AS tok
+            FROM documents
+        ),
+        counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT sum(cnt) AS total FROM counts),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(floor(ln(CAST(COALESCE(c.cnt, 1) AS DOUBLE)
+                                 / CAST(tt.total AS DOUBLE)) * 1e9)
+                        AS BIGINT) AS lp
+            FROM toks t LEFT JOIN counts c USING (tok) CROSS JOIN total tt
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_tokens,
+                   CAST(sum(lp) AS BIGINT) AS sum_logprob_nano
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_scored_tokens, 0) AS BIGINT)
+                   AS n_scored_tokens,
+               p.sum_logprob_nano,
+               CAST(p.sum_logprob_nano AS DOUBLE) / 1e9
+                   / CAST(p.n_scored_tokens AS DOUBLE) AS avg_logprob
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY doc_id
+    """).df()
+    assert len(got) == len(want) > 0
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["n_scored_tokens"].to_numpy()
+            == want["n_scored_tokens"].to_numpy()).all()
+    assert (got["sum_logprob_nano"].to_numpy()
+            == want["sum_logprob_nano"].to_numpy()).all()
+    s, w = got["avg_logprob"].to_numpy(), want["avg_logprob"].to_numpy()
+    assert ((s == w) | (np.isnan(s) & np.isnan(w))).all()
+    # sanity: scores are negative log-probs and common-word docs rank
+    # higher (less negative) than the corpus minimum
+    assert (got["avg_logprob"].dropna() < 0).all()
