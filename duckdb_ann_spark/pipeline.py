@@ -52,6 +52,7 @@ def prepare_corpus(
     langs: Sequence[str] = ("en",),
     min_quality: float = 0.65,
     near_dup_threshold: float = 0.5,
+    min_avg_logprob: float | None = None,
 ) -> DataFrame:
     """→ the cleaned corpus: (id, text, n_chars, n_tokens, quality_score,
     lang_pred). Row order is NOT guaranteed (no global sort: at corpus
@@ -96,6 +97,19 @@ def prepare_corpus(
         F.col("lang_pred").isin(list(langs))
         & (F.col("quality_score") >= F.lit(float(min_quality)))
     )
+
+    if min_avg_logprob is not None:
+        # optional unigram-LM filter (the perplexity-style signal): drop
+        # documents whose corpus-trained average token log-probability
+        # falls below the floor. The LM trains on the RAW corpus (one
+        # extra count shuffle + vocabulary broadcast), so the signal is
+        # independent of which docs the other gates keep.
+        from .operators.text_ops import lm_unigram_scores
+
+        lm = lm_unigram_scores(docs, id_col, text_col).where(
+            F.col("avg_logprob") >= F.lit(float(min_avg_logprob))
+        ).select(id_col)
+        kept = kept.join(lm, on=id_col, how="leftsemi")
 
     # statically known (== kept.columns minus _fp): touching .columns
     # would force a full Catalyst analysis of the annotate tree mid-build

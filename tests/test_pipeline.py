@@ -60,3 +60,27 @@ def test_prepare_corpus_annotate_is_single_scan(spark, corpus):
     first_exchange = plan.find("Exchange")
     assert first_exchange != -1
     assert "EvalPython" not in plan  # pure JVM end to end
+
+
+def test_prepare_corpus_lm_filter(spark, sf_dir):
+    """min_avg_logprob adds the unigram-LM gate: output is a subset of
+    the unfiltered run, and the dropped docs are exactly those whose
+    corpus LM score is below the floor."""
+    from duckdb_ann_spark.operators.text_ops import lm_unigram_scores
+    from duckdb_ann_spark.pipeline import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {r.doc_id for r in
+            prepare_corpus(docs, "doc_id", "text", langs=("en",),
+                           min_quality=0.65).select("doc_id").collect()}
+    floor = -7.0
+    gated = {r.doc_id for r in
+             prepare_corpus(docs, "doc_id", "text", langs=("en",),
+                            min_quality=0.65,
+                            min_avg_logprob=floor).select("doc_id").collect()}
+    assert gated <= base
+    ok = {r.doc_id for r in
+          lm_unigram_scores(docs, "doc_id", "text")
+          .where(F.col("avg_logprob") >= floor).collect()}
+    assert gated == base & ok
+    assert len(gated) > 0
