@@ -73,3 +73,42 @@ def test_embeddings_vector_column(spark, sf_dir):
     assert isinstance(dt, T.ArrayType) and isinstance(
         dt.elementType, (T.FloatType, T.DoubleType)
     ), f"embeddings.embedding drifted to {dt}"
+
+
+def test_read_table_nanos_branch(spark, tmp_path):
+    """The TIMESTAMP(NANOS) branch of read_table (ns-epoch LongType →
+    µs timestamp, DuckDB semantics) — exercised with a synthetic NANOS
+    file since the current testdata stores µs; pins both the dtype
+    branch and the conf save/restore (the session flag must be back to
+    its prior value after the read, and the plan must still collect)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    ns = np.array(
+        [1_700_000_000_123_456_789, 1_700_000_001_000_000_000], dtype="int64"
+    )
+    t = pa.table({
+        "event_id": pa.array([0, 1], type=pa.int64()),
+        "ts": pa.array(ns, type=pa.timestamp("ns")),
+        "user_id": pa.array([1, 2], type=pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["", ""]),
+    })
+    pq.write_table(t, str(d / "events.parquet"), version="2.6",
+                   coerce_timestamps=None)
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key)
+    df = read_table(spark, str(d), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert spark.conf.get(key) == before  # no session-level side effect
+    rows = {r.event_id: r.ts for r in df.collect()}
+    # ns → µs truncation, integer div (not float: epoch-ns exceeds f64's
+    # exact-integer range)
+    assert rows[0].microsecond == 123456
+    assert rows[1].microsecond == 0
