@@ -16,8 +16,10 @@ Five families, all shuffle-bounded (no all-pairs crossJoin anywhere):
   hash-matchable).
 * :func:`ngram_jaccard_pairs` — exact shingle-set Jaccard computed only
   for LSH candidates (verification step after banding).
-* :func:`simhash` — 32-bit SimHash over token md5 prefixes; near-dups
-  have small Hamming distance.
+* :func:`simhash` / :func:`simhash_pairs` — 32-bit SimHash over token
+  md5 prefixes; near-dups have small Hamming distance, and the pair
+  generator finds ALL pairs within `max_hamming` bits exactly (band
+  equi-join by the pigeonhole principle + popcount verification).
 * :func:`embedding_near_dup_pairs` — random-hyperplane (sign) LSH
   buckets over an embedding column, exact cosine verification within
   buckets. The bucketed join is the 100 TB path; brute force is only
@@ -72,6 +74,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_pairs",
     "embedding_near_dup_pairs",
 ]
 
@@ -320,6 +323,62 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     expr = sql_bind_once(th, "th", fp)
     return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """→ (id_a, id_b, hamming): all pairs within `max_hamming` bits of
+    SimHash distance (id_a < id_b) — COMPLETE by the pigeonhole
+    principle: with `n_bands > max_hamming` equal-width bands of the
+    32-bit fingerprint, any pair within the bound shares at least one
+    identical band, so the band equi-join (never an all-pairs product)
+    generates a candidate superset and the exact popcount filter keeps
+    the true pairs.
+
+    Scale: same LSH shape as the MinHash path — the shuffle carries
+    (id, 8-byte fingerprint) rows, pairs form only inside band buckets,
+    and the verification is one JVM `bit_count(xor)` per candidate."""
+    if n_bands <= max_hamming:
+        raise ValueError(
+            "n_bands must exceed max_hamming for pigeonhole completeness"
+        )
+    width = 32 // n_bands
+    sigs = simhash(df, id_col, text_col).persist()
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            (
+                F.floor(
+                    F.col("simhash") / F.lit(float(2 ** (width * b)))
+                ).cast("bigint") % F.lit(2 ** width)
+            ).alias("bval"),
+        )
+        for b in range(n_bands)
+    ])
+    bands = sigs.select(
+        F.col(id_col), "simhash", F.explode(band_arr).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.bval").alias("bval"))
+    a = bands.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("sh_a"), "band", "bval")
+    b = bands.select(F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("sh_b"), "band", "bval")
+    return (
+        a.join(b, on=["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("int")
+        )
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def embedding_near_dup_pairs(

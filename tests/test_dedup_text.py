@@ -262,3 +262,44 @@ def test_lm_unigram_scores_oracle_parity(spark, sf_dir):
     # sanity: scores are negative log-probs and common-word docs rank
     # higher (less negative) than the corpus minimum
     assert (got["avg_logprob"].dropna() < 0).all()
+
+
+def test_simhash_pairs_exact_vs_brute(spark, sf_dir):
+    """simhash_pairs is EXACT for the Hamming bound (pigeonhole band
+    completeness + popcount filter): it must equal the all-pairs
+    brute-force on the same fingerprints."""
+    from itertools import combinations
+
+    from duckdb_ann_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 200
+    )
+    sh = {r.doc_id: r.simhash
+          for r in simhash(docs, "doc_id", "text").collect()}
+    want = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a, b in combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == want and len(want) > 0, (len(got), len(want))
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, "doc_id", "text", max_hamming=4, n_bands=4)
+
+
+def test_simhash_pairs_no_cartesian_product(spark, sf_dir):
+    """The candidate join is a band equi-join, never an all-pairs
+    product (the plan assertion every dedup family carries)."""
+    from duckdb_ann_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        simhash_pairs(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
