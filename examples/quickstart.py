@@ -83,11 +83,28 @@ def main() -> None:
     knn_join(q20, "qid", "embedding", emb, "vec_id", "embedding",
              k=1, nlist=0, nprobe=4).show(5)
 
+    # -- near-dup detection three ways --------------------------------
+    from duckdb_ann_spark.operators.dedup import (
+        minhash_candidate_pairs, simhash_pairs,
+    )
+
+    n_mh = minhash_candidate_pairs(docs, "doc_id", "text").count()
+    n_sh = simhash_pairs(docs, "doc_id", "text", max_hamming=3).count()
+    print(f"near-dup candidates: {n_mh} MinHash-LSH pairs, "
+          f"{n_sh} SimHash pairs within 3 Hamming bits")
+
+    # -- unigram-LM quality signal (perplexity-filter style) ----------
+    from duckdb_ann_spark.operators.text_ops import lm_unigram_scores
+
+    lm = lm_unigram_scores(docs, "doc_id", "text")
+    print("== lowest-LM-score (most 'surprising') documents ==")
+    lm.orderBy("avg_logprob").select("doc_id", "avg_logprob").show(3)
+
     # -- LLM corpus prep pipeline -------------------------------------
     cleaned = prepare_corpus(docs, "doc_id", "text", langs=("en",),
-                             min_quality=0.65)
+                             min_quality=0.65, min_avg_logprob=-8.0)
     print(f"prepare_corpus: {docs.count()} docs -> {cleaned.count()} "
-          "after language/quality filter + exact & near dedup")
+          "after language/quality/LM filters + exact & near dedup")
 
     spark.stop()
 
