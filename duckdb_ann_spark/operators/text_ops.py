@@ -284,9 +284,13 @@ def lm_unigram_scores(
     toks = df.select(
         F.col(id_col), F.explode(_toks(text_col)).alias("_tok")
     )
+    # the count table feeds BOTH the total and the top-V vocabulary:
+    # persist it (vocabulary-sized, tiny) so the tokenize+explode+count
+    # lineage runs once, not once per consumer — same single-evaluation
+    # discipline as minhash_candidate_pairs' signature table
     counts = toks.groupBy("_tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("_cnt")
-    )
+    ).persist()
     total = counts.agg(F.sum("_cnt").alias("_total"))
     vocab = counts.orderBy(F.desc("_cnt"), F.asc("_tok")).limit(vocab_size)
 
