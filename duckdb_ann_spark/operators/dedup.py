@@ -195,6 +195,39 @@ def band_keys_from_signatures(
     )
 
 
+def _candidate_pairs(
+    bands: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    carry: dict[str, str] | None = None,
+) -> DataFrame:
+    """Shared LSH candidate self-join used by every near-dup family
+    (MinHash bands, hyperplane buckets, SimHash bands): (id, *keys
+    [, *carry]) → distinct (id_a, id_b[, <carry>_a, <carry>_b]) with
+    id_a < id_b. Pairs form ONLY inside key buckets — the one shape that
+    keeps all three families crossJoin-free — and the join/distinct move
+    fixed-width rows (ids + carried scalars), never vectors/signatures."""
+    carry = carry or {}
+    a = bands.select(
+        F.col(id_col).alias("id_a"), *key_cols,
+        *[F.col(c).alias(f"{al}_a") for c, al in carry.items()],
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), *key_cols,
+        *[F.col(c).alias(f"{al}_b") for c, al in carry.items()],
+    )
+    return (
+        a.join(b, on=key_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            *[f"{al}_a" for al in carry.values()],
+            *[f"{al}_b" for al in carry.values()],
+        )
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -223,17 +256,10 @@ def minhash_candidate_pairs(
     sigs = sigs.persist()
     bands = band_keys_from_signatures(sigs, id_col, n_hashes, n_bands)
 
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "bkey")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "bkey")
     # pairs carry only ids through the band join + distinct (signature
     # arrays ride along in neither the shuffle nor the dedupe); the
     # est-jaccard join pulls signatures back for just the candidate set
-    pairs = (
-        a.join(b, on=["band", "bkey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _candidate_pairs(bands, id_col, ["band", "bkey"])
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -347,6 +373,10 @@ def simhash_pairs(
         raise ValueError(
             "n_bands must exceed max_hamming for pigeonhole completeness"
         )
+    if n_bands > 32:
+        # width would be 0: every band value collapses to 0 and the
+        # equi-join degenerates into an all-pairs product
+        raise ValueError("n_bands must be <= 32 (one bit per band minimum)")
     width = 32 // n_bands
     sigs = simhash(df, id_col, text_col).persist()
     band_arr = F.array(*[
@@ -364,15 +394,9 @@ def simhash_pairs(
         F.col(id_col), "simhash", F.explode(band_arr).alias("bk")
     ).select(id_col, "simhash", F.col("bk.band").alias("band"),
              F.col("bk.bval").alias("bval"))
-    a = bands.select(F.col(id_col).alias("id_a"),
-                     F.col("simhash").alias("sh_a"), "band", "bval")
-    b = bands.select(F.col(id_col).alias("id_b"),
-                     F.col("simhash").alias("sh_b"), "band", "bval")
     return (
-        a.join(b, on=["band", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        _candidate_pairs(bands, id_col, ["band", "bval"],
+                         carry={"simhash": "sh"})
         .withColumn(
             "hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("int")
         )
@@ -446,14 +470,7 @@ def embedding_near_dup_pairs(
     # rows; the ~KB-per-row vectors never enter a wide exchange.
     bucketed = bucketed.persist()
 
-    a = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
-    pairs = (
-        a.join(b, on=["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _candidate_pairs(bucketed, id_col, ["table", "bucket"])
     # vectors join back for the CANDIDATE slice only (mirrors
     # ngram_jaccard_pairs' shingle slice): leftsemi down to ids that
     # appear in a pair before persisting, so the cached/joined vector

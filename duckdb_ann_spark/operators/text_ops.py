@@ -254,7 +254,8 @@ def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def lm_unigram_scores(
-    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 50_000
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 50_000,
+    include_empty_docs: bool = True,
 ) -> DataFrame:
     """Corpus-trained unigram-LM scoring — the CCNet/Gopher-style
     "perplexity filter" signal a training-data pipeline ranks documents
@@ -279,7 +280,15 @@ def lm_unigram_scores(
     non-bit-deterministic op cross-engine (see operators/hybrid.py).
     `avg_logprob` = sum/1e9/n is two exact IEEE divisions. Perplexity
     is exp(-avg_logprob) — left to the caller because exp is also
-    engine-divergent at the last ulp.
+    engine-divergent at the last ulp. (As with the BM25 idf, the
+    quantization is a mitigation, not a proof: a 1-ulp ln divergence
+    still flips the floor when ln(p)*1e9 sits within ~2e-6 of an
+    integer — ~1e-6 per distinct (count, total) pair.)
+
+    ``include_empty_docs=False`` skips the final reinstatement join
+    (zero-token docs absent instead of n=0/null rows) — callers that
+    immediately filter on the score should pass False and save a
+    corpus-wide id scan.
     """
     toks = df.select(
         F.col(id_col), F.explode(_toks(text_col)).alias("_tok")
@@ -310,12 +319,17 @@ def lm_unigram_scores(
             F.sum("_lp").alias("sum_logprob_nano"),
         )
     )
+    avg = (
+        F.col("sum_logprob_nano").cast("double") / F.lit(1e9)
+        / F.col("n_scored_tokens").cast("double")
+    ).alias("avg_logprob")
+    if not include_empty_docs:
+        return per_doc.select(
+            id_col, "n_scored_tokens", "sum_logprob_nano", avg
+        )
     return df.select(id_col).join(per_doc, on=id_col, how="left").select(
         id_col,
         F.coalesce("n_scored_tokens", F.lit(0)).alias("n_scored_tokens"),
         "sum_logprob_nano",
-        (
-            F.col("sum_logprob_nano").cast("double") / F.lit(1e9)
-            / F.col("n_scored_tokens").cast("double")
-        ).alias("avg_logprob"),
+        avg,
     )

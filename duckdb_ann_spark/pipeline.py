@@ -106,7 +106,9 @@ def prepare_corpus(
         # independent of which docs the other gates keep.
         from .operators.text_ops import lm_unigram_scores
 
-        lm = lm_unigram_scores(docs, id_col, text_col).where(
+        lm = lm_unigram_scores(
+            docs, id_col, text_col, include_empty_docs=False
+        ).where(
             F.col("avg_logprob") >= F.lit(float(min_avg_logprob))
         ).select(id_col)
         kept = kept.join(lm, on=id_col, how="leftsemi")

@@ -303,3 +303,56 @@ def test_simhash_pairs_no_cartesian_product(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_lm_unigram_scores_oov_floor_parity(spark, sf_dir):
+    """A vocab_size below the corpus vocabulary exercises the OOV
+    count-floor branch (capped-out tokens score as count 1); the DuckDB
+    oracle mirrors the top-V cutoff, so parity stays bitwise."""
+    import duckdb
+
+    from duckdb_ann_spark.functions.text import sql_tokenize
+    from duckdb_ann_spark.operators.text_ops import lm_unigram_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    V = 12
+    got = (
+        lm_unigram_scores(docs, "doc_id", "text", vocab_size=V,
+                          include_empty_docs=False)
+        .orderBy("doc_id").toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({sql_tokenize('text')}) AS tok
+            FROM documents
+        ),
+        counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT sum(cnt) AS total FROM counts),
+        vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {V}),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(floor(ln(CAST(COALESCE(v.cnt, 1) AS DOUBLE)
+                                 / CAST(tt.total AS DOUBLE)) * 1e9)
+                        AS BIGINT) AS lp
+            FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN total tt
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_tokens,
+               CAST(sum(lp) AS BIGINT) AS sum_logprob_nano
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    # the corpus has more than V distinct tokens, so the floor branch
+    # genuinely fires
+    n_vocab = con.execute(
+        f"SELECT count(DISTINCT tok) FROM (SELECT unnest({sql_tokenize('text')})"
+        " AS tok FROM documents)"
+    ).fetchone()[0]
+    assert n_vocab > V, n_vocab
+    assert (got["sum_logprob_nano"].to_numpy()
+            == want["sum_logprob_nano"].to_numpy()).all()
+    assert (got["n_scored_tokens"].to_numpy()
+            == want["n_scored_tokens"].to_numpy()).all()

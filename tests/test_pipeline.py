@@ -70,17 +70,23 @@ def test_prepare_corpus_lm_filter(spark, sf_dir):
     from duckdb_ann_spark.pipeline import prepare_corpus
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = {r.doc_id for r in
-            prepare_corpus(docs, "doc_id", "text", langs=("en",),
-                           min_quality=0.65).select("doc_id").collect()}
     floor = -7.0
     gated = {r.doc_id for r in
              prepare_corpus(docs, "doc_id", "text", langs=("en",),
                             min_quality=0.65,
                             min_avg_logprob=floor).select("doc_id").collect()}
-    assert gated <= base
-    ok = {r.doc_id for r in
+    # semantics-exact expectation: the LM trains on the RAW corpus and
+    # gates rows BEFORE dedup, so the gated pipeline equals the plain
+    # pipeline run over the LM-passing subset (every other filter is
+    # row-local; dedup then sees exactly that subset). NOT gated<=base:
+    # dropping the smaller id of a near-dup pair can let the larger id
+    # survive a run where the ungated pipeline dropped it.
+    ok = [r.doc_id for r in
           lm_unigram_scores(docs, "doc_id", "text")
-          .where(F.col("avg_logprob") >= floor).collect()}
-    assert gated == base & ok
+          .where(F.col("avg_logprob") >= floor).collect()]
+    want = {r.doc_id for r in
+            prepare_corpus(docs.where(F.col("doc_id").isin(ok)),
+                           "doc_id", "text", langs=("en",),
+                           min_quality=0.65).select("doc_id").collect()}
+    assert gated == want
     assert len(gated) > 0

@@ -103,10 +103,19 @@ def test_read_table_nanos_branch(spark, tmp_path):
                    coerce_timestamps=None)
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
-    before = spark.conf.get(key)
+
+    def conf_state():
+        # mirror read_table's guarded get: some Spark builds raise for
+        # an unset legacy key
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
+
+    before = conf_state()
     df = read_table(spark, str(d), "events")
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
-    assert spark.conf.get(key) == before  # no session-level side effect
+    assert conf_state() == before  # no session-level side effect
     rows = {r.event_id: r.ts for r in df.collect()}
     # ns → µs truncation, integer div (not float: epoch-ns exceeds f64's
     # exact-integer range)
