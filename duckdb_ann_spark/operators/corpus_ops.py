@@ -1,0 +1,611 @@
+"""Corpus-preparation operators for large-scale training-data pipelines.
+
+The signals a 100 TB pretraining pipeline computes besides dedup/quality
+(reference scope: `decisiongraph/duckdb-ann` has no corpus-prep surface;
+these extend the engine the way SURVEY.md's "training-data pipeline"
+north star prescribes):
+
+* :func:`repetition_stats` — Gopher-style repetition filters (duplicate
+  line / duplicate n-gram / top-n-gram-coverage fractions, per
+  Rae et al. 2021 "Scaling Language Models" §A1.1) — computed entirely
+  ROW-LOCALLY: sort the per-document line/n-gram array and count equal
+  adjacent elements, so the operator is pure whole-stage-codegen with NO
+  shuffle (an explode+groupBy formulation would shuffle every n-gram of
+  every document).
+* :func:`pii_scrub` — email/IPv4/phone redaction with per-pattern
+  counts; pure JVM regexp in the Java∩RE2 dialect subset.
+* :func:`hash_split` — deterministic, engine-portable train/val/test
+  assignment from an md5 bucket of the id (stable across runs, engines,
+  and cluster sizes — never `rand()`).
+* :func:`domain_sample` — per-domain deterministic downsampling to
+  target mixture rates (the "data mixing" step), same bucket scheme
+  under a different salt so split and mix decisions are independent.
+* :func:`connected_components` — min-label propagation over a near-dup
+  pair set (the step that turns LSH pairs into dedup clusters).
+* :func:`ngram_decontaminate` — benchmark-overlap flagging by shared
+  token n-grams (the standard eval-contamination check).
+* :func:`pack_sequences` — deterministic greedy sequence packing into
+  fixed-token-budget training rows via a per-domain window cumsum.
+
+Dual-dialect fragments: the heavy array expressions are generated for
+BOTH Spark SQL and DuckDB SQL from one builder (``d`` = "spark" |
+"duck"), so the driver oracle can never drift from the operator — the
+same discipline as ``functions/text.py``'s tokenize twins. Every ratio
+is one division of exact BIGINT counts → bitwise hash-matchable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_SPLIT_RE, quote_ident, token_count
+
+__all__ = [
+    "repetition_stats",
+    "repetition_sql",
+    "pii_scrub",
+    "pii_sql_cols",
+    "PII_PATTERNS",
+    "hash_split",
+    "domain_sample",
+    "bucket_sql",
+    "HASH_BUCKETS",
+    "connected_components",
+    "ngram_decontaminate",
+    "ngram_over_text_sql",
+    "pack_sequences",
+]
+
+
+# ---------------------------------------------------------------------------
+# dialect primitives ("spark" = Spark SQL, "duck" = DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+def _el(d: str, arr: str, i: str) -> str:
+    return f"element_at({arr}, {i})" if d == "spark" else f"({arr})[{i}]"
+
+
+def _size(d: str, arr: str) -> str:
+    return f"size({arr})" if d == "spark" else f"len({arr})"
+
+
+def _seq1(d: str, n: str) -> str:
+    """[1..n], empty when n <= 0. Spark's sequence(1, 0) DESCENDS
+    ([1, 0]), so the guard is load-bearing."""
+    if d == "spark":
+        return f"if(({n}) <= 0, array(), sequence(1, {n}))"
+    return f"range(1, ({n}) + 1)"
+
+
+def _filter(d: str, arr: str, var: str, body: str) -> str:
+    fn = "filter" if d == "spark" else "list_filter"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def _transform(d: str, arr: str, var: str, body: str) -> str:
+    fn = "transform" if d == "spark" else "list_transform"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def _sort(d: str, arr: str) -> str:
+    # both engines order ASCII strings bytewise, so equal elements end up
+    # adjacent identically; only EQUALITY of neighbors is consumed below
+    return f"array_sort({arr})" if d == "spark" else f"list_sort({arr})"
+
+
+def _sum0(d: str, arr: str) -> str:
+    """Sequential BIGINT fold (deterministic, order-fixed on the bound
+    array)."""
+    if d == "spark":
+        return f"aggregate({arr}, cast(0 as bigint), (acc, v) -> acc + v)"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _amax(d: str, arr: str) -> str:
+    return f"array_max({arr})" if d == "spark" else f"list_aggregate({arr}, 'max')"
+
+
+def _pos(d: str, arr: str, v: str) -> str:
+    fn = "array_position" if d == "spark" else "list_position"
+    return f"{fn}({arr}, {v})"
+
+
+def _cat2(d: str, a: str, b: str) -> str:
+    fn = "concat" if d == "spark" else "list_concat"
+    return f"{fn}({a}, {b})"
+
+
+def _arr1(d: str, x: str) -> str:
+    return f"array({x})" if d == "spark" else f"[{x}]"
+
+
+def _bind(d: str, val: str, var: str, body: str) -> str:
+    """Evaluate `val` once, expose it to `body` as `var` (the SQL
+    spelling of bind_once; see functions/text.py:sql_bind_once)."""
+    if d == "spark":
+        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+    return f"list_transform([{val}], {var} -> {body})[1]"
+
+
+def _struct(d: str, fields: list[tuple[str, str]]) -> str:
+    if d == "spark":
+        inner = ", ".join(f"{expr} as {name}" for name, expr in fields)
+        return f"struct({inner})"
+    inner = ", ".join(f"{name} := {expr}" for name, expr in fields)
+    return f"struct_pack({inner})"
+
+
+def _tok(d: str, text_expr: str) -> str:
+    """The repo-wide tokenize contract over an arbitrary text EXPRESSION
+    (functions/text.py handles column names; suite CTEs need
+    expressions)."""
+    if d == "spark":
+        return (
+            f"filter(split(lower({text_expr}), '{TOKEN_SPLIT_RE}'), "
+            "t -> t <> '')"
+        )
+    return (
+        f"list_filter(string_split_regex(lower({text_expr}), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+
+
+def _lines(d: str, text_expr: str) -> str:
+    """Non-empty trimmed lines of the text."""
+    if d == "spark":
+        split = f"split({text_expr}, '\\\\n')"
+    else:
+        split = f"string_split_regex({text_expr}, '\\n')"
+    trimmed = _transform(d, split, "l", "trim(l)")
+    return _filter(d, trimmed, "l", "l <> ''")
+
+
+def _ngrams(d: str, toks: str, n: int) -> str:
+    """Space-joined token n-grams; [] when the doc has < n tokens (a
+    counting metric wants no whole-text fallback, unlike dedup
+    shingles)."""
+    elems = ", ".join(_el(d, toks, f"i + {j}") for j in range(n))
+    count = f"greatest({_size(d, toks)} - {n - 1}, 0)"
+    return _transform(d, _seq1(d, count), "i", f"concat_ws(' ', {elems})")
+
+
+def ngram_over_text_sql(d: str, text_expr: str, n: int) -> str:
+    """array<string> of token n-grams of a text expression (tokens bound
+    once)."""
+    return _bind(d, _tok(d, text_expr), "toks", _ngrams(d, "toks", n))
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+def _rep_counts(d: str, arr_sql: str) -> str:
+    """BIGINT count struct over a string-array expression:
+
+    ``(n, dup, dup_chars, chars, top_run, top_chars)`` where `dup` =
+    elements involved in any duplicate (equal to a sorted neighbor),
+    `*_chars` weight elements by length, and `top_*` describe the most
+    frequent element (ties → bytewise-smallest value, which is the
+    FIRST maximal run of the sorted array on both engines).
+
+    Everything operates on the sorted array bound once per row — no
+    shuffle, no explode; O(m log m) per document."""
+    zero = "cast(0 as bigint)" if d == "spark" else "CAST(0 AS BIGINT)"
+    s, di, st, rl = "s", "di", "st", "rl"
+    n = _size(d, s)
+    # neighbor-equality guards short-circuit on both engines (probed), so
+    # the i-1 / i+1 accesses never evaluate out of ANSI bounds
+    dup_idx = _filter(
+        d, _seq1(d, n), "i",
+        f"(i > 1 AND {_el(d, s, 'i - 1')} = {_el(d, s, 'i')}) OR "
+        f"(i < {n} AND {_el(d, s, 'i + 1')} = {_el(d, s, 'i')})",
+    )
+    run_starts = _filter(
+        d, _seq1(d, n), "i",
+        f"i = 1 OR {_el(d, s, 'i - 1')} <> {_el(d, s, 'i')}",
+    )
+    # run lengths from consecutive run starts (sentinel n+1 appended, so
+    # the j+1 access stays in bounds by construction)
+    st2 = _cat2(d, st, _arr1(d, f"{n} + 1"))
+    run_lens = _transform(
+        d, _seq1(d, _size(d, st)), "j",
+        f"{_el(d, st2, 'j + 1')} - {_el(d, st, 'j')}",
+    )
+    maxrun = _amax(d, rl)
+    # array_position returns BIGINT on Spark; element_at wants INT
+    top_val = _el(d, s, _el(d, st, f"cast({_pos(d, rl, maxrun)} as int)"))
+    fields = [
+        ("n", f"cast({n} as bigint)"),
+        ("dup", f"cast({_size(d, di)} as bigint)"),
+        ("dup_chars", _sum0(d, _transform(d, di, "i", f"cast(length({_el(d, s, 'i')}) as bigint)"))),
+        ("chars", _sum0(d, _transform(d, s, "x", "cast(length(x) as bigint)"))),
+        ("top_run", f"cast({maxrun} as bigint)"),
+        ("top_chars", f"cast({maxrun} * length({top_val}) as bigint)"),
+    ]
+    zeros = _struct(d, [(name, zero) for name, _ in fields])
+    body = _bind(d, dup_idx, di,
+                 _bind(d, run_starts, st,
+                       _bind(d, run_lens, rl, _struct(d, fields))))
+    guarded = f"CASE WHEN {n} = 0 THEN {zeros} ELSE {body} END"
+    cleaned = _sort(d, _filter(d, arr_sql, "x", "x <> ''"))
+    return _bind(d, cleaned, s, guarded)
+
+
+def _ratio(d: str, a: str, b: str) -> str:
+    """One exact-integer division → double; NULL when the denominator is
+    0 (Spark try_divide; DuckDB's `/` is already NULL-on-zero)."""
+    if d == "spark":
+        return f"try_divide(cast({a} as double), cast({b} as double))"
+    return f"(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE))"
+
+
+def repetition_sql(d: str, text_expr: str) -> str:
+    """Flat struct of the Gopher-style repetition signals over a text
+    expression: ``(n_lines, dup_line_frac, dup_line_char_frac,
+    dup_2gram_frac, dup_3gram_frac, top_2gram_char_frac)``."""
+    lc, g2, g3 = "lc", "g2", "g3"
+    out = _struct(d, [
+        ("n_lines", f"cast({lc}.n as int)"),
+        ("dup_line_frac", _ratio(d, f"{lc}.dup", f"{lc}.n")),
+        ("dup_line_char_frac", _ratio(d, f"{lc}.dup_chars", f"{lc}.chars")),
+        ("dup_2gram_frac", _ratio(d, f"{g2}.dup", f"{g2}.n")),
+        ("dup_3gram_frac", _ratio(d, f"{g3}.dup", f"{g3}.n")),
+        ("top_2gram_char_frac", _ratio(d, f"{g2}.top_chars", f"{g2}.chars")),
+    ])
+    body = _bind(d, _rep_counts(d, _ngrams(d, "toks", 2)), g2,
+                 _bind(d, _rep_counts(d, _ngrams(d, "toks", 3)), g3, out))
+    with_toks = _bind(d, _tok(d, text_expr), "toks", body)
+    return _bind(d, _rep_counts(d, _lines(d, text_expr)), lc, with_toks)
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, n_lines, dup_line_frac, dup_line_char_frac, dup_2gram_frac,
+    dup_3gram_frac, top_2gram_char_frac): the Gopher repetition filters
+    (Rae et al. 2021 §A1.1 shape).
+
+    Scale: 100% row-local whole-stage codegen — the document never
+    explodes into per-line/per-n-gram rows, so there is NO shuffle and
+    the operator streams at parquet-scan speed regardless of corpus
+    size."""
+    expr = repetition_sql("spark", quote_ident(text_col))
+    return df.select(F.col(id_col), F.expr(expr).alias("_r")).select(
+        id_col, "_r.*"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs; \b is the ASCII word boundary in both), so
+# Spark and the DuckDB oracle match/replace identically. Applied in
+# list order; replacement tokens contain no digits/@, so later patterns
+# can't match inside an earlier redaction.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phones", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, n_emails, n_ips, n_phones, text_clean): counts of each PII
+    pattern in the ORIGINAL text plus the text with all three redacted
+    (email → ip → phone order).
+
+    Pure JVM regexp columns (no UDF, no shuffle); at 100 TB this runs as
+    a map-only scan."""
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = c
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col), *counts, clean.alias("text_clean"))
+
+
+def pii_sql_cols(d: str, text_expr: str) -> str:
+    """The scrub output columns as a SQL fragment (both dialects):
+    ``n_emails, n_ips, n_phones, text_clean``."""
+    counts = []
+    for name, pat, _ in PII_PATTERNS:
+        if d == "spark":
+            counts.append(
+                f"size(regexp_extract_all({text_expr}, '{_sql_escape_re(pat)}', 0))"
+                f" as n_{name}"
+            )
+        else:
+            counts.append(
+                f"len(regexp_extract_all({text_expr}, '{pat}')) AS n_{name}"
+            )
+    clean = text_expr
+    for _, pat, repl in PII_PATTERNS:
+        if d == "spark":
+            clean = f"regexp_replace({clean}, '{_sql_escape_re(pat)}', '{repl}')"
+        else:
+            clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return ", ".join(counts + [f"{clean} AS text_clean"])
+
+
+def _sql_escape_re(pat: str) -> str:
+    """Spark SQL string literals process backslash escapes; double them
+    so the regex engine sees the same pattern DuckDB's (escape-free)
+    literals produce."""
+    return pat.replace("\\", "\\\\")
+
+
+# ---------------------------------------------------------------------------
+# hash_split / domain_sample
+# ---------------------------------------------------------------------------
+
+HASH_BUCKETS = 10_000
+
+
+def bucket_sql(d: str, id_expr: str, salt: str) -> str:
+    """Deterministic bucket in [0, HASH_BUCKETS): first 32 md5 bits of
+    ``"<id>:<salt>"`` mod 10000. Identical in Spark and DuckDB (verified
+    constant-for-constant), stable across runs/engines/partitionings —
+    the property `rand()`-based sampling lacks."""
+    if d == "spark":
+        key = f"concat(cast({id_expr} as string), ':{salt}')"
+        return (
+            f"pmod(cast(conv(substring(md5({key}), 1, 8), 16, 10) as bigint), "
+            f"{HASH_BUCKETS})"
+        )
+    key = f"CAST({id_expr} AS VARCHAR) || ':{salt}'"
+    return (
+        f"(CAST('0x' || substr(md5({key}), 1, 8) AS BIGINT) % {HASH_BUCKETS})"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fracs: tuple[float, ...] = (0.95, 0.025, 0.025),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Adds (bucket, split): deterministic train/val/test assignment.
+
+    Fractions quantize to 1/10000; rows never migrate between splits
+    when the corpus grows (assignment depends only on the id)."""
+    if len(fracs) != len(names):
+        raise ValueError("fracs and names must align")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("fracs must sum to 1")
+    bucket = F.expr(bucket_sql("spark", quote_ident(id_col), salt))
+    out = df.withColumn("bucket", bucket)
+    edges = []
+    acc = 0.0
+    for frac in fracs[:-1]:
+        acc += frac
+        edges.append(int(round(acc * HASH_BUCKETS)))
+    split = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+        split = F.when(F.col("bucket") < edge, F.lit(name)).otherwise(split)
+    return out.withColumn("split", split)
+
+
+def split_case_sql(d: str, bucket_expr: str, fracs, names) -> str:
+    """The matching CASE fragment for an oracle over the same buckets."""
+    edges, acc = [], 0.0
+    for frac in fracs[:-1]:
+        acc += frac
+        edges.append(int(round(acc * HASH_BUCKETS)))
+    whens = " ".join(
+        f"WHEN {bucket_expr} < {edge} THEN '{name}'"
+        for name, edge in zip(names[:-1], edges)
+    )
+    return f"CASE {whens} ELSE '{names[-1]}' END"
+
+
+def domain_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Adds (mix_keep): deterministic per-domain downsampling to target
+    mixture rates — the "data mixing" step of corpus prep. A domain with
+    rate r keeps the ~r·|domain| rows whose salted id-bucket falls below
+    r·10000; decisions are independent of :func:`hash_split`'s (different
+    salt) and reproducible on any cluster shape."""
+    bucket = F.expr(bucket_sql("spark", quote_ident(id_col), salt))
+    rate = F.lit(float(default_rate))
+    for dom, r in sorted(rates.items()):
+        rate = F.when(F.col(domain_col) == dom, F.lit(float(r))).otherwise(rate)
+    keep = bucket < (rate * HASH_BUCKETS).cast("bigint")
+    return df.withColumn("mix_keep", keep)
+
+
+def rate_case_sql(d: str, domain_expr: str, rates: dict[str, float],
+                  default_rate: float) -> str:
+    whens = " ".join(
+        f"WHEN {domain_expr} = '{dom}' THEN CAST({float(r)!r} AS DOUBLE)"
+        for dom, r in sorted(rates.items())
+    )
+    return f"CASE {whens} ELSE CAST({float(default_rate)!r} AS DOUBLE) END"
+
+
+# ---------------------------------------------------------------------------
+# connected_components
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int = 50,
+) -> DataFrame:
+    """→ (node, component_id): connected components of the undirected
+    pair graph; component id = smallest node id in the component. The
+    step that turns LSH candidate PAIRS (minhash/simhash/embedding
+    near-dup) into dedup CLUSTERS with one kept representative.
+
+    Min-label propagation: each iteration joins labels to edges, takes
+    the neighborhood min, and stops when no label changed (one count()
+    action per iteration). Converges in <= graph-diameter iterations —
+    LSH dup clusters are near-cliques (banding links all members of a
+    dup group to each other), so 2-3 iterations in practice. For
+    adversarial long-chain graphs at extreme scale, swap in the
+    large-star/small-star contraction (Kiveris et al. 2014, "Connected
+    Components in MapReduce"), which this API deliberately matches.
+
+    Scale: shuffles carry (node, component) longs only; edges are
+    persisted once and reused every iteration."""
+    edges = (
+        pairs.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .unionByName(
+            pairs.select(
+                F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("_src").alias("node")).distinct().withColumn(
+        "component_id", F.col("node")
+    ).persist()
+    labels.count()  # materialize before the loop re-reads it
+    try:
+        for _ in range(max_iter):
+            nb_min = (
+                edges.join(
+                    labels.withColumnRenamed("node", "_dst"), on="_dst"
+                )
+                .groupBy("_src")
+                .agg(F.min("component_id").alias("_nb_min"))
+            )
+            stepped = (
+                labels.join(
+                    nb_min.withColumnRenamed("_src", "node"), on="node",
+                    how="left",
+                )
+                .select(
+                    "node",
+                    F.col("component_id").alias("_old"),
+                    F.least(
+                        F.col("component_id"),
+                        F.coalesce("_nb_min", F.col("component_id")),
+                    ).alias("component_id"),
+                )
+                .persist()
+            )
+            changed = stepped.where(
+                F.col("component_id") < F.col("_old")
+            ).count()
+            labels.unpersist()
+            labels = stepped.select("node", "component_id").persist()
+            stepped.unpersist()
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ngram_decontaminate
+# ---------------------------------------------------------------------------
+
+def ngram_decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    bench_text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """→ (id, n_hit_ngrams) for documents sharing >= 1 token n-gram with
+    the benchmark corpus — the standard eval-contamination check (GPT-3
+    appendix C shape; n=13 there, parameterized here).
+
+    Scale: both sides reduce to DISTINCT 16-byte md5 digests of their
+    n-grams before joining; benchmark suites are tiny relative to the
+    corpus, so the digest set broadcasts and the check is a map-side
+    semi-join — the corpus is scanned once and never shuffled."""
+    doc_ngrams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(ngram_over_text_sql("spark", quote_ident(text_col), n))
+            ).alias("_ng"),
+        )
+        .select(id_col, F.md5("_ng").alias("_h"))
+        .distinct()
+    )
+    bench_h = (
+        bench.select(
+            F.explode(
+                F.expr(
+                    ngram_over_text_sql("spark", quote_ident(bench_text_col), n)
+                )
+            ).alias("_ng")
+        )
+        .select(F.md5("_ng").alias("_h"))
+        .distinct()
+    )
+    return (
+        doc_ngrams.join(F.broadcast(bench_h), on="_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_ngrams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    part_col: str,
+    text_col: str,
+    max_len: int = 2048,
+) -> DataFrame:
+    """→ (id, part, n_tokens, pack_no, pack_offset): deterministic greedy
+    packing of documents into fixed-token-budget training rows.
+
+    Documents are taken in id order within each `part_col` group; a
+    document joins the pack in which its first token lands
+    (``pack_no = floor(prev_cumsum / max_len)``), so packs fill greedily
+    and may overflow by at most one document — the standard streaming
+    packing discipline (no re-sorting, so ordering stays reproducible).
+
+    Scale: ONE window partitioned by `part_col` (domain/source), so
+    packing parallelizes across domains; the window state is a running
+    BIGINT sum. A single global pack stream would serialize on one
+    partition — partition the corpus first."""
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_prev = df.select(
+        F.col(id_col),
+        F.col(part_col),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    ).select(
+        id_col,
+        part_col,
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("_prev"),
+    )
+    return with_prev.select(
+        id_col,
+        part_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.expr(f"_prev div {int(max_len)}").alias("pack_no"),
+        F.pmod("_prev", F.lit(int(max_len))).cast("bigint").alias("pack_offset"),
+    )

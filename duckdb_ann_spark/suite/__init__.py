@@ -70,6 +70,7 @@ def _load() -> None:
     from . import relational  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import dedup  # noqa: F401
+    from . import corpus_suite  # noqa: F401
     from . import pipeline_suite  # noqa: F401
     from . import hybrid  # noqa: F401  (imports .vector → registers it too)
     from . import batch  # noqa: F401

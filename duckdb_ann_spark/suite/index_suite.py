@@ -344,77 +344,81 @@ def q_ann_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "planner_topk_route",
+    "planner_rewrites",
     f"""
-    {_Q_CTE}
-    SELECT e.vec_id, e.label, {_DIST} AS _distance
-    FROM embeddings e CROSS JOIN q
-    ORDER BY _distance, e.vec_id LIMIT 10
+    SELECT * FROM (
+        {_Q_CTE}
+        SELECT 'route10' AS rewrite_case, e.vec_id, e.label,
+               {_DIST} AS _distance
+        FROM embeddings e CROSS JOIN q
+        ORDER BY _distance, e.vec_id LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+        {_Q_CTE}
+        SELECT 'default_k' AS rewrite_case, e.vec_id, e.label,
+               {_DIST} AS _distance
+        FROM embeddings e CROSS JOIN q
+        ORDER BY _distance, e.vec_id LIMIT 100
+    )
     """,
 )
-def q_planner_topk_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The optimizer-rewrite analog: topk_auto consults the catalog,
-    passes the reference's gates, and routes through the Flat index —
-    result identical to brute force (ann_optimizer.cpp:348-530).
+def q_planner_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimizer-rewrite analog, both gate scenarios in one entry
+    (round 5: formerly planner_topk_route + planner_default_k; merged
+    for the registry cap, both assertions kept).
+
+    Case 'route10': topk_auto consults the catalog, passes the
+    reference's gates, and routes through the Flat index — result
+    identical to brute force (ann_optimizer.cpp:348-530).
+
+    Case 'default_k': a LIMIT-less ORDER BY is rewritten with the
+    reference's default k=100 (`src/ann_optimizer.cpp:475,554-557`):
+    `topk_auto(k=None)` returns exactly 100 rows. The route then
+    depends on the selectivity gate (k=100 vs 10% of N) — the entry
+    asserts the gate DECISION matches the rule for the actual corpus
+    size; the result is exact top-100 either way (Flat index).
 
     Isolated catalog: the planner picks any metric-compatible index on
     the table, so the other suite entries' (approximate) indexes must
     not be visible to it."""
     cat = Catalog(_ROOT + "_planner")
     drop_index("suite_plan", cat)
-    create_index(
-        _emb(spark, sf_dir), "vec_id", "embedding", "suite_plan",
-        engine="faiss", table_name="embeddings", catalog=cat,
-    )
-    q = query_vec(spark, sf_dir)
-    res, decision = topk_auto(
-        _emb(spark, sf_dir), "embedding", q, 10, table_name="embeddings",
-        catalog=cat, explain=True,
-    )
-    assert decision.strategy == "index_scan", decision
-    return res.select("vec_id", "label", "_distance")
-
-
-@register(
-    "planner_default_k",
-    f"""
-    {_Q_CTE}
-    SELECT e.vec_id, e.label, {_DIST} AS _distance
-    FROM embeddings e CROSS JOIN q
-    ORDER BY _distance, e.vec_id LIMIT 100
-    """,
-)
-def q_planner_default_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A LIMIT-less ORDER BY is rewritten with the reference's default
-    k=100 (`src/ann_optimizer.cpp:475,554-557`): `topk_auto(k=None)`
-    returns exactly 100 rows. The route then depends on the selectivity
-    gate (k=100 vs 10% of N) — brute force at sf0.01's 500 rows, index
-    scan at larger fixtures — so the entry asserts the gate DECISION
-    matches the rule for the actual corpus size; the result is exact
-    top-100 either way (Flat index) and hash-matches one oracle."""
-    cat = Catalog(_ROOT + "_planner_dk")
-    drop_index("suite_plan_dk", cat)
     emb = _emb(spark, sf_dir)
     n = emb.count()
     create_index(
-        emb, "vec_id", "embedding", "suite_plan_dk",
+        emb, "vec_id", "embedding", "suite_plan",
         engine="faiss", table_name="embeddings", catalog=cat,
     )
     q = query_vec(spark, sf_dir)
-    res, decision = topk_auto(
+
+    res10, decision = topk_auto(
+        emb, "embedding", q, 10, table_name="embeddings",
+        catalog=cat, explain=True,
+    )
+    assert decision.strategy == "index_scan", decision
+
+    res_dk, decision_dk = topk_auto(
         emb, "embedding", q, k=None, table_name="embeddings",
         id_col="vec_id", catalog=cat, explain=True,
     )
     if 100 > 0.10 * n:
-        assert decision.strategy == "brute_force", decision
+        assert decision_dk.strategy == "brute_force", decision_dk
         if n >= 50:  # below MIN_ROWS_FOR_INDEX the cardinality gate
             # fires first with its own message
             assert any(
-                "10%" in g or "k=100" in g for g in decision.gates
-            ), decision
+                "10%" in g or "k=100" in g for g in decision_dk.gates
+            ), decision_dk
     else:
-        assert decision.strategy == "index_scan", decision
-    return res.select("vec_id", "label", "_distance")
+        assert decision_dk.strategy == "index_scan", decision_dk
+
+    cols = ["vec_id", "label", "_distance"]
+    return (
+        res10.select(F.lit("route10").alias("rewrite_case"), *cols)
+        .unionByName(
+            res_dk.select(F.lit("default_k").alias("rewrite_case"), *cols)
+        )
+    )
 
 
 @register(

@@ -20,22 +20,6 @@ def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.col("text").cast("binary").alias("blob"))
 
 
-@register(
-    "multimodal_metadata",
-    """
-    SELECT doc_id,
-           CAST(strlen(text) AS INT) AS n_bytes,
-           md5(text) AS digest
-    FROM documents
-    """,
-)
-def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary metadata pass (byte length + digest) — pure Column
-    expressions over a `binary` column; the oracle hashes the same utf8
-    bytes."""
-    return binary_stats(_blobs(spark, sf_dir), "doc_id", "blob")
-
-
 _FEATURE_BINS = ",\n           ".join(
     f"CAST(sum(CASE WHEN byte // 32 = {i} THEN 1 ELSE 0 END) AS DOUBLE) AS h{i}"
     for i in range(8)
@@ -58,12 +42,12 @@ _FEATURES_ORACLE = f"""
            {_FEATURE_BINS}
         FROM b GROUP BY doc_id
     )
-    SELECT doc_id, n_bytes,
-           sm / n_bytes AS byte_mean,
-           sqrt(greatest(sq / n_bytes - (sm / n_bytes) * (sm / n_bytes), 0.0))
+    SELECT s.doc_id, s.n_bytes, md5(d.text) AS digest,
+           sm / s.n_bytes AS byte_mean,
+           sqrt(greatest(sq / s.n_bytes - (sm / s.n_bytes) * (sm / s.n_bytes), 0.0))
                AS byte_std,
            {_FEATURE_COLS}
-    FROM s
+    FROM s JOIN documents d USING (doc_id)
     """
 
 
@@ -71,17 +55,22 @@ _FEATURES_ORACLE = f"""
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over blobs (deterministic byte
     histogram standing in for a real image/audio decoder — see
-    operators/multimodal.py). The feature vector is flattened to scalar
-    columns for the driver's row hashing.
+    operators/multimodal.py), plus the opaque-binary metadata pass
+    (byte length + md5 digest; round 5: formerly its own
+    multimodal_metadata entry, merged for the registry cap — the
+    binary_stats operator is unchanged). The feature vector is
+    flattened to scalar columns for the driver's row hashing.
 
     Oracle parity: the testdata text is pure ASCII (strlen == byte
     length, ord == byte value), so the per-byte unnest reproduces the
     blob bytes exactly, and mean/std/histogram all derive from exact
     integer sums through the same f64 expression tree the operator
     evaluates (see extract_features) — bit-identical, hash-checkable."""
-    res = extract_features(_blobs(spark, sf_dir), "doc_id", "blob")
-    return res.select(
-        "doc_id", "n_bytes", "byte_mean", "byte_std",
+    blobs = _blobs(spark, sf_dir)
+    res = extract_features(blobs, "doc_id", "blob")
+    meta = binary_stats(blobs, "doc_id", "blob").select("doc_id", "digest")
+    return res.join(meta, on="doc_id").select(
+        "doc_id", "n_bytes", "digest", "byte_mean", "byte_std",
         *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
     )
 

@@ -1,0 +1,187 @@
+"""Unit/edge coverage for operators/corpus_ops.py (the cross-engine hash
+gate lives in test_suite_oracle.py via the corpus_* suite entries)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.operators.corpus_ops import (
+    HASH_BUCKETS,
+    connected_components,
+    domain_sample,
+    hash_split,
+    ngram_decontaminate,
+    pack_sequences,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def rep_df(spark):
+    rows = [
+        # 4 lines of 8 chars, 'dup line' twice -> 2/4 dup lines, 16/32 chars
+        (0, "dup line\nunique a\ndup line\nunique b"),
+        (1, ""),  # empty doc: n_lines 0, every ratio NULL
+        (2, "no repeats here at all"),
+        # tokens a b a b a -> 2-grams: [a b, b a, a b, b a] all dup
+        (3, "a b a b a"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_known_values(rep_df):
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(rep_df, "doc_id", "text").collect()
+    }
+    r0 = out[0]
+    assert r0["n_lines"] == 4
+    assert r0["dup_line_frac"] == 2 / 4
+    assert r0["dup_line_char_frac"] == 16 / 32
+    r1 = out[1]
+    assert r1["n_lines"] == 0
+    assert r1["dup_line_frac"] is None
+    assert r1["dup_2gram_frac"] is None
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["dup_2gram_frac"] == 0.0
+    r3 = out[3]
+    assert r3["dup_2gram_frac"] == 1.0
+    # top 2-gram 'a b' covers 2 runs x 3 chars of 4x3 total chars
+    assert r3["top_2gram_char_frac"] == 6 / 12
+
+
+def test_repetition_is_shuffle_free(rep_df):
+    """The Gopher filters must not explode documents into per-n-gram
+    rows: the plan is a pure projection (no Exchange)."""
+    plan = repetition_stats(rep_df, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail a@b.co and c.d@e-f.org, ip 10.0.0.1, ph 555-123-4567"),
+            (1, "clean text"),
+            (2, "ips 1.2.3.4 5.6.7.8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (2, 1, 1)
+    assert out[0]["text_clean"] == (
+        "mail <EMAIL> and <EMAIL>, ip <IP>, ph <PHONE>"
+    )
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (0, 0, 0)
+    assert out[1]["text_clean"] == "clean text"
+    assert out[2]["n_ips"] == 2 and out[2]["text_clean"] == "ips <IP> <IP>"
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_split_assigns_all_and_is_deterministic(ids_df):
+    out = hash_split(ids_df, "doc_id", (0.8, 0.1, 0.1))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    # md5 buckets are uniform; 1000 draws stay well inside 5 sigma
+    assert 700 <= counts["train"] <= 900
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    again = hash_split(ids_df, "doc_id", (0.8, 0.1, 0.1))
+    assert out.exceptAll(again).count() == 0
+
+
+def test_hash_split_validates(ids_df):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ids_df, "doc_id", (0.5, 0.1), names=("a", "b"))
+    with pytest.raises(ValueError, match="align"):
+        hash_split(ids_df, "doc_id", (0.5, 0.5), names=("only",))
+
+
+def test_domain_sample_rates(spark):
+    df = spark.range(0, 600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "keep_all")
+        .when(F.col("id") % 3 == 1, "drop_all")
+        .otherwise("half")
+        .alias("source"),
+    )
+    out = domain_sample(
+        df, "doc_id", "source", {"keep_all": 1.0, "drop_all": 0.0, "half": 0.5}
+    )
+    kept = {r["source"]: r["n"] for r in
+            out.where("mix_keep").groupBy("source")
+            .agg(F.count("*").alias("n")).collect()}
+    assert kept.get("keep_all") == 200
+    assert "drop_all" not in kept
+    assert 60 <= kept.get("half", 0) <= 140
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        # a 6-node chain (needs several propagation rounds) + a 2-island
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r["node"]: r["component_id"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs, "id_a", "id_b").count() == 0
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),  # contains bench gram
+            (1, "totally different words in this one here"),
+            (2, "short doc"),  # < 5 tokens: no n-grams, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string"
+    )
+    out = {r["doc_id"]: r["n_hit_ngrams"]
+           for r in ngram_decontaminate(df, "doc_id", "text", bench, "text",
+                                        n=5).collect()}
+    assert out == {0: 1}
+
+
+def test_pack_sequences_known_packing(spark):
+    df = spark.createDataFrame(
+        [
+            # source s: 3+4+5 tokens, max_len 6:
+            # doc0 prev=0 pack0 off0; doc1 prev=3 pack0 off3;
+            # doc2 prev=7 pack1 off1
+            (0, "s", "a b c"),
+            (1, "s", "a b c d"),
+            (2, "s", "a b c d e"),
+            # independent stream per source
+            (3, "t", "x y"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, "doc_id", "source", "text", max_len=6).collect()}
+    assert (out[0]["pack_no"], out[0]["pack_offset"]) == (0, 0)
+    assert (out[1]["pack_no"], out[1]["pack_offset"]) == (0, 3)
+    assert (out[2]["pack_no"], out[2]["pack_offset"]) == (1, 1)
+    assert (out[3]["pack_no"], out[3]["pack_offset"]) == (0, 0)
+    assert out[2]["n_tokens"] == 5
+
+
+def test_pack_sequences_validates(spark):
+    df = spark.createDataFrame([(0, "s", "a")],
+                               "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, "doc_id", "source", "text", max_len=0)
