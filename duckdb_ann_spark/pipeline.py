@@ -53,18 +53,48 @@ def prepare_corpus(
     min_quality: float = 0.65,
     near_dup_threshold: float = 0.5,
     min_avg_logprob: float | None = None,
+    scrub_pii: bool = False,
+    repetition_gates: dict[str, float] | None = None,
+    benchmark: DataFrame | None = None,
+    benchmark_text_col: str = "text",
+    decontaminate_n: int = 13,
 ) -> DataFrame:
     """→ the cleaned corpus: (id, text, n_chars, n_tokens, quality_score,
     lang_pred). Row order is NOT guaranteed (no global sort: at corpus
     scale an output ORDER BY is a full range-shuffle that downstream
     writers immediately destroy; sort explicitly if you need one).
 
-    Annotate → language/quality filter → exact dedup (min-id per
-    fingerprint) → MinHash-LSH near-dedup (drop the larger id of each
-    verified pair)."""
+    [PII scrub →] annotate → language/quality filter [→ repetition
+    gates] [→ unigram-LM gate] [→ benchmark decontamination] → exact
+    dedup (min-id per fingerprint) → MinHash-LSH near-dedup (drop the
+    larger id of each verified pair).
+
+    Optional stages (each off by default, oracle entry unchanged):
+
+    * ``scrub_pii`` — redact emails/IPv4s/phones BEFORE annotation, so
+      every downstream signal (tokens, fingerprints, shingles) sees the
+      redacted text and identical docs differing only in PII dedup
+      together. Adds zero shuffles (three regexp_replace in the scan).
+    * ``repetition_gates`` — Gopher-style repetition ceilings, e.g.
+      ``{"dup_line_frac": 0.3, "dup_2gram_frac": 0.2,
+      "top_2gram_char_frac": 0.2}`` (keys = repetition_stats columns).
+      Row-local expressions in the same scan; NULL signals (empty docs)
+      pass, matching the "filter only on evidence" convention.
+    * ``benchmark`` — drop documents sharing any ``decontaminate_n``-gram
+      with the benchmark corpus (GPT-3-style decontamination; n=13
+      default there and here). One extra scan of the kept slice + a
+      broadcast of the benchmark digest set.
+    """
     # per-row annotate work is the pipeline's heaviest expression chain;
     # make sure a narrow input (one small file) doesn't serialize it
     docs = widen_if_narrow(docs)
+    if scrub_pii:
+        from .operators.corpus_ops import PII_PATTERNS
+
+        clean = F.col(text_col)
+        for _, pat, repl in PII_PATTERNS:
+            clean = F.regexp_replace(clean, pat, repl)
+        docs = docs.withColumn(text_col, clean)
     # the whole annotate struct as ONE SQL string (the node-by-node
     # Column builders paid a py4j round-trip per node — seconds of
     # driver time per plan); element_at(transform(array(..)), 1) is the
@@ -98,6 +128,28 @@ def prepare_corpus(
         & (F.col("quality_score") >= F.lit(float(min_quality)))
     )
 
+    if repetition_gates:
+        from .functions.text import quote_ident
+        from .operators.corpus_ops import repetition_sql
+
+        allowed = {"n_lines", "dup_line_frac", "dup_line_char_frac",
+                   "dup_2gram_frac", "dup_3gram_frac",
+                   "top_2gram_char_frac"}
+        bad = set(repetition_gates) - allowed
+        if bad:
+            raise ValueError(
+                f"unknown repetition_gates keys {sorted(bad)}; "
+                f"allowed: {sorted(allowed)}"
+            )
+        rep = F.expr(repetition_sql("spark", quote_ident(text_col)))
+        cond = F.lit(True)
+        for key, ceiling in sorted(repetition_gates.items()):
+            c = F.col(f"_rep.{key}")
+            cond = cond & (c.isNull() | (c <= F.lit(float(ceiling))))
+        kept = (
+            kept.withColumn("_rep", rep).where(cond).drop("_rep")
+        )
+
     if min_avg_logprob is not None:
         # optional unigram-LM filter (the perplexity-style signal): drop
         # documents whose corpus-trained average token log-probability
@@ -112,6 +164,17 @@ def prepare_corpus(
             F.col("avg_logprob") >= F.lit(float(min_avg_logprob))
         ).select(id_col)
         kept = kept.join(lm, on=id_col, how="leftsemi")
+
+    if benchmark is not None:
+        # contamination check over the kept slice only (column pruning
+        # drops the annotate struct from the explode branch)
+        from .operators.corpus_ops import ngram_decontaminate
+
+        flagged = ngram_decontaminate(
+            kept.select(id_col, text_col), id_col, text_col,
+            benchmark, benchmark_text_col, n=decontaminate_n,
+        ).select(id_col)
+        kept = kept.join(flagged, on=id_col, how="anti")
 
     # statically known (== kept.columns minus _fp): touching .columns
     # would force a full Catalyst analysis of the annotate tree mid-build

@@ -102,9 +102,27 @@ def main() -> None:
 
     # -- LLM corpus prep pipeline -------------------------------------
     cleaned = prepare_corpus(docs, "doc_id", "text", langs=("en",),
-                             min_quality=0.65, min_avg_logprob=-8.0)
+                             min_quality=0.65, min_avg_logprob=-8.0,
+                             scrub_pii=True,
+                             repetition_gates={"dup_2gram_frac": 0.5,
+                                               "top_2gram_char_frac": 0.5})
     print(f"prepare_corpus: {docs.count()} docs -> {cleaned.count()} "
-          "after language/quality/LM filters + exact & near dedup")
+          "after PII scrub, language/quality/LM/repetition gates + "
+          "exact & near dedup")
+
+    # -- corpus-prep signals standalone -------------------------------
+    from duckdb_ann_spark.operators.corpus_ops import (
+        hash_split, repetition_stats,
+    )
+
+    rep = repetition_stats(docs, "doc_id", "text")
+    print("== most 2-gram-repetitive documents ==")
+    rep.orderBy(F.desc("dup_2gram_frac")).select(
+        "doc_id", "dup_2gram_frac", "top_2gram_char_frac"
+    ).show(3)
+    split = hash_split(cleaned, "doc_id", (0.9, 0.05, 0.05))
+    print("== deterministic split sizes ==")
+    split.groupBy("split").count().orderBy("split").show()
 
     spark.stop()
 

@@ -62,6 +62,59 @@ def test_prepare_corpus_annotate_is_single_scan(spark, corpus):
     assert "EvalPython" not in plan  # pure JVM end to end
 
 
+def test_prepare_corpus_pii_scrub(spark):
+    rows = [
+        (0, BASE + " write to bob@example.com about the offer today ok"),
+        (1, BASE + " write to eve@example.org about the offer today ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(docs, "doc_id", "text", min_quality=0.0,
+                         scrub_pii=True).collect()
+    # scrubbing runs BEFORE annotation: the two docs become identical
+    # (<EMAIL> placeholder) and exact dedup keeps only the smaller id
+    assert [r["doc_id"] for r in out] == [0]
+    assert "<EMAIL>" in out[0]["text"]
+    assert "bob@example.com" not in out[0]["text"]
+
+
+def test_prepare_corpus_repetition_gate(spark):
+    # heavy 2-gram repetition plus enough distinct en filler that the doc
+    # passes lang/quality and is NOT a near-dup of BASE (repeated shingles
+    # collapse under the distinct-set Jaccard, so the filler must differ)
+    repeated = (
+        " ".join(["spam ham"] * 20)
+        + " the sun and moon were out over a field"
+    )
+    rows = [(0, BASE), (1, repeated)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base_ids = {r["doc_id"] for r in
+                prepare_corpus(docs, "doc_id", "text",
+                               min_quality=0.0).collect()}
+    assert base_ids == {0, 1}
+    gated_ids = {r["doc_id"] for r in
+                 prepare_corpus(docs, "doc_id", "text", min_quality=0.0,
+                                repetition_gates={"dup_2gram_frac": 0.5},
+                                ).collect()}
+    assert gated_ids == {0}
+    with pytest.raises(ValueError, match="unknown repetition_gates"):
+        prepare_corpus(docs, "doc_id", "text",
+                       repetition_gates={"nope": 1.0})
+
+
+def test_prepare_corpus_decontaminate(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    rows = [
+        (0, BASE),
+        (1, BASE + " plus " + bench_text),  # shares 13-grams with bench
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {r["doc_id"] for r in
+           prepare_corpus(docs, "doc_id", "text", min_quality=0.0,
+                          benchmark=bench).collect()}
+    assert out == {0}
+
+
 def test_prepare_corpus_lm_filter(spark, sf_dir):
     """min_avg_logprob adds the unigram-LM gate: output is a subset of
     the unfiltered run, and the dropped docs are exactly those whose
