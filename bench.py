@@ -20,6 +20,9 @@ Workloads:
   search, sharded Vamana, 10k x 100k knn_join) — see `bench_scale`;
   runs once, excluded from the headline total so `value` stays
   comparable across rounds.
+* `corpus_*`: the round-5 corpus-prep family (repetition scan, fully
+  gated prepare_corpus) — see `bench_corpus`; also excluded from the
+  headline total (`pipeline_sf` is the comparable pipeline number).
 
 Metric: total wall seconds over all workloads (lower is better), with the
 per-query breakdown in "queries".
@@ -373,6 +376,43 @@ def run_workloads(spark) -> tuple[dict[str, float], dict[str, float]]:
     return timings, recall
 
 
+def bench_corpus(spark) -> dict[str, float]:
+    """Round-5 addition: corpus-prep signal workloads at $SF — the
+    Gopher repetition scan (row-local, shuffle-free) and the fully-gated
+    prepare_corpus (PII scrub + repetition gates on top of the shared
+    `pipeline_sf` plan). EXCLUDED from the headline total (`pipeline_sf`
+    in the shared set is the comparable number; these track the new
+    family round-over-round). Min of two passes, cold cache, like the
+    shared workloads."""
+    from duckdb_ann_spark.operators.corpus_ops import repetition_stats
+    from duckdb_ann_spark.pipeline import prepare_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out: dict[str, float] = {}
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        repetition_stats(docs, "doc_id", "text").agg(
+            F.sum("n_lines")
+        ).collect()
+        dt = time.perf_counter() - t0
+        out["corpus_repetition_sf"] = min(dt, out.get("corpus_repetition_sf", dt))
+
+        t0 = time.perf_counter()
+        prepare_corpus(
+            docs, "doc_id", "text", langs=("en",), min_quality=0.65,
+            scrub_pii=True,
+            repetition_gates={"dup_2gram_frac": 0.5,
+                              "top_2gram_char_frac": 0.5},
+        ).count()
+        dt = time.perf_counter() - t0
+        out["corpus_pipeline_sf"] = min(dt, out.get("corpus_pipeline_sf", dt))
+    spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", cpus=cpus)
@@ -417,6 +457,7 @@ def main() -> None:
         # only claim the spot-check ran when it actually did
         out["scale_n"] = SCALE_N
         out["scale_excluded_from_total"] = True
+    timings.update(bench_corpus(spark))
     out["queries"] = {k: round(v, 3) for k, v in timings.items()}
 
     print(json.dumps(out))

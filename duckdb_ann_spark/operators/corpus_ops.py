@@ -44,6 +44,7 @@ from ..functions.text import TOKEN_SPLIT_RE, quote_ident, token_count
 __all__ = [
     "repetition_stats",
     "repetition_sql",
+    "repetition_gate_sql",
     "pii_scrub",
     "pii_sql_cols",
     "PII_PATTERNS",
@@ -192,18 +193,15 @@ def _rep_counts(d: str, arr_sql: str) -> str:
     frequent element (ties → bytewise-smallest value, which is the
     FIRST maximal run of the sorted array on both engines).
 
-    Everything operates on the sorted array bound once per row — no
-    shuffle, no explode; O(m log m) per document."""
+    Everything derives from the run structure of the sorted array,
+    bound once per row: run starts → run lengths → duplicate counts
+    (n − singleton runs) — no shuffle, no explode; O(m log m) per
+    document, and each per-element pass exists once (higher-order
+    functions evaluate interpreted, so pass count is the cost driver)."""
     zero = "cast(0 as bigint)" if d == "spark" else "CAST(0 AS BIGINT)"
-    s, di, st, rl = "s", "di", "st", "rl"
+    s, st, rl, tc, mr, sg = "s", "st", "rl", "tc", "mr", "sg"
     n = _size(d, s)
-    # neighbor-equality guards short-circuit on both engines (probed), so
-    # the i-1 / i+1 accesses never evaluate out of ANSI bounds
-    dup_idx = _filter(
-        d, _seq1(d, n), "i",
-        f"(i > 1 AND {_el(d, s, 'i - 1')} = {_el(d, s, 'i')}) OR "
-        f"(i < {n} AND {_el(d, s, 'i + 1')} = {_el(d, s, 'i')})",
-    )
+    # the i-1 access short-circuits behind i > 1 on both engines (probed)
     run_starts = _filter(
         d, _seq1(d, n), "i",
         f"i = 1 OR {_el(d, s, 'i - 1')} <> {_el(d, s, 'i')}",
@@ -215,21 +213,30 @@ def _rep_counts(d: str, arr_sql: str) -> str:
         d, _seq1(d, _size(d, st)), "j",
         f"{_el(d, st2, 'j + 1')} - {_el(d, st, 'j')}",
     )
-    maxrun = _amax(d, rl)
+    total_chars = _sum0(d, _transform(d, s, "x", "cast(length(x) as bigint)"))
+    # indexes (into st/rl) of the runs of length 1 — the NON-duplicated
+    # elements; everything else is "involved in a duplicate"
+    singles = _filter(d, _seq1(d, _size(d, st)), "j", f"{_el(d, rl, 'j')} = 1")
+    single_chars = _sum0(d, _transform(
+        d, sg, "j",
+        f"cast(length({_el(d, s, _el(d, st, 'j'))}) as bigint)",
+    ))
     # array_position returns BIGINT on Spark; element_at wants INT
-    top_val = _el(d, s, _el(d, st, f"cast({_pos(d, rl, maxrun)} as int)"))
+    top_val = _el(d, s, _el(d, st, f"cast({_pos(d, rl, mr)} as int)"))
     fields = [
         ("n", f"cast({n} as bigint)"),
-        ("dup", f"cast({_size(d, di)} as bigint)"),
-        ("dup_chars", _sum0(d, _transform(d, di, "i", f"cast(length({_el(d, s, 'i')}) as bigint)"))),
-        ("chars", _sum0(d, _transform(d, s, "x", "cast(length(x) as bigint)"))),
-        ("top_run", f"cast({maxrun} as bigint)"),
-        ("top_chars", f"cast({maxrun} * length({top_val}) as bigint)"),
+        ("dup", f"cast({n} - {_size(d, sg)} as bigint)"),
+        ("dup_chars", f"cast({tc} - {single_chars} as bigint)"),
+        ("chars", tc),
+        ("top_run", f"cast({mr} as bigint)"),
+        ("top_chars", f"cast({mr} * length({top_val}) as bigint)"),
     ]
     zeros = _struct(d, [(name, zero) for name, _ in fields])
-    body = _bind(d, dup_idx, di,
-                 _bind(d, run_starts, st,
-                       _bind(d, run_lens, rl, _struct(d, fields))))
+    body = _bind(d, run_starts, st,
+                 _bind(d, run_lens, rl,
+                       _bind(d, total_chars, tc,
+                             _bind(d, _amax(d, rl), mr,
+                                   _bind(d, singles, sg, _struct(d, fields))))))
     guarded = f"CASE WHEN {n} = 0 THEN {zeros} ELSE {body} END"
     cleaned = _sort(d, _filter(d, arr_sql, "x", "x <> ''"))
     return _bind(d, cleaned, s, guarded)
@@ -243,23 +250,74 @@ def _ratio(d: str, a: str, b: str) -> str:
     return f"(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE))"
 
 
+# signal name → (count-struct group, expression over that group's bound
+# variable). Shared by repetition_sql (all signals) and
+# repetition_gate_sql (only the groups the gates reference).
+_REP_SIGNALS: dict[str, tuple[str, object]] = {
+    "n_lines": ("lc", lambda d, v: f"cast({v}.n as int)"),
+    "dup_line_frac": ("lc", lambda d, v: _ratio(d, f"{v}.dup", f"{v}.n")),
+    "dup_line_char_frac": (
+        "lc", lambda d, v: _ratio(d, f"{v}.dup_chars", f"{v}.chars")),
+    "dup_2gram_frac": ("g2", lambda d, v: _ratio(d, f"{v}.dup", f"{v}.n")),
+    "dup_3gram_frac": ("g3", lambda d, v: _ratio(d, f"{v}.dup", f"{v}.n")),
+    "top_2gram_char_frac": (
+        "g2", lambda d, v: _ratio(d, f"{v}.top_chars", f"{v}.chars")),
+}
+
+
+def _bind_rep_groups(d: str, text_expr: str, groups: set, body: str) -> str:
+    """Wrap `body` in binds for the requested count-struct groups (lc =
+    lines, g2/g3 = token n-grams; the token array binds once when any
+    n-gram group is present)."""
+    if "g3" in groups:
+        body = _bind(d, _rep_counts(d, _ngrams(d, "toks", 3)), "g3", body)
+    if "g2" in groups:
+        body = _bind(d, _rep_counts(d, _ngrams(d, "toks", 2)), "g2", body)
+    if groups & {"g2", "g3"}:
+        body = _bind(d, _tok(d, text_expr), "toks", body)
+    if "lc" in groups:
+        body = _bind(d, _rep_counts(d, _lines(d, text_expr)), "lc", body)
+    return body
+
+
 def repetition_sql(d: str, text_expr: str) -> str:
     """Flat struct of the Gopher-style repetition signals over a text
     expression: ``(n_lines, dup_line_frac, dup_line_char_frac,
     dup_2gram_frac, dup_3gram_frac, top_2gram_char_frac)``."""
-    lc, g2, g3 = "lc", "g2", "g3"
     out = _struct(d, [
-        ("n_lines", f"cast({lc}.n as int)"),
-        ("dup_line_frac", _ratio(d, f"{lc}.dup", f"{lc}.n")),
-        ("dup_line_char_frac", _ratio(d, f"{lc}.dup_chars", f"{lc}.chars")),
-        ("dup_2gram_frac", _ratio(d, f"{g2}.dup", f"{g2}.n")),
-        ("dup_3gram_frac", _ratio(d, f"{g3}.dup", f"{g3}.n")),
-        ("top_2gram_char_frac", _ratio(d, f"{g2}.top_chars", f"{g2}.chars")),
+        (name, fn(d, grp)) for name, (grp, fn) in _REP_SIGNALS.items()
     ])
-    body = _bind(d, _rep_counts(d, _ngrams(d, "toks", 2)), g2,
-                 _bind(d, _rep_counts(d, _ngrams(d, "toks", 3)), g3, out))
-    with_toks = _bind(d, _tok(d, text_expr), "toks", body)
-    return _bind(d, _rep_counts(d, _lines(d, text_expr)), lc, with_toks)
+    return _bind_rep_groups(d, text_expr, {"lc", "g2", "g3"}, out)
+
+
+def repetition_gate_sql(d: str, text_expr: str,
+                        gates: dict[str, float]) -> str:
+    """ONE self-contained boolean expression: every gated signal is NULL
+    (no evidence → pass) or at-or-under its ceiling.
+
+    Built as a single bind chain so the whole computation is evaluated
+    exactly once per row however the optimizer rewrites the surrounding
+    plan — a `withColumn` + `where` + `drop` spelling gets the struct
+    alias inlined into the filter, duplicating the (expensive) tree once
+    per gate key (measured: 156 array_sort nodes in the plan vs 3).
+    Only the count-struct groups the gate keys reference are computed."""
+    bad = set(gates) - set(_REP_SIGNALS)
+    if bad:
+        raise ValueError(
+            f"unknown repetition_gates keys {sorted(bad)}; "
+            f"allowed: {sorted(_REP_SIGNALS)}"
+        )
+    if not gates:
+        raise ValueError("repetition_gates must name at least one signal")
+    preds, groups = [], set()
+    for key, ceiling in sorted(gates.items()):
+        grp, fn = _REP_SIGNALS[key]
+        groups.add(grp)
+        val = fn(d, grp)
+        preds.append(
+            f"(({val}) IS NULL OR ({val}) <= cast({float(ceiling)!r} as double))"
+        )
+    return _bind_rep_groups(d, text_expr, groups, " AND ".join(preds))
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -236,23 +236,28 @@ def minhash_candidate_pairs(
     n_bands: int = N_BANDS,
     shingle_words: int = SHINGLE_WORDS,
     widen: bool = True,
+    ids_only: bool = False,
 ) -> DataFrame:
     """→ (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band bucket
     (id_a < id_b). est_jaccard = matching signature fraction.
     ``widen=False`` skips the narrow-input probe when the caller already
-    guaranteed a wide input (avoids a redundant plan compile)."""
+    guaranteed a wide input (avoids a redundant plan compile).
+    ``ids_only=True`` returns just (id_a, id_b) and SKIPS the two
+    signature joins est_jaccard needs — callers that re-verify with
+    exact Jaccard (ngram_jaccard_pairs, the pipeline) never read the
+    estimate, and Catalyst can't prune a join it can't prove 1:1."""
     # signatures are the heavy per-row expression chain (tokenize →
     # shingle → hash); don't let a single-file input serialize them
     sigs = minhash_signatures(
         widen_if_narrow(df) if widen else df,
         id_col, text_col, n_hashes, shingle_words,
     )
-    # the signature table is consumed FOUR times (two band-join branches +
-    # two est-jaccard joins): persist it so the tokenize→shingle→minhash
-    # pipeline runs once — at scale this is the "write the signature
-    # table, then band it" structure every production LSH pipeline uses.
-    # The persisted projection is (id, 12 hex strings): a small fixed
-    # fraction of the corpus, MEMORY_AND_DISK-evictable.
+    # the signature table is consumed up to FOUR times (two band-join
+    # branches + two est-jaccard joins): persist it so the tokenize→
+    # shingle→minhash pipeline runs once — at scale this is the "write
+    # the signature table, then band it" structure every production LSH
+    # pipeline uses. The persisted projection is (id, 12 bigints): a
+    # small fixed fraction of the corpus, MEMORY_AND_DISK-evictable.
     sigs = sigs.persist()
     bands = band_keys_from_signatures(sigs, id_col, n_hashes, n_bands)
 
@@ -260,6 +265,8 @@ def minhash_candidate_pairs(
     # arrays ride along in neither the shuffle nor the dedupe); the
     # est-jaccard join pulls signatures back for just the candidate set
     pairs = _candidate_pairs(bands, id_col, ["band", "bkey"])
+    if ids_only:
+        return pairs
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -289,8 +296,9 @@ def ngram_jaccard_pairs(
     """LSH candidates verified with exact shingle-set Jaccard →
     (id_a, id_b, jaccard) for jaccard >= threshold."""
     cands = minhash_candidate_pairs(
-        df, id_col, text_col, shingle_words=shingle_words, **lsh_kw
-    ).select("id_a", "id_b").persist()
+        df, id_col, text_col, shingle_words=shingle_words, ids_only=True,
+        **lsh_kw
+    ).persist()
     # shingle only the rows that appear in a candidate pair: the exact
     # verification set is bounded by the LSH band structure, so the
     # (heavy) shingle arrays are built for a candidate-sized slice of the

@@ -129,26 +129,17 @@ def prepare_corpus(
     )
 
     if repetition_gates:
+        # one self-contained boolean predicate (single evaluation of the
+        # repetition tree per row, only the needed signal groups) — a
+        # withColumn+where spelling gets the struct alias inlined into
+        # the filter, duplicating the expensive tree per gate key
         from .functions.text import quote_ident
-        from .operators.corpus_ops import repetition_sql
+        from .operators.corpus_ops import repetition_gate_sql
 
-        allowed = {"n_lines", "dup_line_frac", "dup_line_char_frac",
-                   "dup_2gram_frac", "dup_3gram_frac",
-                   "top_2gram_char_frac"}
-        bad = set(repetition_gates) - allowed
-        if bad:
-            raise ValueError(
-                f"unknown repetition_gates keys {sorted(bad)}; "
-                f"allowed: {sorted(allowed)}"
-            )
-        rep = F.expr(repetition_sql("spark", quote_ident(text_col)))
-        cond = F.lit(True)
-        for key, ceiling in sorted(repetition_gates.items()):
-            c = F.col(f"_rep.{key}")
-            cond = cond & (c.isNull() | (c <= F.lit(float(ceiling))))
-        kept = (
-            kept.withColumn("_rep", rep).where(cond).drop("_rep")
-        )
+        kept = kept.where(F.expr(
+            repetition_gate_sql("spark", quote_ident(text_col),
+                                repetition_gates)
+        ))
 
     if min_avg_logprob is not None:
         # optional unigram-LM filter (the perplexity-style signal): drop
