@@ -498,6 +498,43 @@ def rate_case_sql(d: str, domain_expr: str, rates: dict[str, float],
 # connected_components
 # ---------------------------------------------------------------------------
 
+def _large_star(canon: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, Alg. 1): every node links
+    its strictly-larger neighbors to the minimum of its neighborhood
+    (incl. itself). Input/output: canonical (u > v) distinct edges."""
+    und = canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = und.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        und.join(mins, on="u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") > F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """Small-star round (Kiveris et al. 2014, Alg. 2): every node links
+    itself and its smaller neighbors to the minimum of those. Input
+    edges are canonical (u > v), so each u's neighbors here are exactly
+    its smaller ones."""
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        canon.join(mins, on="u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = mins.select("u", F.col("m").alias("v"))
+    return (
+        relink.unionByName(self_link)
+        .where(F.col("u") > F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str,
@@ -509,66 +546,80 @@ def connected_components(
     step that turns LSH candidate PAIRS (minhash/simhash/embedding
     near-dup) into dedup CLUSTERS with one kept representative.
 
-    Min-label propagation: each iteration joins labels to edges, takes
-    the neighborhood min, and stops when no label changed (one count()
-    action per iteration). Converges in <= graph-diameter iterations —
-    LSH dup clusters are near-cliques (banding links all members of a
-    dup group to each other), so 2-3 iterations in practice. For
-    adversarial long-chain graphs at extreme scale, swap in the
-    large-star/small-star contraction (Kiveris et al. 2014, "Connected
-    Components in MapReduce"), which this API deliberately matches.
+    Alternating large-star/small-star contraction (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — the algorithm
+    production MapReduce/Spark dedup pipelines use): each round is two
+    groupBy-min shuffles over the edge set REGARDLESS of component
+    shape, and the edge set provably converges to stars centered at
+    component minima in O(log^2 n) rounds (a handful in practice). The
+    naive alternative — min-label propagation — needs graph-DIAMETER
+    rounds, which a few-hundred-node chain (pathological but possible
+    under aggressive LSH banding) already breaks.
 
-    Scale: shuffles carry (node, component) longs only; edges are
-    persisted once and reused every iteration."""
-    edges = (
-        pairs.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
-        .unionByName(
-            pairs.select(
-                F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")
-            )
+    Convergence is detected by an order-free edge-set signature
+    (count + sum of per-edge hashes), one tiny action per round;
+    `max_iter` rounds without convergence raises rather than returning
+    wrong labels. Shuffles carry (long, long) edges only."""
+    canon = (
+        pairs.select(
+            F.greatest(src_col, dst_col).alias("u"),
+            F.least(src_col, dst_col).alias("v"),
         )
+        .where(F.col("u") > F.col("v"))
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("_src").alias("node")).distinct().withColumn(
-        "component_id", F.col("node")
-    ).persist()
-    labels.count()  # materialize before the loop re-reads it
+    # endpoints (incl. self-pair nodes dropped from canon) keep a label
+    nodes = (
+        pairs.select(F.col(src_col).alias("node"))
+        .unionByName(pairs.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+
+    def _sig(e: DataFrame):
+        # bit_xor: order-free and overflow-free under ANSI (a sum of
+        # 64-bit hashes overflows LONG)
+        return e.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+        ).first()
+
+    sig = _sig(canon)
+    converged = False
     try:
         for _ in range(max_iter):
-            nb_min = (
-                edges.join(
-                    labels.withColumnRenamed("node", "_dst"), on="_dst"
-                )
-                .groupBy("_src")
-                .agg(F.min("component_id").alias("_nb_min"))
-            )
-            stepped = (
-                labels.join(
-                    nb_min.withColumnRenamed("_src", "node"), on="node",
-                    how="left",
-                )
-                .select(
-                    "node",
-                    F.col("component_id").alias("_old"),
-                    F.least(
-                        F.col("component_id"),
-                        F.coalesce("_nb_min", F.col("component_id")),
-                    ).alias("component_id"),
-                )
-                .persist()
-            )
-            changed = stepped.where(
-                F.col("component_id") < F.col("_old")
-            ).count()
-            labels.unpersist()
-            labels = stepped.select("node", "component_id").persist()
-            stepped.unpersist()
-            if changed == 0:
+            # localCheckpoint (not just persist): the iterated plan
+            # otherwise NESTS one whole large+small round per iteration
+            # and the logical tree grows ~8x per round — the driver OOMs
+            # building plan strings long before the data is big. At
+            # cluster scale prefer setCheckpointDir + checkpoint() if
+            # executor loss mid-run must be survivable.
+            stepped = _small_star(_large_star(canon)).localCheckpoint()
+            new_sig = _sig(stepped)
+            canon.unpersist()
+            canon = stepped
+            if new_sig == sig:
+                converged = True
                 break
-        return labels
+            sig = new_sig
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "large-star/small-star rounds (rounds needed ~ log^2 of "
+                "the largest component; raise max_iter)"
+            )
+        # converged edges are stars: u -> its component minimum; roots
+        # and self-pair-only nodes label themselves
+        star = canon.groupBy("u").agg(F.min("v").alias("component_id"))
+        return nodes.join(
+            star.withColumnRenamed("u", "node"), on="node", how="left"
+        ).select(
+            "node",
+            F.coalesce("component_id", F.col("node")).alias("component_id"),
+        )
     finally:
-        edges.unpersist()
+        nodes.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -139,6 +139,40 @@ def test_connected_components_empty(spark):
     assert connected_components(pairs, "id_a", "id_b").count() == 0
 
 
+def test_connected_components_long_chain_and_random(spark):
+    """A 120-edge chain (diameter 120 — min-label propagation would need
+    120 rounds and silently time out at max_iter=50) plus a random
+    60-edge graph and a self-pair, validated against a driver-side
+    union-find reference. Star contraction must converge well inside the
+    default round budget."""
+    import random
+
+    chain = [(i, i + 1) for i in range(200, 320)]
+    rng = random.Random(7)
+    extra = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    allp = chain + [(a, b) for a, b in extra if a != b] + [(500, 500)]
+    df = spark.createDataFrame(allp, "id_a long, id_b long")
+    got = {r["node"]: r["component_id"]
+           for r in connected_components(df, "id_a", "id_b").collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in allp:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union-by-min so every root is its component's minimum
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
 def test_ngram_decontaminate_flags_overlap(spark):
     df = spark.createDataFrame(
         [
