@@ -633,6 +633,7 @@ def ngram_decontaminate(
     bench: DataFrame,
     bench_text_col: str,
     n: int = 5,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """→ (id, n_hit_ngrams) for documents sharing >= 1 token n-gram with
     the benchmark corpus — the standard eval-contamination check (GPT-3
@@ -640,8 +641,11 @@ def ngram_decontaminate(
 
     Scale: both sides reduce to DISTINCT 16-byte md5 digests of their
     n-grams before joining; benchmark suites are tiny relative to the
-    corpus, so the digest set broadcasts and the check is a map-side
-    semi-join — the corpus is scanned once and never shuffled."""
+    corpus, so by default the digest set broadcasts and the check is a
+    map-side semi-join — the corpus is scanned once and never shuffled.
+    Pass ``broadcast_benchmark=False`` for a benchmark too large to
+    broadcast (the join falls back to a digest-keyed shuffle; the
+    corpus side still moves only (id, digest) rows)."""
     doc_ngrams = (
         df.select(
             F.col(id_col),
@@ -663,10 +667,11 @@ def ngram_decontaminate(
         .select(F.md5("_ng").alias("_h"))
         .distinct()
     )
-    return (
-        doc_ngrams.join(F.broadcast(bench_h), on="_h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_ngrams"))
+    joined = doc_ngrams.join(
+        F.broadcast(bench_h) if broadcast_benchmark else bench_h, on="_h"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_ngrams")
     )
 
 

@@ -224,3 +224,58 @@ def test_knn_join_100k(spark):
     print(f"\nknn_join 50k x 100k: {join_s:.1f}s, self-hit {selfhits}/{cnt}")
     assert selfhits == cnt
     base.unpersist()
+
+
+def test_corpus_prep_200k(spark):
+    """Corpus family at 200k synthetic documents (~40 tokens each):
+
+    * repetition scan stays a single shuffle-free projection;
+    * MinHash-LSH → star-contraction components finds exactly the 2000
+      planted duplicate pairs (every doc with id % 100 == 1 copies its
+      id-1 neighbor; identical text ⇒ all bands collide ⇒ certain
+      candidates), shuffling only ids/band keys;
+    * sequence packing windows per synthetic domain (64 of them), never
+      a single global partition.
+    """
+    from duckdb_ann_spark.operators.corpus_ops import (
+        connected_components, pack_sequences, repetition_stats,
+    )
+    from duckdb_ann_spark.operators.dedup import minhash_candidate_pairs
+
+    n = 200_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), j -> "
+            "concat('w', cast(pmod(xxhash64(if(id % 100 = 1, id - 1, id), j),"
+            " 50000) as string))))"
+        ).alias("text"),
+        F.pmod("id", F.lit(64)).alias("source"),
+    ).persist()
+    docs.count()
+
+    t0 = time.perf_counter()
+    rep = repetition_stats(docs, "doc_id", "text")
+    assert "Exchange" not in rep._jdf.queryExecution().executedPlan().toString()
+    rep.agg(F.sum("n_lines")).collect()
+    rep_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", ids_only=True)
+    comps = connected_components(pairs, "id_a", "id_b")
+    dupes = comps.where(F.col("node") != F.col("component_id")).collect()
+    dedup_s = time.perf_counter() - t0
+    # exactly the planted pairs: node 100k+1-style ids -> their id-1 rep
+    assert len(dupes) == n // 100, len(dupes)
+    assert all(r["node"] == r["component_id"] + 1 for r in dupes)
+
+    t0 = time.perf_counter()
+    packed = pack_sequences(docs, "doc_id", "source", "text", max_len=2048)
+    n_packs = packed.select("source", "pack_no").distinct().count()
+    pack_s = time.perf_counter() - t0
+    assert n_packs >= 64
+
+    print(f"\ncorpus 200k: repetition {rep_s:.1f}s, "
+          f"dedup pairs+components {dedup_s:.1f}s, pack {pack_s:.1f}s "
+          f"({n_packs} packs)")
+    docs.unpersist()
