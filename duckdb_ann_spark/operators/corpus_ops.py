@@ -50,6 +50,7 @@ __all__ = [
     "PII_PATTERNS",
     "hash_split",
     "domain_sample",
+    "stratified_sample",
     "bucket_sql",
     "HASH_BUCKETS",
     "connected_components",
@@ -483,6 +484,28 @@ def domain_sample(
         rate = F.when(F.col(domain_col) == dom, F.lit(float(r))).otherwise(rate)
     keep = bucket < (rate * HASH_BUCKETS).cast("bigint")
     return df.withColumn("mix_keep", keep)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    k: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Adds (strat_keep): EXACT-k-per-domain deterministic sample — the
+    first k rows of each domain ordered by salted md5 bucket (ties by
+    id). Unlike rate-based :func:`domain_sample`, guarantees exact
+    per-domain counts (min(k, |domain|)) — the eval-set-carving /
+    per-domain-cap primitive.
+
+    Scale: one window per domain (same parallel shape as
+    pack_sequences); the sort key is a bucket int + id, never text."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    b = F.expr(bucket_sql("spark", quote_ident(id_col), salt))
+    w = Window.partitionBy(domain_col).orderBy(b.asc(), F.col(id_col).asc())
+    return df.withColumn("strat_keep", F.row_number().over(w) <= k)
 
 
 def rate_case_sql(d: str, domain_expr: str, rates: dict[str, float],

@@ -35,6 +35,7 @@ from ..operators.corpus_ops import (
     repetition_sql,
     repetition_stats,
     split_case_sql,
+    stratified_sample,
 )
 from ..operators.dedup import minhash_candidate_pairs
 from . import register
@@ -127,6 +128,7 @@ _SPLIT_FRACS = (0.9, 0.05, 0.05)
 _SPLIT_NAMES = ("train", "val", "test")
 _MIX_RATES = {"src0": 0.25, "src1": 0.5}
 _MIX_DEFAULT = 1.0
+_STRAT_K = 10
 
 
 @register(
@@ -138,20 +140,27 @@ _MIX_DEFAULT = 1.0
                            _SPLIT_FRACS, _SPLIT_NAMES)} AS split,
            {bucket_sql('duck', 'doc_id', 'mix')}
                < CAST({rate_case_sql('duck', 'source', _MIX_RATES, _MIX_DEFAULT)}
-                      * {HASH_BUCKETS} AS BIGINT) AS mix_keep
+                      * {HASH_BUCKETS} AS BIGINT) AS mix_keep,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {bucket_sql('duck', 'doc_id', 'strat')}, doc_id
+           ) <= {_STRAT_K} AS strat_keep
     FROM documents
     """,
 )
 def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-bucket train/val/test split + per-domain mixture
-    downsampling (independent salts). Assignment depends only on the id,
-    so it is reproducible across engines, runs, and cluster shapes —
-    the property rand()-sampling lacks — and rows never migrate when
-    the corpus grows."""
+    downsampling + exact-k-per-domain stratified sample (three
+    independent salts). Assignment depends only on the id, so it is
+    reproducible across engines, runs, and cluster shapes — the
+    property rand()-sampling lacks — and split/mix rows never migrate
+    when the corpus grows."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     out = hash_split(docs, "doc_id", _SPLIT_FRACS, _SPLIT_NAMES)
     out = domain_sample(out, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
-    return out.select("doc_id", "source", "bucket", "split", "mix_keep")
+    out = stratified_sample(out, "doc_id", "source", _STRAT_K)
+    return out.select("doc_id", "source", "bucket", "split", "mix_keep",
+                      "strat_keep")
 
 
 # -- dedup_components --------------------------------------------------

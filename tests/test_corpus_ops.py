@@ -121,6 +121,28 @@ def test_domain_sample_rates(spark):
     assert 60 <= kept.get("half", 0) <= 140
 
 
+def test_stratified_sample_exact_counts(spark):
+    from duckdb_ann_spark.operators.corpus_ops import stratified_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "big")
+        .when(F.col("id") % 3 == 1, "big2")
+        .otherwise("small")
+        .alias("source"),
+    ).where((F.col("source") != "small") | (F.col("doc_id") < 9))
+    out = stratified_sample(df, "doc_id", "source", 20)
+    kept = {r["source"]: r["n"] for r in
+            out.where("strat_keep").groupBy("source")
+            .agg(F.count("*").alias("n")).collect()}
+    # exact k per domain; a domain smaller than k keeps everything
+    assert kept == {"big": 20, "big2": 20, "small": 3}
+    again = stratified_sample(df, "doc_id", "source", 20)
+    assert out.exceptAll(again).count() == 0
+    with pytest.raises(ValueError, match=">= 0"):
+        stratified_sample(df, "doc_id", "source", -1)
+
+
 def test_connected_components_chain_and_islands(spark):
     pairs = spark.createDataFrame(
         # a 6-node chain (needs several propagation rounds) + a 2-island
