@@ -39,13 +39,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import TOKEN_SPLIT_RE, quote_ident, token_count
+from ..functions.text import (
+    TOKEN_SPLIT_RE,
+    quote_ident,
+    sql_bind_once,
+    sql_tokenize,
+    token_count,
+)
 
 __all__ = [
     "repetition_stats",
     "repetition_sql",
     "repetition_gate_sql",
     "pii_scrub",
+    "pii_redact",
     "pii_sql_cols",
     "PII_PATTERNS",
     "hash_split",
@@ -126,10 +133,11 @@ def _arr1(d: str, x: str) -> str:
 
 
 def _bind(d: str, val: str, var: str, body: str) -> str:
-    """Evaluate `val` once, expose it to `body` as `var` (the SQL
-    spelling of bind_once; see functions/text.py:sql_bind_once)."""
+    """Evaluate `val` once, expose it to `body` as `var` — delegates to
+    the canonical single-sourced spelling for the Spark dialect
+    (functions/text.py:sql_bind_once)."""
     if d == "spark":
-        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+        return sql_bind_once(val, var, body)
     return f"list_transform([{val}], {var} -> {body})[1]"
 
 
@@ -143,17 +151,14 @@ def _struct(d: str, fields: list[tuple[str, str]]) -> str:
 
 def _tok(d: str, text_expr: str) -> str:
     """The repo-wide tokenize contract over an arbitrary text EXPRESSION
-    (functions/text.py handles column names; suite CTEs need
-    expressions)."""
+    (functions/text.py's helpers take column names / DuckDB exprs; this
+    routes each dialect to its canonical single-sourced fragment)."""
     if d == "spark":
         return (
             f"filter(split(lower({text_expr}), '{TOKEN_SPLIT_RE}'), "
             "t -> t <> '')"
         )
-    return (
-        f"list_filter(string_split_regex(lower({text_expr}), "
-        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
-    )
+    return sql_tokenize(text_expr)
 
 
 def _lines(d: str, text_expr: str) -> str:
@@ -352,6 +357,16 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def pii_redact(col) -> "F.Column":
+    """The PII redaction fold over a text Column — THE single Column-API
+    spelling of the pattern list (pii_scrub and prepare_corpus both
+    call this; pii_sql_cols mirrors it for the oracles)."""
+    clean = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return clean
+
+
 def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """→ (id, n_emails, n_ips, n_phones, text_clean): counts of each PII
     pattern in the ORIGINAL text plus the text with all three redacted
@@ -364,10 +379,9 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    clean = c
-    for _, pat, repl in PII_PATTERNS:
-        clean = F.regexp_replace(clean, pat, repl)
-    return df.select(F.col(id_col), *counts, clean.alias("text_clean"))
+    return df.select(
+        F.col(id_col), *counts, pii_redact(c).alias("text_clean")
+    )
 
 
 def pii_sql_cols(d: str, text_expr: str) -> str:
@@ -476,14 +490,15 @@ def domain_sample(
     """Adds (mix_keep): deterministic per-domain downsampling to target
     mixture rates — the "data mixing" step of corpus prep. A domain with
     rate r keeps the ~r·|domain| rows whose salted id-bucket falls below
-    r·10000; decisions are independent of :func:`hash_split`'s (different
-    salt) and reproducible on any cluster shape."""
+    round(r·10000); decisions are independent of :func:`hash_split`'s
+    (different salt) and reproducible on any cluster shape."""
     bucket = F.expr(bucket_sql("spark", quote_ident(id_col), salt))
-    rate = F.lit(float(default_rate))
+    thr = F.lit(_rate_threshold(default_rate))
     for dom, r in sorted(rates.items()):
-        rate = F.when(F.col(domain_col) == dom, F.lit(float(r))).otherwise(rate)
-    keep = bucket < (rate * HASH_BUCKETS).cast("bigint")
-    return df.withColumn("mix_keep", keep)
+        thr = F.when(
+            F.col(domain_col) == dom, F.lit(_rate_threshold(r))
+        ).otherwise(thr)
+    return df.withColumn("mix_keep", bucket < thr)
 
 
 def stratified_sample(
@@ -508,13 +523,25 @@ def stratified_sample(
     return df.withColumn("strat_keep", F.row_number().over(w) <= k)
 
 
+def _rate_threshold(rate: float) -> int:
+    """Rate → integer bucket threshold, rounded in PYTHON: ``r * 10000``
+    is non-integral in doubles for ~11% of rate values (0.0003 * 10000
+    = 2.9999...96) and Spark's bigint cast truncates where DuckDB's
+    rounds — both the keep-contract and cross-engine parity need the
+    integer decided once, engine-independently (same move as
+    hash_split's edges)."""
+    return int(round(float(rate) * HASH_BUCKETS))
+
+
 def rate_case_sql(d: str, domain_expr: str, rates: dict[str, float],
                   default_rate: float) -> str:
+    """Matching integer-threshold CASE for an oracle: compare the salted
+    bucket directly against this (no float multiply in either engine)."""
     whens = " ".join(
-        f"WHEN {domain_expr} = '{dom}' THEN CAST({float(r)!r} AS DOUBLE)"
+        f"WHEN {domain_expr} = '{dom}' THEN {_rate_threshold(r)}"
         for dom, r in sorted(rates.items())
     )
-    return f"CASE {whens} ELSE CAST({float(default_rate)!r} AS DOUBLE) END"
+    return f"CASE {whens} ELSE {_rate_threshold(default_rate)} END"
 
 
 # ---------------------------------------------------------------------------
@@ -582,11 +609,18 @@ def connected_components(
     Convergence is detected by an order-free edge-set signature
     (count + sum of per-edge hashes), one tiny action per round;
     `max_iter` rounds without convergence raises rather than returning
-    wrong labels. Shuffles carry (long, long) edges only."""
+    wrong labels. Shuffles carry (long, long) edges only. The input
+    `pairs` plan is persisted first: it is typically an expensive LSH
+    band self-join, and canon + the two nodes branches would otherwise
+    re-execute it three times."""
+    src = (
+        pairs.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .persist()
+    )
     canon = (
-        pairs.select(
-            F.greatest(src_col, dst_col).alias("u"),
-            F.least(src_col, dst_col).alias("v"),
+        src.select(
+            F.greatest("_a", "_b").alias("u"),
+            F.least("_a", "_b").alias("v"),
         )
         .where(F.col("u") > F.col("v"))
         .distinct()
@@ -594,8 +628,8 @@ def connected_components(
     )
     # endpoints (incl. self-pair nodes dropped from canon) keep a label
     nodes = (
-        pairs.select(F.col(src_col).alias("node"))
-        .unionByName(pairs.select(F.col(dst_col).alias("node")))
+        src.select(F.col("_a").alias("node"))
+        .unionByName(src.select(F.col("_b").alias("node")))
         .distinct()
         .persist()
     )
@@ -608,7 +642,8 @@ def connected_components(
             F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
         ).first()
 
-    sig = _sig(canon)
+    sig = _sig(canon)  # materializes canon (from the cached pair scan)
+    src.unpersist()
     converged = False
     try:
         for _ in range(max_iter):
@@ -669,6 +704,8 @@ def ngram_decontaminate(
     Pass ``broadcast_benchmark=False`` for a benchmark too large to
     broadcast (the join falls back to a digest-keyed shuffle; the
     corpus side still moves only (id, digest) rows)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
     doc_ngrams = (
         df.select(
             F.col(id_col),

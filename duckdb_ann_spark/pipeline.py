@@ -89,12 +89,9 @@ def prepare_corpus(
     # make sure a narrow input (one small file) doesn't serialize it
     docs = widen_if_narrow(docs)
     if scrub_pii:
-        from .operators.corpus_ops import PII_PATTERNS
+        from .operators.corpus_ops import pii_redact
 
-        clean = F.col(text_col)
-        for _, pat, repl in PII_PATTERNS:
-            clean = F.regexp_replace(clean, pat, repl)
-        docs = docs.withColumn(text_col, clean)
+        docs = docs.withColumn(text_col, pii_redact(text_col))
     # the whole annotate struct as ONE SQL string (the node-by-node
     # Column builders paid a py4j round-trip per node — seconds of
     # driver time per plan); element_at(transform(array(..)), 1) is the

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import sql_tokenize
 from ..operators.corpus_ops import (
-    HASH_BUCKETS,
     bucket_sql,
     connected_components,
     domain_sample,
@@ -139,8 +138,8 @@ _STRAT_K = 10
            {split_case_sql('duck', bucket_sql('duck', 'doc_id', 'split'),
                            _SPLIT_FRACS, _SPLIT_NAMES)} AS split,
            {bucket_sql('duck', 'doc_id', 'mix')}
-               < CAST({rate_case_sql('duck', 'source', _MIX_RATES, _MIX_DEFAULT)}
-                      * {HASH_BUCKETS} AS BIGINT) AS mix_keep,
+               < ({rate_case_sql('duck', 'source', _MIX_RATES, _MIX_DEFAULT)})
+               AS mix_keep,
            row_number() OVER (
                PARTITION BY source
                ORDER BY {bucket_sql('duck', 'doc_id', 'strat')}, doc_id
@@ -197,10 +196,13 @@ def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs → connected components → one cluster
     representative (min id): the step that turns near-dup PAIRS into
-    dedup CLUSTERS. Spark runs min-label propagation (converges on the
-    LSH near-cliques in 2-3 join rounds); the oracle computes the same
-    components with a recursive transitive closure."""
-    pairs = minhash_candidate_pairs(_docs_aug(spark, sf_dir), "doc_id", "text")
+    dedup CLUSTERS. Spark runs the large-star/small-star contraction
+    (ids_only: the est_jaccard columns would be discarded unread); the
+    oracle computes the same components with a recursive transitive
+    closure."""
+    pairs = minhash_candidate_pairs(
+        _docs_aug(spark, sf_dir), "doc_id", "text", ids_only=True
+    )
     comps = connected_components(pairs, "id_a", "id_b")
     return comps.select(
         F.col("node").alias("doc_id"),

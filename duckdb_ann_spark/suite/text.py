@@ -120,7 +120,7 @@ _BPE_RE = r"'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"
            q.stopword_ratio, q.alpha_ratio, q.unique_ratio, q.quality_score,
            l.lang_pred, l.lang_hits,
            f.fingerprint,
-           b.n_pretokens, b.pretoken_ratio
+           b.n_pretokens, b.n_ws_tokens, b.pretoken_ratio
     FROM stats s
     JOIN quality q USING (doc_id)
     JOIN lang l USING (doc_id)
@@ -143,7 +143,7 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fingerprint(docs, "doc_id", "text"), on="doc_id")
         .join(
             bpe_token_count(docs, "doc_id", "text").select(
-                "doc_id", "n_pretokens", "pretoken_ratio"
+                "doc_id", "n_pretokens", "n_ws_tokens", "pretoken_ratio"
             ),
             on="doc_id",
         )

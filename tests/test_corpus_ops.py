@@ -121,6 +121,23 @@ def test_domain_sample_rates(spark):
     assert 60 <= kept.get("half", 0) <= 140
 
 
+def test_domain_sample_nonrepresentable_rate(spark):
+    """rate * 10000 is non-integral in doubles for ~11% of rates
+    (0.0003 * 10000 = 2.9999...96); the threshold must be rounded in
+    Python, not cast engine-side (Spark truncates, DuckDB rounds)."""
+    from duckdb_ann_spark.operators.corpus_ops import _rate_threshold
+
+    assert _rate_threshold(0.0003) == 3
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"), F.lit("d").alias("source")
+    )
+    out = domain_sample(df, "doc_id", "source", {"d": 0.0003})
+    kept = out.where("mix_keep").count()
+    # buckets are ~uniform over [0, 10000): threshold 3 keeps ~3 rows
+    # (binomial n=10000 p=3/10000, generous bounds), not ~2
+    assert 0 < kept <= 12
+
+
 def test_stratified_sample_exact_counts(spark):
     from duckdb_ann_spark.operators.corpus_ops import stratified_sample
 
