@@ -112,8 +112,15 @@ def main() -> None:
 
     # -- corpus-prep signals standalone -------------------------------
     from duckdb_ann_spark.operators.corpus_ops import (
-        hash_split, repetition_stats,
+        connected_components, hash_split, repetition_stats,
     )
+    from duckdb_ann_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", ids_only=True)
+    comps = connected_components(pairs, "id_a", "id_b")
+    n_dup = comps.where(F.col("node") != F.col("component_id")).count()
+    print(f"near-dup clusters: {comps.count()} member rows, "
+          f"{n_dup} non-representative duplicates")
 
     rep = repetition_stats(docs, "doc_id", "text")
     print("== most 2-gram-repetitive documents ==")

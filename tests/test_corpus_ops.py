@@ -253,6 +253,39 @@ def test_pack_sequences_known_packing(spark):
     assert out[2]["n_tokens"] == 5
 
 
+def test_plan_shapes(spark):
+    """The scale contracts as plan assertions: sampling/scrub are pure
+    projections (no Exchange); packing and stratified sampling window
+    WITH a partition spec (never the single-partition global window
+    Spark warns about)."""
+    from duckdb_ann_spark.operators.corpus_ops import (
+        hash_split, pack_sequences, stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "s", "a b c")], "doc_id long, source string, text string"
+    )
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(domain_sample(hash_split(df, "doc_id"), "doc_id", "source", {}))
+    assert "Exchange" not in p
+    p = plan(pii_scrub(df, "doc_id", "text"))
+    assert "Exchange" not in p and "EvalPython" not in p
+
+    for windowed in (
+        pack_sequences(df, "doc_id", "source", "text", 64),
+        stratified_sample(df, "doc_id", "source", 5),
+    ):
+        p = plan(windowed)
+        assert "Window" in p
+        # a global window shows an empty partition spec: "Window [..], []"
+        import re as _re
+        assert not _re.search(r"partitionBy=\[\]", p)
+        assert "hashpartitioning(source" in p, p
+
+
 def test_pack_sequences_validates(spark):
     df = spark.createDataFrame([(0, "s", "a")],
                                "doc_id long, source string, text string")
