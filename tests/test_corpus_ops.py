@@ -291,3 +291,30 @@ def test_pack_sequences_validates(spark):
                                "doc_id long, source string, text string")
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(df, "doc_id", "source", "text", max_len=0)
+
+
+def test_all_ops_survive_empty_input(spark):
+    """Every corpus operator degrades to an empty (or all-false-flag)
+    result on an empty corpus — no crashes anywhere in the chain."""
+    from duckdb_ann_spark.operators.corpus_ops import (
+        hash_split, pack_sequences, stratified_sample,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    bench = spark.createDataFrame([("alpha beta gamma delta epsilon",)],
+                                  "text string")
+    assert repetition_stats(empty, "doc_id", "text").count() == 0
+    assert pii_scrub(empty, "doc_id", "text").count() == 0
+    assert hash_split(empty, "doc_id").count() == 0
+    assert domain_sample(empty, "doc_id", "source", {"a": 0.5}).count() == 0
+    assert stratified_sample(empty, "doc_id", "source", 3).count() == 0
+    assert pack_sequences(empty, "doc_id", "source", "text", 64).count() == 0
+    assert ngram_decontaminate(empty, "doc_id", "text", bench, "text",
+                               n=5).count() == 0
+    # empty BENCHMARK: nothing is ever flagged
+    docs = spark.createDataFrame([(0, "s", "alpha beta gamma delta epsilon")],
+                                 "doc_id long, source string, text string")
+    assert ngram_decontaminate(docs, "doc_id", "text",
+                               empty.select("text"), "text", n=5).count() == 0
