@@ -293,6 +293,34 @@ def test_pack_sequences_validates(spark):
         pack_sequences(df, "doc_id", "source", "text", max_len=0)
 
 
+def test_ops_with_hostile_column_names(spark):
+    """Operators assemble SQL strings; column names with spaces/dashes
+    must round-trip through quote_ident instead of parsing as
+    arithmetic."""
+    from duckdb_ann_spark.operators.corpus_ops import (
+        hash_split, pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "s", "dup line\ndup line"), (1, "s", "x y")],
+        "doc_id long, source string, text string",
+    ).withColumnRenamed("doc_id", "doc-id").withColumnRenamed(
+        "text", "text body"
+    )
+    rep = {r["doc-id"]: r for r in
+           repetition_stats(df, "doc-id", "text body").collect()}
+    assert rep[0]["dup_line_frac"] == 1.0
+    assert pii_scrub(df, "doc-id", "text body").count() == 2
+    assert hash_split(df, "doc-id").count() == 2
+    out = pack_sequences(df, "doc-id", "source", "text body", 64).collect()
+    assert len(out) == 2
+    bench = spark.createDataFrame([("dup line dup line none here pad",)],
+                                  "`b text` string")
+    flagged = ngram_decontaminate(df, "doc-id", "text body", bench,
+                                  "b text", n=2)
+    assert flagged.count() >= 1
+
+
 def test_all_ops_survive_empty_input(spark):
     """Every corpus operator degrades to an empty (or all-false-flag)
     result on an empty corpus — no crashes anywhere in the chain."""
