@@ -41,7 +41,81 @@ from .local import widen_if_narrow
 from .operators.dedup import ngram_jaccard_pairs
 from .operators.text_ops import lang_pred_from_hits, sql_lang_hits_struct, sql_quality_struct
 
-__all__ = ["prepare_corpus"]
+__all__ = ["prepare_corpus", "annotate_and_gate"]
+
+
+def annotate_and_gate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    langs: Sequence[str],
+    min_quality: float,
+    scrub_pii: bool = False,
+    repetition_gates: dict[str, float] | None = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The STATELESS per-document stages shared by batch
+    :func:`prepare_corpus` and streaming ``stream_prepare_corpus``:
+    [PII scrub →] fused annotate → language/quality filter
+    [→ repetition gates].
+
+    → (*extra_cols, id, text, n_chars, n_tokens, quality_score,
+    lang_pred, _fp) where `_fp` is the normalized-token exact-dup
+    fingerprint both dedup flavors key on. Pure row-local projections +
+    filters — stream-safe by construction (no shuffle, no state)."""
+    if scrub_pii:
+        from .operators.corpus_ops import pii_redact
+
+        docs = docs.withColumn(text_col, pii_redact(text_col))
+    # the whole annotate struct as ONE SQL string (the node-by-node
+    # Column builders paid a py4j round-trip per node — seconds of
+    # driver time per plan); element_at(transform(array(..)), 1) is the
+    # SQL spelling of bind_once: one tokenize evaluation per row
+    annotations = F.expr(
+        sql_bind_once(
+            spark_sql_tokenize(text_col), "toks",
+            "struct(size(toks) as n_tokens, "
+            f"{sql_quality_struct()} as q, "
+            f"{sql_lang_hits_struct()} as h, "
+            "md5(concat_ws(' ', toks)) as fp)",
+        )
+    )
+    ann = docs.select(
+        *[F.col(c) for c in extra_cols],
+        F.col(id_col),
+        F.col(text_col),
+        F.length(text_col).alias("n_chars"),
+        annotations.alias("_a"),
+    ).select(
+        *extra_cols,
+        id_col,
+        text_col,
+        "n_chars",
+        F.col("_a.n_tokens").alias("n_tokens"),
+        F.col("_a.q.quality_score").alias("quality_score"),
+        lang_pred_from_hits(lambda lg: F.col(f"_a.h.h_{lg}")).alias("lang_pred"),
+        F.col("_a.fp").alias("_fp"),
+    )
+
+    kept = ann.where(
+        F.col("lang_pred").isin(list(langs))
+        & (F.col("quality_score") >= F.lit(float(min_quality)))
+    )
+
+    if repetition_gates:
+        # one self-contained boolean predicate (single evaluation of the
+        # repetition tree per row, only the needed signal groups) — a
+        # withColumn+where spelling gets the struct alias inlined into
+        # the filter, duplicating the expensive tree per gate key
+        from .functions.text import quote_ident
+        from .operators.corpus_ops import repetition_gate_sql
+
+        kept = kept.where(F.expr(
+            repetition_gate_sql("spark", quote_ident(text_col),
+                                repetition_gates)
+        ))
+    return kept
 
 
 def prepare_corpus(
@@ -88,56 +162,16 @@ def prepare_corpus(
     # per-row annotate work is the pipeline's heaviest expression chain;
     # make sure a narrow input (one small file) doesn't serialize it
     docs = widen_if_narrow(docs)
+    kept = annotate_and_gate(
+        docs, id_col, text_col, langs=langs, min_quality=min_quality,
+        scrub_pii=scrub_pii, repetition_gates=repetition_gates,
+    )
     if scrub_pii:
+        # downstream stages (LM training, decontamination) must see the
+        # scrubbed corpus too
         from .operators.corpus_ops import pii_redact
 
         docs = docs.withColumn(text_col, pii_redact(text_col))
-    # the whole annotate struct as ONE SQL string (the node-by-node
-    # Column builders paid a py4j round-trip per node — seconds of
-    # driver time per plan); element_at(transform(array(..)), 1) is the
-    # SQL spelling of bind_once: one tokenize evaluation per row
-    annotations = F.expr(
-        sql_bind_once(
-            spark_sql_tokenize(text_col), "toks",
-            "struct(size(toks) as n_tokens, "
-            f"{sql_quality_struct()} as q, "
-            f"{sql_lang_hits_struct()} as h, "
-            "md5(concat_ws(' ', toks)) as fp)",
-        )
-    )
-    ann = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.length(text_col).alias("n_chars"),
-        annotations.alias("_a"),
-    ).select(
-        id_col,
-        text_col,
-        "n_chars",
-        F.col("_a.n_tokens").alias("n_tokens"),
-        F.col("_a.q.quality_score").alias("quality_score"),
-        lang_pred_from_hits(lambda lg: F.col(f"_a.h.h_{lg}")).alias("lang_pred"),
-        F.col("_a.fp").alias("_fp"),
-    )
-
-    kept = ann.where(
-        F.col("lang_pred").isin(list(langs))
-        & (F.col("quality_score") >= F.lit(float(min_quality)))
-    )
-
-    if repetition_gates:
-        # one self-contained boolean predicate (single evaluation of the
-        # repetition tree per row, only the needed signal groups) — a
-        # withColumn+where spelling gets the struct alias inlined into
-        # the filter, duplicating the expensive tree per gate key
-        from .functions.text import quote_ident
-        from .operators.corpus_ops import repetition_gate_sql
-
-        kept = kept.where(F.expr(
-            repetition_gate_sql("spark", quote_ident(text_col),
-                                repetition_gates)
-        ))
-
     if min_avg_logprob is not None:
         # optional unigram-LM filter (the perplexity-style signal): drop
         # documents whose corpus-trained average token log-probability

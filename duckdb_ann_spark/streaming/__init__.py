@@ -4,5 +4,6 @@ from .ops import (  # noqa: F401
     stream_dedup_exact,
     stream_dedup_minhash,
     stream_index_append,
+    stream_prepare_corpus,
     windowed_event_counts,
 )

@@ -19,6 +19,11 @@ needs:
   watermark horizon passes, later copies are dropped, and digest state
   ages out with the watermark (the continuously-ingesting counterpart
   of `operators.dedup.dedup_exact`);
+* :func:`stream_prepare_corpus` — streaming corpus prep: the batch
+  pipeline's stateless gates (PII scrub, fused annotate, language/
+  quality, repetition ceilings) + watermark-bounded exact dedup on the
+  batch pipeline's fingerprint (the continuously-ingesting counterpart
+  of `pipeline.prepare_corpus`);
 * :func:`stream_dedup_minhash` — streaming MinHash-LSH NEAR-dedup via
   `foreachBatch` against a keys-only parquet state table with
   retention-horizon expiry and periodic compaction (the streaming
@@ -113,6 +118,53 @@ def stream_dedup_exact(
         keyed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_key"])
         .drop("_key")
+    )
+
+
+def stream_prepare_corpus(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    *,
+    langs=("en",),
+    min_quality: float = 0.65,
+    watermark: str = "2 hours",
+    scrub_pii: bool = False,
+    repetition_gates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Streaming corpus prep: :func:`duckdb_ann_spark.pipeline
+    .prepare_corpus`'s STATELESS per-document stages ([PII scrub] →
+    fused annotate → language/quality filter [→ repetition gates]) plus
+    watermark-bounded exact dedup keyed on the SAME normalized-token
+    fingerprint the batch pipeline groups on — so a document admitted by
+    the stream is exactly one the batch pipeline would keep some
+    representative of.
+
+    → (id, text, n_chars, n_tokens, quality_score, lang_pred), the batch
+    output schema. Divergences by construction: the stream keeps the
+    FIRST-SEEN row per fingerprint (batch keeps the min id — a stream
+    can't see the future), a duplicate arriving after the watermark
+    horizon is re-admitted (pair with a periodic batch compaction), and
+    near-dedup / LM gating stay separate: near-dedup has its own
+    keys-only state policy (:func:`stream_dedup_minhash`) and the LM
+    gate trains on a full corpus a stream doesn't have.
+
+    State = (fingerprint digest, event time) only, expired by the
+    watermark; every gate is a row-local projection, so the operator
+    runs forever on a continuous ingest."""
+    from ..pipeline import annotate_and_gate
+
+    kept = annotate_and_gate(
+        stream, id_col, text_col, langs=langs, min_quality=min_quality,
+        scrub_pii=scrub_pii, repetition_gates=repetition_gates,
+        extra_cols=(ts_col,),
+    )
+    return (
+        kept.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .select(id_col, text_col, "n_chars", "n_tokens", "quality_score",
+                "lang_pred")
     )
 
 

@@ -356,3 +356,58 @@ def test_stream_dedup_minhash_matches_sequential_policy(spark, tmp_path):
     # compaction at batch 1 (compact_every=2) folded earlier generations
     gens = sorted(os.listdir(os.path.join(state_dir, "bands")))
     assert "c1" in gens, gens
+
+
+def test_stream_prepare_corpus_matches_batch_gates(spark, sf_dir, tmp_path):
+    """The streaming corpus prep admits exactly one representative per
+    batch-kept fingerprint: same gates, same fingerprint key, first-seen
+    instead of min-id."""
+    from duckdb_ann_spark.operators.text_ops import fingerprint
+    from duckdb_ann_spark.pipeline import annotate_and_gate
+    from duckdb_ann_spark.streaming import stream_prepare_corpus
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.upper("text").alias("text"),  # same fingerprint after normalize?
+    )
+    # NB: fingerprints tokenize lowercase, so the uppercased copy shares
+    # its original's fingerprint — a planted exact-dup pair per doc < 5
+    staged = docs.unionByName(dups).withColumn(
+        "ts", F.lit("2026-01-01 00:00:00").cast("timestamp")
+    )
+    in_dir = str(tmp_path / "in")
+    staged.write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(in_dir)
+    )
+    out = stream_prepare_corpus(
+        stream, "doc_id", "text", "ts", langs=("en",), min_quality=0.65,
+        watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("spc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("spc")
+
+    kept = annotate_and_gate(
+        staged.select("doc_id", "text"), "doc_id", "text",
+        langs=("en",), min_quality=0.65,
+    )
+    want_fps = {r["_fp"] for r in kept.select("_fp").distinct().collect()}
+    got_fps = {
+        r["fingerprint"]
+        for r in fingerprint(got, "doc_id", "text").collect()
+    }
+    assert got.count() == len(want_fps)
+    assert got_fps == want_fps
+    # schema parity with the batch pipeline output
+    assert got.columns == ["doc_id", "text", "n_chars", "n_tokens",
+                           "quality_score", "lang_pred"]
