@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 __all__ = ["tokenize", "token_count", "sql_tokenize", "spark_sql_tokenize",
-           "sql_bind_once", "quote_ident", "TOKEN_SPLIT_RE"]
+           "spark_sql_tokenize_expr", "sql_bind_once", "quote_ident",
+           "TOKEN_SPLIT_RE"]
 
 
 def quote_ident(name: str) -> str:
@@ -45,18 +46,24 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokenize(text))
 
 
-def spark_sql_tokenize(col_name: str) -> str:
+def spark_sql_tokenize_expr(expr: str) -> str:
     """Spark SQL fragment producing the identical token list to
-    :func:`tokenize` over the COLUMN NAME given (backtick-quoted, so
-    names `F.col` accepted keep working). Used to assemble big
-    expression trees as ONE `F.expr()` string: the Python Column
-    builders pay one py4j round-trip per node (a deep HOF tree costs
-    seconds of driver time per plan), where a SQL string parses
-    JVM-side in one call into the same Catalyst nodes."""
+    :func:`tokenize` over an arbitrary SQL EXPRESSION — the canonical
+    Spark-dialect spelling (suite CTEs and the dual-dialect corpus
+    builders delegate here so the contract can't drift)."""
     return (
-        f"filter(split(lower({quote_ident(col_name)}), "
-        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+        f"filter(split(lower({expr}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
     )
+
+
+def spark_sql_tokenize(col_name: str) -> str:
+    """:func:`spark_sql_tokenize_expr` over the COLUMN NAME given
+    (backtick-quoted, so names `F.col` accepted keep working). Used to
+    assemble big expression trees as ONE `F.expr()` string: the Python
+    Column builders pay one py4j round-trip per node (a deep HOF tree
+    costs seconds of driver time per plan), where a SQL string parses
+    JVM-side in one call into the same Catalyst nodes."""
+    return spark_sql_tokenize_expr(quote_ident(col_name))
 
 
 def sql_tokenize(expr: str) -> str:

@@ -40,8 +40,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
-    TOKEN_SPLIT_RE,
     quote_ident,
+    spark_sql_tokenize_expr,
     sql_bind_once,
     sql_tokenize,
     token_count,
@@ -151,13 +151,10 @@ def _struct(d: str, fields: list[tuple[str, str]]) -> str:
 
 def _tok(d: str, text_expr: str) -> str:
     """The repo-wide tokenize contract over an arbitrary text EXPRESSION
-    (functions/text.py's helpers take column names / DuckDB exprs; this
-    routes each dialect to its canonical single-sourced fragment)."""
+    — both dialects delegate to the canonical single-sourced fragments
+    in functions/text.py."""
     if d == "spark":
-        return (
-            f"filter(split(lower({text_expr}), '{TOKEN_SPLIT_RE}'), "
-            "t -> t <> '')"
-        )
+        return spark_sql_tokenize_expr(text_expr)
     return sql_tokenize(text_expr)
 
 
@@ -607,12 +604,14 @@ def connected_components(
     under aggressive LSH banding) already breaks.
 
     Convergence is detected by an order-free edge-set signature
-    (count + sum of per-edge hashes), one tiny action per round;
+    (count + XOR of per-edge hashes), one tiny action per round;
     `max_iter` rounds without convergence raises rather than returning
     wrong labels. Shuffles carry (long, long) edges only. The input
-    `pairs` plan is persisted first: it is typically an expensive LSH
-    band self-join, and canon + the two nodes branches would otherwise
-    re-execute it three times."""
+    `pairs` plan is scanned exactly once: it is typically an expensive
+    LSH band self-join, and canon + the two nodes branches would
+    otherwise re-execute it three times — and the RETURNED plan reads
+    only localCheckpoint-ed data, so caller actions never re-run the
+    pair computation either."""
     src = (
         pairs.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
         .persist()
@@ -626,14 +625,16 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # endpoints (incl. self-pair nodes dropped from canon) keep a label
+    # endpoints (incl. self-pair nodes dropped from canon) keep a label.
+    # localCheckpoint (eager), NOT persist: this frame survives into the
+    # returned plan, and a persist released on exit would silently
+    # re-execute the pair computation on every caller action.
     nodes = (
         src.select(F.col("_a").alias("node"))
         .unionByName(src.select(F.col("_b").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    nodes.count()
 
     def _sig(e: DataFrame):
         # bit_xor: order-free and overflow-free under ANSI (a sum of
@@ -645,39 +646,36 @@ def connected_components(
     sig = _sig(canon)  # materializes canon (from the cached pair scan)
     src.unpersist()
     converged = False
-    try:
-        for _ in range(max_iter):
-            # localCheckpoint (not just persist): the iterated plan
-            # otherwise NESTS one whole large+small round per iteration
-            # and the logical tree grows ~8x per round — the driver OOMs
-            # building plan strings long before the data is big. At
-            # cluster scale prefer setCheckpointDir + checkpoint() if
-            # executor loss mid-run must be survivable.
-            stepped = _small_star(_large_star(canon)).localCheckpoint()
-            new_sig = _sig(stepped)
-            canon.unpersist()
-            canon = stepped
-            if new_sig == sig:
-                converged = True
-                break
-            sig = new_sig
-        if not converged:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                "large-star/small-star rounds (rounds needed ~ log^2 of "
-                "the largest component; raise max_iter)"
-            )
-        # converged edges are stars: u -> its component minimum; roots
-        # and self-pair-only nodes label themselves
-        star = canon.groupBy("u").agg(F.min("v").alias("component_id"))
-        return nodes.join(
-            star.withColumnRenamed("u", "node"), on="node", how="left"
-        ).select(
-            "node",
-            F.coalesce("component_id", F.col("node")).alias("component_id"),
+    for _ in range(max_iter):
+        # localCheckpoint (not just persist): the iterated plan
+        # otherwise NESTS one whole large+small round per iteration
+        # and the logical tree grows ~8x per round — the driver OOMs
+        # building plan strings long before the data is big. At
+        # cluster scale prefer setCheckpointDir + checkpoint() if
+        # executor loss mid-run must be survivable.
+        stepped = _small_star(_large_star(canon)).localCheckpoint()
+        new_sig = _sig(stepped)
+        canon.unpersist()
+        canon = stepped
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds (rounds needed ~ log^2 of "
+            "the largest component; raise max_iter)"
         )
-    finally:
-        nodes.unpersist()
+    # converged edges are stars: u -> its component minimum; roots
+    # and self-pair-only nodes label themselves
+    star = canon.groupBy("u").agg(F.min("v").alias("component_id"))
+    return nodes.join(
+        star.withColumnRenamed("u", "node"), on="node", how="left"
+    ).select(
+        "node",
+        F.coalesce("component_id", F.col("node")).alias("component_id"),
+    )
 
 
 # ---------------------------------------------------------------------------

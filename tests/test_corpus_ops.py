@@ -280,10 +280,10 @@ def test_plan_shapes(spark):
     ):
         p = plan(windowed)
         assert "Window" in p
-        # a global window shows an empty partition spec: "Window [..], []"
-        import re as _re
-        assert not _re.search(r"partitionBy=\[\]", p)
+        # a partitioned window exchanges on the domain key; a global
+        # window would exchange to SinglePartition instead
         assert "hashpartitioning(source" in p, p
+        assert "SinglePartition" not in p, p
 
 
 def test_pack_sequences_validates(spark):
