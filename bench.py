@@ -394,8 +394,14 @@ def bench_corpus(spark) -> dict[str, float]:
     for _ in range(2):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
+        # hash ALL six signals: consumers that read a column subset get
+        # the other groups pruned out of the bind tree, so a sum over
+        # one column would under-measure the full-scan cost
         repetition_stats(docs, "doc_id", "text").agg(
-            F.sum("n_lines")
+            F.expr(
+                "bit_xor(hash(n_lines, dup_line_frac, dup_line_char_frac,"
+                " dup_2gram_frac, dup_3gram_frac, top_2gram_char_frac))"
+            )
         ).collect()
         dt = time.perf_counter() - t0
         out["corpus_repetition_sf"] = min(dt, out.get("corpus_repetition_sf", dt))
