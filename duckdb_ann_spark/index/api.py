@@ -31,6 +31,7 @@ from .params import parse_params
 from . import flat  # noqa: F401  (registers the Flat engine)
 from . import ivf  # noqa: F401  (registers the IVFFlat engine)
 from . import vamana  # noqa: F401  (registers the DiskANN/Vamana engine)
+from ..functions.text import quote_ident as _quote
 
 DISTANCE_COL = "_distance"
 DELETED_DIR = "deleted"
@@ -83,6 +84,15 @@ def create_index(
     engine = engine.lower()
     params = parse_params(engine, options)
     _check_vec_type(df, vec_col, engine)
+
+    # cheap existence check BEFORE the distributed stats job (the
+    # reference errors on the name before reading any data);
+    # begin_create below stays the authoritative atomic reservation
+    if cat.exists(name):
+        if if_not_exists:
+            return cat.load(name)
+        # reference wording: src/diskann_index.cpp:268
+        raise ValueError(f'Index with name "{name}" already exists!')
 
     src = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
     stats = src.agg(
@@ -171,7 +181,7 @@ def index_scan(
         # included) → empty result (src/diskann_index.cpp:554-556); checking
         # only qs[0] would let a ragged batch crash inside the engines as a
         # numpy object array
-        schema = f"query_idx int, {id_col} long, {DISTANCE_COL} double"
+        schema = f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
         return spark.createDataFrame([], schema)
 
     deleted = _deleted_ids(spark, d, manifest)
@@ -332,7 +342,7 @@ def delete_from_index(
     if isinstance(ids, DataFrame):
         del_df = ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
     else:
-        del_df = local_df(spark, [(int(i),) for i in ids], f"{id_col} long")
+        del_df = local_df(spark, [(int(i),) for i in ids], f"{_quote(id_col)} long")
     del_df.write.mode("append").parquet(os.path.join(d, DELETED_DIR))
     _refresh(spark, d)
     n_deleted = (
@@ -470,7 +480,8 @@ def insert_into_index(
     n_new = stats["n"]
     if n_new == 0:
         return manifest
-    if stats["dim_min"] != stats["dim_max"] or stats["dim_min"] != manifest["dim"]:
+    dim = int(manifest["dim"])
+    if stats["dim_min"] != stats["dim_max"] or (dim and stats["dim_min"] != dim):
         raise ValueError(
             f"{manifest['engine']} index column must be FLOAT[N] (fixed-size "
             f"array): index dimension {manifest['dim']}, got "
@@ -478,11 +489,30 @@ def insert_into_index(
         )
     if stats["n_ids"] != n_new:
         raise ValueError(f"id column '{id_col}' must be unique in the new rows")
-    if hasattr(impl, "ids"):
+    if int(manifest["num_vectors"]) == 0:
+        # nothing to collide with, and an empty artifact may not even be
+        # readable (the empty IVF parquet has no inferable schema)
+        existing = None
+    elif hasattr(impl, "ids"):
         existing = impl.ids(spark, d, id_col)
     else:
         existing = impl.vectors(spark, d).select(id_col)
-    overlap = src.select(id_col).join(existing, on=id_col).count()
+    new_ids = src.select(id_col)
+    deleted = _deleted_ids(spark, d, manifest)
+    if deleted is not None:
+        # a tombstoned id still owns a label in the graph/cells; clearing
+        # the tombstone for a re-insert would resurface the STALE vector
+        # alongside the new one, so re-insert requires a vacuum first —
+        # say so, instead of the misleading 'already exists'
+        dead = new_ids.join(deleted, on=id_col).count()
+        if dead:
+            raise ValueError(
+                f"{dead} ids were deleted from index '{name}'; run "
+                "vacuum_index to reclaim them before re-inserting"
+            )
+    overlap = (
+        new_ids.join(existing, on=id_col).count() if existing is not None else 0
+    )
     if overlap:
         raise ValueError(
             f"{overlap} ids already exist in index '{name}' (ids must be unique)"
@@ -490,9 +520,14 @@ def insert_into_index(
     params = parse_params(manifest["engine"], _params_kwargs(manifest))
     extra = impl.append(spark, manifest, d, src, params) or {}
     _refresh(spark, d)
-    return cat.update(
-        name, num_vectors=int(manifest["num_vectors"]) + int(n_new), **extra
-    )
+    updates = dict(num_vectors=int(manifest["num_vectors"]) + int(n_new),
+                   **extra)
+    if dim == 0:
+        # an index created over 0 rows froze dim=0; the first real batch
+        # fixes the dimension (otherwise the create-empty-then-stream
+        # flow is a permanent dead-end)
+        updates["dim"] = int(stats["dim_min"])
+    return cat.update(name, **updates)
 
 
 def faiss_gpu_info(spark: SparkSession) -> DataFrame:

@@ -97,6 +97,8 @@ class Catalog:
         if not os.path.isdir(self.root):
             return out
         for name in sorted(os.listdir(self.root)):
+            if not name or "/" in name or name.startswith("."):
+                continue  # stray files (.DS_Store, editor temps) aren't indexes
             if self.exists(name):
                 out.append(self.load(name))
         return out

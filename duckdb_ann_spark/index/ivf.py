@@ -42,6 +42,7 @@ from ..functions.distance import (
 )
 from ..local import local_df
 from .engines import register_engine
+from ..functions.text import quote_ident as _quote
 
 VECTORS_DIR = "vectors"
 CENTROIDS_DIR = "centroids"
@@ -104,8 +105,13 @@ def _kmeans(data: np.ndarray, k: int, seed: int = TRAIN_SEED,
         counts = np.diff(np.concatenate([starts, [n]]))
         centroids[cells] = (sums / counts[:, None]).astype(np.float32)
         empty = np.setdiff1d(np.arange(k), cells)
-        if empty.size:  # re-seed on the point farthest from its centroid
-            centroids[empty] = data[int(to_own.argmax())]
+        if empty.size:
+            # re-seed each empty cell on a DISTINCT farthest-from-its-
+            # centroid point (one shared point would create duplicate
+            # centroids that stay empty forever and silently shrink the
+            # effective cell count)
+            far = np.argsort(-to_own, kind="stable")[: empty.size]
+            centroids[empty] = data[far]
     return centroids
 
 
@@ -180,7 +186,7 @@ class IvfFlatEngine:
                 pdf[CELL_COL] = cells.astype(np.int32)
                 yield pdf
 
-        schema = f"{id_col} long, {vec_col} array<float>, {CELL_COL} int"
+        schema = f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, {CELL_COL} int"
         assigned = df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
         # co-locate each cell before the partitioned write: without this,
         # every task writes a sliver of every cell (tasks x nlist tiny
@@ -217,8 +223,17 @@ class IvfFlatEngine:
         params,
     ) -> dict:
         """Incremental add: assign new rows to the *existing* centroids
-        (no retraining — reference FAISS appends to the trained index)."""
+        (no retraining — reference FAISS appends to the trained index).
+        An EMPTY index has no trained centroids (nlist_effective=0), so
+        the first append trains + builds from the new rows instead —
+        the create-empty-then-stream-inserts bootstrap."""
         id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+        if int(manifest.get("nlist_effective", 1) or 0) == 0:
+            params._n_rows = None  # build counts the incoming rows itself
+            return self.build(
+                spark, df_new, id_col, vec_col, artifact_dir, params,
+                int(manifest["dim"]),
+            )
         centroids = self._centroids(spark, artifact_dir)
         bc = spark.sparkContext.broadcast(centroids)
         metric = manifest["params"]["metric"]
@@ -234,7 +249,7 @@ class IvfFlatEngine:
                 pdf[CELL_COL] = cells.astype(np.int32)
                 yield pdf
 
-        schema = f"{id_col} long, {vec_col} array<float>, {CELL_COL} int"
+        schema = f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, {CELL_COL} int"
         df_new.select(id_col, vec_col).mapInPandas(assign, schema=schema).write.mode(
             "append"
         ).partitionBy(CELL_COL).parquet(f"{artifact_dir}/{VECTORS_DIR}")
@@ -279,7 +294,7 @@ class IvfFlatEngine:
         nlist = centroids.shape[0]
         if nlist == 0:
             return spark.createDataFrame(
-                [], f"query_idx int, {id_col} long, {DISTANCE_COL} double"
+                [], f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
             )
         nprobe = min(max(1, nprobe), nlist)
 
@@ -337,7 +352,7 @@ class IvfFlatEngine:
             (np.ascontiguousarray(qmat),
              {c: np.asarray(qs, dtype=np.int64) for c, qs in probe_by_cell.items()})
         )
-        out_schema = f"query_idx int, {id_col} long, {DISTANCE_COL} double"
+        out_schema = f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
 
         def score(batches):
             qm, pmap = bq.value

@@ -138,6 +138,10 @@ class FaissParams:
             )
         # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61)
         self.nprobe = max(1, int(self.nprobe))
+        if int(self.hnsw_m) < 1:
+            # m=0 would build an edgeless graph whose every search
+            # silently returns only the entry point
+            raise ValueError("hnsw_m must be >= 1")
         if int(self.ivf_nlist) < 0:
             raise ValueError("ivf_nlist must be >= 1 (or 0 for auto)")
         if int(self.shards) < 0:

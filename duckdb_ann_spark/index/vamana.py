@@ -41,6 +41,7 @@ from ..functions.distance import np_stack_vectors
 from .file_format import read_diskann, read_hnsw, read_sq8, write_diskann
 from .hnsw_core import build_hnsw
 from .vamana_core import VamanaGraph, build_graph, sq8_dequantize, sq8_quantize
+from ..functions.text import quote_ident as _quote
 
 GRAPH_DIR = "graph"
 LABELS_DIR = "labels"
@@ -68,6 +69,12 @@ def _load_shard(path: str):
     key = (path, os.path.getmtime(path))
     g = _GRAPH_CACHE.get(key)
     if g is None:
+        # evict stale generations of this shard (append/vacuum rewrote
+        # the file → new mtime → new key; a dequantized SQ8 cache entry
+        # is a full n x dim float32 array, so leaking one per rewrite
+        # OOMs long-lived sessions)
+        for stale in [k for k in _GRAPH_CACHE if k[0] == path]:
+            del _GRAPH_CACHE[stale]
         # a shard with an HNSW appendix loads as a layered HnswGraph
         # (same search interface); plain shards load as VamanaGraph
         g = read_hnsw(path, mmap=True)
@@ -217,7 +224,7 @@ class VamanaEngine:
                     )
 
         return labels.mapInPandas(
-            emit, schema=f"{id_col} long, {vec_col} array<float>"
+            emit, schema=f"{_quote(id_col)} long, {_quote(vec_col)} array<float>"
         )
 
     # a shard at/above this many vectors stops receiving appends; new
@@ -255,7 +262,26 @@ class VamanaEngine:
         # no graph loads for the routing decision)
         target = min(shard_files, key=lambda sf: os.path.getsize(sf[1]))
         g = read_diskann(target[1], mmap=False)  # writable copy
-        if g.n >= self.APPEND_SHARD_CAP:
+        if g.n == 0:
+            # empty shard (index created over 0 rows, dim unknown): build
+            # it fresh from the new batch — per-vector insert can't seed a
+            # dimensionless graph
+            shard_id, path = target
+            g = build_graph(
+                vecs,
+                max_degree=params.max_degree,
+                build_complexity=params.build_complexity,
+                alpha=getattr(params, "alpha", 1.2),
+                metric=params.metric,
+                start_strategy=getattr(params, "start_strategy", "first"),
+                start_nsamples=getattr(params, "start_nsamples", 1),
+                start_seed=getattr(params, "start_seed", 42),
+            )
+            labels = [
+                (shard_id, label, int(rid))
+                for label, rid in enumerate(pdf[id_col])
+            ]
+        elif g.n >= self.APPEND_SHARD_CAP:
             # overflow shard: bounded build from just the new rows
             shard_id = max(s for s, _ in shard_files) + 1
             path = f"{artifact_dir}/{GRAPH_DIR}/shard_{shard_id}.diskann"
@@ -335,7 +361,7 @@ class VamanaEngine:
             for dist, rid in merged[:k]:
                 rows.append((qi, rid, float(dist)))
         return local_df(
-            spark, rows, f"query_idx int, {id_col} long, _distance double"
+            spark, rows, f"query_idx int, {_quote(id_col)} long, _distance double"
         )
 
     def _search_distributed(
@@ -490,7 +516,19 @@ class HnswEngine(VamanaEngine):
                 f"Index shard '{path}' predates the layered-HNSW format; "
                 "drop and recreate the index to append to it"
             )
-        if g.n >= self.APPEND_SHARD_CAP:
+        if g.n == 0:
+            # empty shard (index created over 0 rows, dim unknown): build
+            # it fresh from the new batch in place
+            g = build_hnsw(
+                vecs, m=int(params.hnsw_m),
+                ef_construction=self._ef_construction(params),
+                metric=params.metric,
+            )
+            labels = [
+                (shard_id, label, int(rid))
+                for label, rid in enumerate(pdf[id_col])
+            ]
+        elif g.n >= self.APPEND_SHARD_CAP:
             shard_id = max(s for s, _ in shard_files) + 1
             path = f"{artifact_dir}/{GRAPH_DIR}/shard_{shard_id}.diskann"
             g = build_hnsw(

@@ -42,6 +42,7 @@ from ..functions.distance import (
     np_topk_frame,
 )
 from ..local import local_df
+from ..functions.text import quote_ident as _quote
 
 __all__ = ["search_batch_ids", "ann_search_batch", "ann_search_table"]
 
@@ -77,14 +78,14 @@ def search_batch_ids(
     if len(queries) == 0:
         # no queries → empty result, like the index_scan path
         return df.sparkSession.createDataFrame(
-            [], f"query_idx int, {id_col} long, {DISTANCE_COL} double"
+            [], f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
         )
     if method == "exact":
         return _search_batch_exact(df, id_col, vec_col, queries, k, metric)
     qmat = _queries_matrix(queries)
     spark = df.sparkSession
     bq = spark.sparkContext.broadcast(qmat)
-    out_schema = f"query_idx int, {id_col} long, {DISTANCE_COL} double"
+    out_schema = f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
 
     def part_topk(batches):
         qm = bq.value

@@ -1,0 +1,156 @@
+"""Lifecycle edge cases surfaced by the round-5 core review: empty-index
+bootstrap, delete-then-reinsert semantics, hostile column names, catalog
+hygiene, kmeans reseeding, and the shard-cache rewrite leak."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.index import (
+    Catalog,
+    create_index,
+    delete_from_index,
+    drop_index,
+    index_scan,
+    insert_into_index,
+    vacuum_index,
+)
+
+ROOT = os.path.join(tempfile.gettempdir(), f"idx_robust_{os.getpid()}")
+
+
+@pytest.fixture()
+def cat():
+    return Catalog(ROOT)
+
+
+def _vecs(spark, ids, dim=4, id_col="vec_id", vec_col="embedding"):
+    rows = [(int(i), [float(i % 7 + j) for j in range(dim)]) for i in ids]
+    qa, qb = f"`{id_col}`", f"`{vec_col}`"
+    return spark.createDataFrame(rows, f"{qa} long, {qb} array<float>")
+
+
+@pytest.mark.parametrize("engine,opts", [
+    ("faiss", {}),
+    ("faiss", {"type": "HNSW", "hnsw_m": 8}),
+    # full probe: a partial probe may legitimately return < k rows when
+    # the probed cells are small — not what this bootstrap test checks
+    ("faiss", {"type": "IVFFlat", "ivf_nlist": 4, "nprobe": 4}),
+    ("diskann", {}),
+])
+def test_create_empty_then_insert(spark, cat, engine, opts):
+    """An index created over 0 rows must adopt the first real batch's
+    dimension instead of being a permanent dim=0 dead-end (the
+    create-empty-then-stream-inserts flow)."""
+    name = f"rob_empty_{engine}_{opts.get('type', 'flat')}"
+    drop_index(name, cat)
+    empty = _vecs(spark, [])
+    m = create_index(empty, "vec_id", "embedding", name, engine=engine,
+                     table_name="t", catalog=cat, **opts)
+    assert m["dim"] == 0 and m["num_vectors"] == 0
+    m = insert_into_index(spark, name, _vecs(spark, range(12)), catalog=cat)
+    assert m["dim"] == 4 and m["num_vectors"] == 12
+    hits = index_scan(spark, name, [[0.0, 1.0, 2.0, 3.0]], k=3, catalog=cat)
+    assert hits.count() == 3
+    drop_index(name, cat)
+
+
+def test_delete_then_reinsert_says_vacuum(spark, cat):
+    name = "rob_reinsert"
+    drop_index(name, cat)
+    create_index(_vecs(spark, range(10)), "vec_id", "embedding", name,
+                 engine="faiss", table_name="t", catalog=cat)
+    delete_from_index(spark, name, [3], catalog=cat)
+    with pytest.raises(ValueError, match="vacuum_index to reclaim"):
+        insert_into_index(spark, name, _vecs(spark, [3]), catalog=cat)
+    vacuum_index(spark, name, catalog=cat)
+    m = insert_into_index(spark, name, _vecs(spark, [3]), catalog=cat)
+    assert m["num_vectors"] == 10  # 9 after vacuum + 1 reinserted
+    got = index_scan(spark, name, [[3.0, 4.0, 5.0, 6.0]], k=10, catalog=cat)
+    assert got.where(F.col("vec_id") == 3).count() == 1
+    drop_index(name, cat)
+
+
+@pytest.mark.parametrize("opts", [{}, {"type": "IVFFlat", "ivf_nlist": 4}])
+def test_hostile_column_names(spark, cat, opts):
+    """id/vec column names with dashes and spaces survive the index
+    module's DDL schema strings (quoted like the corpus operators)."""
+    name = f"rob_names_{opts.get('type', 'flat')}"
+    drop_index(name, cat)
+    df = _vecs(spark, range(20), id_col="doc-id", vec_col="vec col")
+    create_index(df, "doc-id", "vec col", name, engine="faiss",
+                 table_name="t", catalog=cat, **opts)
+    hits = index_scan(spark, name, [[0.0, 1.0, 2.0, 3.0]], k=3, catalog=cat)
+    assert hits.count() == 3 and "doc-id" in hits.columns
+    insert_into_index(
+        spark, name, _vecs(spark, [100], id_col="doc-id", vec_col="vec col"),
+        catalog=cat,
+    )
+    drop_index(name, cat)
+
+
+def test_catalog_list_skips_stray_files(cat):
+    with open(os.path.join(cat.root, ".DS_Store"), "w") as f:
+        f.write("junk")
+    try:
+        cat.list()  # must not raise on the dot-file
+    finally:
+        os.remove(os.path.join(cat.root, ".DS_Store"))
+
+
+def test_create_duplicate_name_errors_before_scan(spark, cat):
+    name = "rob_dup"
+    drop_index(name, cat)
+    create_index(_vecs(spark, range(5)), "vec_id", "embedding", name,
+                 engine="faiss", table_name="t", catalog=cat)
+    # ragged-dimension input WOULD fail validation; the name check must
+    # fire first (reference orders it before reading data)
+    ragged = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.0, 1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        create_index(ragged, "vec_id", "embedding", name, engine="faiss",
+                     table_name="t", catalog=cat)
+    drop_index(name, cat)
+
+
+def test_hnsw_m_validated(spark, cat):
+    with pytest.raises(ValueError, match="hnsw_m must be >= 1"):
+        create_index(_vecs(spark, range(5)), "vec_id", "embedding",
+                     "rob_m0", engine="faiss", table_name="t",
+                     type="HNSW", hnsw_m=0, catalog=cat)
+
+
+def test_kmeans_reseeds_distinct_centroids():
+    from duckdb_ann_spark.index.ivf import _kmeans
+
+    rng = np.random.default_rng(0)
+    # two tight blobs: most of k=8 cells go empty every Lloyd iteration
+    data = np.concatenate([
+        rng.normal(0, 1e-3, (50, 4)), rng.normal(10, 1e-3, (50, 4)),
+    ]).astype(np.float32)
+    cents = _kmeans(data, 8)
+    assert cents.shape == (8, 4)
+    assert len(np.unique(cents, axis=0)) == 8  # no duplicate centroids
+
+
+def test_shard_cache_evicts_rewritten_generations(spark, cat):
+    from duckdb_ann_spark.index.vamana import _GRAPH_CACHE
+
+    name = "rob_cache"
+    drop_index(name, cat)
+    create_index(_vecs(spark, range(30)), "vec_id", "embedding", name,
+                 engine="diskann", table_name="t", catalog=cat)
+    q = [[0.0, 1.0, 2.0, 3.0]]
+    index_scan(spark, name, q, k=3, catalog=cat).count()
+    insert_into_index(spark, name, _vecs(spark, [100]), catalog=cat)
+    index_scan(spark, name, q, k=3, catalog=cat).count()
+    paths = [k[0] for k in _GRAPH_CACHE]
+    assert len(paths) == len(set(paths)), (
+        "stale shard generations leaked in _GRAPH_CACHE"
+    )
+    drop_index(name, cat)
