@@ -36,6 +36,8 @@ is one division of exact BIGINT counts → bitwise hash-matchable.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -423,6 +425,12 @@ def bucket_sql(d: str, id_expr: str, salt: str) -> str:
     ``"<id>:<salt>"`` mod 10000. Identical in Spark and DuckDB (verified
     constant-for-constant), stable across runs/engines/partitionings —
     the property `rand()`-based sampling lacks."""
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", salt):
+        # the salt is interpolated into a SQL string literal; restrict it
+        # rather than escape per-dialect
+        raise ValueError(
+            f"salt must match [A-Za-z0-9_.-]+, got {salt!r}"
+        )
     if d == "spark":
         key = f"concat(cast({id_expr} as string), ':{salt}')"
         return (
@@ -435,6 +443,30 @@ def bucket_sql(d: str, id_expr: str, salt: str) -> str:
     )
 
 
+def _split_edges(fracs, names) -> list[int]:
+    """Cumulative bucket edges for a split spec — THE single quantization
+    rule (operator + oracle both call this, so they cannot disagree).
+    Validates that no split quantizes to zero width: a positive fraction
+    silently yielding a forever-empty split (e.g. two edges rounding
+    equal, or the last edge rounding to 10000) is a data bug users
+    should hear about at build time."""
+    if len(fracs) != len(names):
+        raise ValueError("fracs and names must align")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("fracs must sum to 1")
+    edges, acc = [], 0.0
+    for frac in fracs[:-1]:
+        acc += frac
+        edges.append(int(round(acc * HASH_BUCKETS)))
+    widths = [b - a for a, b in zip([0] + edges, edges + [HASH_BUCKETS])]
+    if any(w <= 0 for w in widths):
+        raise ValueError(
+            f"split fractions {tuple(fracs)} quantize (1/{HASH_BUCKETS}) to "
+            f"an empty split: bucket widths {widths} for {tuple(names)}"
+        )
+    return edges
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -444,36 +476,38 @@ def hash_split(
 ) -> DataFrame:
     """Adds (bucket, split): deterministic train/val/test assignment.
 
-    Fractions quantize to 1/10000; rows never migrate between splits
-    when the corpus grows (assignment depends only on the id)."""
-    if len(fracs) != len(names):
-        raise ValueError("fracs and names must align")
-    if abs(sum(fracs) - 1.0) > 1e-9:
-        raise ValueError("fracs must sum to 1")
+    Fractions quantize to 1/10000 (validated non-empty per split); rows
+    never migrate between splits when the corpus grows (assignment
+    depends only on the id)."""
+    edges = _split_edges(fracs, names)
     bucket = F.expr(bucket_sql("spark", quote_ident(id_col), salt))
     out = df.withColumn("bucket", bucket)
-    edges = []
-    acc = 0.0
-    for frac in fracs[:-1]:
-        acc += frac
-        edges.append(int(round(acc * HASH_BUCKETS)))
     split = F.lit(names[-1])
     for name, edge in zip(reversed(names[:-1]), reversed(edges)):
         split = F.when(F.col("bucket") < edge, F.lit(name)).otherwise(split)
     return out.withColumn("split", split)
 
 
+def _sql_str(value: str) -> str:
+    """A value destined for a SQL string literal in BOTH dialects —
+    reject quoting rather than escape per-dialect (these are oracle
+    helpers; the operator path takes Columns and has no restriction)."""
+    if "'" in value or "\\" in value:
+        raise ValueError(
+            f"value {value!r} cannot contain quotes/backslashes in "
+            "oracle SQL helpers"
+        )
+    return f"'{value}'"
+
+
 def split_case_sql(d: str, bucket_expr: str, fracs, names) -> str:
     """The matching CASE fragment for an oracle over the same buckets."""
-    edges, acc = [], 0.0
-    for frac in fracs[:-1]:
-        acc += frac
-        edges.append(int(round(acc * HASH_BUCKETS)))
+    edges = _split_edges(fracs, names)
     whens = " ".join(
-        f"WHEN {bucket_expr} < {edge} THEN '{name}'"
+        f"WHEN {bucket_expr} < {edge} THEN {_sql_str(name)}"
         for name, edge in zip(names[:-1], edges)
     )
-    return f"CASE {whens} ELSE '{names[-1]}' END"
+    return f"CASE {whens} ELSE {_sql_str(names[-1])} END"
 
 
 def domain_sample(
@@ -535,7 +569,7 @@ def rate_case_sql(d: str, domain_expr: str, rates: dict[str, float],
     """Matching integer-threshold CASE for an oracle: compare the salted
     bucket directly against this (no float multiply in either engine)."""
     whens = " ".join(
-        f"WHEN {domain_expr} = '{dom}' THEN {_rate_threshold(r)}"
+        f"WHEN {domain_expr} = {_sql_str(dom)} THEN {_rate_threshold(r)}"
         for dom, r in sorted(rates.items())
     )
     return f"CASE {whens} ELSE {_rate_threshold(default_rate)} END"
@@ -662,6 +696,10 @@ def connected_components(
             break
         sig = new_sig
     if not converged:
+        # best-effort cleanup; the localCheckpoint blocks themselves are
+        # reclaimed by the ContextCleaner once these frames are GC'd
+        canon.unpersist()
+        nodes.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "large-star/small-star rounds (rounds needed ~ log^2 of "
@@ -693,43 +731,74 @@ def ngram_decontaminate(
 ) -> DataFrame:
     """→ (id, n_hit_ngrams) for documents sharing >= 1 token n-gram with
     the benchmark corpus — the standard eval-contamination check (GPT-3
-    appendix C shape; n=13 there, parameterized here).
+    appendix C shape; n=13 there, parameterized here). A benchmark row
+    SHORTER than n tokens matches on its full token sequence instead of
+    being silently unmatchable (the GPT-3 "use the whole example when
+    it is shorter than n" rule): the corpus side additionally emits
+    t-grams for each short benchmark length t, digest-tagged by length
+    so a t-gram can only match a t-length benchmark row.
 
-    Scale: both sides reduce to DISTINCT 16-byte md5 digests of their
-    n-grams before joining; benchmark suites are tiny relative to the
-    corpus, so by default the digest set broadcasts and the check is a
-    map-side semi-join — the corpus is scanned once and never shuffled.
-    Pass ``broadcast_benchmark=False`` for a benchmark too large to
-    broadcast (the join falls back to a digest-keyed shuffle; the
-    corpus side still moves only (id, digest) rows)."""
+    Scale: digests are compared BELOW any shuffle — the corpus side is
+    exploded to (id, digest), filtered by the broadcast benchmark digest
+    set map-side, and only the (tiny) contaminated remainder shuffles
+    for the per-document distinct count. The benchmark is assumed small
+    (its short-row length set is collected to the driver); pass
+    ``broadcast_benchmark=False`` if it is too large to broadcast (the
+    join becomes a digest-keyed shuffle; the corpus side then moves its
+    full (id, digest) set)."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    doc_ngrams = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(ngram_over_text_sql("spark", quote_ident(text_col), n))
-            ).alias("_ng"),
+
+    def _tagged(src: DataFrame, col: str, length: int, exact: bool):
+        """(… , _h) digests of `length`-grams, tagged with the length;
+        exact=True keeps only rows with exactly `length` tokens (the
+        short-benchmark whole-text case)."""
+        grams = F.expr(
+            ngram_over_text_sql("spark", quote_ident(col), length)
         )
-        .select(id_col, F.md5("_ng").alias("_h"))
-        .distinct()
-    )
-    bench_h = (
-        bench.select(
-            F.explode(
-                F.expr(
-                    ngram_over_text_sql("spark", quote_ident(bench_text_col), n)
-                )
-            ).alias("_ng")
+        out = src
+        if exact:
+            ntok = F.size(
+                F.expr(spark_sql_tokenize_expr(quote_ident(col)))
+            )
+            out = out.where(ntok == length)
+        keep = [F.col(id_col)] if id_col in src.columns else []
+        return out.select(
+            *keep, F.explode(grams).alias("_ng")
+        ).withColumn("_h", F.md5(F.concat_ws("|", F.lit(str(length)), "_ng")))
+
+    # short benchmark rows (< n tokens): collected driver-side — the
+    # benchmark is small by contract
+    short_lengths = sorted(
+        r[0]
+        for r in bench.select(
+            F.size(
+                F.expr(spark_sql_tokenize_expr(quote_ident(bench_text_col)))
+            ).alias("_t")
         )
-        .select(F.md5("_ng").alias("_h"))
+        .where((F.col("_t") > 0) & (F.col("_t") < n))
         .distinct()
+        .collect()
     )
-    joined = doc_ngrams.join(
+
+    bench_ng = _tagged(bench.select(F.col(bench_text_col)), bench_text_col,
+                       n, exact=False)
+    for t in short_lengths:
+        bench_ng = bench_ng.unionByName(
+            _tagged(bench.select(F.col(bench_text_col)), bench_text_col,
+                    t, exact=True)
+        )
+    bench_h = bench_ng.select("_h").distinct()
+
+    doc_ngrams = _tagged(df, text_col, n, exact=False)
+    for t in short_lengths:
+        doc_ngrams = doc_ngrams.unionByName(_tagged(df, text_col, t,
+                                                    exact=False))
+    joined = doc_ngrams.select(id_col, "_h").join(
         F.broadcast(bench_h) if broadcast_benchmark else bench_h, on="_h"
     )
     return joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hit_ngrams")
+        F.countDistinct("_h").cast("bigint").alias("n_hit_ngrams")
     )
 
 

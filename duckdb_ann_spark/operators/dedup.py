@@ -295,6 +295,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard →
     (id_a, id_b, jaccard) for jaccard >= threshold."""
+    # est_jaccard is never read here (exact Jaccard re-verifies), so the
+    # ids-only fast path is forced; drop a caller-supplied ids_only
+    # instead of colliding with it
+    lsh_kw.pop("ids_only", None)
     cands = minhash_candidate_pairs(
         df, id_col, text_col, shingle_words=shingle_words, ids_only=True,
         **lsh_kw

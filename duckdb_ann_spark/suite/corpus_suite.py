@@ -231,13 +231,13 @@ _DECON_N = 5
         FROM documents d CROSS JOIN bt
     ),
     bench AS (
-        SELECT DISTINCT md5(ng) AS h FROM (
+        SELECT DISTINCT md5('{_DECON_N}' || '|' || ng) AS h FROM (
             SELECT unnest({ngram_over_text_sql('duck', 'text', _DECON_N)}) AS ng
             FROM aug WHERE doc_id % 29 = 3
         )
     ),
     dng AS (
-        SELECT DISTINCT doc_id, md5(ng) AS h FROM (
+        SELECT DISTINCT doc_id, md5('{_DECON_N}' || '|' || ng) AS h FROM (
             SELECT doc_id,
                    unnest({ngram_over_text_sql('duck', 'text', _DECON_N)}) AS ng
             FROM aug

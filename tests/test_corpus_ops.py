@@ -230,6 +230,53 @@ def test_ngram_decontaminate_flags_overlap(spark):
     assert out == {0: 1}
 
 
+def test_decontaminate_short_benchmark_rows(spark):
+    """A benchmark row shorter than n matches on its whole token
+    sequence (the GPT-3 'use the whole example' rule) instead of being
+    silently unmatchable."""
+    df = spark.createDataFrame(
+        [
+            (0, "padding words then the answer is forty two appears here"),
+            (1, "completely unrelated content in this document row"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the answer is forty two",)], "text string"  # 5 tokens < n=13
+    )
+    out = {r["doc_id"]: r["n_hit_ngrams"]
+           for r in ngram_decontaminate(df, "doc_id", "text", bench, "text",
+                                        n=13).collect()}
+    assert out == {0: 1}
+
+
+def test_hash_split_rejects_empty_quantized_split(spark):
+    from duckdb_ann_spark.operators.corpus_ops import hash_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="empty split"):
+        hash_split(df, "doc_id", (0.99994, 0.00003, 0.00003))
+
+
+def test_bucket_salt_validated(spark):
+    from duckdb_ann_spark.operators.corpus_ops import hash_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="salt must match"):
+        hash_split(df, "doc_id", salt="it's")
+
+
+def test_ngram_jaccard_tolerates_ids_only_kwarg(spark):
+    from duckdb_ann_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f")], "doc_id long, text string"
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                                ids_only=True)
+    assert pairs.count() == 1
+
+
 def test_pack_sequences_known_packing(spark):
     df = spark.createDataFrame(
         [
