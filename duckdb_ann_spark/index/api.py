@@ -358,6 +358,15 @@ def vacuum_index(
     `src/diskann_index.cpp:701-741`, `rust_lib/src/index_manager.rs:687-717`)."""
     cat, manifest, d, impl = _load(name, "", catalog)
     id_col = manifest["id_col"]
+    if int(manifest["num_vectors"]) == 0:
+        # nothing to rebuild (and an empty IVF artifact isn't readable);
+        # just clear any tombstone residue
+        delpath = os.path.join(d, DELETED_DIR)
+        if os.path.exists(delpath):
+            import shutil
+
+            shutil.rmtree(delpath)
+        return cat.update(name, num_deleted=0)
     vecs = impl.vectors(spark, d)
     deleted = _deleted_ids(spark, d, manifest)
     if deleted is not None:
@@ -409,26 +418,36 @@ def merge_indexes(
     (`MergeIndexes`, `src/diskann_index.cpp:655-699`)."""
     cat, m_dst, d_dst, impl = _load(dst, "", catalog)
     _, m_src, d_src, impl_src = _load(src, "", catalog)
-    if m_dst["dim"] != m_src["dim"]:
+    n_dst, n_src = int(m_dst["num_vectors"]), int(m_src["num_vectors"])
+    # an EMPTY side contributes nothing and has no meaningful dim (0);
+    # only two non-empty sides can genuinely mismatch
+    if n_dst and n_src and m_dst["dim"] != m_src["dim"]:
         raise ValueError(
             f"Cannot merge: dimension mismatch {m_dst['dim']} vs {m_src['dim']}"
         )
     if m_dst["params"]["metric"] != m_src["params"]["metric"]:
         raise ValueError("Cannot merge: metric mismatch")
     id_col = m_dst["id_col"]
-    a = impl.vectors(spark, d_dst)
-    da = _deleted_ids(spark, d_dst, m_dst)
-    if da is not None:
-        a = a.join(F.broadcast(da), on=id_col, how="anti")
-    # anti-join the source's tombstones BEFORE renaming to the destination's
-    # column names: after toDF the source id column no longer exists, and a
-    # src index with a different id_col + tombstones would fail the join
-    b = impl_src.vectors(spark, d_src)
-    db = _deleted_ids(spark, d_src, m_src)
-    if db is not None:
-        b = b.join(F.broadcast(db), on=m_src["id_col"], how="anti")
-    b = b.toDF(id_col, m_dst["vec_col"])
-    union = a.unionByName(b)
+    if n_dst + n_src == 0:
+        return m_dst  # both empty: nothing to rebuild
+    frames = []
+    if n_dst:
+        a = impl.vectors(spark, d_dst)
+        da = _deleted_ids(spark, d_dst, m_dst)
+        if da is not None:
+            a = a.join(F.broadcast(da), on=id_col, how="anti")
+        frames.append(a)
+    if n_src:
+        # anti-join the source's tombstones BEFORE renaming to the
+        # destination's column names: after toDF the source id column no
+        # longer exists, and a src index with a different id_col +
+        # tombstones would fail the join
+        b = impl_src.vectors(spark, d_src)
+        db = _deleted_ids(spark, d_src, m_src)
+        if db is not None:
+            b = b.join(F.broadcast(db), on=m_src["id_col"], how="anti")
+        frames.append(b.toDF(id_col, m_dst["vec_col"]))
+    union = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
     params = parse_params(m_dst["engine"], _params_kwargs(m_dst))
     import shutil
 
@@ -456,7 +475,11 @@ def merge_indexes(
     if os.path.exists(delpath):
         shutil.rmtree(delpath)
     _refresh(spark, d_dst)
-    return cat.update(dst, num_vectors=int(n), num_deleted=0, **(extra or {}))
+    updates = dict(num_vectors=int(n), num_deleted=0, **(extra or {}))
+    if int(m_dst["dim"]) == 0 and n_src:
+        # an empty destination adopts the source's dimension
+        updates["dim"] = int(m_src["dim"])
+    return cat.update(dst, **updates)
 
 
 def insert_into_index(

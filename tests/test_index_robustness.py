@@ -58,6 +58,38 @@ def test_create_empty_then_insert(spark, cat, engine, opts):
     drop_index(name, cat)
 
 
+def test_vacuum_and_merge_with_empty_indexes(spark, cat):
+    """Vacuum of an empty index is a no-op (the empty IVF artifact is
+    not even readable); merging an empty source is a no-op and an empty
+    DESTINATION adopts the source's vectors and dimension."""
+    from duckdb_ann_spark.index import merge_indexes
+
+    for n in ("rob_me_full", "rob_me_empty", "rob_me_ivf"):
+        drop_index(n, cat)
+    create_index(_vecs(spark, range(8)), "vec_id", "embedding",
+                 "rob_me_full", engine="faiss", table_name="t", catalog=cat)
+    create_index(_vecs(spark, []), "vec_id", "embedding", "rob_me_empty",
+                 engine="faiss", table_name="t", catalog=cat)
+    create_index(_vecs(spark, []), "vec_id", "embedding", "rob_me_ivf",
+                 engine="faiss", table_name="t", type="IVFFlat",
+                 ivf_nlist=4, catalog=cat)
+
+    assert vacuum_index(spark, "rob_me_ivf", catalog=cat)["num_vectors"] == 0
+    assert vacuum_index(spark, "rob_me_empty", catalog=cat)["num_vectors"] == 0
+
+    # full <- empty: no-op merge
+    m = merge_indexes(spark, "rob_me_full", "rob_me_empty", catalog=cat)
+    assert m["num_vectors"] == 8
+    # empty <- full: adopts vectors and dim
+    m = merge_indexes(spark, "rob_me_empty", "rob_me_full", catalog=cat)
+    assert m["num_vectors"] == 8 and m["dim"] == 4
+    hits = index_scan(spark, "rob_me_empty", [[0.0, 1.0, 2.0, 3.0]], k=3,
+                      catalog=cat)
+    assert hits.count() == 3
+    for n in ("rob_me_full", "rob_me_empty", "rob_me_ivf"):
+        drop_index(n, cat)
+
+
 def test_delete_then_reinsert_says_vacuum(spark, cat):
     name = "rob_reinsert"
     drop_index(name, cat)
