@@ -12,8 +12,19 @@ Arrow-batched UDFs only where built-ins can't express the semantics (graph ANN
 search), never row-at-a-time Python.
 """
 
-from .session import get_spark
-from .functions.distance import (
+import os as _os
+
+# BLAS thread cap must land BEFORE numpy loads (OpenBLAS reads the env
+# at library init): the imports below pull in numpy, so session.py's
+# identical setdefault would come too late for the DRIVER process
+# (python workers are fresh processes and inherit either way). 2 keeps
+# driver-side GEMMs (KMeans training) reasonable without N workers x N
+# BLAS threads oversubscription.
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_var, "2")
+
+from .session import get_spark  # noqa: E402
+from .functions.distance import (  # noqa: E402
     array_cosine_similarity,
     array_distance,
     array_inner_product,

@@ -71,8 +71,6 @@ def as_vector_lit(vec) -> Column:
     `F.array(lit, lit, ...)` instead carries dim child expressions into
     every distance expression — at dim 768 the exact top-k plan would
     drag ~2-4x768 literal nodes through analysis and codegen."""
-    import numpy as np
-
     return F.lit(np.asarray([float(x) for x in vec], dtype=np.float64))
 
 
@@ -227,7 +225,12 @@ def np_partial_topk(d: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
     part = np.argpartition(d, kk - 1)[:kk]
     t = d[part].max()
     with np.errstate(invalid="ignore"):
-        cand = np.flatnonzero(~(d > t))  # d <= t, keeping NaN out
+        # NB: ~(d > t) keeps NaN IN (NaN > t is False) — deliberately:
+        # NaNs sort last in the lexsort below and fall off the [:kk]
+        # cut. Do NOT "simplify" to d <= t: when t is itself NaN (fewer
+        # than kk finite distances), d <= NaN is all-False and would
+        # drop every finite candidate.
+        cand = np.flatnonzero(~(d > t))
     order = np.lexsort((ids[cand], d[cand]))[:kk]
     return cand[order]
 

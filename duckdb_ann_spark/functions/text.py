@@ -15,7 +15,7 @@ TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 __all__ = ["tokenize", "token_count", "sql_tokenize", "spark_sql_tokenize",
            "spark_sql_tokenize_expr", "sql_bind_once", "quote_ident",
-           "TOKEN_SPLIT_RE"]
+           "py_tokenize", "TOKEN_SPLIT_RE"]
 
 
 def quote_ident(name: str) -> str:

@@ -82,7 +82,10 @@ def local_df(
         else schema_names(schema)
     )
     if isinstance(rows, pd.DataFrame):
-        pdf = rows
+        # Arrow conversion maps pdf columns to schema fields by POSITION
+        # and ignores names — reorder so a caller's column order can't
+        # silently land values in the wrong fields
+        pdf = rows[names]
     else:
         rows = list(rows)
         if not rows:

@@ -4,8 +4,10 @@ The driver's correctness gate runs each Spark query next to an ANSI-SQL oracle
 in DuckDB and hash-compares values. Floats only hash-match if both engines do
 the *same IEEE754 operations in the same order*, so these fragments mirror
 `functions/distance.py` exactly: cast elements to DOUBLE, combine pairwise,
-fold sequentially left-to-right (`list_reduce` is a seedless sequential fold;
-our Spark fold seeds with 0.0, and 0.0+x == x exactly).
+fold sequentially left-to-right, seeded with 0.0 on BOTH sides (a
+list_prepend'ed seed on the DuckDB side: 0.0+x == x exactly for every x
+except -0.0, where the seed normalizes both engines to +0.0 alike; it
+also makes empty vectors fold to 0.0 instead of erroring).
 
 Op determinism rules (round-5 lesson): +, -, *, /, sqrt are IEEE-exact
 and safe to hash-compare; transcendentals (ln/log/exp/pow) are NOT —
@@ -34,11 +36,23 @@ def sql_vector_lit(vec: Sequence[float]) -> str:
 
 
 def _zip_fold(a: str, b: str, combine: str) -> str:
+    """Pairwise-combine + sequential left fold, mirroring Spark's
+    `F.aggregate(F.zip_with(a, b, comb), 0.0, +)` EDGE CASES too:
+
+    * range over the LONGER list (zip_with pads the shorter side with
+      NULL → NULL total; DuckDB's out-of-range [i] is NULL likewise) —
+      ranging over `a` alone returned a finite distance for a short row
+      where Spark returns NULL;
+    * seed the fold with 0.0 via list_prepend — a seedless list_reduce
+      CRASHES on empty vectors where Spark returns the 0.0 seed, and
+      the seed also normalizes an all--0.0 products case to +0.0 the
+      way Spark's 0.0 + (-0.0) does (sign-of-zero is hash-visible)."""
     # combine uses placeholders {x} and {y}
     expr = combine.format(x=f"CAST({a}[i] AS DOUBLE)", y=f"CAST({b}[i] AS DOUBLE)")
     return (
-        f"list_reduce(list_transform(range(1, len({a}) + 1), i -> {expr}), "
-        f"(acc, v) -> acc + v)"
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, greatest(len({a}), len({b})) + 1), "
+        f"i -> {expr})), (acc, v) -> acc + v)"
     )
 
 

@@ -98,9 +98,14 @@ def topk_auto(
     cat = catalog or Catalog()
     gates: list[str] = []
 
+    tie_col = id_col
+
     def brute(reason: str):
         d = df.where(filter) if filter is not None else df
-        res = topk(d, vec_col, query, k, metric, id_col=id_col)
+        # tie_col may have been upgraded to the manifest id_col below, so
+        # distance ties break identically on both routes (route-dependent
+        # tie order would make gate flips look like wrong results)
+        res = topk(d, vec_col, query, k, metric, id_col=tie_col)
         dec = PlanDecision("brute_force", reason=reason, gates=gates)
         return (res, dec) if explain else res
 
@@ -114,6 +119,8 @@ def topk_auto(
     if manifest is None:
         gates.append(f"no {m} index on {table_name}.{vec_col}")
         return brute("no metric-compatible index")
+    if tie_col is None and manifest["id_col"] in df.columns:
+        tie_col = manifest["id_col"]
 
     n = manifest.get("num_vectors", 0)
     if n < MIN_ROWS_FOR_INDEX:
@@ -142,7 +149,9 @@ def topk_auto(
         # sufficiency count and the returned result both read the stored
         # partitions instead of re-running the join (two jobs otherwise).
         out = out.where(filter).localCheckpoint(eager=True)
-        if out.limit(min(k, n)).count() < min(k, n):
+        # the selectivity gate above guarantees k < gate*n, so k rows is
+        # the full sufficiency requirement
+        if out.limit(k).count() < k:
             gates.append(f"filtered overfetch {fetch_k} insufficient")
             return brute("filter too selective for index overfetch")
     res = (

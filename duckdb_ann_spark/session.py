@@ -21,8 +21,10 @@ def get_spark(app_name: str = "duckdb_ann_spark", cpus: int | None = None) -> Sp
     # Cap BLAS threads: N python workers x N OpenBLAS threads thrashes
     # the box (numpy kernels inside mapInPandas are many small ops, not
     # one big GEMM). Python workers inherit the JVM's env, which inherits
-    # ours — set before the JVM starts. 2 keeps driver-side GEMMs
-    # (KMeans training) reasonable without worker oversubscription.
+    # ours — set before the JVM starts. The DRIVER-side cap is applied in
+    # the package __init__ (it must precede the first numpy import;
+    # OpenBLAS reads the env at library load); this repeat covers callers
+    # that imported session directly.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "2")
     builder = SparkSession.builder

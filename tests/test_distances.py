@@ -114,3 +114,43 @@ def test_vector_distances_strict_vs_zero_fill(spark):
     }
     # short row zero-padded to [1,0,0] -> 0.0; long row truncated -> 0.0
     assert loose == {0: 0.0, 1: 0.0, 2: 0.0}
+
+
+def test_oracle_fold_edge_cases_match_spark(spark):
+    """The DuckDB fold must mirror zip_with's pad-with-NULL on length
+    mismatch and the 0.0 seed on empty vectors (a seedless list_reduce
+    crashes; ranging over one side alone returned a finite distance
+    where Spark returns NULL)."""
+    import duckdb
+    import math
+
+    from duckdb_ann_spark.functions.distance import l2sq_distance
+    from duckdb_ann_spark.oracle import sql_l2sq
+
+    rows = [
+        (0, [1.0], [1.0, 2.0]),    # short row vs longer query
+        (1, [], []),               # empty both
+        (2, [1.0, 2.0], [3.0, 5.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", l2sq_distance("a", "b").alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = dict(con.execute(
+        "SELECT i, " + sql_l2sq("a", "b") + " FROM (VALUES "
+        "(0, [1.0]::DOUBLE[], [1.0, 2.0]::DOUBLE[]), "
+        "(1, []::DOUBLE[], []::DOUBLE[]), "
+        "(2, [1.0, 2.0]::DOUBLE[], [3.0, 5.0]::DOUBLE[])) t(i, a, b)"
+    ).fetchall())
+    for i in got:
+        if got[i] is None or (isinstance(got[i], float) and math.isnan(got[i])):
+            assert want[i] is None, (i, got[i], want[i])
+        else:
+            assert got[i] == want[i], (i, got[i], want[i])
+    assert got[1] == 0.0 and got[0] is None
