@@ -100,18 +100,25 @@ def dedup_exact(
     )
 
 
+def shingle_body_sql(n: int = SHINGLE_WORDS) -> str:
+    """n-word shingles over a BOUND token array named `toks` (whole text
+    when shorter)."""
+    elems = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        f"case when size(toks) < {n} then array(concat_ws(' ', toks)) "
+        f"else transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {elems})) end"
+    )
+
+
 def shingle_sql(text_col: str, n: int = SHINGLE_WORDS) -> str:
     """Spark SQL fragment: array<string> of n-word shingles (the whole
     text when shorter), over ONE bound tokenize evaluation. Assembled as
     a string so the deep HOF tree parses JVM-side in one py4j call (the
     per-node Column builders cost seconds of driver time per plan)."""
-    elems = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
-    body = (
-        f"case when size(toks) < {n} then array(concat_ws(' ', toks)) "
-        f"else transform(sequence(1, size(toks) - {n - 1}), "
-        f"i -> concat_ws(' ', {elems})) end"
+    return sql_bind_once(
+        spark_sql_tokenize(text_col), "toks", shingle_body_sql(n)
     )
-    return sql_bind_once(spark_sql_tokenize(text_col), "toks", body)
 
 
 def shingles(text_col: str, n: int = SHINGLE_WORDS) -> Column:
@@ -128,6 +135,18 @@ def signature_sql(text_col: str, n_hashes: int = N_HASHES,
     `bind_once`) so the n_hashes components share ONE evaluation of
     each; every component is a cheap integer transform of the shared
     hash array. One md5 per shingle, total."""
+    return sql_bind_once(
+        spark_sql_tokenize(text_col), "toks",
+        signature_body_sql(n_hashes, shingle_words),
+    )
+
+
+def signature_body_sql(n_hashes: int = N_HASHES,
+                       shingle_words: int = SHINGLE_WORDS) -> str:
+    """The MinHash signature over a BOUND token array named `toks` —
+    lets callers that already tokenize per row (prepare_corpus' fused
+    annotate pass) compute the signature in the SAME evaluation instead
+    of re-tokenizing the corpus."""
     if n_hashes > len(MINHASH_COEFFS):
         raise ValueError(f"n_hashes must be <= {len(MINHASH_COEFFS)}")
     comps = ", ".join(
@@ -139,7 +158,7 @@ def signature_sql(text_col: str, n_hashes: int = N_HASHES,
         "cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"
     )
     return sql_bind_once(
-        shingle_sql(text_col, shingle_words), "s",
+        shingle_body_sql(shingle_words), "s",
         sql_bind_once(hs, "hs", f"array({comps})"),
     )
 
@@ -237,6 +256,7 @@ def minhash_candidate_pairs(
     shingle_words: int = SHINGLE_WORDS,
     widen: bool = True,
     ids_only: bool = False,
+    sig_col: str | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band bucket
     (id_a < id_b). est_jaccard = matching signature fraction.
@@ -245,13 +265,20 @@ def minhash_candidate_pairs(
     ``ids_only=True`` returns just (id_a, id_b) and SKIPS the two
     signature joins est_jaccard needs — callers that re-verify with
     exact Jaccard (ngram_jaccard_pairs, the pipeline) never read the
-    estimate, and Catalyst can't prune a join it can't prove 1:1."""
-    # signatures are the heavy per-row expression chain (tokenize →
-    # shingle → hash); don't let a single-file input serialize them
-    sigs = minhash_signatures(
-        widen_if_narrow(df) if widen else df,
-        id_col, text_col, n_hashes, shingle_words,
-    )
+    estimate, and Catalyst can't prune a join it can't prove 1:1.
+    ``sig_col`` names a PRECOMPUTED signature column (array<bigint>,
+    built with signature_body_sql under the same n_hashes/shingle_words)
+    — a caller that already tokenizes per row (prepare_corpus' fused
+    annotate) skips the whole tokenize→shingle→hash pass here."""
+    if sig_col is not None:
+        sigs = df.select(F.col(id_col), F.col(sig_col).alias("sig"))
+    else:
+        # signatures are the heavy per-row expression chain (tokenize →
+        # shingle → hash); don't let a single-file input serialize them
+        sigs = minhash_signatures(
+            widen_if_narrow(df) if widen else df,
+            id_col, text_col, n_hashes, shingle_words,
+        )
     # the signature table is consumed up to FOUR times (two band-join
     # branches + two est-jaccard joins): persist it so the tokenize→
     # shingle→minhash pipeline runs once — at scale this is the "write

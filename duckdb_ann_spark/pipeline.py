@@ -61,9 +61,11 @@ def annotate_and_gate(
     [→ repetition gates].
 
     → (*extra_cols, id, text, n_chars, n_tokens, quality_score,
-    lang_pred, _fp) where `_fp` is the normalized-token exact-dup
-    fingerprint both dedup flavors key on. Pure row-local projections +
-    filters — stream-safe by construction (no shuffle, no state)."""
+    lang_pred, _fp, _sig) where `_fp` is the normalized-token exact-dup
+    fingerprint both dedup flavors key on and `_sig` is the MinHash
+    signature (computed in the same tokenize evaluation, so near-dedup
+    never re-tokenizes). Pure row-local projections + filters —
+    stream-safe by construction (no shuffle, no state)."""
     if scrub_pii:
         from .operators.corpus_ops import pii_redact
 
@@ -72,13 +74,18 @@ def annotate_and_gate(
     # Column builders paid a py4j round-trip per node — seconds of
     # driver time per plan); element_at(transform(array(..)), 1) is the
     # SQL spelling of bind_once: one tokenize evaluation per row
+    from .operators.dedup import signature_body_sql
+
     annotations = F.expr(
         sql_bind_once(
             spark_sql_tokenize(text_col), "toks",
             "struct(size(toks) as n_tokens, "
             f"{sql_quality_struct()} as q, "
             f"{sql_lang_hits_struct()} as h, "
-            "md5(concat_ws(' ', toks)) as fp)",
+            "md5(concat_ws(' ', toks)) as fp, "
+            # MinHash signature in the SAME tokenize evaluation: the
+            # near-dedup stage then skips its full corpus re-tokenize
+            f"{signature_body_sql()} as sig)",
         )
     )
     ann = docs.select(
@@ -96,6 +103,7 @@ def annotate_and_gate(
         F.col("_a.q.quality_score").alias("quality_score"),
         lang_pred_from_hits(lambda lg: F.col(f"_a.h.h_{lg}")).alias("lang_pred"),
         F.col("_a.fp").alias("_fp"),
+        F.col("_a.sig").alias("_sig"),
     )
 
     kept = ann.where(
@@ -205,7 +213,9 @@ def prepare_corpus(
     uniq = (
         kept.groupBy("_fp")
         .agg(
-            F.min_by(F.struct(*keep_cols), F.col(id_col)).alias("_r")
+            # _sig rides along so near-dedup reuses the annotate pass's
+            # signature instead of re-tokenizing the cleaned corpus
+            F.min_by(F.struct(*keep_cols, "_sig"), F.col(id_col)).alias("_r")
         )
         .select("_r.*")
     )
@@ -219,8 +229,8 @@ def prepare_corpus(
     # uniq sits downstream of the dedup agg's exchange, so it is already
     # wide — widen=False skips a redundant plan-compile probe
     pairs = ngram_jaccard_pairs(
-        uniq.select(id_col, text_col), id_col, text_col,
-        threshold=near_dup_threshold, widen=False,
+        uniq.select(id_col, text_col, "_sig"), id_col, text_col,
+        threshold=near_dup_threshold, widen=False, sig_col="_sig",
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (
