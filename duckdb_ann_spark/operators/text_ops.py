@@ -111,6 +111,18 @@ def sql_lang_hits_struct(toks: str = "toks") -> str:
     return f"struct({cols})"
 
 
+def sql_lang_pred_case(h: str = "hh") -> str:
+    """Spark SQL CASE over a bound lang-hits struct named `h`, mirroring
+    :func:`lang_pred_from_hits` exactly (first LANG_MARKERS language
+    with a nonzero maximal hit count wins; keep in lockstep)."""
+    g = "greatest(" + ", ".join(f"{h}.h_{lg}" for lg in LANG_MARKERS) + ")"
+    whens = " ".join(
+        f"WHEN {h}.h_{lg} > 0 AND {h}.h_{lg} >= {g} THEN '{lg}'"
+        for lg in LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
 def quality_features(toks: Column) -> Column:
     """Expression builder over a bound token array →
     struct(stopword_ratio, alpha_ratio, unique_ratio, quality_score).

@@ -4,12 +4,15 @@ This is the end-to-end flow a large-scale LLM-data team runs over a raw
 document corpus, expressed as ONE declarative Spark plan built from the
 engine's own operators (`operators/text_ops.py`, `operators/dedup.py`):
 
-1. **annotate** — token stats, quality features, language-ID, and the
-   exact-dup fingerprint, all computed in a single narrow scan sharing
-   ONE tokenize evaluation per row (no shuffle, whole-stage codegen);
-2. **filter** — keep documents whose predicted language is allowed and
-   whose composite quality score clears the floor (narrow, pushed to
-   the same scan by Catalyst);
+1. **gate** — keep documents whose predicted language is allowed and
+   whose composite quality score clears the floor, as ONE
+   self-contained predicate over the raw text (a filter on annotate
+   aliases would get the whole annotate tree inlined into its
+   predicates — measured 9 evaluations per row);
+2. **annotate** — token stats, quality features, language-ID, the
+   exact-dup fingerprint, AND the MinHash signature, all computed for
+   the surviving rows in a single narrow scan sharing ONE tokenize
+   evaluation per row (no shuffle);
 3. **exact dedup** — keep the smallest id per normalized-text
    fingerprint via `min_by` hash aggregation: map-side partial combine
    before ONE shuffle keyed on the 32-hex-char digest, no per-partition
@@ -31,6 +34,7 @@ a large-scale training-data pipeline would need").
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -39,7 +43,12 @@ from pyspark.sql import functions as F
 from .functions.text import spark_sql_tokenize, sql_bind_once
 from .local import widen_if_narrow
 from .operators.dedup import ngram_jaccard_pairs
-from .operators.text_ops import lang_pred_from_hits, sql_lang_hits_struct, sql_quality_struct
+from .operators.text_ops import (
+    lang_pred_from_hits,
+    sql_lang_hits_struct,
+    sql_lang_pred_case,
+    sql_quality_struct,
+)
 
 __all__ = ["prepare_corpus", "annotate_and_gate"]
 
@@ -70,6 +79,34 @@ def annotate_and_gate(
         from .operators.corpus_ops import pii_redact
 
         docs = docs.withColumn(text_col, pii_redact(text_col))
+
+    # language/quality gate FIRST, as one self-contained predicate over
+    # the raw text: a filter on the annotate projection's aliases gets
+    # those aliases INLINED into its predicates by pushdown, and with
+    # them the whole annotate tree — measured NINE evaluations of the
+    # struct (tokenize + signature included) per row vs one. The gate
+    # re-derives only the cheap subset it needs (quality score + lang
+    # hits) and must stay semantically identical to the lang_pred /
+    # quality_score columns produced below (sql_lang_pred_case mirrors
+    # lang_pred_from_hits; both sides read sql_quality_struct).
+    for lg in langs:
+        if not re.fullmatch(r"[a-z0-9_]+", lg):
+            raise ValueError(f"invalid language code {lg!r}")
+    if langs:
+        langs_sql = ", ".join(f"'{lg}'" for lg in langs)
+        gate = sql_bind_once(
+            spark_sql_tokenize(text_col), "toks",
+            f"({sql_quality_struct()}).quality_score >= "
+            f"cast({float(min_quality)!r} as double) AND "
+            + sql_bind_once(
+                sql_lang_hits_struct(), "hh",
+                f"({sql_lang_pred_case('hh')}) IN ({langs_sql})",
+            ),
+        )
+    else:
+        gate = "false"  # no allowed languages: empty (correct schema)
+    docs = docs.where(F.expr(gate))
+
     # the whole annotate struct as ONE SQL string (the node-by-node
     # Column builders paid a py4j round-trip per node — seconds of
     # driver time per plan); element_at(transform(array(..)), 1) is the
@@ -105,11 +142,8 @@ def annotate_and_gate(
         F.col("_a.fp").alias("_fp"),
         F.col("_a.sig").alias("_sig"),
     )
-
-    kept = ann.where(
-        F.col("lang_pred").isin(list(langs))
-        & (F.col("quality_score") >= F.lit(float(min_quality)))
-    )
+    # NO filter on ann's aliases here — the gate already ran upstream
+    kept = ann
 
     if repetition_gates:
         # one self-contained boolean predicate (single evaluation of the
