@@ -115,6 +115,41 @@ def test_prepare_corpus_decontaminate(spark):
     assert out == {0}
 
 
+def test_gate_predicate_matches_annotate_columns(spark, sf_dir):
+    """The self-contained language/quality gate (evaluated BEFORE the
+    annotate projection, to stop predicate pushdown inlining the whole
+    tree) must keep exactly the rows whose annotate COLUMNS satisfy the
+    same conditions — sql_lang_pred_case and lang_pred_from_hits may
+    never drift."""
+    from duckdb_ann_spark.pipeline import annotate_and_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for langs, floor in ((("en",), 0.65), (("en", "es", "zh"), 0.5)):
+        kept = annotate_and_gate(docs, "doc_id", "text", langs=langs,
+                                 min_quality=floor)
+        got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        # reference: annotate EVERYTHING (all languages incl. 'und',
+        # floor 0 = gate fully open), then re-filter on the COLUMNS
+        allrows = annotate_and_gate(
+            docs, "doc_id", "text",
+            langs=("en", "es", "de", "fr", "zh", "und"),
+            min_quality=0.0,
+        )
+        want = {
+            r["doc_id"]
+            for r in allrows.collect()
+            if r["lang_pred"] in langs and r["quality_score"] is not None
+            and r["quality_score"] >= floor
+        }
+        assert got == want, (langs, floor, len(got), len(want))
+        # every surviving row's columns satisfy the gate it passed
+        for r in kept.collect():
+            assert r["lang_pred"] in langs
+            assert r["quality_score"] >= floor
+
+
 def test_prepare_corpus_lm_filter(spark, sf_dir):
     """min_avg_logprob adds the unigram-LM gate: output is a subset of
     the unfiltered run, and the dropped docs are exactly those whose
