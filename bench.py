@@ -24,6 +24,13 @@ Workloads:
   gated prepare_corpus) — see `bench_corpus`; also excluded from the
   headline total (`pipeline_sf` is the comparable pipeline number).
 
+Round-5 note for cross-round comparison: `pipeline_sf` dropped ~30% vs
+round 4 through two PLAN changes (the language/quality gate moved below
+the annotate projection, which predicate pushdown had been inlining 9x
+per row; and the MinHash signature is now computed inside the annotate
+pass instead of re-tokenizing the cleaned corpus) — measured cold, same
+methodology as round 4.
+
 Metric: total wall seconds over all workloads (lower is better), with the
 per-query breakdown in "queries".
 
