@@ -231,9 +231,15 @@ _DECON_N = 5
         FROM documents d CROSS JOIN bt
     ),
     bench AS (
+        -- benchmark rows restricted to >= n tokens ON BOTH SIDES: the
+        -- operator's short-row whole-text rule has no static-SQL oracle
+        -- (it collects the length set), so the ENTRY pins the >= n case
+        -- and pytest covers the short-row rule
         SELECT DISTINCT md5('{_DECON_N}' || '|' || ng) AS h FROM (
             SELECT unnest({ngram_over_text_sql('duck', 'text', _DECON_N)}) AS ng
-            FROM aug WHERE doc_id % 29 = 3
+            FROM aug
+            WHERE doc_id % 29 = 3
+              AND len({sql_tokenize('text')}) >= {_DECON_N}
         )
     ),
     dng AS (
@@ -265,7 +271,11 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    bench = aug.where(F.col("doc_id") % 29 == 3)
+    from ..functions.text import token_count
+
+    bench = aug.where(
+        (F.col("doc_id") % 29 == 3) & (token_count("text") >= _DECON_N)
+    )
     return ngram_decontaminate(aug, "doc_id", "text", bench, "text",
                                n=_DECON_N)
 

@@ -114,9 +114,16 @@ def _hybrid_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_VECTOR_ONLY = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 vr AS (
+    -- rank over the documents-joined corpus like the entry (an unjoined
+    -- 'FROM embeddings' only agrees while every vec_id has a matching
+    -- doc_id — same corpus fix the fused oracle carries)
     SELECT vec_id AS doc_id,
            CAST(row_number() OVER (ORDER BY _d, vec_id) AS INT) AS _vector_rank
-    FROM (SELECT e.vec_id, {_DIST} AS _d FROM embeddings e CROSS JOIN q)
+    FROM (
+        SELECT e.vec_id, {_DIST} AS _d
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        CROSS JOIN q
+    )
     QUALIFY _vector_rank <= 50
 )
 SELECT doc_id,

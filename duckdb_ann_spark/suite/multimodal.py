@@ -25,7 +25,8 @@ _FEATURE_BINS = ",\n           ".join(
     for i in range(8)
 )
 _FEATURE_COLS = ", ".join(
-    f"CAST(h{i} / n_bytes AS FLOAT) AS f{i}" for i in range(8)
+    f"CAST(COALESCE(h{i} / s.n_bytes, 0.0) AS FLOAT) AS f{i}"
+    for i in range(8)
 )
 
 _FEATURES_ORACLE = f"""
@@ -42,12 +43,17 @@ _FEATURES_ORACLE = f"""
            {_FEATURE_BINS}
         FROM b GROUP BY doc_id
     )
-    SELECT s.doc_id, s.n_bytes, md5(d.text) AS digest,
-           sm / s.n_bytes AS byte_mean,
-           sqrt(greatest(sq / s.n_bytes - (sm / s.n_bytes) * (sm / s.n_bytes), 0.0))
-               AS byte_std,
+    SELECT d.doc_id,
+           COALESCE(s.n_bytes, 0) AS n_bytes,
+           md5(d.text) AS digest,
+           COALESCE(sm / s.n_bytes, 0.0) AS byte_mean,
+           COALESCE(sqrt(greatest(
+               sq / s.n_bytes - (sm / s.n_bytes) * (sm / s.n_bytes), 0.0)),
+               0.0) AS byte_std,
            {_FEATURE_COLS}
-    FROM s JOIN documents d USING (doc_id)
+    -- LEFT JOIN + zero-fill: an empty-text doc has no unnested bytes
+    -- (absent from s) but the operator emits a zeros row for it
+    FROM documents d LEFT JOIN s USING (doc_id)
     """
 
 

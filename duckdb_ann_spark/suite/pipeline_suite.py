@@ -18,21 +18,14 @@ from ..pipeline import prepare_corpus
 from ..operators.text_ops import LANG_MARKERS
 from . import register
 from .dedup import _DOCS_AUG_CTE, _SIG_COMPONENTS, _docs_aug
-from .text import _STOP_SQL
+from .text import _STOP_SQL, duck_lang_cols
 
 _TOK = sql_tokenize("text")
 
-_HITS = ",\n           ".join(
-    "CAST(len(list_filter(toks, x -> list_contains(['"
-    + "', '".join(markers)
-    + f"'], x))) AS INT) AS h_{lang}"
-    for lang, markers in LANG_MARKERS.items()
-)
+# single-sourced duck lang fragments (suite/text.py) — a hand-typed
+# second copy here could drift from text_signals' and the Spark twins
+_HITS, _LANG_CASE_FULL = duck_lang_cols()
 _GREATEST = "greatest(" + ", ".join(f"h_{lg}" for lg in LANG_MARKERS) + ")"
-_LANG_CASES = "\n                ".join(
-    f"WHEN h_{lg} > 0 AND h_{lg} >= {_GREATEST} THEN '{lg}'"
-    for lg in LANG_MARKERS
-)
 
 _ORACLE = f"""
     WITH {_DOCS_AUG_CTE.strip()},
@@ -56,8 +49,7 @@ _ORACLE = f"""
            + 0.25 * least((n_stop / n) * 5.0, 1.0)
            + 0.25 * (n_alpha / n)
            + 0.25 * (uniq / n) AS quality_score,
-           CASE {_LANG_CASES}
-                ELSE 'und' END AS lang_pred,
+           {_LANG_CASE_FULL} AS lang_pred,
            fp
         FROM a
     ),

@@ -38,9 +38,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_SQL = "['" + "', '".join(STOPWORDS[0].split()) + "']"
 
 
-def _lang_cols() -> tuple[str, str]:
-    """(hit-count column list, CASE decision) — mirrors operators.text_ops
-    lang_id."""
+def duck_lang_cols() -> tuple[str, str]:
+    """(hit-count column list, CASE decision) in DuckDB SQL — mirrors
+    operators.text_ops lang_id / lang_pred_from_hits. THE single duck
+    spelling: pipeline_suite reuses it (a second hand-typed copy could
+    silently drift from this one and from the Spark twins)."""
     hits = ",\n            ".join(
         f"CAST(len(list_filter(toks, x -> list_contains(['"
         + "', '".join(markers)
@@ -54,10 +56,15 @@ def _lang_cols() -> tuple[str, str]:
     return hits, f"CASE {cases} ELSE 'und' END"
 
 
-_HITS, _LANG_CASE = _lang_cols()
+_HITS, _LANG_CASE = duck_lang_cols()
 _G = "greatest(" + ", ".join(f"h_{lg}" for lg in LANG_MARKERS) + ")"
 
-_BPE_RE = r"'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"
+# DuckDB string literal of the SAME pre-tokenizer regex the operator
+# uses — derived, not retyped, so an edit to BPE_PRETOKEN_RE reaches
+# the oracle automatically
+from ..operators.text_ops import BPE_PRETOKEN_RE as _BPE_SRC  # noqa: E402
+
+_BPE_RE = "'" + _BPE_SRC.replace("'", "''") + "'"
 
 
 @register(
