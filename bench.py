@@ -277,6 +277,27 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     recall["scale100k_ivf"] = round(_recall(rows), 3)
     drop_index("scale_ivf", cat)
 
+    # round-6 addition: the all-AUTO pairing (nlist=0 -> sqrt(N) cells,
+    # nprobe=0 -> recall-calibrated probe count) that the 1M smoke's
+    # 0.70-floor fix rides on — records the probe-fraction/latency/
+    # recall tradeoff vs the pinned 110/256 workload above
+    from duckdb_ann_spark.index.ivf import auto_nlist, auto_nprobe
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "scale_ivf_auto", engine="faiss",
+        type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
+    )
+    out["scale100k_ivf_auto_build"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = index_scan(spark, "scale_ivf_auto", queries, K, catalog=cat).collect()
+    out["scale100k_ivf_auto_search"] = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K, len(rows)
+    recall["scale100k_ivf_auto"] = round(_recall(rows), 3)
+    nl = auto_nlist(SCALE_N)
+    out["scale100k_ivf_auto_probe_frac"] = round(auto_nprobe(nl, dim) / nl, 4)
+    drop_index("scale_ivf_auto", cat)
+
     t0 = time.perf_counter()
     # shards=128 measured fastest at this N on local[32] (781-row graphs:
     # 14.2s vs 19.5s at 64 shards and 22.4s at 192 — per-insert cost is

@@ -106,6 +106,8 @@ class FaissParams:
     # clamp(floor(sqrt(N)), 16, 65536) at build time, the README's
     # "cells stay ~sqrt(N) rows" sizing rule applied automatically
     ivf_nlist: int = 100
+    # reference default 1; 0 = AUTO (Spark extension): resolve a
+    # recall-calibrated probe count at search time (ivf.auto_nprobe)
     nprobe: int = 1
     train_sample: int = 0
     description: str = field(default="")
@@ -136,8 +138,13 @@ class FaissParams:
             raise ValueError(
                 f"Unknown FAISS index type '{self.type}'. Supported: Flat, HNSW, IVFFlat"
             )
-        # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61)
-        self.nprobe = max(1, int(self.nprobe))
+        # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61);
+        # nprobe=0 is OUR extension: AUTO — resolve a recall-calibrated
+        # probe count at search time (ivf.auto_nprobe; pairs with
+        # ivf_nlist=0). Negative keeps the reference clamp-to-1.
+        self.nprobe = int(self.nprobe)
+        if self.nprobe < 0:
+            self.nprobe = 1
         if int(self.hnsw_m) < 1:
             # m=0 would build an edgeless graph whose every search
             # silently returns only the entry point

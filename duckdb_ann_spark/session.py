@@ -42,6 +42,9 @@ def get_spark(app_name: str = "duckdb_ann_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr parseable: the console progress bar writes
+        # carriage-return escape spam that pollutes captured bench output
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     spark = builder.getOrCreate()

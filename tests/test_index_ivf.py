@@ -228,6 +228,46 @@ def test_auto_nlist_sqrt_rule(emb, cat):
         )
 
 
+def test_auto_nprobe_formula():
+    """nprobe=0 resolves via the recall-calibrated rule
+    ceil(1.25 * (d/64)^0.25 * nlist^0.75) clamped to [8, nlist] — the
+    exact points the offline calibration pinned (ivf.auto_nprobe
+    docstring), plus the structural properties the 100 TB story needs:
+    probe COUNT grows with nlist while probe FRACTION shrinks."""
+    from duckdb_ann_spark.index.ivf import auto_nprobe
+
+    assert auto_nprobe(256, 64) == 80   # 1.25 * 256^0.75 = 80 exactly
+    assert auto_nprobe(1000, 64) == 223
+    assert auto_nprobe(316, 128) == 112
+    assert auto_nprobe(4, 64) == 4      # capped at nlist
+    assert auto_nprobe(16, 64) == 10
+    for d in (64, 128, 768):
+        counts = [auto_nprobe(nl, d) for nl in (64, 256, 1024, 4096, 65536)]
+        assert counts == sorted(counts)  # monotone in nlist
+        fracs = [c / nl for c, nl in zip(counts, (64, 256, 1024, 4096, 65536))]
+        assert fracs == sorted(fracs, reverse=True)  # fraction shrinks
+
+
+def test_auto_nprobe_search(spark, emb, qvec, cat):
+    """The all-auto pairing (ivf_nlist=0, nprobe=0) searches end-to-end
+    and clears the reference recall floor on the ~uniform testdata —
+    nprobe resolves at SEARCH time from the persisted cell count, so
+    appends that grow the index never stale the probe count."""
+    create_index(
+        emb, "vec_id", "embedding", "ivf_auto_np", engine="faiss",
+        type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
+    )
+    got = [
+        r.vec_id
+        for r in index_scan(spark, "ivf_auto_np", [qvec], k=10, catalog=cat)
+        .orderBy("_distance", "vec_id")
+        .collect()
+    ]
+    want = _brute_ids(emb, qvec, 10)
+    assert len(got) == 10
+    assert len(set(got) & set(want)) >= 7
+
+
 def test_kmeans_deterministic_and_covering():
     """The round-5 kmeans rewrite (shared norms + reduceat update) must
     stay seeded-deterministic, produce finite centroids, and leave no

@@ -77,23 +77,32 @@ def test_ivf_1m_build_and_probe(spark, cat):
         truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
 
     t0 = time.perf_counter()
+    # nlist=0 / nprobe=0: both AUTO — nlist = sqrt(N) = 1000 cells,
+    # nprobe recall-calibrated for that cell count (auto_nprobe). The
+    # round-5 fixed 32/256 config measured recall 0.66 here, under the
+    # reference's 0.70 floor; the auto pairing is the fix.
     create_index(
         vecs, "vec_id", "embedding", "smoke_ivf", engine="faiss",
-        type="IVFFlat", ivf_nlist=256, nprobe=32, catalog=cat,
+        type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
     )
     build_s = time.perf_counter() - t0
 
+    from duckdb_ann_spark.index.ivf import auto_nlist, auto_nprobe
+
+    nlist = auto_nlist(n)
+    nprobe = auto_nprobe(nlist, DIM)
     t0 = time.perf_counter()
     rows = index_scan(spark, "smoke_ivf", queries, K, catalog=cat).collect()
     search_s = time.perf_counter() - t0
     assert len(rows) == N_QUERIES * K
 
     rec = _recall(rows, truth)
-    print(f"\nivf 1M: build {build_s:.1f}s, search {search_s:.1f}s, "
-          f"recall@{K} {rec:.3f}")
-    # uniform vectors at nprobe/nlist = 1/8 — the worst case for IVF;
-    # the floor checks pruning didn't break, not tuned recall
-    assert rec >= 0.60, rec
+    print(f"\nivf 1M: build {build_s:.1f}s, search {search_s:.1f}s "
+          f"(auto nprobe/nlist {nprobe}/{nlist}), recall@{K} {rec:.3f}")
+    # uniform vectors — the worst case for IVF: the auto probe pairing
+    # must clear the reference's published floor even here
+    # (test/sql/diskann_streaming.test:40-50)
+    assert rec >= 0.70, rec
     drop_index("smoke_ivf", cat)
     vecs.unpersist()
 
