@@ -545,13 +545,48 @@ def stratified_sample(
     per-domain counts (min(k, |domain|)) — the eval-set-carving /
     per-domain-cap primitive.
 
-    Scale: one window per domain (same parallel shape as
-    pack_sequences); the sort key is a bucket int + id, never text."""
+    Scale (round-6 rewrite): the global rank within a domain is computed
+    in TWO LEVELS so no task ever sorts a whole domain (real corpora are
+    Zipfian — one domain can be 80%+ of rows, and a
+    ``Window.partitionBy(domain)`` would serialize on it):
+
+    1. rank within (domain, bucket) — the salted md5 bucket already
+       splits each domain into <=10000 ordered groups of ~|domain|/10000
+       rows, so the per-task sort is bounded;
+    2. per-(domain, bucket) counts (tiny: <=10000 rows per domain)
+       prefix-summed over buckets, joined back as the rank base.
+
+    ``base + rank_within_bucket`` equals the single-window rank exactly
+    (ids are the unique tie-break within a bucket), so the output is
+    identical by construction — the driver oracle's single-window SQL
+    still hash-matches."""
     if k < 0:
         raise ValueError("k must be >= 0")
     b = F.expr(bucket_sql("spark", quote_ident(id_col), salt))
-    w = Window.partitionBy(domain_col).orderBy(b.asc(), F.col(id_col).asc())
-    return df.withColumn("strat_keep", F.row_number().over(w) <= k)
+    helper = [c for c in ("_sb", "_srn", "_sbase") if c in df.columns]
+    if helper:
+        raise ValueError(f"columns {helper} collide with helper names")
+    with_b = df.withColumn("_sb", b)
+    w1 = Window.partitionBy(domain_col, "_sb").orderBy(F.col(id_col).asc())
+    ranked = with_b.withColumn("_srn", F.row_number().over(w1))
+    counts = with_b.groupBy(domain_col, "_sb").agg(
+        F.count(F.lit(1)).alias("_sc")
+    )
+    wb = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("_sb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = counts.select(
+        domain_col,
+        "_sb",
+        F.coalesce(F.sum("_sc").over(wb), F.lit(0)).alias("_sbase"),
+    )
+    out = ranked.join(base, on=[domain_col, "_sb"]).withColumn(
+        "strat_keep", (F.col("_sbase") + F.col("_srn")) <= k
+    )
+    # join reorders columns (keys first); restore the input's order
+    return out.select(*df.columns, "strat_keep")
 
 
 def _rate_threshold(rate: float) -> int:
@@ -812,6 +847,7 @@ def pack_sequences(
     part_col: str,
     text_col: str,
     max_len: int = 2048,
+    chunks: int = 512,
 ) -> DataFrame:
     """→ (id, part, n_tokens, pack_no, pack_offset): deterministic greedy
     packing of documents into fixed-token-budget training rows.
@@ -822,26 +858,78 @@ def pack_sequences(
     and may overflow by at most one document — the standard streaming
     packing discipline (no re-sorting, so ordering stays reproducible).
 
-    Scale: ONE window partitioned by `part_col` (domain/source), so
-    packing parallelizes across domains; the window state is a running
-    BIGINT sum. A single global pack stream would serialize on one
-    partition — partition the corpus first."""
+    Scale (round-6 rewrite): the per-domain running sum is computed in
+    TWO LEVELS so no task ever sorts a whole domain. Real pretraining
+    corpora are Zipfian — one domain (web crawl) can be 80%+ of rows,
+    and the previous single ``Window.partitionBy(part_col)`` cumsum
+    serialized on it (one task sorting billions of rows):
+
+    1. each domain's id RANGE is split into ~`chunks` balanced,
+       order-respecting segments via per-domain `percentile_approx`
+       boundaries (one tiny map-combinable aggregation over (id, part)
+       only — no tokenize);
+    2. the cumsum windows over (part, chunk) — bounded task size
+       ~|domain|/chunks regardless of skew;
+    3. per-chunk token totals (tiny: <= parts x chunks rows) are
+       prefix-summed over chunks and joined back as the rebase offset.
+
+    ``chunk_base + within_chunk_prev`` equals the single-window prefix
+    sum EXACTLY for any order-respecting boundary placement, so the
+    output is identical by construction (the sketch's boundary choice
+    only affects load balance, never values) and the driver oracle's
+    single-window SQL still hash-matches. Cost: the token count is
+    evaluated in both the cumsum and the totals branch (two map-side
+    passes) — the price of not persisting a corpus-sized intermediate.
+    """
     if max_len <= 0:
         raise ValueError("max_len must be positive")
-    w = (
-        Window.partitionBy(part_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    with_prev = df.select(
+    if chunks < 1:
+        raise ValueError("chunks must be >= 1")
+    helper = [c for c in ("_chunk", "_bounds") if c in df.columns]
+    if helper:
+        raise ValueError(f"columns {helper} collide with helper names")
+    toks = df.select(
         F.col(id_col),
         F.col(part_col),
         token_count(text_col).cast("bigint").alias("n_tokens"),
-    ).select(
-        id_col,
+    )
+    if chunks == 1:
+        assigned = toks.withColumn("_chunk", F.lit(0))
+    else:
+        fracs = [i / chunks for i in range(1, chunks)]
+        bounds = toks.groupBy(part_col).agg(
+            F.percentile_approx(id_col, fracs).alias("_bounds")
+        )
+
+        def _lt_id(b):
+            return b < F.col(id_col)
+
+        assigned = toks.join(F.broadcast(bounds), on=part_col).withColumn(
+            "_chunk", F.size(F.filter("_bounds", _lt_id))
+        ).drop("_bounds")
+    w1 = (
+        Window.partitionBy(part_col, "_chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = assigned.withColumn(
+        "_wprev", F.coalesce(F.sum("n_tokens").over(w1), F.lit(0))
+    )
+    totals = assigned.groupBy(part_col, "_chunk").agg(
+        F.sum("n_tokens").alias("_ct")
+    )
+    wc = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col("_chunk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = totals.select(
         part_col,
-        "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("_prev"),
+        "_chunk",
+        F.coalesce(F.sum("_ct").over(wc), F.lit(0)).alias("_cbase"),
+    )
+    with_prev = within.join(base, on=[part_col, "_chunk"]).withColumn(
+        "_prev", F.col("_cbase") + F.col("_wprev")
     )
     return with_prev.select(
         id_col,

@@ -157,3 +157,34 @@ def test_minhash_signature_single_scan(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_pack_and_stratified_windows_are_two_level(spark):
+    """The round-6 skew fix: neither pack_sequences nor stratified_sample
+    may contain a window partitioned by the domain column ALONE — a
+    Zipfian corpus (one domain 80%+ of rows) would serialize that window
+    into a single task. Every per-row window must carry the second-level
+    chunk/bucket key; only the tiny per-chunk-totals prefix (operating on
+    <= chunks rows per domain) partitions by domain alone."""
+    from duckdb_ann_spark.operators.corpus_ops import (
+        pack_sequences,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("web").alias("source"),
+        F.lit("a b c").alias("text"),
+    )
+    for out in (
+        pack_sequences(df, "doc_id", "source", "text", max_len=8, chunks=8),
+        stratified_sample(df, "doc_id", "source", 5),
+    ):
+        plan = _plan(out)
+        # windowspecdefinition(source, ..., doc_id ASC ...) with no chunk
+        # key between would be the single-level shape
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            parts = [p.strip().split("#")[0] for p in spec.split(",")]
+            if any(p.startswith("doc_id") for p in parts):
+                # the per-row cumsum/rank window: needs the 2nd key
+                assert any(p.startswith(("_chunk", "_sb")) for p in parts), spec

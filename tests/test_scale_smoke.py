@@ -284,7 +284,35 @@ def test_corpus_prep_200k(spark):
     pack_s = time.perf_counter() - t0
     assert n_packs >= 64
 
+    # round-6 skew case: 90% of the corpus in ONE domain (the Zipfian
+    # web-crawl shape). The old single per-domain window serialized this
+    # into one task sorting 180k rows; the two-level chunked cumsum must
+    # spread it across ~chunks tasks and stay in the same time band as
+    # the balanced 64-domain run above.
+    skew = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 10 == 0, F.col("source"))
+        .otherwise(F.lit(-1))
+    )
+    t0 = time.perf_counter()
+    packed_skew = pack_sequences(skew, "doc_id", "source", "text",
+                                 max_len=2048)
+    agg = packed_skew.where(F.col("source") == -1).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("pack_no") * 2048 + F.col("pack_offset")).alias("mx"),
+        F.sum("n_tokens").alias("tot"),
+    ).collect()[0]
+    pack_skew_s = time.perf_counter() - t0
+    # the dominant domain's final prefix must equal (total - last doc's
+    # tokens): the two-level rebase reconstructed one exact stream
+    assert agg["n"] == n - n // 10
+    last = (
+        packed_skew.where(F.col("source") == -1)
+        .orderBy(F.col("doc_id").desc()).limit(1).collect()[0]
+    )
+    assert last["pack_no"] * 2048 + last["pack_offset"] == agg["tot"] - last["n_tokens"]
+    assert pack_skew_s < max(4 * pack_s, 30), (pack_skew_s, pack_s)
+
     print(f"\ncorpus 200k: repetition {rep_s:.1f}s, "
           f"dedup pairs+components {dedup_s:.1f}s, pack {pack_s:.1f}s "
-          f"({n_packs} packs)")
+          f"({n_packs} packs), pack-90%-skew {pack_skew_s:.1f}s")
     docs.unpersist()
