@@ -34,11 +34,14 @@ methodology as round 4.
 Metric: total wall seconds over all workloads (lower is better), with the
 per-query breakdown in "queries".
 
-Each workload runs TWICE and the reported number is the per-workload
-minimum: the workloads are seconds-scale on local[32], where a single
-sample is dominated by JVM GC / host noise (observed 2x swings between
-identical runs), and min-of-2 measures the code rather than the host
-weather. Recall is seeded/deterministic and identical across passes.
+Each shared workload runs THREE times and the reported number is the
+per-workload minimum: the workloads are seconds-scale on local[32],
+where a single sample is dominated by JVM GC / host noise (observed 2x
+swings between identical runs). Round 5's min-of-2 left four +11..+20%
+round-over-round deltas unresolvable between noise and regression —
+min-of-3 (round-6 change) tightens the floor estimate so cross-round
+comparison measures the code rather than the host weather. Recall is
+seeded/deterministic and identical across passes.
 
 The data cache is CLEARED between passes (round-4 change): Spark's
 CacheManager matches persisted plans structurally, so without the clear,
@@ -460,10 +463,10 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
-    # two full passes, per-workload min (see module docstring)
+    # three full passes, per-workload min (see module docstring)
     timings: dict[str, float] = {}
     recall: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         t, recall = run_workloads(spark)
         for k, v in t.items():
             timings[k] = min(v, timings.get(k, v))

@@ -231,6 +231,24 @@ class VamanaEngine:
     # rows open a fresh overflow shard instead (bounds the rewrite cost
     # of any single append and keeps shard sizes even at scale)
     APPEND_SHARD_CAP = 25_000
+    # appends collect the delta to the driver (sequential insert is the
+    # reference's own semantics); a delta past this cap raises instead
+    # of silently OOM-ing the driver — same limit-probe house style as
+    # operators/batch.py MAX_QUERY_ROWS
+    MAX_APPEND_ROWS = 100_000
+
+    def _collect_delta(self, df_new: DataFrame, id_col: str, vec_col: str):
+        """Bounded driver collect of an append delta, id-ordered."""
+        n = df_new.limit(self.MAX_APPEND_ROWS + 1).count()
+        if n > self.MAX_APPEND_ROWS:
+            raise ValueError(
+                f"append delta exceeds {self.MAX_APPEND_ROWS} rows; "
+                "per-vector insert collects the delta to the driver "
+                "(reference stream-insert semantics). For bulk loads "
+                "use create_index over the full table, or build a "
+                "second index and merge_indexes."
+            )
+        return df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
 
     def append(
         self,
@@ -252,7 +270,7 @@ class VamanaEngine:
         machinery). Exactly one shard file is written per append;
         untouched shards stay byte-identical."""
         id_col, vec_col = manifest["id_col"], manifest["vec_col"]
-        pdf = df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
+        pdf = self._collect_delta(df_new, id_col, vec_col)
         if not len(pdf):
             return {}
         vecs = np_stack_vectors(pdf[vec_col])
@@ -499,7 +517,7 @@ class HnswEngine(VamanaEngine):
         overflow shard is built instead. Exactly one shard file is
         rewritten."""
         id_col, vec_col = manifest["id_col"], manifest["vec_col"]
-        pdf = df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
+        pdf = self._collect_delta(df_new, id_col, vec_col)
         if not len(pdf):
             return {}
         vecs = np_stack_vectors(pdf[vec_col])

@@ -595,8 +595,13 @@ def _rate_threshold(rate: float) -> int:
     = 2.9999...96) and Spark's bigint cast truncates where DuckDB's
     rounds — both the keep-contract and cross-engine parity need the
     integer decided once, engine-independently (same move as
-    hash_split's edges)."""
-    return int(round(float(rate) * HASH_BUCKETS))
+    hash_split's edges). Rates outside [0, 1] fail at build time
+    (matching `_split_edges`' discipline): a typo'd 25-meaning-25%
+    would otherwise silently keep everything."""
+    rate = float(rate)
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(round(rate * HASH_BUCKETS))
 
 
 def rate_case_sql(d: str, domain_expr: str, rates: dict[str, float],
@@ -724,11 +729,18 @@ def connected_components(
         # executor loss mid-run must be survivable.
         stepped = _small_star(_large_star(canon)).localCheckpoint()
         new_sig = _sig(stepped)
-        canon.unpersist()
-        canon = stepped
-        if new_sig == sig:
+        # signature match is a fast filter; the exceptAll confirms the
+        # edge sets are EXACTLY equal (counts already match via the
+        # signature, so one-sided emptiness suffices) — a 2^-64 hash
+        # collision can then never terminate a round early with wrong
+        # labels. Both frames are checkpointed, so the check is cheap.
+        if new_sig == sig and stepped.exceptAll(canon).isEmpty():
+            canon.unpersist()
+            canon = stepped
             converged = True
             break
+        canon.unpersist()
+        canon = stepped
         sig = new_sig
     if not converged:
         # best-effort cleanup; the localCheckpoint blocks themselves are
@@ -755,6 +767,12 @@ def connected_components(
 # ngram_decontaminate
 # ---------------------------------------------------------------------------
 
+# a broadcast benchmark past this many rows raises (the digest set is
+# collected to the driver and shipped to every task); "small by
+# contract" is now enforced, not assumed
+MAX_BENCH_ROWS = 500_000
+
+
 def ngram_decontaminate(
     df: DataFrame,
     id_col: str,
@@ -773,16 +791,30 @@ def ngram_decontaminate(
     t-grams for each short benchmark length t, digest-tagged by length
     so a t-gram can only match a t-length benchmark row.
 
-    Scale: digests are compared BELOW any shuffle — the corpus side is
-    exploded to (id, digest), filtered by the broadcast benchmark digest
-    set map-side, and only the (tiny) contaminated remainder shuffles
-    for the per-document distinct count. The benchmark is assumed small
-    (its short-row length set is collected to the driver); pass
-    ``broadcast_benchmark=False`` if it is too large to broadcast (the
-    join becomes a digest-keyed shuffle; the corpus side then moves its
+    Scale: digests are compared BELOW any shuffle — the corpus side
+    emits ONE length-tagged digest array per document covering the main
+    n AND every short benchmark length (tokens bound once, one scan, one
+    explode — round-6 fix: the per-length unions used to re-scan the
+    whole corpus once per distinct short length), filtered by the
+    broadcast benchmark digest set map-side; only the (tiny)
+    contaminated remainder shuffles for the per-document distinct
+    count. ``broadcast_benchmark=True`` (default) collects the
+    benchmark digest set — guarded by a `MAX_BENCH_ROWS` probe so an
+    oversized benchmark fails loud instead of OOM-ing the driver; pass
+    ``broadcast_benchmark=False`` for large benchmarks (the join
+    becomes a digest-keyed shuffle; the corpus side then moves its
     full (id, digest) set)."""
     if n < 1:
         raise ValueError("n must be >= 1")
+    if broadcast_benchmark:
+        nb = bench.limit(MAX_BENCH_ROWS + 1).count()
+        if nb > MAX_BENCH_ROWS:
+            raise ValueError(
+                f"ngram_decontaminate: benchmark exceeds {MAX_BENCH_ROWS} "
+                "rows; its digest set is collected and broadcast to every "
+                "task. Pass broadcast_benchmark=False to use a digest-keyed "
+                "shuffle join instead."
+            )
 
     def _tagged(src: DataFrame, col: str, length: int, exact: bool):
         """(… , _h) digests of `length`-grams, tagged with the length;
@@ -825,10 +857,22 @@ def ngram_decontaminate(
         )
     bench_h = bench_ng.select("_h").distinct()
 
-    doc_ngrams = _tagged(df, text_col, n, exact=False)
-    for t in short_lengths:
-        doc_ngrams = doc_ngrams.unionByName(_tagged(df, text_col, t,
-                                                    exact=False))
+    # corpus side: ONE tagged-digest array over all needed lengths —
+    # single scan, single explode, tokens bound once per row
+    parts = [
+        _transform(
+            "spark", _ngrams("spark", "toks", length), "g",
+            f"md5(concat_ws('|', '{length}', g))",
+        )
+        for length in [n] + short_lengths
+    ]
+    combined = parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
+    digest_arr = _bind(
+        "spark", _tok("spark", quote_ident(text_col)), "toks", combined
+    )
+    doc_ngrams = df.select(
+        F.col(id_col), F.explode(F.expr(digest_arr)).alias("_h")
+    )
     joined = doc_ngrams.select(id_col, "_h").join(
         F.broadcast(bench_h) if broadcast_benchmark else bench_h, on="_h"
     )

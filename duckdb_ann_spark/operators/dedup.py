@@ -271,6 +271,10 @@ def minhash_candidate_pairs(
     — a caller that already tokenizes per row (prepare_corpus' fused
     annotate) skips the whole tokenize→shingle→hash pass here."""
     if sig_col is not None:
+        # precomputed signatures: a narrow projection of the caller's
+        # frame — the caller owns its caching (prepare_corpus persists
+        # the gated-annotate table this projects), so an extra persist
+        # here would only accumulate duplicate blocks in long sessions
         sigs = df.select(F.col(id_col), F.col(sig_col).alias("sig"))
     else:
         # signatures are the heavy per-row expression chain (tokenize →
@@ -279,13 +283,17 @@ def minhash_candidate_pairs(
             widen_if_narrow(df) if widen else df,
             id_col, text_col, n_hashes, shingle_words,
         )
-    # the signature table is consumed up to FOUR times (two band-join
-    # branches + two est-jaccard joins): persist it so the tokenize→
-    # shingle→minhash pipeline runs once — at scale this is the "write
-    # the signature table, then band it" structure every production LSH
-    # pipeline uses. The persisted projection is (id, 12 bigints): a
-    # small fixed fraction of the corpus, MEMORY_AND_DISK-evictable.
-    sigs = sigs.persist()
+        # the signature table is consumed up to FOUR times (two
+        # band-join branches + two est-jaccard joins): persist it so
+        # the tokenize→shingle→minhash pipeline runs once — at scale
+        # this is the "write the signature table, then band it"
+        # structure every production LSH pipeline uses. The persisted
+        # projection is (id, 12 bigints): a small fixed fraction of the
+        # corpus, MEMORY_AND_DISK-evictable. It stays referenced by the
+        # returned plan, so it cannot be unpersisted here — callers
+        # that loop should spark.catalog.clearCache() (or unpersist)
+        # after materializing their output, as bench.py does.
+        sigs = sigs.persist()
     bands = band_keys_from_signatures(sigs, id_col, n_hashes, n_bands)
 
     # pairs carry only ids through the band join + distinct (signature

@@ -43,8 +43,19 @@ def binary_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     )
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image(data: bytes):
-    """Decode an image blob. STUB: the runtime has no imaging libraries."""
+    """Decode an image blob. Soft dependency: real PIL decode when the
+    library is importable, NotImplementedError otherwise (this runtime
+    ships no imaging libraries)."""
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -56,6 +67,18 @@ def decode_image(data: bytes):
             "runtime; extract_features uses deterministic byte-level "
             "features instead"
         ) from e
+
+
+def _pil_decode(blob: bytes) -> np.ndarray:
+    """Real decode → feature vector: grayscale pixel values, 8-bin
+    normalized histogram — the same feature shape as `_fake_decode`, so
+    swapping decoders never changes the output schema."""
+    img = decode_image(blob).convert("L")
+    arr = np.asarray(img, dtype=np.uint8).ravel()
+    if arr.size == 0:
+        return np.zeros(8, dtype=np.float32)
+    hist, _ = np.histogram(arr, bins=8, range=(0, 256))
+    return (hist / arr.size).astype(np.float32)
 
 
 def _fake_decode(blob: bytes) -> np.ndarray:
@@ -181,11 +204,31 @@ def resize_features(
     return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
 
 
-def extract_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+def extract_features(
+    df: DataFrame, id_col: str, bin_col: str, decoder: str = "auto"
+) -> DataFrame:
     """→ (id, n_bytes, byte_mean, byte_std, features array<float>[8]).
 
     Arrow-batched mapInPandas: the real pattern for media pipelines —
-    one Python roundtrip per batch, numpy inside, typed schema outside."""
+    one Python roundtrip per batch, numpy inside, typed schema outside.
+
+    ``decoder``: "bytes" = deterministic byte-histogram stand-in (always
+    available, what the driver oracle pins); "image" = real PIL decode →
+    grayscale pixel histogram (raises NotImplementedError when PIL is
+    absent); "auto" (default) = "image" when PIL is importable on the
+    DRIVER, else "bytes" — the decision is made once here, not
+    per-executor, so a heterogeneous cluster can't mix decoders. The
+    byte-level mean/std stats are decoder-independent."""
+    if decoder not in ("auto", "bytes", "image"):
+        raise ValueError(f"decoder must be auto|bytes|image, got {decoder!r}")
+    if decoder == "auto":
+        decoder = "image" if _pil_available() else "bytes"
+    if decoder == "image" and not _pil_available():
+        raise NotImplementedError(
+            "decoder='image' requires PIL, which is not importable; "
+            "use decoder='bytes' for the deterministic byte-level features"
+        )
+    decode = _pil_decode if decoder == "image" else _fake_decode
     schema = (
         f"{id_col} long, n_bytes long, byte_mean double, byte_std double, "
         "features array<float>"
@@ -218,7 +261,7 @@ def extract_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 else:
                     mean = std = 0.0
                 out.append(
-                    (rid, n, mean, std, [float(x) for x in _fake_decode(b)])
+                    (rid, n, mean, std, [float(x) for x in decode(b)])
                 )
             yield pd.DataFrame(
                 out, columns=[id_col, "n_bytes", "byte_mean", "byte_std", "features"]

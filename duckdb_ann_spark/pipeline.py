@@ -89,6 +89,11 @@ def annotate_and_gate(
     # hits) and must stay semantically identical to the lang_pred /
     # quality_score columns produced below (sql_lang_pred_case mirrors
     # lang_pred_from_hits; both sides read sql_quality_struct).
+    # codes are lowercase-normalized ('EN' keeps working), then
+    # validated: the codes are interpolated into a SQL IN-list AND must
+    # belong to the lang-id vocabulary's shape — a malformed code (e.g.
+    # 'pt-BR') raises here instead of the pre-round-5 silent no-match
+    langs = tuple(lg.lower() for lg in langs)
     for lg in langs:
         if not re.fullmatch(r"[a-z0-9_]+", lg):
             raise ValueError(f"invalid language code {lg!r}")

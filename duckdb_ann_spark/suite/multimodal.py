@@ -73,7 +73,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums through the same f64 expression tree the operator
     evaluates (see extract_features) — bit-identical, hash-checkable."""
     blobs = _blobs(spark, sf_dir)
-    res = extract_features(blobs, "doc_id", "blob")
+    # decoder pinned to the byte-histogram stand-in: the driver oracle
+    # must hash-match on machines with AND without PIL installed
+    res = extract_features(blobs, "doc_id", "blob", decoder="bytes")
     meta = binary_stats(blobs, "doc_id", "blob").select("doc_id", "digest")
     return res.join(meta, on="doc_id").select(
         "doc_id", "n_bytes", "digest", "byte_mean", "byte_std",

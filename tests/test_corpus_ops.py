@@ -393,3 +393,54 @@ def test_all_ops_survive_empty_input(spark):
                                  "doc_id long, source string, text string")
     assert ngram_decontaminate(docs, "doc_id", "text",
                                empty.select("text"), "text", n=5).count() == 0
+
+
+def test_domain_sample_rejects_out_of_range_rate(spark):
+    from duckdb_ann_spark.operators.corpus_ops import domain_sample
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match=r"rate must be in \[0, 1\]"):
+        domain_sample(df, "doc_id", "source", {"a": 25.0})
+    with pytest.raises(ValueError, match=r"rate must be in \[0, 1\]"):
+        domain_sample(df, "doc_id", "source", {"a": 0.5}, default_rate=-1.0)
+
+
+def test_decontaminate_bench_size_guard(spark, monkeypatch):
+    """Round-6 guard: a broadcast benchmark past MAX_BENCH_ROWS raises
+    and names the broadcast_benchmark=False escape hatch, which still
+    produces the same result via the shuffle join."""
+    import duckdb_ann_spark.operators.corpus_ops as co
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(f"alpha beta gamma delta epsilon {i}",) for i in range(5)],
+        "text string",
+    )
+    monkeypatch.setattr(co, "MAX_BENCH_ROWS", 3)
+    with pytest.raises(ValueError, match="broadcast_benchmark=False"):
+        ngram_decontaminate(df, "doc_id", "text", bench, "text", n=5)
+    out = {r["doc_id"]: r["n_hit_ngrams"]
+           for r in ngram_decontaminate(df, "doc_id", "text", bench, "text",
+                                        n=5, broadcast_benchmark=False)
+           .collect()}
+    assert out == {0: 1}
+
+
+def test_decontaminate_single_corpus_scan(spark, sf_dir):
+    """Round-6 advice fix: short benchmark rows must NOT multiply corpus
+    scans — all needed gram lengths ride one tagged-digest array, so the
+    plan scans the documents parquet exactly once."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",), ("two tokens",), ("one",)],
+        "text string",
+    )
+    plan = (
+        ngram_decontaminate(docs, "doc_id", "text", bench, "text", n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan

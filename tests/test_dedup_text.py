@@ -130,13 +130,19 @@ def test_binary_stats_and_features(docs):
     blobs = docs.select("doc_id", F.col("text").cast("binary").alias("blob"))
     st = {r.doc_id: r for r in binary_stats(blobs, "doc_id", "blob").collect()}
     assert st[0].n_bytes == len(BASE.encode())
-    feats = {r.doc_id: r for r in extract_features(blobs, "doc_id", "blob").collect()}
+    feats = {r.doc_id: r for r in extract_features(
+        blobs, "doc_id", "blob", decoder="bytes").collect()}
     assert feats[0].n_bytes == len(BASE.encode())
     assert len(feats[0].features) == 8
     assert abs(sum(feats[0].features) - 1.0) < 1e-5  # normalized histogram
     assert feats[0].features == feats[1].features  # deterministic
 
 
+@pytest.mark.skipif(
+    __import__("duckdb_ann_spark.operators.multimodal",
+               fromlist=["_pil_available"])._pil_available(),
+    reason="PIL installed: decode_image decodes for real",
+)
 def test_decode_image_stub():
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\x89PNG fake")
@@ -356,3 +362,43 @@ def test_lm_unigram_scores_oov_floor_parity(spark, sf_dir):
             == want["sum_logprob_nano"].to_numpy()).all()
     assert (got["n_scored_tokens"].to_numpy()
             == want["n_scored_tokens"].to_numpy()).all()
+
+
+@pytest.mark.skipif(
+    not __import__("duckdb_ann_spark.operators.multimodal",
+                   fromlist=["_pil_available"])._pil_available(),
+    reason="PIL not installed: real image decode unavailable",
+)
+def test_extract_features_real_pil_decode(spark):
+    """Soft-dependency path: real PNG bytes → real grayscale-histogram
+    features through the SAME Arrow plumbing the stub uses (schema,
+    batching, byte-stats unchanged). Runs only where PIL exists."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from duckdb_ann_spark.operators.multimodal import (
+        _pil_decode,
+        extract_features,
+    )
+
+    def png(seed: int) -> bytes:
+        rng = np.random.default_rng(seed)
+        img = Image.fromarray(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(i, png(i)) for i in range(4)]
+    blobs = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r for r in
+           extract_features(blobs, "doc_id", "blob", decoder="image")
+           .collect()}
+    for i, blob in rows:
+        want = [float(x) for x in _pil_decode(blob)]
+        assert got[i].features == want
+        assert got[i].n_bytes == len(blob)  # byte stats stay byte-level
+    # auto on this machine means image; bytes stays the stub
+    stub = extract_features(blobs, "doc_id", "blob", decoder="bytes")
+    assert stub.collect()[0].features != got[0].features

@@ -238,3 +238,26 @@ def test_create_index_medoid_start(spark, tmp_path):
     assert g.entry_points == [compute_medoid(g.vectors[:g.n], "l2")]
     hits = index_scan(spark, "med", [[0.5] * 8], 3, catalog=cat).collect()
     assert len(hits) == 3
+
+
+def test_append_delta_cap_raises(spark, emb, cat, monkeypatch):
+    """Round-6 guard: an append delta past MAX_APPEND_ROWS raises (the
+    delta is collected to the driver for sequential insert — reference
+    semantics — and used to OOM silently on bulk misuse) and the error
+    names the bulk-load alternatives."""
+    from duckdb_ann_spark.index import insert_into_index
+    from duckdb_ann_spark.index.vamana import VamanaEngine
+
+    create_index(
+        emb.where(F.col("vec_id") < 50), "vec_id", "embedding", "capped",
+        engine="diskann", max_degree=16, build_complexity=32, catalog=cat,
+    )
+    monkeypatch.setattr(VamanaEngine, "MAX_APPEND_ROWS", 10)
+    with pytest.raises(ValueError, match="merge_indexes"):
+        insert_into_index(
+            spark, "capped", emb.where(F.col("vec_id").between(50, 80)), cat
+        )
+    # an in-bounds delta still lands
+    insert_into_index(
+        spark, "capped", emb.where(F.col("vec_id").between(50, 55)), cat
+    )
