@@ -31,6 +31,19 @@ per row; and the MinHash signature is now computed inside the annotate
 pass instead of re-tokenizing the cleaned corpus) — measured cold, same
 methodology as round 4.
 
+Round-6 note — the round-5 "regressions" adjudicated: at min-of-3 the
+four flagged queries (vamana_build +20%, hybrid +19%, rel_star_join
++17%, hnsw_build +11% r4->r5) all returned to within ±10% of the r4/r5
+best except `hnsw_build_d128`. That one was bisected directly: the
+round-4 vs current `build_hnsw` kernels were A/B'd in-process on the
+exact bench workload (2000 x d128, m=16, ef=40), 10 alternating reps
+after warmup — r4 min 2.13s / median 2.48s, current min 2.17s /
+median 2.55s (<= 3% apart), while the SAME code's rep spread on this
+host is 2.13..3.43s (+61%). The cross-round delta is host scheduling
+noise on a single-threaded Python insert loop, not a code regression;
+its magnitude is bounded by the sharding story (25k-row shards build
+in parallel executors), not by tightening this single-graph number.
+
 Metric: total wall seconds over all workloads (lower is better), with the
 per-query breakdown in "queries".
 
@@ -422,7 +435,7 @@ def bench_corpus(spark) -> dict[str, float]:
         "doc_id", "text"
     )
     out: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         # hash ALL six signals: consumers that read a column subset get
