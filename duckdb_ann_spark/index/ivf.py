@@ -23,6 +23,17 @@ Spark-first translation — this is the engine that survives 100 TB:
   ranked with either the BLAS kernel (fast) or exact JVM expressions
   (bit-exact; also used automatically when `nprobe >= nlist`, where IVF
   degenerates to an exact flat scan).
+
+Negative result worth keeping (round 6): boundary-aware cell RANKING by
+the triangle-inequality lower bound ``max(0, ||q-c|| - max_radius_c)^2``
+was prototyped and measured WORSE-or-equal than plain centroid-distance
+ranking on every seeded gaussian-mixture workload tried (recall@10 e.g.
+0.983→0.760 at one seed, never better across 12 seeds): the max-radius
+is outlier-dominated, so distant wide cells get bound 0 and outrank the
+near cells that actually hold the neighbors. Max-radius is sound for
+PRUNING against a known kth-distance threshold, not for ranking. The
+recall-at-scale fix is `auto_nprobe` above; don't re-try radius ranking
+without a tighter (quantile/percentile) radius and fresh measurements.
 """
 
 from __future__ import annotations

@@ -44,7 +44,7 @@ from ..functions.distance import (
     np_stack_vectors,
     np_topk_frame,
 )
-from ..index.ivf import _kmeans, auto_nlist
+from ..index.ivf import _kmeans, auto_nlist, auto_nprobe
 from ..local import local_df
 
 DISTANCE_COL = "_distance"
@@ -134,6 +134,10 @@ def knn_join(
     train = np_stack_vectors(sample.limit(cap).toPandas()[base_vec_col])
     centroids = _kmeans(train, min(nlist, max(1, len(train))))
     nlist_eff = centroids.shape[0]
+    if nprobe == 0:
+        # nprobe=0 = AUTO: the same recall-calibrated rule as
+        # ivf_nlist=0/nprobe=0 index search (see ivf.auto_nprobe)
+        nprobe = auto_nprobe(nlist_eff, int(centroids.shape[1]))
     nprobe = min(max(1, nprobe), nlist_eff)
 
     b = _assign_cells(

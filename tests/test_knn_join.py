@@ -135,3 +135,17 @@ def test_knn_join_auto_nlist(spark, sf_dir):
     # BLAS path scores with the norms-trick GEMM: self-distance is
     # ~1e-7 f32 cancellation noise, not exactly 0
     assert len(self_hits) == 20 and (self_hits._distance < 1e-5).all()
+
+
+def test_knn_join_auto_nprobe(spark, emb):
+    """nprobe=0 resolves via the shared recall-calibrated rule — the
+    knn_join twin of the ivf_nlist=0/nprobe=0 index pairing."""
+    from duckdb_ann_spark.operators.knn_join import knn_join
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = knn_join(q, "qid", "embedding", emb, "vec_id", "embedding",
+                   k=3, nlist=16, nprobe=0, n_rows=500)
+    assert out.count() == 20 * 3
