@@ -330,6 +330,26 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     recall["scale100k_vamana"] = round(_recall(rows), 3)
     drop_index("scale_vam", cat)
 
+    # round-6 addition: kmeans-routed shards (shard_by='cells') — search
+    # probes only the auto route_nprobe nearest shards (57/128 at this
+    # config) instead of all 128, the fan-out the hash workload above
+    # pays. Records the routed-vs-full search time + recall tradeoff.
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "scale_vam_routed", engine="diskann",
+        max_degree=16, build_complexity=32, shards=128, shard_by="cells",
+        catalog=cat,
+    )
+    out["scale100k_vamana_routed_build"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows = index_scan(
+        spark, "scale_vam_routed", queries, K, catalog=cat
+    ).collect()
+    out["scale100k_vamana_routed_search"] = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K, len(rows)
+    recall["scale100k_vamana_routed"] = round(_recall(rows), 3)
+    drop_index("scale_vam_routed", cat)
+
     from duckdb_ann_spark.operators.knn_join import knn_join
 
     qside = vecs.where(F.col("vec_id") < 10_000).select(

@@ -388,12 +388,18 @@ def vacuum_index(
                        manifest["dim"])
     vecs.unpersist()
     # swap artifacts atomically-ish: manifest rewrite is the commit point
-    for sub in os.listdir(tmp):
+    tmp_subs = set(os.listdir(tmp))
+    for sub in tmp_subs:
         dst = os.path.join(d, sub)
         if os.path.exists(dst):
             shutil.rmtree(dst)
         shutil.move(os.path.join(tmp, sub), dst)
     shutil.rmtree(tmp, ignore_errors=True)
+    # a rebuild that produced no routing table (e.g. shard count fell to
+    # 1) must not leave a stale one behind — stale centroids would route
+    # queries at shard files that no longer exist
+    if "route" not in tmp_subs:
+        shutil.rmtree(os.path.join(d, "route"), ignore_errors=True)
     delpath = os.path.join(d, DELETED_DIR)
     if os.path.exists(delpath):
         shutil.rmtree(delpath)
@@ -465,12 +471,15 @@ def merge_indexes(
     extra = impl.build(spark, union, id_col, m_dst["vec_col"], tmp, params,
                        m_dst["dim"])
     union.unpersist()
-    for sub in os.listdir(tmp):
+    tmp_subs = set(os.listdir(tmp))
+    for sub in tmp_subs:
         dstp = os.path.join(d_dst, sub)
         if os.path.exists(dstp):
             shutil.rmtree(dstp)
         shutil.move(os.path.join(tmp, sub), dstp)
     shutil.rmtree(tmp, ignore_errors=True)
+    if "route" not in tmp_subs:
+        shutil.rmtree(os.path.join(d_dst, "route"), ignore_errors=True)
     delpath = os.path.join(d_dst, DELETED_DIR)
     if os.path.exists(delpath):
         shutil.rmtree(delpath)

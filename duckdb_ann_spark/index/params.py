@@ -50,6 +50,18 @@ class DiskannParams:
     # reference — then one shard per AUTO_SHARD_ROWS; a single-shard
     # python build is ~6ms/vector, unusable past ~10^5 rows).
     shards: int = 0
+    # Spark extension: how rows map to graph shards.
+    # 'hash' (default) = uniform hash of the id — perfectly balanced,
+    # but every query must search EVERY shard (per-query work grows
+    # linearly with the corpus). 'cells' = kmeans cells (the
+    # SPANN/clustered-DiskANN shape): shards are spatial, a search
+    # probes only the `route_nprobe` nearest shards — per-query work
+    # stays ~constant as the corpus grows, recall follows the IVF
+    # cell-probing calibration.
+    shard_by: str = "hash"
+    # probed shard count for shard_by='cells' search; 0 = AUTO (the
+    # recall-calibrated ivf.auto_nprobe rule over the shard count)
+    route_nprobe: int = 0
 
     AUTO_SHARD_ROWS = 25_000
 
@@ -61,6 +73,13 @@ class DiskannParams:
             raise ValueError("build_complexity must be positive")
         if self.shards < 0:
             raise ValueError("shards must be >= 1 (or 0 for auto)")
+        self.shard_by = str(self.shard_by).lower()
+        if self.shard_by not in ("hash", "cells"):
+            raise ValueError(
+                f"Unknown shard_by '{self.shard_by}'. Supported: hash, cells"
+            )
+        if int(self.route_nprobe) < 0:
+            raise ValueError("route_nprobe must be >= 1 (or 0 for auto)")
         if self.quantization and self.quantization.lower() != "sq8":
             raise ValueError(
                 f"Unknown quantization '{self.quantization}'. Supported: sq8"
@@ -88,6 +107,8 @@ class DiskannParams:
             "alpha": self.alpha,
             "quantization": self.quantization,
             "shards": self.shards,
+            "shard_by": self.shard_by,
+            "route_nprobe": self.route_nprobe,
             "start_strategy": self.start_strategy,
             "start_nsamples": self.start_nsamples,
             "start_seed": self.start_seed,
@@ -118,6 +139,11 @@ class FaissParams:
     # collects the table to the driver); 1 = forced reference-parity
     # single graph (kept for byte-stable single-graph tests)
     shards: int = 0
+    # shard routing for type='HNSW' (see DiskannParams.shard_by):
+    # 'hash' = search all shards, 'cells' = kmeans-routed shards probed
+    # via route_nprobe (0 = auto). Ignored by Flat/IVFFlat.
+    shard_by: str = "hash"
+    route_nprobe: int = 0
     AUTO_SHARD_ROWS = 25_000
     # GPU placement (`src/faiss_index.cpp:84-152`): cpu / gpu / auto.
     # This engine's kernels are numpy/BLAS — there is never a GPU
@@ -153,6 +179,13 @@ class FaissParams:
             raise ValueError("ivf_nlist must be >= 1 (or 0 for auto)")
         if int(self.shards) < 0:
             raise ValueError("shards must be >= 1 (or 0 for auto)")
+        self.shard_by = str(self.shard_by).lower()
+        if self.shard_by not in ("hash", "cells"):
+            raise ValueError(
+                f"Unknown shard_by '{self.shard_by}'. Supported: hash, cells"
+            )
+        if int(self.route_nprobe) < 0:
+            raise ValueError("route_nprobe must be >= 1 (or 0 for auto)")
         if self.gpu is not None:
             if (self.mode or "auto").lower() != "auto":
                 raise ValueError(
@@ -220,6 +253,8 @@ class FaissParams:
             "description": self.description,
             "mode": self.mode,
             "shards": self.shards,
+            "shard_by": self.shard_by,
+            "route_nprobe": self.route_nprobe,
         }
 
 

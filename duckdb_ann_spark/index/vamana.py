@@ -12,6 +12,18 @@ Artifact layout:
 
     graph/shard_<s>.diskann    v2 binary (+ SQ8 appendix when quantized)
     labels/                    parquet (shard, label, id) label↔id map
+    route/                     parquet (shard, centroid) — only when
+                               shard_by='cells' (kmeans-routed shards)
+
+Shard routing (`shard_by`, beyond-reference): 'hash' (default) spreads
+rows uniformly — perfectly balanced, but every query searches EVERY
+shard, so per-query work grows linearly with the corpus. 'cells' makes
+each shard a kmeans cell (the SPANN / clustered-DiskANN design): a
+search ranks the routing centroids and probes only the `route_nprobe`
+nearest shards (0 = the recall-calibrated `ivf.auto_nprobe` rule), so
+per-query work stays ~constant as the corpus grows; appends route to
+the nearest centroid's shard to preserve the spatial locality the probe
+relies on, and vacuum retrains the routing (the rebalance path).
 
 The `.diskann` shard files ARE the vector storage — `vectors()`
 reconstructs (id, vec) rows distributively from shards + label map for
@@ -45,6 +57,9 @@ from ..functions.text import quote_ident as _quote
 
 GRAPH_DIR = "graph"
 LABELS_DIR = "labels"
+# shard_by='cells' routing table: parquet (shard int, centroid) — one
+# kmeans centroid per shard, read driver-side at search/append time
+ROUTE_DIR = "route"
 
 _GRAPH_CACHE: dict = {}
 
@@ -63,6 +78,72 @@ def _read_labels(spark: SparkSession, artifact_dir: str) -> pd.DataFrame:
         )
     except Exception:
         return spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}").toPandas()
+
+
+def _route_centroids(spark: SparkSession, artifact_dir: str,
+                     manifest_params: dict) -> np.ndarray | None:
+    """(n_shards, dim) routing centroids for a shard_by='cells' index;
+    None for hash-sharded indexes. Gated on BOTH the manifest flag and
+    the route dir so a stale dir (or a hash index) never routes."""
+    if (manifest_params or {}).get("shard_by", "hash") != "cells":
+        return None
+    path = f"{artifact_dir}/{ROUTE_DIR}"
+    if not os.path.isdir(path):
+        return None
+    try:
+        import pyarrow.dataset as ds
+
+        pdf = (
+            ds.dataset(path, format="parquet")
+            .to_table(columns=["shard", "centroid"])
+            .to_pandas()
+            .sort_values("shard")
+        )
+        cents = np.array(pdf["centroid"].tolist(), dtype=np.float32)
+        shards = pdf["shard"].to_numpy(dtype=np.int64)
+    except Exception:
+        rows = spark.read.parquet(path).orderBy("shard").collect()
+        cents = np.array([r["centroid"] for r in rows], dtype=np.float32)
+        shards = np.array([r["shard"] for r in rows], dtype=np.int64)
+    # shard ids are dense 0..k-1 by construction; assert so a corrupted
+    # route table fails loud instead of mapping queries to wrong shards
+    if not np.array_equal(shards, np.arange(len(shards))):
+        raise ValueError(
+            f"route table at {path} has non-dense shard ids {shards[:8]}..."
+        )
+    return cents
+
+
+def _route_probe_sets(
+    route: np.ndarray,
+    queries,
+    metric: str,
+    manifest_params: dict,
+    existing_shards: set[int],
+) -> list[set[int]]:
+    """Per-query probed shard sets: the `route_nprobe` nearest routing
+    centroids (0 = the recall-calibrated ivf.auto_nprobe rule), filtered
+    to shard files that exist (empty cells write none)."""
+    from ..functions.distance import np_index_distances
+    from .ivf import auto_nprobe
+
+    qmat = np.asarray(queries, dtype=np.float32)
+    if qmat.ndim == 1:
+        qmat = qmat[None, :]
+    cd = np_index_distances(metric, route, qmat)  # (q, n_shards)
+    rnp = int((manifest_params or {}).get("route_nprobe", 0) or 0)
+    if rnp == 0:
+        rnp = auto_nprobe(route.shape[0], route.shape[1])
+    rnp = min(max(1, rnp), route.shape[0])
+    order = np.argsort(cd, axis=1, kind="stable")[:, :rnp]
+    sets = [
+        {int(c) for c in order[qi] if int(c) in existing_shards}
+        for qi in range(qmat.shape[0])
+    ]
+    # a probe set can only come out empty if the route table and the
+    # shard files disagree (e.g. every probed cell was empty at build);
+    # degrade that query to a full fan-out rather than zero results
+    return [s if s else set(existing_shards) for s in sets]
 
 
 def _load_shard(path: str):
@@ -149,20 +230,41 @@ class VamanaEngine:
         routes the whole table through the driver.
         Returns the number of shard files actually written (empty hash
         partitions write none — the manifest must report what exists,
-        since append's overflow numbering and diagnostics read it)."""
+        since append's overflow numbering and diagnostics read it).
+
+        `shard_by='cells'` (the SPANN/clustered-DiskANN shape): shard =
+        kmeans cell instead of id hash. Same one-shuffle build, but the
+        shards are SPATIAL, so search probes only the `route_nprobe`
+        nearest (see `search`) — per-query work stays ~constant as the
+        corpus grows, where hash shards force a full fan-out. The
+        routing centroids land in `route/` and the manifest's
+        `shard_by` flag gates their use (a stale dir alone never
+        routes). Cell sizes follow the data distribution — the kmeans
+        balance, not perfect hash balance, is the price of locality."""
+        import shutil
+
         shards = int(getattr(params, "shards", 0))
+        n_rows = getattr(params, "_n_rows", None)
         if shards == 0:
-            n_rows = getattr(params, "_n_rows", None)
             if n_rows is None:
                 n_rows = src.count()
             per = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
             shards = max(1, -(-int(n_rows) // per))
+        # a rebuilt (vacuum/merge) artifact must not inherit a stale
+        # routing table from a previous layout
+        shutil.rmtree(f"{artifact_dir}/{ROUTE_DIR}", ignore_errors=True)
         if shards == 1:
             labels = build_shard(src.toPandas(), 0)
             spark.createDataFrame(
                 labels, schema="shard int, label long, id long"
             ).write.mode("overwrite").parquet(f"{artifact_dir}/{LABELS_DIR}")
             return 1
+
+        if getattr(params, "shard_by", "hash") == "cells":
+            return self._run_cell_build(
+                spark, src, id_col, params, build_shard, artifact_dir, shards,
+                n_rows,
+            )
 
         def build_partition(batches):
             pdfs = [p for p in batches if len(p)]
@@ -178,6 +280,80 @@ class VamanaEngine:
             .withColumn("shard", F.spark_partition_id())
             .mapInPandas(
                 build_partition, schema="shard int, label long, id long"
+            )
+            .write.mode("overwrite")
+            .parquet(f"{artifact_dir}/{LABELS_DIR}")
+        )
+        return len(self._shard_files(artifact_dir))
+
+    def _run_cell_build(self, spark, src, id_col, params, build_shard,
+                        artifact_dir, shards: int, n_rows) -> int:
+        """shard_by='cells': train routing centroids on a bounded
+        deterministic sample (the IVF build's train discipline), assign
+        rows to their nearest centroid in one narrow pass, build one
+        graph per CELL. A shuffle partition may receive several cells
+        (hash of the cell id), so the build task loops per cell —
+        shard file ids are cell ids, dense 0..k_eff-1."""
+        from .ivf import _kmeans
+
+        vec_col = [c for c in src.columns if c != id_col][0]
+        if n_rows is None:
+            n_rows = src.count()
+        n_rows = int(n_rows)
+        cap = min(max(50 * shards, 10_000), n_rows, 200_000)
+        sample = src.select(vec_col)
+        if n_rows > cap:
+            modulus = max(1, n_rows // cap)
+            sample = src.where(
+                F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(modulus)) == 0
+            ).select(vec_col)
+        train = np_stack_vectors(sample.toPandas()[vec_col])[:cap]
+        centroids = _kmeans(train, shards)
+        k_eff = centroids.shape[0]
+        local_df(
+            spark,
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "shard int, centroid array<float>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{artifact_dir}/{ROUTE_DIR}"
+        )
+
+        from ..functions.distance import np_index_distances
+
+        bc = spark.sparkContext.broadcast(centroids)
+        metric = params.metric
+
+        def assign(batches):
+            cm = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np_stack_vectors(pdf[vec_col])
+                cells = np_index_distances(metric, mat, cm).argmin(axis=0)
+                out = pdf[[id_col, vec_col]].copy()
+                out["shard"] = cells.astype(np.int32)
+                yield out
+
+        schema = (
+            f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, shard int"
+        )
+
+        def build_cells(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs)
+            for cell, grp in pdf.groupby("shard", sort=True):
+                yield build_shard(
+                    grp.drop(columns=["shard"]).reset_index(drop=True),
+                    int(cell),
+                )
+
+        (
+            src.mapInPandas(assign, schema=schema)
+            .repartition(k_eff, F.col("shard"))
+            .mapInPandas(
+                build_cells, schema="shard int, label long, id long"
             )
             .write.mode("overwrite")
             .parquet(f"{artifact_dir}/{LABELS_DIR}")
@@ -250,6 +426,70 @@ class VamanaEngine:
             )
         return df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
 
+    # --- routed-append hooks (overridden by HnswEngine) ----------------
+    def _load_writable(self, path: str):
+        return read_diskann(path, mmap=False)
+
+    def _fresh_graph(self, vecs: np.ndarray, params):
+        return build_graph(
+            vecs,
+            max_degree=params.max_degree,
+            build_complexity=params.build_complexity,
+            alpha=getattr(params, "alpha", 1.2),
+            metric=params.metric,
+            start_strategy=getattr(params, "start_strategy", "first"),
+            start_nsamples=getattr(params, "start_nsamples", 1),
+            start_seed=getattr(params, "start_seed", 42),
+        )
+
+    def _write_shard(self, path: str, g, params) -> None:
+        sq8 = None
+        if getattr(params, "quantize_sq8", False) and g.n:
+            sq8 = sq8_quantize(g.vectors[: g.n])
+        write_diskann(path, g, sq8)
+
+    def _append_routed(
+        self, spark, manifest, artifact_dir, pdf, params, route: np.ndarray
+    ) -> dict:
+        """shard_by='cells' append: each new row goes to the shard whose
+        ROUTING CENTROID is nearest — spatial locality must hold or the
+        probe-time recall story breaks, so smallest-shard routing does
+        not apply. Touched shard files are rewritten (possibly several,
+        one per distinct target cell); an overgrown cell has no overflow
+        shard — `vacuum` rebuilds and RETRAINS the routing, which is the
+        rebalance path."""
+        from ..functions.distance import np_index_distances
+
+        id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+        vecs = np_stack_vectors(pdf[vec_col])
+        metric = manifest["params"]["metric"]
+        cells = np_index_distances(metric, vecs, route).argmin(axis=0)
+        files = dict(self._shard_files(artifact_dir))
+        labels: list[tuple[int, int, int]] = []
+        for cell in sorted({int(c) for c in cells}):
+            sub = pdf[cells == cell].sort_values(id_col).reset_index(drop=True)
+            svecs = np_stack_vectors(sub[vec_col])
+            path = files.get(
+                cell, f"{artifact_dir}/{GRAPH_DIR}/shard_{cell}.diskann"
+            )
+            g = self._load_writable(path) if cell in files else None
+            if g is None or g.n == 0:
+                # empty cell (wrote no file at build, or 0-row shard):
+                # per-vector insert can't seed a dimensionless graph
+                g = self._fresh_graph(svecs, params)
+                labels += [
+                    (cell, label, int(rid))
+                    for label, rid in enumerate(sub[id_col])
+                ]
+            else:
+                for rid, vec in zip(sub[id_col], svecs):
+                    labels.append((cell, g.insert(vec), int(rid)))
+            self._write_shard(path, g, params)
+        local_df(
+            spark, labels, "shard int, label long, id long"
+        ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
+        return {"shards": len(self._shard_files(artifact_dir))}
+
     def append(
         self,
         spark: SparkSession,
@@ -268,11 +508,17 @@ class VamanaEngine:
         that shard is at `APPEND_SHARD_CAP`, into a fresh overflow shard
         (merged down later by the existing `MergeIndexes`/`Vacuum`
         machinery). Exactly one shard file is written per append;
-        untouched shards stay byte-identical."""
+        untouched shards stay byte-identical. shard_by='cells' indexes
+        route by nearest centroid instead — see `_append_routed`."""
         id_col, vec_col = manifest["id_col"], manifest["vec_col"]
         pdf = self._collect_delta(df_new, id_col, vec_col)
         if not len(pdf):
             return {}
+        route = _route_centroids(spark, artifact_dir, manifest["params"])
+        if route is not None:
+            return self._append_routed(
+                spark, manifest, artifact_dir, pdf, params, route
+            )
         vecs = np_stack_vectors(pdf[vec_col])
 
         shard_files = self._shard_files(artifact_dir)
@@ -360,10 +606,19 @@ class VamanaEngine:
     ) -> DataFrame:
         id_col = manifest["id_col"]
         shard_files = self._shard_files(artifact_dir)
+        # shard_by='cells': probe only the route_nprobe nearest shards
+        # per query instead of fanning out to all of them
+        probe_sets = None
+        route = _route_centroids(spark, artifact_dir, manifest["params"])
+        if route is not None and len(shard_files) > 1:
+            probe_sets = _route_probe_sets(
+                route, queries, manifest["params"]["metric"],
+                manifest["params"], {s for s, _ in shard_files},
+            )
         if len(queries) > self.DISTRIBUTE_THRESHOLD:
             return self._search_distributed(
                 spark, manifest, artifact_dir, queries, k, search_complexity,
-                shard_files,
+                shard_files, probe_sets,
             )
         labels = _read_labels(spark, artifact_dir).set_index(
             ["shard", "label"]
@@ -372,6 +627,8 @@ class VamanaEngine:
         for qi, q in enumerate(queries):
             merged: list[tuple[float, int]] = []
             for shard, path in shard_files:
+                if probe_sets is not None and shard not in probe_sets[qi]:
+                    continue
                 g = _load_shard(path)
                 for label, dist in g.search(q, k, search_complexity):
                     merged.append((dist, int(labels.loc[(shard, label)])))
@@ -384,7 +641,7 @@ class VamanaEngine:
 
     def _search_distributed(
         self, spark, manifest, artifact_dir, queries, k, search_complexity,
-        shard_files,
+        shard_files, probe_sets=None,
     ) -> DataFrame:
         """Batch path (`rust_lib/src/provider.rs:248-441` lock-step batch →
         Spark shape): queries are partitioned across executors; each task
@@ -392,7 +649,9 @@ class VamanaEngine:
         searches its queries; shard-local hits join the (shard, label)→id
         parquet map and a window keeps the global top-k per query. The
         index file is never broadcast — executors read it lazily, like the
-        reference's mmap DiskProvider."""
+        reference's mmap DiskProvider. With `probe_sets` (shard_by='cells')
+        each task touches only the shards its own queries probe — the
+        routing map rides in the broadcast, tiny."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -402,8 +661,10 @@ class VamanaEngine:
         qdf = local_df(
             spark, qrows, "query_idx int, _qv array<float>"
         ).repartition(npart, "query_idx")
+        bpm = spark.sparkContext.broadcast(probe_sets)
 
         def run(batches):
+            pm = bpm.value
             for pdf in batches:
                 out = []
                 if not len(pdf):
@@ -411,10 +672,21 @@ class VamanaEngine:
                 qs = np_stack_vectors(pdf["_qv"])
                 qids = pdf["query_idx"].tolist()
                 for shard, path in shard_files:
+                    if pm is None:
+                        sub_qs, sub_ids = qs, qids
+                    else:
+                        keep = [i for i, qi in enumerate(qids)
+                                if shard in pm[qi]]
+                        if not keep:
+                            continue
+                        sub_qs = qs[keep]
+                        sub_ids = [qids[i] for i in keep]
                     g = _load_shard(path)
                     # lock-step batch: all of this task's queries advance
                     # together, distance work aggregated per hop
-                    for qi, hits in zip(qids, g.search_batch(qs, k, search_complexity)):
+                    for qi, hits in zip(
+                        sub_ids, g.search_batch(sub_qs, k, search_complexity)
+                    ):
                         for label, dist in hits:
                             out.append((int(qi), shard, int(label), float(dist)))
                 yield pd.DataFrame(
@@ -475,6 +747,26 @@ class HnswEngine(VamanaEngine):
     def _ef_construction(params) -> int:
         return max(2 * int(params.hnsw_m), 40)
 
+    # --- routed-append hooks (HNSW graph type) --------------------------
+    def _load_writable(self, path: str):
+        g = read_hnsw(path, mmap=False)
+        if g is None:
+            raise ValueError(
+                f"Index shard '{path}' predates the layered-HNSW format; "
+                "drop and recreate the index to append to it"
+            )
+        return g
+
+    def _fresh_graph(self, vecs: np.ndarray, params):
+        return build_hnsw(
+            vecs, m=int(params.hnsw_m),
+            ef_construction=self._ef_construction(params),
+            metric=params.metric,
+        )
+
+    def _write_shard(self, path: str, g, params) -> None:
+        write_diskann(path, g, None, hnsw=g)
+
     def _build_shard_fn(self, artifact_dir: str, id_col: str, vec_col: str,
                         params):
         m, ef = int(params.hnsw_m), self._ef_construction(params)
@@ -515,11 +807,17 @@ class HnswEngine(VamanaEngine):
         """Shard-routed append (same policy as VamanaEngine.append):
         smallest shard receives the rows; at APPEND_SHARD_CAP a fresh
         overflow shard is built instead. Exactly one shard file is
-        rewritten."""
+        rewritten. shard_by='cells' routes by nearest centroid instead —
+        see `_append_routed`."""
         id_col, vec_col = manifest["id_col"], manifest["vec_col"]
         pdf = self._collect_delta(df_new, id_col, vec_col)
         if not len(pdf):
             return {}
+        route = _route_centroids(spark, artifact_dir, manifest["params"])
+        if route is not None:
+            return self._append_routed(
+                spark, manifest, artifact_dir, pdf, params, route
+            )
         vecs = np_stack_vectors(pdf[vec_col])
         shard_files = self._shard_files(artifact_dir)
         shard_id, path = min(

@@ -1,0 +1,215 @@
+"""shard_by='cells' — kmeans-routed graph shards (the SPANN/clustered-
+DiskANN shape, beyond-reference): search probes only the `route_nprobe`
+nearest shards instead of fanning out to every shard, so per-query work
+stays ~constant as the corpus grows. Default shard_by='hash' keeps the
+original full-fan-out semantics untouched."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ann_spark.index import (
+    Catalog,
+    create_index,
+    drop_index,
+    index_scan,
+    insert_into_index,
+    vacuum_index,
+)
+from duckdb_ann_spark.operators.topk import topk
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "indexes"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def _brute_ids(emb, qvec, k):
+    return [
+        r.vec_id
+        for r in topk(emb, "embedding", qvec, k, "l2", id_col="vec_id").collect()
+    ]
+
+
+@pytest.mark.parametrize("engine,opts", [
+    ("diskann", dict(max_degree=16, build_complexity=32)),
+    ("faiss", dict(type="HNSW", hnsw_m=8)),
+])
+def test_routed_full_probe_exact(spark, emb, qvec, cat, engine, opts):
+    """route_nprobe >= shards + exhaustive search_complexity degenerates
+    to the exact global top-k for BOTH graph engines — cell routing only
+    removes shards a query never needed."""
+    n = emb.count()
+    create_index(
+        emb, "vec_id", "embedding", "rex", engine=engine, shards=4,
+        shard_by="cells", route_nprobe=4, catalog=cat, **opts,
+    )
+    got = [
+        r.vec_id
+        for r in index_scan(spark, "rex", [qvec], k=10,
+                            search_complexity=int(n), catalog=cat)
+        .orderBy("_distance", "vec_id").collect()
+    ]
+    assert got == _brute_ids(emb, qvec, 10)
+    drop_index("rex", cat)
+
+
+def test_routed_partial_probe_recall(spark, emb, qvec, cat):
+    """16 cells, auto route_nprobe (10 of 16 here): the probed subset
+    must clear the reference's >=7/10 recall floor on ~uniform data."""
+    from duckdb_ann_spark.index.ivf import auto_nprobe
+
+    create_index(
+        emb, "vec_id", "embedding", "rpp", engine="diskann", max_degree=16,
+        build_complexity=32, shards=16, shard_by="cells", catalog=cat,
+    )
+    assert auto_nprobe(16, 64) < 16  # genuinely partial at this config
+    got = [
+        r.vec_id
+        for r in index_scan(spark, "rpp", [qvec], k=10, catalog=cat)
+        .collect()
+    ]
+    assert len(got) == 10
+    assert len(set(got) & set(_brute_ids(emb, qvec, 10))) >= 7
+
+
+def test_routed_distributed_batch(spark, emb, cat):
+    """> DISTRIBUTE_THRESHOLD queries take the executor fan-out path;
+    routing must hold there too (each task touches only the shards its
+    own queries probe) and every query still gets k rows."""
+    create_index(
+        emb, "vec_id", "embedding", "rdb", engine="diskann", max_degree=16,
+        build_complexity=32, shards=16, shard_by="cells", catalog=cat,
+    )
+    qs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    rows = index_scan(spark, "rdb", qs, k=5, catalog=cat).collect()
+    assert len(rows) == 16 * 5
+    # self-match: each query vector is its own nearest neighbor
+    best = {
+        r["query_idx"]: r["vec_id"]
+        for r in sorted(rows, key=lambda r: -r["_distance"])
+    }
+    assert sum(1 for qi, vid in best.items() if qi == vid) >= 14
+
+
+def test_routed_append_targets_nearest_cell(spark, emb, cat):
+    """A routed append rewrites exactly the shard files owning the new
+    rows' nearest centroids — never the smallest shard — so spatial
+    locality (and with it probe recall) survives appends."""
+    import hashlib
+
+    import numpy as np
+
+    create_index(
+        emb, "vec_id", "embedding", "rap", engine="diskann", max_degree=16,
+        build_complexity=32, shards=8, shard_by="cells", catalog=cat,
+    )
+    d = cat.path("rap")
+    gdir = os.path.join(d, "graph")
+
+    def digests():
+        return {
+            f: hashlib.md5(open(os.path.join(gdir, f), "rb").read()).hexdigest()
+            for f in os.listdir(gdir)
+        }
+
+    before = digests()
+    # clone one existing row (id offset far above the corpus): its
+    # nearest routing centroid is its original's cell by construction
+    src = emb.where(F.col("vec_id") == 7)
+    new = src.select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                     "embedding")
+    insert_into_index(spark, "rap", new, cat)
+    after = digests()
+    changed = [f for f in before if before[f] != after.get(f)]
+    assert len(changed) == 1, changed
+    # the changed shard is the one whose centroid is nearest the vector
+    route = spark.read.parquet(os.path.join(d, "route")).collect()
+    cents = np.array(
+        [r["centroid"] for r in sorted(route, key=lambda r: r["shard"])],
+        dtype=np.float32,
+    )
+    v = np.array(src.head()["embedding"], dtype=np.float32)
+    want_cell = int(((cents - v) ** 2).sum(axis=1).argmin())
+    assert changed == [f"shard_{want_cell}.diskann"]
+    # and the clone is findable
+    q = [float(x) for x in v]
+    got = {
+        r.vec_id
+        for r in index_scan(spark, "rap", [q], k=5, catalog=cat).collect()
+    }
+    assert 10_000_007 in got and 7 in got
+
+
+def test_routed_vacuum_retrains_route(spark, emb, cat):
+    """Vacuum rebuilds a routed index with a fresh routing table (the
+    rebalance path for overgrown cells) and search still works."""
+    from duckdb_ann_spark.index import delete_from_index
+
+    create_index(
+        emb, "vec_id", "embedding", "rvac", engine="diskann", max_degree=16,
+        build_complexity=32, shards=8, shard_by="cells", catalog=cat,
+    )
+    delete_from_index(spark, "rvac", [0, 1, 2], catalog=cat)
+    m = vacuum_index(spark, "rvac", catalog=cat)
+    assert m["num_deleted"] == 0
+    assert os.path.isdir(os.path.join(cat.path("rvac"), "route"))
+    q = [0.0] * 64
+    rows = index_scan(spark, "rvac", [q], k=5, catalog=cat).collect()
+    assert len(rows) == 5
+    assert not {0, 1, 2} & {r.vec_id for r in rows}
+
+
+def test_routed_missing_shard_degrades(spark, emb, qvec, cat):
+    """A route/shard-file mismatch (here: a shard file deleted out from
+    under the index) must degrade to searching what exists — never an
+    empty result or a crash."""
+    create_index(
+        emb, "vec_id", "embedding", "rmiss", engine="diskann", max_degree=16,
+        build_complexity=32, shards=8, shard_by="cells", catalog=cat,
+    )
+    gdir = os.path.join(cat.path("rmiss"), "graph")
+    victim = sorted(os.listdir(gdir))[0]
+    os.remove(os.path.join(gdir, victim))
+    rows = index_scan(spark, "rmiss", [qvec], k=5, catalog=cat).collect()
+    assert len(rows) == 5
+
+
+def test_shard_by_validation():
+    from duckdb_ann_spark.index.params import DiskannParams, FaissParams
+
+    with pytest.raises(ValueError, match="shard_by"):
+        DiskannParams(shard_by="bogus")
+    with pytest.raises(ValueError, match="route_nprobe"):
+        DiskannParams(route_nprobe=-1)
+    with pytest.raises(ValueError, match="shard_by"):
+        FaissParams(shard_by="bogus")
+    assert DiskannParams(shard_by="CELLS").shard_by == "cells"
+    # manifests carry the routing params so vacuum/merge rebuilds keep them
+    assert DiskannParams(shard_by="cells").to_manifest()["shard_by"] == "cells"
+    assert FaissParams(shard_by="cells").to_manifest()["route_nprobe"] == 0
+
+
+def test_hash_default_writes_no_route(spark, emb, cat):
+    """shard_by defaults to 'hash': no routing table, full fan-out —
+    byte-for-byte the pre-round-6 behavior."""
+    create_index(
+        emb, "vec_id", "embedding", "rhash", engine="diskann", max_degree=16,
+        build_complexity=32, shards=4, catalog=cat,
+    )
+    assert not os.path.isdir(os.path.join(cat.path("rhash"), "route"))
