@@ -563,7 +563,10 @@ def stratified_sample(
     if k < 0:
         raise ValueError("k must be >= 0")
     b = F.expr(bucket_sql("spark", quote_ident(id_col), salt))
-    helper = [c for c in ("_sb", "_srn", "_sbase") if c in df.columns]
+    helper = [
+        c for c in ("_sb", "_srn", "_sbase", "_sdom", "_ssb")
+        if c in df.columns
+    ]
     if helper:
         raise ValueError(f"columns {helper} collide with helper names")
     with_b = df.withColumn("_sb", b)
@@ -578,13 +581,20 @@ def stratified_sample(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     base = counts.select(
-        domain_col,
-        "_sb",
+        F.col(domain_col).alias("_sdom"),
+        F.col("_sb").alias("_ssb"),
         F.coalesce(F.sum("_sc").over(wb), F.lit(0)).alias("_sbase"),
     )
-    out = ranked.join(base, on=[domain_col, "_sb"]).withColumn(
-        "strat_keep", (F.col("_sbase") + F.col("_srn")) <= k
-    )
+    # null-SAFE equi-join: a plain `on=[domain_col, "_sb"]` drops every
+    # NULL-domain row (equi-joins never match NULL keys), but the
+    # single-window semantics this rewrite replicates treat NULL as its
+    # own domain group — the contract is to ADD strat_keep, never to
+    # filter rows. `eqNullSafe` (<=>) is still a hash-joinable equi-key.
+    out = ranked.join(
+        base,
+        on=F.col(domain_col).eqNullSafe(F.col("_sdom"))
+        & F.col("_sb").eqNullSafe(F.col("_ssb")),
+    ).withColumn("strat_keep", (F.col("_sbase") + F.col("_srn")) <= k)
     # join reorders columns (keys first); restore the input's order
     return out.select(*df.columns, "strat_keep")
 
@@ -929,7 +939,10 @@ def pack_sequences(
         raise ValueError("max_len must be positive")
     if chunks < 1:
         raise ValueError("chunks must be >= 1")
-    helper = [c for c in ("_chunk", "_bounds") if c in df.columns]
+    helper = [
+        c for c in ("_chunk", "_bounds", "_bpart", "_cpart", "_cchunk")
+        if c in df.columns
+    ]
     if helper:
         raise ValueError(f"columns {helper} collide with helper names")
     toks = df.select(
@@ -941,16 +954,24 @@ def pack_sequences(
         assigned = toks.withColumn("_chunk", F.lit(0))
     else:
         fracs = [i / chunks for i in range(1, chunks)]
+        # null-SAFE joins below (<=>): a plain `on=part_col` silently
+        # drops NULL-part documents (equi-joins never match NULL keys),
+        # but the single-window semantics this rewrite replicates pack
+        # NULL as its own partition group — losing training data
+        # silently is the worst possible failure mode here.
         bounds = toks.groupBy(part_col).agg(
             F.percentile_approx(id_col, fracs).alias("_bounds")
-        )
+        ).select(F.col(part_col).alias("_bpart"), "_bounds")
 
         def _lt_id(b):
             return b < F.col(id_col)
 
-        assigned = toks.join(F.broadcast(bounds), on=part_col).withColumn(
+        assigned = toks.join(
+            F.broadcast(bounds),
+            on=F.col(part_col).eqNullSafe(F.col("_bpart")),
+        ).withColumn(
             "_chunk", F.size(F.filter("_bounds", _lt_id))
-        ).drop("_bounds")
+        ).drop("_bpart", "_bounds")
     w1 = (
         Window.partitionBy(part_col, "_chunk")
         .orderBy(id_col)
@@ -968,13 +989,15 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     base = totals.select(
-        part_col,
-        "_chunk",
+        F.col(part_col).alias("_cpart"),
+        F.col("_chunk").alias("_cchunk"),
         F.coalesce(F.sum("_ct").over(wc), F.lit(0)).alias("_cbase"),
     )
-    with_prev = within.join(base, on=[part_col, "_chunk"]).withColumn(
-        "_prev", F.col("_cbase") + F.col("_wprev")
-    )
+    with_prev = within.join(
+        base,
+        on=F.col(part_col).eqNullSafe(F.col("_cpart"))
+        & F.col("_chunk").eqNullSafe(F.col("_cchunk")),
+    ).withColumn("_prev", F.col("_cbase") + F.col("_wprev"))
     return with_prev.select(
         id_col,
         part_col,

@@ -160,6 +160,49 @@ def test_stratified_sample_exact_counts(spark):
         stratified_sample(df, "doc_id", "source", -1)
 
 
+def test_stratified_sample_null_domain_rows_survive(spark):
+    """Round-7 regression (advice): the two-level rewrite's equi-join
+    dropped NULL-domain rows. NULL is its own domain group, exactly as
+    the single-window `Window.partitionBy(domain)` semantics had it, and
+    the operator's contract is to ADD strat_keep, never to filter."""
+    from duckdb_ann_spark.operators.corpus_ops import stratified_sample
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "a"), (3, None), (4, None), (5, "b")],
+        "doc_id long, source string",
+    )
+    out = stratified_sample(df, "doc_id", "source", 2)
+    rows = out.collect()
+    assert len(rows) == 6  # no row loss
+    kept = {r["source"]: 0 for r in rows}
+    for r in rows:
+        kept[r["source"]] += int(r["strat_keep"])
+    # exactly min(k, |group|) kept per group, NULL included
+    assert kept == {"a": 2, None: 2, "b": 1}
+
+
+def test_pack_sequences_null_part_rows_survive(spark):
+    """Round-7 regression (advice): both rewrite joins (broadcast chunk
+    bounds + rebase) dropped NULL-part documents. NULL packs as its own
+    partition group, like the single-window version."""
+    df = spark.createDataFrame(
+        [
+            (0, None, "a b c"),
+            (1, None, "a b c d"),
+            (2, None, "a b c d e"),
+            (3, "t", "x y"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, "doc_id", "source", "text", max_len=6).collect()}
+    assert len(out) == 4  # no row loss
+    assert (out[0]["pack_no"], out[0]["pack_offset"]) == (0, 0)
+    assert (out[1]["pack_no"], out[1]["pack_offset"]) == (0, 3)
+    assert (out[2]["pack_no"], out[2]["pack_offset"]) == (1, 1)
+    assert (out[3]["pack_no"], out[3]["pack_offset"]) == (0, 0)
+
+
 def test_connected_components_chain_and_islands(spark):
     pairs = spark.createDataFrame(
         # a 6-node chain (needs several propagation rounds) + a 2-island
