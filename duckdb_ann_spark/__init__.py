@@ -39,5 +39,6 @@ from .functions.distance import (  # noqa: E402
     neg_inner_product,
 )
 from .operators.topk import topk, vector_distances
+from .caching import release_caches, track_caches  # noqa: E402
 
 __version__ = "0.1.0"

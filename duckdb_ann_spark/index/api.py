@@ -404,7 +404,9 @@ def vacuum_index(
     if os.path.exists(delpath):
         shutil.rmtree(delpath)
     _refresh(spark, d)
-    return cat.update(name, num_vectors=int(n), num_deleted=0, **(extra or {}))
+    # the rebuild IS the rebalance a routed append may have flagged
+    return cat.update(name, num_vectors=int(n), num_deleted=0,
+                      needs_vacuum=False, **(extra or {}))
 
 
 def _params_kwargs(manifest: dict) -> dict:
@@ -484,7 +486,8 @@ def merge_indexes(
     if os.path.exists(delpath):
         shutil.rmtree(delpath)
     _refresh(spark, d_dst)
-    updates = dict(num_vectors=int(n), num_deleted=0, **(extra or {}))
+    updates = dict(num_vectors=int(n), num_deleted=0, needs_vacuum=False,
+                   **(extra or {}))
     if int(m_dst["dim"]) == 0 and n_src:
         # an empty destination adopts the source's dimension
         updates["dim"] = int(m_src["dim"])

@@ -414,9 +414,18 @@ class VamanaEngine:
     MAX_APPEND_ROWS = 100_000
 
     def _collect_delta(self, df_new: DataFrame, id_col: str, vec_col: str):
-        """Bounded driver collect of an append delta, id-ordered."""
-        n = df_new.limit(self.MAX_APPEND_ROWS + 1).count()
-        if n > self.MAX_APPEND_ROWS:
+        """Bounded driver collect of an append delta, id-ordered. ONE
+        collect both probes the cap and yields the rows: a separate
+        count-then-collect pair evaluates the source twice, so a
+        non-deterministic delta (sampled/rand-filtered frame, re-read of
+        changing data) could pass the probe yet collect past the cap —
+        or collect a different row set than what was counted."""
+        pdf = (
+            df_new.select(id_col, vec_col)
+            .limit(self.MAX_APPEND_ROWS + 1)
+            .toPandas()
+        )
+        if len(pdf) > self.MAX_APPEND_ROWS:
             raise ValueError(
                 f"append delta exceeds {self.MAX_APPEND_ROWS} rows; "
                 "per-vector insert collects the delta to the driver "
@@ -424,7 +433,7 @@ class VamanaEngine:
                 "use create_index over the full table, or build a "
                 "second index and merge_indexes."
             )
-        return df_new.select(id_col, vec_col).orderBy(id_col).toPandas()
+        return pdf.sort_values(id_col).reset_index(drop=True)
 
     # --- routed-append hooks (overridden by HnswEngine) ----------------
     def _load_writable(self, path: str):
@@ -466,6 +475,7 @@ class VamanaEngine:
         cells = np_index_distances(metric, vecs, route).argmin(axis=0)
         files = dict(self._shard_files(artifact_dir))
         labels: list[tuple[int, int, int]] = []
+        overgrown: list[int] = []
         for cell in sorted({int(c) for c in cells}):
             sub = pdf[cells == cell].sort_values(id_col).reset_index(drop=True)
             svecs = np_stack_vectors(sub[vec_col])
@@ -485,10 +495,28 @@ class VamanaEngine:
                 for rid, vec in zip(sub[id_col], svecs):
                     labels.append((cell, g.insert(vec), int(rid)))
             self._write_shard(path, g, params)
+            if g.n > self.APPEND_SHARD_CAP:
+                overgrown.append(cell)
         local_df(
             spark, labels, "shard int, label long, id long"
         ).write.mode("append").parquet(f"{artifact_dir}/{LABELS_DIR}")
-        return {"shards": len(self._shard_files(artifact_dir))}
+        out = {"shards": len(self._shard_files(artifact_dir))}
+        if overgrown:
+            # routed appends have no overflow shard (spatial locality
+            # must hold), so a hot cell grows without bound and every
+            # later append to it rewrites an ever-larger file — tell the
+            # caller the vacuum/retrain rebalance path is due instead of
+            # degrading silently toward O(n)-per-batch
+            import warnings
+
+            warnings.warn(
+                f"routed append grew shard(s) {overgrown} past "
+                f"APPEND_SHARD_CAP={self.APPEND_SHARD_CAP}; run "
+                "vacuum_index to rebalance (retrains the routing)",
+                stacklevel=3,
+            )
+            out["needs_vacuum"] = True
+        return out
 
     def append(
         self,

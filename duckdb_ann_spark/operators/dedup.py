@@ -34,6 +34,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track_caches
 from ..functions.expr import bind_once as _bind
 from ..functions.text import spark_sql_tokenize, sql_bind_once
 from ..local import widen_if_narrow
@@ -257,6 +258,7 @@ def minhash_candidate_pairs(
     widen: bool = True,
     ids_only: bool = False,
     sig_col: str | None = None,
+    cache_sigs: bool | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band bucket
     (id_a < id_b). est_jaccard = matching signature fraction.
@@ -272,10 +274,21 @@ def minhash_candidate_pairs(
     annotate) skips the whole tokenize→shingle→hash pass here."""
     if sig_col is not None:
         # precomputed signatures: a narrow projection of the caller's
-        # frame — the caller owns its caching (prepare_corpus persists
-        # the gated-annotate table this projects), so an extra persist
-        # here would only accumulate duplicate blocks in long sessions
+        # frame. The signature table is consumed up to four times (see
+        # below), so an UNPERSISTED sig_col input would re-run the
+        # caller's whole upstream plan per consumer. `cache_sigs` is the
+        # caching contract: None (default) persists exactly when this
+        # frame isn't already persisted; a caller whose cache lives
+        # UPSTREAM of a projection (prepare_corpus persists the annotate
+        # table, then projects) passes False to keep the round-6 fix —
+        # duplicate blocks never accumulate in long sessions.
         sigs = df.select(F.col(id_col), F.col(sig_col).alias("sig"))
+        if cache_sigs is None:
+            cache_sigs = not (
+                df.storageLevel.useMemory or df.storageLevel.useDisk
+            )
+        if cache_sigs:
+            sigs = sigs.persist()
     else:
         # signatures are the heavy per-row expression chain (tokenize →
         # shingle → hash); don't let a single-file input serialize them
@@ -301,7 +314,7 @@ def minhash_candidate_pairs(
     # est-jaccard join pulls signatures back for just the candidate set
     pairs = _candidate_pairs(bands, id_col, ["band", "bkey"])
     if ids_only:
-        return pairs
+        return track_caches(pairs, sigs)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -313,10 +326,11 @@ def minhash_candidate_pairs(
         ).cast("double")
         / F.lit(float(n_hashes))
     )
-    return (
+    return track_caches(
         pairs.join(sa, on="id_a")
         .join(sb, on="id_b")
-        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .select("id_a", "id_b", est.alias("est_jaccard")),
+        sigs,
     )
 
 
@@ -361,9 +375,10 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = F.size(F.array_union("_sa", "_sb")).cast("double")
-    return (
+    return track_caches(
         j.select("id_a", "id_b", F.try_divide(inter, union).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= threshold),
+        cands, sh,
     )
 
 
@@ -441,14 +456,15 @@ def simhash_pairs(
         F.col(id_col), "simhash", F.explode(band_arr).alias("bk")
     ).select(id_col, "simhash", F.col("bk.band").alias("band"),
              F.col("bk.bval").alias("bval"))
-    return (
+    return track_caches(
         _candidate_pairs(bands, id_col, ["band", "bval"],
                          carry={"simhash": "sh"})
         .withColumn(
             "hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("int")
         )
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        sigs,
     )
 
 
@@ -522,7 +538,7 @@ def embedding_near_dup_pairs(
     # ngram_jaccard_pairs' shingle slice): leftsemi down to ids that
     # appear in a pair before persisting, so the cached/joined vector
     # payload is bounded by the LSH band structure, not the corpus
-    pairs = pairs.persist()
+    pairs = cand_pairs = pairs.persist()
     pair_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -558,7 +574,8 @@ def embedding_near_dup_pairs(
                    F.col("_vb").cast("array<double>"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     ))
-    return (
+    return track_caches(
         pairs.select("id_a", "id_b", F.try_divide(dot, na * nb).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+        .where(F.col("cosine") >= threshold),
+        bucketed, cand_pairs, vecs,
     )

@@ -335,13 +335,21 @@ def lm_unigram_scores(
         F.col("sum_logprob_nano").cast("double") / F.lit(1e9)
         / F.col("n_scored_tokens").cast("double")
     ).alias("avg_logprob")
+    from ..caching import track_caches
+
     if not include_empty_docs:
-        return per_doc.select(
-            id_col, "n_scored_tokens", "sum_logprob_nano", avg
+        return track_caches(
+            per_doc.select(
+                id_col, "n_scored_tokens", "sum_logprob_nano", avg
+            ),
+            counts,
         )
-    return df.select(id_col).join(per_doc, on=id_col, how="left").select(
-        id_col,
-        F.coalesce("n_scored_tokens", F.lit(0)).alias("n_scored_tokens"),
-        "sum_logprob_nano",
-        avg,
+    return track_caches(
+        df.select(id_col).join(per_doc, on=id_col, how="left").select(
+            id_col,
+            F.coalesce("n_scored_tokens", F.lit(0)).alias("n_scored_tokens"),
+            "sum_logprob_nano",
+            avg,
+        ),
+        counts,
     )

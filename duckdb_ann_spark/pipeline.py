@@ -40,6 +40,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .caching import track_caches
 from .functions.text import spark_sql_tokenize, sql_bind_once
 from .local import widen_if_narrow
 from .operators.dedup import ngram_jaccard_pairs
@@ -209,6 +210,7 @@ def prepare_corpus(
     # per-row annotate work is the pipeline's heaviest expression chain;
     # make sure a narrow input (one small file) doesn't serialize it
     docs = widen_if_narrow(docs)
+    held_frames: list[DataFrame] = []  # optional stages' cached frames
     kept = annotate_and_gate(
         docs, id_col, text_col, langs=langs, min_quality=min_quality,
         scrub_pii=scrub_pii, repetition_gates=repetition_gates,
@@ -227,12 +229,14 @@ def prepare_corpus(
         # independent of which docs the other gates keep.
         from .operators.text_ops import lm_unigram_scores
 
-        lm = lm_unigram_scores(
+        lm_scores = lm_unigram_scores(
             docs, id_col, text_col, include_empty_docs=False
-        ).where(
+        )
+        lm = lm_scores.where(
             F.col("avg_logprob") >= F.lit(float(min_avg_logprob))
         ).select(id_col)
         kept = kept.join(lm, on=id_col, how="leftsemi")
+        held_frames.append(lm_scores)  # carries the persisted count table
 
     if benchmark is not None:
         # contamination check over the kept slice only (column pruning
@@ -267,13 +271,21 @@ def prepare_corpus(
 
     # uniq sits downstream of the dedup agg's exchange, so it is already
     # wide — widen=False skips a redundant plan-compile probe
+    # cache_sigs=False: the cache lives upstream (uniq, persisted above);
+    # the signature projection re-reads those cached blocks cheaply
     pairs = ngram_jaccard_pairs(
         uniq.select(id_col, text_col, "_sig"), id_col, text_col,
         threshold=near_dup_threshold, widen=False, sig_col="_sig",
+        cache_sigs=False,
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return (
+    # every persisted block the returned plan references rides on the
+    # output: `release_caches(out)` after materializing frees them all
+    # (long-session discipline; releasing is always safe — lineage
+    # recomputes — it only forfeits reuse on a re-materialization)
+    return track_caches(
         uniq.join(drops, on=id_col, how="anti")
         .select(id_col, text_col, "n_chars", "n_tokens", "quality_score",
-                "lang_pred")
+                "lang_pred"),
+        uniq, pairs, *held_frames,
     )

@@ -41,6 +41,27 @@ def test_prepare_corpus_stages(spark, corpus):
     assert 0.0 <= by_id[0]["quality_score"] <= 1.0
 
 
+def test_prepare_corpus_release_caches(spark, corpus):
+    """Round-7 (round-6 advice follow-up): the pipeline's persisted
+    intermediates (cleaned working set, LSH candidate/shingle slices,
+    LM count table) ride on the returned frame; release_caches frees
+    them ALL — no net-new persisted blocks survive a round-trip."""
+    from duckdb_ann_spark.caching import release_caches
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    out = prepare_corpus(
+        corpus, "doc_id", "text", langs=("en",), min_quality=0.0,
+        min_avg_logprob=-20.0,  # exercises the LM stage's count table
+    )
+    out.count()
+    assert not cm.isEmpty()  # the plan really persisted intermediates
+    assert release_caches(out) >= 3  # uniq + cands + shingles (+ counts)
+    assert cm.isEmpty()
+    assert release_caches(out) == 0  # idempotent
+
+
 def test_prepare_corpus_quality_filter(spark, corpus):
     # an impossible floor empties the corpus (and nothing crashes
     # downstream: dedup over zero rows)

@@ -156,6 +156,29 @@ def test_routed_append_targets_nearest_cell(spark, emb, cat):
     assert 10_000_007 in got and 7 in got
 
 
+def test_routed_append_flags_overgrown_shard(spark, emb, cat, monkeypatch):
+    """Routed appends have no overflow shard by design (spatial locality
+    must hold), so an append that grows a cell past APPEND_SHARD_CAP
+    warns and sets needs_vacuum in the manifest — the caller's cue that
+    the vacuum/retrain rebalance is due — and vacuum clears the flag."""
+    from duckdb_ann_spark.index.vamana import VamanaEngine
+
+    create_index(
+        emb, "vec_id", "embedding", "rcap", engine="diskann", max_degree=16,
+        build_complexity=32, shards=4, shard_by="cells", catalog=cat,
+    )
+    monkeypatch.setattr(VamanaEngine, "APPEND_SHARD_CAP", 1)
+    new = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    with pytest.warns(UserWarning, match="needs.*vacuum|vacuum_index"):
+        m = insert_into_index(spark, "rcap", new, cat)
+    assert m.get("needs_vacuum") is True
+    monkeypatch.setattr(VamanaEngine, "APPEND_SHARD_CAP", 25_000)
+    m = vacuum_index(spark, "rcap", catalog=cat)
+    assert m.get("needs_vacuum") is False
+
+
 def test_routed_vacuum_retrains_route(spark, emb, cat):
     """Vacuum rebuilds a routed index with a fresh routing table (the
     rebalance path for overgrown cells) and search still works."""
