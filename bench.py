@@ -17,9 +17,10 @@ Workloads:
   candidate pairs, distributed IVF-cell k-NN join, composed corpus
   prep) at the same SF.
 * `scale100k_*`: 100k x d128 spot-check of the scale paths (IVF probe
-  search, sharded Vamana, 10k x 100k knn_join) — see `bench_scale`;
-  runs once, excluded from the headline total so `value` stays
-  comparable across rounds.
+  search, sharded + kmeans-routed Vamana/HNSW, 10k x 100k knn_join with
+  measured recall) — see `bench_scale`; min-of-3 since round 7,
+  excluded from the headline total so `value` stays comparable across
+  rounds.
 * `corpus_*`: the round-5 corpus-prep family (repetition scan, fully
   gated prepare_corpus) — see `bench_corpus`; also excluded from the
   headline total (`pipeline_sf` is the comparable pipeline number).
@@ -244,20 +245,39 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
       ~constant-size; probing the same ~43% cell fraction as the 10k run
       must hold the recall floor while search wall-time grows far less
       than the 10x data growth (the probe scan is partition-pruned).
-    * `scale100k_vamana_*`: 64 shard graphs built in parallel executors,
-      distributed 50-query search over all shards.
+    * `scale100k_vamana_*`: 128 shard graphs built in parallel executors,
+      distributed 50-query search over all shards; `*_routed`: the
+      shard_by='cells' variant probing only the auto route_nprobe
+      nearest shards (92/128 here — the round-7 `auto_route_nprobe`
+      rule, 1.6x the IVF flat-scan rule to budget for the per-shard
+      graph-search miss; round 6's raw IVF rule measured 0.692, under
+      the floor). `scale100k_hnsw_routed_*` (round-7): the same routing
+      under the layered-HNSW engine.
     * `scale100k_knn_join`: 10k queries x 100k base through the IVF-cell
-      cogroup join; at this N the probed fraction is 4/512 cells (<1%),
-      vs 4/16 at sf-scale — the work per query SHRINKS as N grows with
-      cells held constant-size.
+      cogroup join at the round-5 PINNED config (nlist=512, nprobe=4 —
+      <1% probed fraction; kept for cross-round timing comparability,
+      recall now REPORTED and it is low, ~0.26 on uniform vectors: 4 of
+      512 cells is a latency-floor configuration, not a recall one).
+      `scale100k_knn_join_auto` (round-7) is the recall-gated variant at
+      the all-auto setting (nlist=0 -> 316 cells, nprobe=0 -> 112
+      probes): ~0.85 recall at ~4x the pinned wall — the recorded
+      nlist/nprobe tradeoff. Both recalls are measured@5 against exact
+      ground truth on the first 500 query ids (driver BLAS).
 
-    Runs ONCE (no min-of-2): these are multi-second distributed jobs
-    where host noise is amortized and a second pass would double bench
-    wall-time for little signal. Disable with SPARK_GRAFT_SCALE100K=0.
-    Excluded from the headline `value` so totals stay comparable with
-    rounds 1-4; reported under `queries` + `recall` like everything else.
+    Round-7 change: every scale workload now runs SPARK_GRAFT_SCALE_REPS
+    (default 3) passes with per-workload min, same regime as the shared
+    set — round 6's +11% on `scale100k_vamana_build` was unresolvable at
+    one rep on a host with documented ±61% spread. Recall floors (>=0.70,
+    the reference's `test/sql/diskann_streaming.test:40-50` discipline)
+    are asserted for every APPROXIMATE path whose config claims recall:
+    both routed graph engines and the auto knn_join. Disable the whole
+    section with SPARK_GRAFT_SCALE100K=0. Excluded from the headline
+    `value` so totals stay comparable with rounds 1-4.
     """
     import tempfile
+
+    from duckdb_ann_spark.functions.distance import np_index_distances
+    from duckdb_ann_spark.operators.knn_join import knn_join
 
     dim = 128
     out: dict[str, float] = {}
@@ -275,93 +295,159 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     mat = np.array(vp["embedding"].tolist(), dtype=np.float32)
     ids = vp["vec_id"].to_numpy()
     truth = _exact_truth(mat, ids, queries, K)
-    del vp, mat
+    # knn_join ground truth: exact top-5 for the first KNN_NS query ids
+    KNN_NS, KNN_K = 500, 5
+    kd = np_index_distances("l2", mat, mat[:KNN_NS])  # (NS, N)
+    ktruth = [
+        set(ids[np.lexsort((ids, kd[i]))[:KNN_K]].tolist())
+        for i in range(KNN_NS)
+    ]
+    del vp, mat, kd
 
     def _recall(rows) -> float:
         return _recall_of(rows, truth, K)
 
-    t0 = time.perf_counter()
-    create_index(
-        vecs, "vec_id", "embedding", "scale_ivf", engine="faiss",
-        type="IVFFlat", ivf_nlist=256, nprobe=110, catalog=cat,
+    def _knn_recall(rows) -> float:
+        got: dict[int, set] = {}
+        for r in rows:
+            if r["qid"] < KNN_NS:
+                got.setdefault(r["qid"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(i, set()) & ktruth[i]) for i in range(KNN_NS))
+        return hits / (KNN_NS * KNN_K)
+
+    def _t(key: str, t0: float) -> None:
+        dt = time.perf_counter() - t0
+        out[key] = min(dt, out.get(key, dt))
+
+    from duckdb_ann_spark.index.ivf import (
+        auto_nlist, auto_nprobe, auto_route_nprobe,
     )
-    out["scale100k_ivf_build"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rows = index_scan(spark, "scale_ivf", queries, K, catalog=cat).collect()
-    out["scale100k_ivf_search"] = time.perf_counter() - t0
-    assert len(rows) == N_QUERIES * K, len(rows)
-    recall["scale100k_ivf"] = round(_recall(rows), 3)
-    drop_index("scale_ivf", cat)
-
-    # round-6 addition: the all-AUTO pairing (nlist=0 -> sqrt(N) cells,
-    # nprobe=0 -> recall-calibrated probe count) that the 1M smoke's
-    # 0.70-floor fix rides on — records the probe-fraction/latency/
-    # recall tradeoff vs the pinned 110/256 workload above
-    from duckdb_ann_spark.index.ivf import auto_nlist, auto_nprobe
-
-    t0 = time.perf_counter()
-    create_index(
-        vecs, "vec_id", "embedding", "scale_ivf_auto", engine="faiss",
-        type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
-    )
-    out["scale100k_ivf_auto_build"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rows = index_scan(spark, "scale_ivf_auto", queries, K, catalog=cat).collect()
-    out["scale100k_ivf_auto_search"] = time.perf_counter() - t0
-    assert len(rows) == N_QUERIES * K, len(rows)
-    recall["scale100k_ivf_auto"] = round(_recall(rows), 3)
-    nl = auto_nlist(SCALE_N)
-    out["scale100k_ivf_auto_probe_frac"] = round(auto_nprobe(nl, dim) / nl, 4)
-    drop_index("scale_ivf_auto", cat)
-
-    t0 = time.perf_counter()
-    # shards=128 measured fastest at this N on local[32] (781-row graphs:
-    # 14.2s vs 19.5s at 64 shards and 22.4s at 192 — per-insert cost is
-    # superlinear in shard size, task overhead wins past ~4 waves)
-    create_index(
-        vecs, "vec_id", "embedding", "scale_vam", engine="diskann",
-        max_degree=16, build_complexity=32, shards=128, catalog=cat,
-    )
-    out["scale100k_vamana_build"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rows = index_scan(spark, "scale_vam", queries, K, catalog=cat).collect()
-    out["scale100k_vamana_search"] = time.perf_counter() - t0
-    assert len(rows) == N_QUERIES * K, len(rows)
-    recall["scale100k_vamana"] = round(_recall(rows), 3)
-    drop_index("scale_vam", cat)
-
-    # round-6 addition: kmeans-routed shards (shard_by='cells') — search
-    # probes only the auto route_nprobe nearest shards (57/128 at this
-    # config) instead of all 128, the fan-out the hash workload above
-    # pays. Records the routed-vs-full search time + recall tradeoff.
-    t0 = time.perf_counter()
-    create_index(
-        vecs, "vec_id", "embedding", "scale_vam_routed", engine="diskann",
-        max_degree=16, build_complexity=32, shards=128, shard_by="cells",
-        catalog=cat,
-    )
-    out["scale100k_vamana_routed_build"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rows = index_scan(
-        spark, "scale_vam_routed", queries, K, catalog=cat
-    ).collect()
-    out["scale100k_vamana_routed_search"] = time.perf_counter() - t0
-    assert len(rows) == N_QUERIES * K, len(rows)
-    recall["scale100k_vamana_routed"] = round(_recall(rows), 3)
-    drop_index("scale_vam_routed", cat)
-
-    from duckdb_ann_spark.operators.knn_join import knn_join
 
     qside = vecs.where(F.col("vec_id") < 10_000).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    t0 = time.perf_counter()
-    n = knn_join(
-        qside, "qid", "embedding", vecs, "vec_id", "embedding",
-        k=5, nlist=512, nprobe=4, n_rows=SCALE_N,
-    ).count()
-    out["scale100k_knn_join"] = time.perf_counter() - t0
-    assert n == 10_000 * 5, n
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        create_index(
+            vecs, "vec_id", "embedding", "scale_ivf", engine="faiss",
+            type="IVFFlat", ivf_nlist=256, nprobe=110, catalog=cat,
+        )
+        _t("scale100k_ivf_build", t0)
+        t0 = time.perf_counter()
+        rows = index_scan(spark, "scale_ivf", queries, K, catalog=cat).collect()
+        _t("scale100k_ivf_search", t0)
+        assert len(rows) == N_QUERIES * K, len(rows)
+        recall["scale100k_ivf"] = round(_recall(rows), 3)
+        drop_index("scale_ivf", cat)
+
+        # all-AUTO pairing (nlist=0 -> sqrt(N) cells, nprobe=0 ->
+        # recall-calibrated probe count) that the 1M smoke's 0.70-floor
+        # fix rides on — records the probe-fraction/latency/recall
+        # tradeoff vs the pinned 110/256 workload above
+        t0 = time.perf_counter()
+        create_index(
+            vecs, "vec_id", "embedding", "scale_ivf_auto", engine="faiss",
+            type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
+        )
+        _t("scale100k_ivf_auto_build", t0)
+        t0 = time.perf_counter()
+        rows = index_scan(
+            spark, "scale_ivf_auto", queries, K, catalog=cat
+        ).collect()
+        _t("scale100k_ivf_auto_search", t0)
+        assert len(rows) == N_QUERIES * K, len(rows)
+        recall["scale100k_ivf_auto"] = round(_recall(rows), 3)
+        nl = auto_nlist(SCALE_N)
+        out["scale100k_ivf_auto_probe_frac"] = round(
+            auto_nprobe(nl, dim) / nl, 4
+        )
+        drop_index("scale_ivf_auto", cat)
+
+        t0 = time.perf_counter()
+        # shards=128 measured fastest at this N on local[32] (781-row
+        # graphs: 14.2s vs 19.5s at 64 shards and 22.4s at 192 —
+        # per-insert cost is superlinear in shard size, task overhead
+        # wins past ~4 waves)
+        create_index(
+            vecs, "vec_id", "embedding", "scale_vam", engine="diskann",
+            max_degree=16, build_complexity=32, shards=128, catalog=cat,
+        )
+        _t("scale100k_vamana_build", t0)
+        t0 = time.perf_counter()
+        rows = index_scan(spark, "scale_vam", queries, K, catalog=cat).collect()
+        _t("scale100k_vamana_search", t0)
+        assert len(rows) == N_QUERIES * K, len(rows)
+        recall["scale100k_vamana"] = round(_recall(rows), 3)
+        drop_index("scale_vam", cat)
+
+        t0 = time.perf_counter()
+        create_index(
+            vecs, "vec_id", "embedding", "scale_vam_routed", engine="diskann",
+            max_degree=16, build_complexity=32, shards=128, shard_by="cells",
+            catalog=cat,
+        )
+        _t("scale100k_vamana_routed_build", t0)
+        t0 = time.perf_counter()
+        rows = index_scan(
+            spark, "scale_vam_routed", queries, K, catalog=cat
+        ).collect()
+        _t("scale100k_vamana_routed_search", t0)
+        assert len(rows) == N_QUERIES * K, len(rows)
+        recall["scale100k_vamana_routed"] = round(_recall(rows), 3)
+        drop_index("scale_vam_routed", cat)
+
+        # routed layered-HNSW at the same shard/routing config
+        t0 = time.perf_counter()
+        create_index(
+            vecs, "vec_id", "embedding", "scale_hnsw_routed", engine="faiss",
+            type="HNSW", hnsw_m=16, shards=128, shard_by="cells", catalog=cat,
+        )
+        _t("scale100k_hnsw_routed_build", t0)
+        t0 = time.perf_counter()
+        rows = index_scan(
+            spark, "scale_hnsw_routed", queries, K, search_complexity=64,
+            catalog=cat,
+        ).collect()
+        _t("scale100k_hnsw_routed_search", t0)
+        assert len(rows) == N_QUERIES * K, len(rows)
+        recall["scale100k_hnsw_routed"] = round(_recall(rows), 3)
+        drop_index("scale_hnsw_routed", cat)
+
+        # ONE collect per knn_join times the search AND feeds the
+        # sampled-recall check (count-then-collect would run the whole
+        # distributed join twice)
+        t0 = time.perf_counter()
+        rows = knn_join(
+            qside, "qid", "embedding", vecs, "vec_id", "embedding",
+            k=KNN_K, nlist=512, nprobe=4, n_rows=SCALE_N,
+        ).collect()
+        _t("scale100k_knn_join", t0)
+        assert len(rows) == 10_000 * KNN_K, len(rows)
+        recall["scale100k_knn_join"] = round(_knn_recall(rows), 3)
+
+        t0 = time.perf_counter()
+        rows = knn_join(
+            qside, "qid", "embedding", vecs, "vec_id", "embedding",
+            k=KNN_K, nlist=0, nprobe=0, n_rows=SCALE_N,
+        ).collect()
+        _t("scale100k_knn_join_auto", t0)
+        assert len(rows) == 10_000 * KNN_K, len(rows)
+        recall["scale100k_knn_join_auto"] = round(_knn_recall(rows), 3)
+        out["scale100k_knn_join_auto_probe_frac"] = round(
+            auto_nprobe(nl, dim) / nl, 4
+        )
+
+    out["scale100k_reps"] = reps
+    out["scale100k_route_probe_frac"] = round(
+        auto_route_nprobe(128, dim) / 128, 4
+    )
+    # the reference's recall floor, held by every approximate path whose
+    # CONFIG claims recall (the pinned knn_join is documented latency-floor)
+    for key in ("scale100k_vamana_routed", "scale100k_hnsw_routed",
+                "scale100k_knn_join_auto", "scale100k_ivf",
+                "scale100k_ivf_auto", "scale100k_vamana"):
+        assert recall[key] >= 0.70, (key, recall[key])
 
     vecs.unpersist()
     return out, recall
@@ -486,6 +572,13 @@ def bench_corpus(spark) -> dict[str, float]:
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", cpus=cpus)
+    # keep the captured tail parseable: the bounded global windows in
+    # hybrid ranking (<= candidates rows by construction) trip a
+    # WindowExec WARN per pass that a constant partition key cannot
+    # silence (Spark 4's EliminateWindowPartitions folds any foldable
+    # spec); ERROR-level logging for the bench process is the
+    # documented alternative (VERDICT r6 item 5)
+    spark.sparkContext.setLogLevel("ERROR")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
     # warm the JVM codegen AND the Python/Arrow workers once so timings

@@ -122,10 +122,12 @@ def _route_probe_sets(
     existing_shards: set[int],
 ) -> list[set[int]]:
     """Per-query probed shard sets: the `route_nprobe` nearest routing
-    centroids (0 = the recall-calibrated ivf.auto_nprobe rule), filtered
-    to shard files that exist (empty cells write none)."""
+    centroids (0 = the routed-calibrated ivf.auto_route_nprobe rule,
+    which budgets for the per-shard graph-search miss on top of the
+    routing miss), filtered to shard files that exist (empty cells
+    write none)."""
     from ..functions.distance import np_index_distances
-    from .ivf import auto_nprobe
+    from .ivf import auto_route_nprobe
 
     qmat = np.asarray(queries, dtype=np.float32)
     if qmat.ndim == 1:
@@ -133,7 +135,7 @@ def _route_probe_sets(
     cd = np_index_distances(metric, route, qmat)  # (q, n_shards)
     rnp = int((manifest_params or {}).get("route_nprobe", 0) or 0)
     if rnp == 0:
-        rnp = auto_nprobe(route.shape[0], route.shape[1])
+        rnp = auto_route_nprobe(route.shape[0], route.shape[1])
     rnp = min(max(1, rnp), route.shape[0])
     order = np.argsort(cd, axis=1, kind="stable")[:, :rnp]
     sets = [

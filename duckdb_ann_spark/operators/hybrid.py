@@ -140,6 +140,12 @@ def bm25_ranks(
     """→ (id, _bm25_rank) with rank 1 = best score, ties broken on id."""
     scores = bm25_scores(docs, id_col, text_col, query_text)
     top = scores.orderBy(F.desc("_bm25_score"), F.asc(id_col)).limit(candidates)
+    # global window, DELIBERATE: it ranks an already-limited
+    # (<= candidates-row) set, so the single partition WindowExec warns
+    # about is bounded and correct. A constant partition key can't
+    # silence the warning — Spark 4's EliminateWindowPartitions folds
+    # any foldable spec (lit(0) and col*0 both measured eliminated) —
+    # so the bench sets the log level instead.
     w = Window.orderBy(F.desc("_bm25_score"), F.asc(id_col))
     return top.withColumn("_bm25_rank", F.row_number().over(w)).select(
         id_col, "_bm25_rank"
@@ -188,6 +194,8 @@ def hybrid_search(
             docs.select(id_col, vec_col), vec_col, query_vec,
             vector_candidates, metric, id_col=id_col,
         ).select(id_col, "_distance")
+    # global window, deliberate for the same reason as bm25_ranks':
+    # hits is <= vector_candidates rows, one partition is the point
     wv = Window.orderBy(F.col("_distance").asc_nulls_last(), F.col(id_col).asc())
     vec_ranks = hits.withColumn("_vector_rank", F.row_number().over(wv)).select(
         id_col, "_vector_rank"

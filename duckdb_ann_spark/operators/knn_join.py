@@ -149,6 +149,28 @@ def knn_join(
         centroids, metric, nprobe, [query_id_col, query_vec_col],
     )
 
+    return _cell_scored_topk(
+        q, b, query_id_col, query_vec_col, base_id_col, base_vec_col,
+        k, metric, method, salt,
+    )
+
+
+def _cell_scored_topk(
+    q: DataFrame,
+    b: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    base_id_col: str,
+    base_vec_col: str,
+    k: int,
+    metric: str,
+    method: str,
+    salt: int,
+) -> DataFrame:
+    """Scoring stage shared by `knn_join` (freshly-trained cells) and
+    `index_knn_join` (cells of a published IVF index): both sides arrive
+    already carrying `__cell`; score within cells, merge per-query
+    top-k."""
     out_schema = (
         f"{query_id_col} long, {base_id_col} long, {DISTANCE_COL} double"
     )
@@ -217,4 +239,107 @@ def knn_join(
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select(query_id_col, base_id_col, DISTANCE_COL)
+    )
+
+
+def index_knn_join(
+    spark,
+    index_name: str,
+    queries_df: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    nprobe: int = 0,
+    method: str = "blas",
+    catalog=None,
+    salt: int = 1,
+) -> DataFrame:
+    """k-NN join against a PUBLISHED IVFFlat index instead of freshly
+    trained cells → (query_id, <index id col>, _distance).
+
+    `knn_join` pays, on every call, a kmeans train (driver), a full
+    assignment pass over the base side, and the base-side exchange into
+    cells. A table that is joined against repeatedly should pay those
+    once — at CREATE INDEX time. This operator reuses the index
+    artifact the IVF engine already maintains (beyond-reference: the
+    reference's `ann_search_table` streams a query table through one
+    in-process index, `src/ann_search.cpp:397-691`; here the query side
+    is an arbitrary DataFrame and the scoring is distributed):
+
+    * centroids: the tiny driver-side table (`ivf._centroids`);
+    * base side: the cell-PARTITIONED vectors parquet read as-is — no
+      assignment pass, no exchange; pruned to the union of probed cells
+      (partition pruning, same as index search);
+    * query side: one narrow assignment pass to its `nprobe` nearest
+      cells (0 = the recall-calibrated `auto_nprobe` rule), then the
+      same cogroup-GEMM / exact scoring as `knn_join`.
+
+    Tombstoned ids are anti-joined off the base side before scoring, so
+    results match a vacuumed index. `nprobe >= nlist` degenerates to
+    the exact k-NN join (`method='exact'` for bit-exact distances).
+    """
+    from ..index.api import _deleted_ids, _load
+    from ..index.ivf import CELL_COL as IVF_CELL_COL
+    from ..index.ivf import VECTORS_DIR, IvfFlatEngine, auto_nprobe
+
+    cat, manifest, d, impl = _load(index_name, "", catalog)
+    if not isinstance(impl, IvfFlatEngine):
+        raise ValueError(
+            f"index_knn_join needs an IVFFlat index; '{index_name}' is "
+            f"{manifest['engine']}/{manifest.get('subtype', '')} (graph "
+            "engines have no cell layout to join against — use knn_join, "
+            "or ann_search_table for a small query side)"
+        )
+    base_id_col = manifest["id_col"]
+    base_vec_col = manifest["vec_col"]
+    metric = manifest["params"]["metric"]
+    centroids = impl._centroids(spark, d)
+    nlist_eff = centroids.shape[0]
+    if nlist_eff == 0:
+        raise ValueError(f"index '{index_name}' is empty (no trained cells)")
+    if nprobe == 0:
+        nprobe = auto_nprobe(nlist_eff, int(manifest["dim"]))
+    nprobe = min(max(1, nprobe), nlist_eff)
+
+    if query_vec_col == base_vec_col:
+        queries_df = queries_df.withColumnRenamed(
+            query_vec_col, f"_q_{query_vec_col}"
+        )
+        query_vec_col = f"_q_{query_vec_col}"
+    if query_id_col == base_id_col:
+        queries_df = queries_df.withColumnRenamed(
+            query_id_col, f"_q_{query_id_col}"
+        )
+        query_id_col = f"_q_{query_id_col}"
+
+    b = spark.read.parquet(f"{d}/{VECTORS_DIR}")
+    if IVF_CELL_COL != CELL_COL:  # pragma: no cover - same constant today
+        b = b.withColumnRenamed(IVF_CELL_COL, CELL_COL)
+    deleted = _deleted_ids(spark, d, manifest)
+    if deleted is not None:
+        b = b.join(F.broadcast(deleted), on=base_id_col, how="anti")
+    q = _assign_cells(
+        queries_df.select(query_id_col, query_vec_col), query_vec_col,
+        centroids, metric, nprobe, [query_id_col, query_vec_col],
+    )
+    if nprobe < nlist_eff:
+        # partition pruning: only cells some query probes are scanned.
+        # Collecting the distinct probed cells re-runs the (narrow,
+        # cheap) query assignment pass once more — worth it whenever the
+        # base outweighs the query side, which is this operator's use
+        # case: it converts the base-side read+cogroup from ALL cells to
+        # the probed union (a query workload with locality probes far
+        # fewer than nlist cells). The collect is bounded by nlist_eff
+        # ints. Cells probed by nobody would only cogroup against empty
+        # query groups — pruning is a scan optimization, not a
+        # correctness requirement.
+        probed = [
+            int(r[CELL_COL])
+            for r in q.select(CELL_COL).distinct().collect()
+        ]
+        if len(probed) < nlist_eff:
+            b = b.where(F.col(CELL_COL).isin(probed))
+    return _cell_scored_topk(
+        q, b, query_id_col, query_vec_col, base_id_col, base_vec_col,
+        k, metric, method, salt,
     )

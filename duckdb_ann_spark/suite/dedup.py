@@ -298,32 +298,61 @@ def q_similarity_join_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_join_fullprobe",
     f"""
-    SELECT query_id, vec_id, _distance FROM (
-        SELECT q.vec_id AS query_id, e.vec_id,
-               {sql_index_distance('l2', 'e.embedding', 'q.embedding')} AS _distance,
-               row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY {sql_index_distance('l2', 'e.embedding', 'q.embedding')},
-                            e.vec_id
-               ) AS rn
-        FROM (SELECT * FROM embeddings WHERE vec_id < 40) q
-        CROSS JOIN embeddings e
-    ) WHERE rn <= 3
+    WITH lat AS (
+        SELECT query_id, vec_id, _distance FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   {sql_index_distance('l2', 'e.embedding', 'q.embedding')} AS _distance,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_index_distance('l2', 'e.embedding', 'q.embedding')},
+                                e.vec_id
+                   ) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 40) q
+            CROSS JOIN embeddings e
+        ) WHERE rn <= 3
+    )
+    SELECT 'fresh' AS src, query_id, vec_id, _distance FROM lat
+    UNION ALL
+    SELECT 'index' AS src, query_id, vec_id, _distance FROM lat
     """,
 )
 def q_knn_join_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-NN join (DataFrame queries x DataFrame base, no
-    driver collect, equi-join on IVF cells): at nprobe = nlist every
-    pair is scored, so the result is exact and hash-matches the LATERAL
-    brute-force oracle."""
-    from ..operators.knn_join import knn_join
+    """Distributed k-NN join, BOTH construction paths (consolidated
+    entry, round 7): `src='fresh'` trains IVF cells per call
+    (`knn_join`), `src='index'` joins against a PUBLISHED IVFFlat
+    index's cells (`index_knn_join` — centroids + cell-partitioned
+    parquet reused, no base-side assignment pass). At nprobe = nlist
+    every pair is scored, so both legs are exact and hash-match the
+    same LATERAL brute-force oracle, bit-for-bit on distances."""
+    import os
+    import tempfile
+
+    from ..index import Catalog, create_index, drop_index
+    from ..operators.knn_join import index_knn_join, knn_join
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 40)
-    res = knn_join(
+    fresh = knn_join(
         queries, "vec_id", "embedding", emb, "vec_id", "embedding",
         k=3, nlist=8, nprobe=8, method="exact",
+    ).select(
+        F.lit("fresh").alias("src"),
+        F.col("_q_vec_id").alias("query_id"), "vec_id", "_distance",
     )
-    return res.select(
-        F.col("_q_vec_id").alias("query_id"), "vec_id", "_distance"
+    cat = Catalog(os.path.join(
+        tempfile.gettempdir(), f"duckdb_ann_spark_suite_knn_{os.getpid()}"
+    ))
+    drop_index("suite_ikj", cat)
+    create_index(
+        emb, "vec_id", "embedding", "suite_ikj", engine="faiss",
+        type="IVFFlat", ivf_nlist=8, nprobe=8, table_name="embeddings",
+        catalog=cat,
     )
+    via_index = index_knn_join(
+        spark, "suite_ikj", queries, "vec_id", "embedding", k=3, nprobe=8,
+        method="exact", catalog=cat,
+    ).select(
+        F.lit("index").alias("src"),
+        F.col("_q_vec_id").alias("query_id"), "vec_id", "_distance",
+    )
+    return fresh.unionByName(via_index)

@@ -149,3 +149,83 @@ def test_knn_join_auto_nprobe(spark, emb):
     out = knn_join(q, "qid", "embedding", emb, "vec_id", "embedding",
                    k=3, nlist=16, nprobe=0, n_rows=500)
     assert out.count() == 20 * 3
+
+
+# ---------------------------------------------------------------------------
+# index_knn_join: join against a PUBLISHED IVF index's cells
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def ivf_cat(tmp_path):
+    from duckdb_ann_spark.index import Catalog
+
+    return Catalog(str(tmp_path / "indexes"))
+
+
+def test_index_knn_join_fullprobe_matches_knn_join(spark, emb, ivf_cat):
+    """At nprobe >= nlist both paths are exact, so joining against the
+    published index must equal the freshly-trained join row-for-row
+    (same ids AND same bit-exact distances on the exact method)."""
+    from duckdb_ann_spark.index import create_index
+    from duckdb_ann_spark.operators.knn_join import index_knn_join
+
+    create_index(emb, "vec_id", "embedding", "ikj", engine="faiss",
+                 type="IVFFlat", ivf_nlist=8, nprobe=2, catalog=ivf_cat)
+    queries = emb.where(F.col("vec_id") < 20)
+    via_index = index_knn_join(
+        spark, "ikj", queries, "vec_id", "embedding", k=3, nprobe=8,
+        method="exact", catalog=ivf_cat,
+    )
+    fresh = knn_join(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=3, nlist=8, nprobe=8, method="exact",
+    )
+    assert via_index.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(via_index).count() == 0
+
+
+def test_index_knn_join_partial_probe_prunes_and_recalls(spark, emb, ivf_cat):
+    """Partial probe: k rows per query, every query finds itself (each
+    query IS a base row, and its own cell is always its nearest)."""
+    from duckdb_ann_spark.index import create_index
+    from duckdb_ann_spark.operators.knn_join import index_knn_join
+
+    create_index(emb, "vec_id", "embedding", "ikp", engine="faiss",
+                 type="IVFFlat", ivf_nlist=16, nprobe=4, catalog=ivf_cat)
+    q = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = index_knn_join(
+        spark, "ikp", q, "qid", "embedding", k=3, nprobe=6, catalog=ivf_cat,
+    ).toPandas()
+    assert len(out) == 30 * 3
+    self_hits = out[out.qid == out.vec_id]
+    assert len(self_hits) == 30 and (self_hits._distance < 1e-5).all()
+
+
+def test_index_knn_join_respects_tombstones(spark, emb, ivf_cat):
+    from duckdb_ann_spark.index import create_index, delete_from_index
+    from duckdb_ann_spark.operators.knn_join import index_knn_join
+
+    create_index(emb, "vec_id", "embedding", "ikd", engine="faiss",
+                 type="IVFFlat", ivf_nlist=8, nprobe=8, catalog=ivf_cat)
+    delete_from_index(spark, "ikd", [0, 1, 2], catalog=ivf_cat)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = index_knn_join(
+        spark, "ikd", q, "qid", "embedding", k=4, catalog=ivf_cat
+    ).toPandas()
+    assert len(out) == 5 * 4
+    assert not set(out.vec_id) & {0, 1, 2}
+
+
+def test_index_knn_join_rejects_graph_engines(spark, emb, ivf_cat):
+    from duckdb_ann_spark.index import create_index
+    from duckdb_ann_spark.operators.knn_join import index_knn_join
+
+    create_index(emb, "vec_id", "embedding", "ikg", engine="diskann",
+                 max_degree=8, build_complexity=16, catalog=ivf_cat)
+    with pytest.raises(ValueError, match="IVFFlat"):
+        index_knn_join(spark, "ikg", emb, "vec_id", "embedding", k=3,
+                       catalog=ivf_cat)

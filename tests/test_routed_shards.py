@@ -67,15 +67,21 @@ def test_routed_full_probe_exact(spark, emb, qvec, cat, engine, opts):
 
 
 def test_routed_partial_probe_recall(spark, emb, qvec, cat):
-    """16 cells, auto route_nprobe (10 of 16 here): the probed subset
-    must clear the reference's >=7/10 recall floor on ~uniform data."""
-    from duckdb_ann_spark.index.ivf import auto_nprobe
+    """64 cells, auto route_nprobe (47 of 64 here — the routed rule
+    inflates the IVF flat-scan rule 1.6x to budget for the per-shard
+    graph-search miss, see ivf.auto_route_nprobe): the probed subset
+    must clear the reference's >=7/10 recall floor on ~uniform data at
+    a >=64-cell config, where the rule is genuinely partial."""
+    from duckdb_ann_spark.index.ivf import auto_route_nprobe
 
     create_index(
         emb, "vec_id", "embedding", "rpp", engine="diskann", max_degree=16,
-        build_complexity=32, shards=16, shard_by="cells", catalog=cat,
+        build_complexity=32, shards=64, shard_by="cells", catalog=cat,
     )
-    assert auto_nprobe(16, 64) < 16  # genuinely partial at this config
+    assert auto_route_nprobe(64, 64) < 64  # genuinely partial here
+    # tiny shard counts resolve to full fan-out (their own full fan-out
+    # recall is the ceiling; see the calibration table)
+    assert auto_route_nprobe(16, 64) == 16
     got = [
         r.vec_id
         for r in index_scan(spark, "rpp", [qvec], k=10, catalog=cat)
