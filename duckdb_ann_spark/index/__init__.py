@@ -7,6 +7,8 @@ Public API (mirrors the reference extension's SQL surface, SURVEY §2.1-2.2):
 * :func:`index_scan` — low-level (id, distance) scan
   (`diskann_index_scan` / `faiss_index_scan`)
 * :func:`ann_search_batch_indexed` — batch search through an index
+* :func:`index_search_table` — DataFrame-queries search (unbounded query
+  side, no driver collect; the scale path past `ann_search_table`)
 * :func:`ann_list` / :func:`ann_index_info` — catalog diagnostics
 * :func:`delete_from_index` / :func:`vacuum_index` / :func:`merge_indexes` /
   :func:`drop_index` — DML lifecycle
@@ -22,6 +24,7 @@ from .api import (  # noqa: F401
     drop_index,
     faiss_gpu_info,
     index_scan,
+    index_search_table,
     insert_into_index,
     merge_indexes,
     vacuum_index,

@@ -247,6 +247,104 @@ def ann_search(
     )
 
 
+def index_search_table(
+    spark: SparkSession,
+    name: str,
+    queries_df: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+    search_complexity: Optional[int] = None,
+    catalog: Optional[Catalog] = None,
+    method: str = "blas",
+) -> DataFrame:
+    """DataFrame-queries index search → (<query_id_col>, <index id col>,
+    _distance): every row of an UNBOUNDED query DataFrame gets its k
+    nearest index rows, with no driver collect of the query side.
+
+    This is the scale path past `ann_search_table`'s MAX_QUERY_ROWS
+    guard (the reference streams the query table through one in-process
+    index, `src/ann_search.cpp:397-691` — a driver-shaped design; here
+    "search 100M embeddings against the index" distributes). Dispatch
+    by engine:
+
+    * graph engines (DiskANN / HNSW): each Arrow batch of queries
+      lock-step batch-searches the shard files (per-process mmap
+      cache); shard_by='cells' routing happens inside the task off a
+      broadcast centroid matrix.
+    * IVFFlat: `index_knn_join` (cell-partitioned parquet reused,
+      query side assigned + cogroup-GEMM scored).
+    * Flat: exact k-NN join against the index's vector table.
+
+    Queries whose vector length mismatches the index dimension are
+    dropped (the reference empties the whole batch on any mismatch,
+    `src/diskann_index.cpp:554-556`; per-row filtering is the
+    DataFrame-native reading of that contract). Tombstoned ids never
+    appear (over-request + anti-join, like `index_scan`).
+    `method='exact'` switches the IVF/Flat scoring to the bit-exact JVM
+    fold (oracle discipline); graph engines ignore it (their distances
+    come from the same float32 kernel either way)."""
+    from ..operators.knn_join import index_knn_join, knn_join
+
+    cat, manifest, d, impl = _load(name, "", catalog)
+    id_col = manifest["id_col"]
+    if query_id_col == id_col:
+        queries_df = queries_df.withColumnRenamed(
+            query_id_col, f"_q_{query_id_col}"
+        )
+        query_id_col = f"_q_{query_id_col}"
+    deleted = _deleted_ids(spark, d, manifest)
+    eff_k = k + int(manifest.get("num_deleted", 0)) if deleted is not None else k
+
+    if hasattr(impl, "search_df"):
+        hits = impl.search_df(
+            spark, manifest, d, queries_df, query_id_col, query_vec_col,
+            eff_k, search_complexity,
+        )
+    else:
+        from .flat import FlatEngine
+        from .ivf import IvfFlatEngine
+
+        if isinstance(impl, IvfFlatEngine):
+            # index_knn_join anti-joins tombstones itself, before
+            # scoring — no over-request needed on this path
+            return index_knn_join(
+                spark, name, queries_df, query_id_col, query_vec_col, k,
+                nprobe=int(search_complexity or 0), catalog=catalog,
+                method=method,
+            )
+        if isinstance(impl, FlatEngine):
+            vecs = impl.vectors(spark, d)
+            if deleted is not None:
+                vecs = vecs.join(F.broadcast(deleted), on=id_col, how="anti")
+            qn = queries_df.where(
+                F.size(query_vec_col) == int(manifest["dim"])
+            )
+            # flat = exact scan: full-probe cell join (auto cells keep
+            # the GEMMs task-sized; every pair is still scored)
+            return knn_join(
+                qn, query_id_col, query_vec_col, vecs, id_col,
+                manifest["vec_col"], k=k, nlist=0, nprobe=1 << 30,
+                n_rows=int(manifest["num_vectors"]), method=method,
+            )
+        raise ValueError(
+            f"index_search_table: engine {manifest['engine']}/"
+            f"{manifest.get('subtype', '')} has no DataFrame-queries path"
+        )
+
+    if deleted is not None:
+        hits = hits.join(F.broadcast(deleted), on=id_col, how="anti")
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc()
+        )
+        hits = (
+            hits.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return hits
+
+
 def ann_search_batch_indexed(
     base_df: DataFrame,
     name: str,

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from ..local import local_df
 from .engines import register_engine
-from ..functions.distance import np_stack_vectors
+from ..functions.distance import np_index_distances, np_stack_vectors
 from .file_format import read_diskann, read_hnsw, read_sq8, write_diskann
 from .hnsw_core import build_hnsw
 from .vamana_core import VamanaGraph, build_graph, sq8_dequantize, sq8_quantize
@@ -745,6 +745,113 @@ class VamanaEngine:
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k)
             .select("query_idx", F.col("id").alias(id_col), "_distance")
+        )
+
+
+    def search_df(
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        artifact_dir: str,
+        queries_df: DataFrame,
+        query_id_col: str,
+        query_vec_col: str,
+        k: int,
+        search_complexity: int | None = None,
+    ) -> DataFrame:
+        """DataFrame-queries search → (<query_id_col>, shardhit rows
+        merged to global top-k): the `_search_distributed` shape WITHOUT
+        the driver ever holding the queries (beyond-reference: the
+        reference's `ann_search_table` streams the query table through
+        one in-process index, `src/ann_search.cpp:397-691`; here the
+        query side is an unbounded DataFrame — the scale path for
+        "search N million embeddings against the index").
+
+        Routing (shard_by='cells') moves INTO the task: the routing
+        centroid matrix rides a broadcast and each Arrow batch ranks its
+        own queries' probe sets locally — per-task work is the batch's
+        probed shards only, and nothing scales with the query count on
+        the driver."""
+        id_col = manifest["id_col"]
+        metric = manifest["params"]["metric"]
+        shard_files = self._shard_files(artifact_dir)
+        route = _route_centroids(spark, artifact_dir, manifest["params"])
+        rnp = 0
+        if route is not None and len(shard_files) > 1:
+            rnp = int((manifest["params"] or {}).get("route_nprobe", 0) or 0)
+            if rnp == 0:
+                from .ivf import auto_route_nprobe
+
+                rnp = auto_route_nprobe(route.shape[0], route.shape[1])
+            rnp = min(max(1, rnp), route.shape[0])
+        else:
+            route = None
+        bc = spark.sparkContext.broadcast(route)
+        existing = {s for s, _ in shard_files}
+
+        qdf = queries_df.select(
+            F.col(query_id_col).cast("long").alias("_qid"),
+            F.col(query_vec_col).alias("_qv"),
+        ).where(F.size("_qv") == int(manifest["dim"]))
+
+        def run(batches):
+            route_mat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                qs = np_stack_vectors(pdf["_qv"])
+                qids = pdf["_qid"].tolist()
+                if route_mat is None:
+                    pm = None
+                else:
+                    cd = np_index_distances(metric, route_mat, qs)
+                    order = np.argsort(cd, axis=1, kind="stable")[:, :rnp]
+                    pm = []
+                    for qi in range(qs.shape[0]):
+                        s = {int(c) for c in order[qi] if int(c) in existing}
+                        pm.append(s if s else existing)
+                for shard, path in shard_files:
+                    if pm is None:
+                        sub_qs, sub_ids = qs, qids
+                    else:
+                        keep = [i for i, _ in enumerate(qids)
+                                if shard in pm[i]]
+                        if not keep:
+                            continue
+                        sub_qs = qs[keep]
+                        sub_ids = [qids[i] for i in keep]
+                    g = _load_shard(path)
+                    for qi, hits in zip(
+                        sub_ids, g.search_batch(sub_qs, k, search_complexity)
+                    ):
+                        for label, dist in hits:
+                            out.append((int(qi), shard, int(label), float(dist)))
+                yield pd.DataFrame(
+                    out, columns=["_qid", "shard", "label", "_distance"]
+                )
+
+        hits = qdf.mapInPandas(
+            run, schema="_qid long, shard int, label long, _distance double"
+        )
+        labels = spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("_distance").asc_nulls_last(), F.col("id").asc()
+        )
+        # unlike `_search_distributed`, the hit count is UNBOUNDED (it
+        # grows with the query DataFrame), so the label map join is a
+        # plain shuffle join — never a broadcast of the hits
+        return (
+            hits.join(labels, on=["shard", "label"])
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select(
+                F.col("_qid").alias(query_id_col),
+                F.col("id").alias(id_col),
+                "_distance",
+            )
         )
 
 

@@ -80,28 +80,70 @@ def q_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH qs AS (
         SELECT CAST(vec_id AS INT) AS query_idx, vec_id AS q_vec_id, embedding AS qv
         FROM embeddings WHERE vec_id < 3
+    ), lat AS (
+        SELECT q_vec_id AS vec_id, query_idx, table_vec_id, label, _distance FROM (
+            SELECT q.query_idx, q.q_vec_id, e.vec_id AS table_vec_id, e.label,
+                   {sql_index_distance('l2', 'e.embedding', 'q.qv')} AS _distance,
+                   row_number() OVER (
+                       PARTITION BY q.query_idx
+                       ORDER BY {sql_index_distance('l2', 'e.embedding', 'q.qv')}, e.vec_id
+                   ) AS rn
+            FROM qs q CROSS JOIN embeddings e
+        ) WHERE rn <= 3
     )
-    SELECT q_vec_id AS vec_id, query_idx, table_vec_id, label, _distance FROM (
-        SELECT q.query_idx, q.q_vec_id, e.vec_id AS table_vec_id, e.label,
-               {sql_index_distance('l2', 'e.embedding', 'q.qv')} AS _distance,
-               row_number() OVER (
-                   PARTITION BY q.query_idx
-                   ORDER BY {sql_index_distance('l2', 'e.embedding', 'q.qv')}, e.vec_id
-               ) AS rn
-        FROM qs q CROSS JOIN embeddings e
-    ) WHERE rn <= 3
+    SELECT 'collect' AS src, vec_id, query_idx, table_vec_id, label, _distance FROM lat
+    UNION ALL
+    SELECT 'distributed' AS src, vec_id, query_idx, table_vec_id, label, _distance FROM lat
     """,
 )
 def q_ann_search_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLE-input batch search with passthrough + `table_` prefix dedup.
+    """TABLE-input batch search, BOTH query-side shapes (consolidated
+    entry, round 7): `src='collect'` is the reference-shaped
+    `ann_search_table` (query table collected to one driver batch,
+    MAX_QUERY_ROWS-guarded), `src='distributed'` is `index_search_table`
+    — the query side stays an unbounded DataFrame, searched here through
+    a Flat index at the exact method, so both legs hash-match the same
+    LATERAL oracle.
 
     Uses the exact method so the driver hash matches; the blas path is
     covered by tests/test_batch_search.py id-overlap checks.
     """
+    import os
+    import tempfile
+
+    from ..index import Catalog, create_index, drop_index, index_search_table
+
     emb = _emb(spark, sf_dir)
     qdf = emb.where(F.col("vec_id") < 3).orderBy("vec_id").select("vec_id", "embedding")
     base = emb.select("vec_id", "embedding", "label")
     res = ann_search_table(
         qdf, "embedding", base, "vec_id", "embedding", k=3, method="exact"
+    ).select(
+        F.lit("collect").alias("src"),
+        "vec_id", "query_idx", "table_vec_id", "label", "_distance",
     )
-    return res.select("vec_id", "query_idx", "table_vec_id", "label", "_distance")
+
+    cat = Catalog(os.path.join(
+        tempfile.gettempdir(), f"duckdb_ann_spark_suite_ist_{os.getpid()}"
+    ))
+    drop_index("suite_ist_flat", cat)
+    create_index(
+        emb, "vec_id", "embedding", "suite_ist_flat", engine="faiss",
+        type="Flat", table_name="embeddings", catalog=cat,
+    )
+    dist = index_search_table(
+        spark, "suite_ist_flat", qdf, "vec_id", "embedding", k=3,
+        catalog=cat, method="exact",
+    )
+    # reshape to the entry's passthrough contract: query id (renamed
+    # _q_vec_id by the collision discipline), hit id, label via base join
+    dist = dist.join(
+        base.select(F.col("vec_id").alias("table_vec_id"), "label"),
+        F.col("vec_id") == F.col("table_vec_id"),
+    ).select(
+        F.lit("distributed").alias("src"),
+        F.col("_q_vec_id").alias("vec_id"),
+        F.col("_q_vec_id").cast("int").alias("query_idx"),
+        "table_vec_id", "label", "_distance",
+    )
+    return res.unionByName(dist)
