@@ -793,6 +793,14 @@ class VamanaEngine:
             F.col(query_id_col).cast("long").alias("_qid"),
             F.col(query_vec_col).alias("_qv"),
         ).where(F.size("_qv") == int(manifest["dim"]))
+        # spread the query side across the cluster unconditionally: a
+        # filtered frame routinely arrives with most partitions EMPTY
+        # (a range-partitioned id filter leaves 1/10 of the partitions
+        # holding rows; a partition COUNT check cannot see that), and
+        # graph search cost is per-row CPU — stragglers dominate wall
+        # time far more than this one narrow (id, vec) exchange costs.
+        # Same price knn_join pays to explode its query side.
+        qdf = qdf.repartition(spark.sparkContext.defaultParallelism)
 
         def run(batches):
             route_mat = bc.value

@@ -83,6 +83,15 @@ def main() -> None:
     knn_join(q20, "qid", "embedding", emb, "vec_id", "embedding",
              k=1, nlist=0, nprobe=4).show(5)
 
+    # -- DataFrame-queries search against a published index -----------
+    # (no driver collect of the query side; repeated joins reuse the
+    # index's trained cells / shard graphs instead of re-training)
+    from duckdb_ann_spark.index import index_search_table
+
+    print("== index_search_table: 20-row query DataFrame x ivfflat ==")
+    index_search_table(spark, "demo_ivf", q20, "qid", "embedding", k=1,
+                       catalog=cat).show(5)
+
     # -- near-dup detection three ways --------------------------------
     from duckdb_ann_spark.operators.dedup import (
         minhash_candidate_pairs, simhash_pairs,

@@ -209,6 +209,95 @@ def test_hnsw_100k_sharded(spark, cat):
     vecs.unpersist()
 
 
+def test_vamana_200k_routed_and_df_queries(spark, cat):
+    """Round-7 smoke: the two features that make graph ANN survive a
+    growing corpus, an order of magnitude past their unit tests.
+
+    * shard_by='cells' at 200k x 64 shards: the `auto_route_nprobe`
+      probe rule (1.6x IVF, calibrated for the compound routing x
+      graph-search miss) must hold the 0.70 floor while probing a
+      genuine subset, and routed search must not be slower than the
+      full fan-out over the same graphs.
+    * `index_search_table` with a 20k-row query DATAFRAME (no driver
+      collect): every base-row query must find itself (its own cell is
+      by construction its nearest routing centroid), pinning the
+      in-task routing + lock-step batch path at scale.
+    """
+    n = 200_000
+    vecs = _vectors(spark, n).persist()
+    vecs.count()
+    rng = np.random.default_rng(17)
+    queries = rng.random((N_QUERIES, DIM), dtype=np.float32)
+
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+
+    t0 = time.perf_counter()
+    create_index(
+        vecs, "vec_id", "embedding", "smoke_vam_routed", engine="diskann",
+        max_degree=16, build_complexity=32, shards=64, shard_by="cells",
+        catalog=cat,
+    )
+    build_s = time.perf_counter() - t0
+
+    from duckdb_ann_spark.index.ivf import auto_route_nprobe
+
+    rnp = auto_route_nprobe(64, DIM)
+    assert rnp < 64  # genuinely partial at this config
+
+    # warm the per-process shard caches with one untimed full fan-out
+    # (first touch pays 64 mmap loads; timing that against a warm run
+    # would bias the routed-vs-full comparison either way)
+    cat.update("smoke_vam_routed", params={
+        **cat.load("smoke_vam_routed")["params"], "route_nprobe": 64,
+    })
+    index_scan(spark, "smoke_vam_routed", queries, K, catalog=cat).collect()
+    t0 = time.perf_counter()
+    index_scan(spark, "smoke_vam_routed", queries, K, catalog=cat).collect()
+    full_s = time.perf_counter() - t0
+    cat.update("smoke_vam_routed", params={
+        **cat.load("smoke_vam_routed")["params"], "route_nprobe": 0,
+    })
+
+    t0 = time.perf_counter()
+    rows = index_scan(
+        spark, "smoke_vam_routed", queries, K, catalog=cat
+    ).collect()
+    routed_s = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K
+    rec = _recall(rows, truth)
+    assert rec >= 0.70, rec
+
+    from duckdb_ann_spark.index import index_search_table
+
+    n_q = 20_000
+    qdf = vecs.where(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    t0 = time.perf_counter()
+    res = index_search_table(
+        spark, "smoke_vam_routed", qdf, "qid", "embedding", K, catalog=cat
+    ).persist()
+    cnt = res.count()
+    df_s = time.perf_counter() - t0
+    assert cnt == n_q * K, cnt
+    selfhits = res.where(F.col("qid") == F.col("vec_id")).count()
+    res.unpersist()
+    print(f"\nvamana 200k/64 routed cells: build {build_s:.1f}s, "
+          f"routed search {routed_s:.1f}s (probe {rnp}/64, recall {rec:.3f})"
+          f" vs full fan-out {full_s:.1f}s; index_search_table 20k df "
+          f"queries {df_s:.1f}s, self-hit {selfhits}/{n_q}")
+    # routing always probes the query's OWN cell first, but the in-shard
+    # greedy beam (L=32) is itself approximate — self-recall tracks the
+    # graph miss (~3%), not the routing (measured 0.966 at this config)
+    assert selfhits >= 0.95 * n_q, selfhits
+    assert routed_s <= full_s * 1.15, (routed_s, full_s)
+    drop_index("smoke_vam_routed", cat)
+    vecs.unpersist()
+
+
 def test_knn_join_100k(spark):
     from duckdb_ann_spark.operators.knn_join import knn_join
 
