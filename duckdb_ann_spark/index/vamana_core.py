@@ -32,6 +32,20 @@ import numpy as np
 NO_EDGE = np.uint32(0xFFFFFFFF)  # u32::MAX adjacency padding sentinel
 _NO_EDGE_INT = 0xFFFFFFFF  # python-int twin for tolist()-space filtering
 
+# pools above this size take the vectorized occlusion path (pure
+# bookkeeping speedup, decision-identical — equivalence is test-pinned
+# by running both paths on the same pools); module-level so tests can
+# force either path
+_NUMPY_CHOOSE_MIN = 48
+
+# the reference truncates every prune pool to its `max_occlusion_size`
+# NEAREST candidates before occlusion runs (`SortedNeighbors::new`
+# select_nth + truncate, diskann-patch/src/graph/internal/
+# sorted_neighbors.rs:26-43, applied at index.rs:415,578; default 750,
+# graph/config/defaults.rs:14). Bounds the O(m^2) occlusion work per
+# insert no matter how large a search's visited set grows.
+MAX_OCCLUSION_SIZE = 750
+
 
 def _dists(metric: str, mat: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Row-wise distances via ONE einsum kernel shape. Every distance the
@@ -278,28 +292,44 @@ class VamanaGraph:
             ids, dists = ids[mask], dists[mask]
             order = np.lexsort((ids, dists))
             ids, dists = ids[order], dists[order]
+        if len(ids) > MAX_OCCLUSION_SIZE:
+            # reference parity (SortedNeighbors::new): occlusion only
+            # ever sees the nearest max_occlusion_size candidates
+            ids = ids[:MAX_OCCLUSION_SIZE]
+            dists = dists[:MAX_OCCLUSION_SIZE]
 
         degree = self.max_degree
         m = len(ids)
         cand = np.ascontiguousarray(self.vectors[ids])
         fmax = np.float32(np.finfo(np.float32).max)
-        # ONE pairwise-distance kernel for the whole pool (the loop below
-        # only indexes rows of it) — per-pair numpy calls inside the
-        # choose loop dominated build time otherwise
-        if self.metric == "ip":
+        n2 = None
+        if m > _NUMPY_CHOOSE_MIN:
+            # large pools never materialize the m^2 pair matrix: only
+            # CHOSEN candidates' rows are read (<= degree of m, e.g. 16
+            # of ~400 for a visited pool), so pair rows are computed
+            # per-chosen below (one gemv each) — the full m^2 gemm was
+            # the single hottest kernel of the whole build (~60% of a
+            # big-pool prune) with >96% of its output unread.
+            if self.metric != "ip":
+                n2 = np.einsum("ij,ij->i", cand, cand)
+            pair = None
+        elif self.metric == "ip":
+            # ONE pairwise-distance kernel for the whole (small) pool —
+            # the loop below only indexes rows of it
             pair = -(cand @ cand.T)
         else:
             n2 = np.einsum("ij,ij->i", cand, cand)
             pair = n2[:, None] + n2[None, :] - 2.0 * (cand @ cand.T)
             np.maximum(pair, 0.0, out=pair)
         # ratio[j, k] = d(p,k) / d(j,k), the occlusion factor k picks up
-        # when j is chosen (fmax ONLY where d(j,k)==0) — all m^2 at once,
-        # so the choose loop is one np.maximum per chosen. `where=pair
-        # != 0`, not `> 0`: ip distances are signed, and a negative
-        # d(j,k) must divide through to a negative (never-occluding)
-        # factor like the reference, not collapse to fmax.
-        ratio = np.full((m, m), fmax, dtype=np.float32)
-        np.divide(dists[None, :], pair, out=ratio, where=pair != 0)
+        # when j is chosen (fmax ONLY where d(j,k)==0). Plain elementwise
+        # f32 division with the zero-divisor positions patched to fmax —
+        # identical values to the earlier `where=pair != 0` masked form
+        # (every non-zero divisor divides the same either way) without
+        # its masked-kernel cost. Zeros patch to fmax, NOT `pair > 0`:
+        # ip distances are signed, and a negative d(j,k) must divide
+        # through to a negative (never-occluding) factor like the
+        # reference, not collapse to fmax.
         # The choose loop runs over PYTHON floats: `tolist()` converts the
         # f32 ratio entries exactly (every float32 is representable in
         # f64), and the loop only compares/selects — no arithmetic — so
@@ -312,10 +342,54 @@ class VamanaGraph:
         # SLOWER at these pool sizes — per-chosen kernel dispatch costs
         # more than the saved python iterations. Keeping the loop.)
         fmax_f = float(fmax)
-        occlude = [0.0] * m
+        inc = min(self.alpha, 1.2)
         chosen: list[int] = []  # positions into ids
         cur_alpha = 1.0
-        inc = min(self.alpha, 1.2)
+        if m > _NUMPY_CHOOSE_MIN:
+            # large-pool (visited-set) path: same decisions, numpy
+            # bookkeeping, and LAZY ratio rows — only chosen candidates'
+            # rows are ever read (<= degree of them), so the m^2 divide
+            # the small path pays up front is skipped entirely. Within a
+            # pass, choosing the lowest eligible index and max-merging
+            # its ratio row into LATER indices is exactly the python
+            # pass below (earlier indices stay ineligible — occlusion
+            # only grows); float64 occlude vs float64-converted f32
+            # ratios reproduces the python-float comparisons
+            # bit-for-bit, so the two paths cannot diverge. (The python
+            # loop stays for small pools — per-chosen kernel dispatch
+            # costs more than it saves there; round-5 measured the slice
+            # variant 25% slower at back-edge pool sizes.)
+            occ = np.zeros(m, dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                while len(chosen) < degree:
+                    elig = np.flatnonzero(occ <= cur_alpha)
+                    if elig.size:
+                        i = int(elig[0])
+                        occ[i] = fmax_f
+                        chosen.append(i)
+                        if i + 1 < m:
+                            if self.metric == "ip":
+                                prow = -(cand[i + 1:] @ cand[i])
+                            else:
+                                prow = (
+                                    n2[i + 1:] + n2[i]
+                                    - 2.0 * (cand[i + 1:] @ cand[i])
+                                )
+                                np.maximum(prow, 0.0, out=prow)
+                            rrow = dists[i + 1:] / prow  # f32 elementwise
+                            rrow[prow == 0] = fmax
+                            np.maximum(occ[i + 1:],
+                                       rrow.astype(np.float64),
+                                       out=occ[i + 1:])
+                        continue
+                    if cur_alpha == self.alpha:
+                        break
+                    cur_alpha = min(cur_alpha * inc, self.alpha)
+            return [int(ids[i]) for i in chosen]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = dists[None, :] / pair
+        ratio[pair == 0] = fmax
+        occlude = [0.0] * m
         while len(chosen) < degree:
             for i in range(m):
                 if len(chosen) >= degree:

@@ -249,3 +249,66 @@ def test_sampling_start_strategies():
         assert g.entry_points == exp
         got = [i for i, _ in g.search(q, 5, search_complexity=300)]
         assert got == brute, strategy
+
+
+def test_robust_prune_choose_paths_identical():
+    """Round-7: robust_prune has two occlusion implementations — the
+    python pass for small (back-edge) pools and a numpy lazy-row path
+    for large (visited-set) pools. They must make IDENTICAL choices:
+    the numpy path compares float64-converted f32 ratios, exactly what
+    the python path's tolist() comparisons see, and its per-chosen gemv
+    pair rows must reproduce the small path's gemm rows."""
+    import numpy as np
+
+    import duckdb_ann_spark.index.vamana_core as vc
+    from duckdb_ann_spark.index.vamana_core import build_graph
+
+    rng = np.random.default_rng(11)
+    v = rng.random((600, 48), dtype=np.float32)
+    for metric in ("l2", "ip"):
+        g = build_graph(v, max_degree=12, build_complexity=24, metric=metric)
+        for _ in range(60):
+            m = int(rng.integers(49, 500))
+            ids = rng.choice(600, size=m, replace=False)
+            p = int(rng.integers(600))
+            if metric == "ip":
+                pd = -(g.vectors[ids] @ g.vectors[p])
+            else:
+                pd = ((g.vectors[ids] - g.vectors[p]) ** 2).sum(axis=1)
+            old = vc._NUMPY_CHOOSE_MIN
+            try:
+                vc._NUMPY_CHOOSE_MIN = 48
+                a = g.robust_prune(p, ids, pd)
+                vc._NUMPY_CHOOSE_MIN = 10 ** 9
+                b = g.robust_prune(p, ids, pd)
+            finally:
+                vc._NUMPY_CHOOSE_MIN = old
+            assert a == b
+
+
+def test_robust_prune_occlusion_cap():
+    """Reference parity: pools above MAX_OCCLUSION_SIZE are truncated to
+    the nearest MAX_OCCLUSION_SIZE before occlusion (SortedNeighbors,
+    sorted_neighbors.rs:26-43) — the result must equal pruning the
+    nearest slice directly."""
+    import numpy as np
+
+    import duckdb_ann_spark.index.vamana_core as vc
+    from duckdb_ann_spark.index.vamana_core import build_graph
+
+    rng = np.random.default_rng(13)
+    v = rng.random((1000, 16), dtype=np.float32)
+    g = build_graph(v, max_degree=8, build_complexity=16)
+    ids = np.arange(1000)
+    pd = ((g.vectors[ids] - g.vectors[0]) ** 2).sum(axis=1)
+    old = vc.MAX_OCCLUSION_SIZE
+    try:
+        vc.MAX_OCCLUSION_SIZE = 100
+        capped = g.robust_prune(0, ids, pd)
+        order = np.lexsort((ids, pd.astype(np.float32)))
+        keep = order[ids[order] != 0][:100]
+        vc.MAX_OCCLUSION_SIZE = 10 ** 9
+        direct = g.robust_prune(0, ids[keep], pd[keep])
+    finally:
+        vc.MAX_OCCLUSION_SIZE = old
+    assert capped == direct
