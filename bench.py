@@ -45,6 +45,15 @@ noise on a single-threaded Python insert loop, not a code regression;
 its magnitude is bounded by the sharding story (25k-row shards build
 in parallel executors), not by tightening this single-graph number.
 
+Round-7 note — host epochs are real: an isolated min-of-3 re-run of
+`ann_d256` (pure BLAS mapInPandas, code untouched since round 4)
+measured 0.62s against round 6's recorded 0.42s on the same machine,
+minutes apart from a full bench that showed the same ~+10..35% uniform
+inflation across UNTOUCHED workloads. Cross-round totals therefore
+carry an epoch term min-of-3 cannot remove; judge deltas against the
+round's own untouched-workload drift (ann_d*, rel_q1 are good
+canaries), not zero.
+
 Metric: total wall seconds over all workloads (lower is better), with the
 per-query breakdown in "queries".
 
