@@ -61,7 +61,13 @@ LABELS_DIR = "labels"
 # kmeans centroid per shard, read driver-side at search/append time
 ROUTE_DIR = "route"
 
-_GRAPH_CACHE: dict = {}
+# per-process (driver or python worker) shard cache, LRU-bounded: mmap
+# handles are cheap but SQ8 shards cache a DEQUANTIZED full float32
+# matrix, and a long-lived executor serving many indexes/shards would
+# otherwise accumulate them without limit. Eviction only drops the
+# python object — a later touch re-mmaps (cheap) / re-dequantizes.
+_GRAPH_CACHE: "dict" = {}
+MAX_CACHED_SHARDS = 256
 
 
 def _read_labels(spark: SparkSession, artifact_dir: str) -> pd.DataFrame:
@@ -151,6 +157,11 @@ def _route_probe_sets(
 def _load_shard(path: str):
     key = (path, os.path.getmtime(path))
     g = _GRAPH_CACHE.get(key)
+    if g is not None:
+        # LRU touch: plain dicts iterate in insertion order, so
+        # re-inserting moves this key to the back (= most recent)
+        del _GRAPH_CACHE[key]
+        _GRAPH_CACHE[key] = g
     if g is None:
         # evict stale generations of this shard (append/vacuum rewrote
         # the file → new mtime → new key; a dequantized SQ8 cache entry
@@ -169,6 +180,8 @@ def _load_shard(path: str):
                 # SQ8 provider
                 g.vectors = sq8_dequantize(*sq8)
         _GRAPH_CACHE[key] = g
+        while len(_GRAPH_CACHE) > MAX_CACHED_SHARDS:
+            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
     return g
 
 

@@ -261,3 +261,41 @@ def test_append_delta_cap_raises(spark, emb, cat, monkeypatch):
     insert_into_index(
         spark, "capped", emb.where(F.col("vec_id").between(50, 55)), cat
     )
+
+
+def test_shard_cache_lru_bounded(tmp_path):
+    """The per-process shard cache is LRU-bounded: touching more than
+    MAX_CACHED_SHARDS distinct shard files evicts the least recently
+    used (round 7 — SQ8 shards cache a dequantized float32 matrix, so
+    an unbounded cache leaks in long-lived executors)."""
+    import numpy as np
+
+    import duckdb_ann_spark.index.vamana as vm
+    from duckdb_ann_spark.index.file_format import write_diskann
+    from duckdb_ann_spark.index.vamana_core import build_graph
+
+    g = build_graph(np.ones((3, 4), dtype=np.float32), max_degree=4,
+                    build_complexity=8)
+    old_cache = dict(vm._GRAPH_CACHE)
+    old_max = vm.MAX_CACHED_SHARDS
+    try:
+        vm._GRAPH_CACHE.clear()
+        vm.MAX_CACHED_SHARDS = 3
+        paths = []
+        for i in range(5):
+            p = str(tmp_path / f"s{i}.diskann")
+            write_diskann(p, g)
+            paths.append(p)
+            vm._load_shard(p)
+        assert len(vm._GRAPH_CACHE) == 3
+        cached = {k[0] for k in vm._GRAPH_CACHE}
+        assert cached == set(paths[2:])  # oldest two evicted
+        vm._load_shard(paths[2])  # LRU touch
+        vm._load_shard(paths[0])  # reload; evicts paths[3] (now LRU)
+        cached = {k[0] for k in vm._GRAPH_CACHE}
+        assert paths[2] in cached and paths[0] in cached
+        assert paths[3] not in cached
+    finally:
+        vm.MAX_CACHED_SHARDS = old_max
+        vm._GRAPH_CACHE.clear()
+        vm._GRAPH_CACHE.update(old_cache)
