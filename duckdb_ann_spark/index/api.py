@@ -306,10 +306,16 @@ def index_search_table(
         from .ivf import IvfFlatEngine
 
         if isinstance(impl, IvfFlatEngine):
+            # same per-row dim-mismatch drop the other branches apply —
+            # without it a ragged query vector reaches np.vstack inside
+            # the cell-assignment kernel and fails the whole job
+            qn = queries_df.where(
+                F.size(query_vec_col) == int(manifest["dim"])
+            )
             # index_knn_join anti-joins tombstones itself, before
             # scoring — no over-request needed on this path
             return index_knn_join(
-                spark, name, queries_df, query_id_col, query_vec_col, k,
+                spark, name, qn, query_id_col, query_vec_col, k,
                 nprobe=int(search_complexity or 0), catalog=catalog,
                 method=method,
             )

@@ -354,11 +354,18 @@ class VamanaGraph:
             # its ratio row into LATER indices is exactly the python
             # pass below (earlier indices stay ineligible — occlusion
             # only grows); float64 occlude vs float64-converted f32
-            # ratios reproduces the python-float comparisons
-            # bit-for-bit, so the two paths cannot diverge. (The python
-            # loop stays for small pools — per-chosen kernel dispatch
-            # costs more than it saves there; round-5 measured the slice
-            # variant 25% slower at back-edge pool sizes.)
+            # ratios reproduces the python-float comparisons bit-for-bit
+            # GIVEN the same pair distances. The pair distances here come
+            # from per-chosen gemv rows where the small path uses one
+            # full gemm — BLAS does not guarantee bitwise-identical f32
+            # across kernel shapes, so cross-path agreement is a property
+            # of the BLAS build, probed (not assumed) by the pinning
+            # test; a last-ulp divergence could flip a near-threshold
+            # occlusion decision, which is within the engine's recall
+            # contract. (The python loop stays for small pools —
+            # per-chosen kernel dispatch costs more than it saves there;
+            # round-5 measured the slice variant 25% slower at back-edge
+            # pool sizes.)
             occ = np.zeros(m, dtype=np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 while len(chosen) < degree:

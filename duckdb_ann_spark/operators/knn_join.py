@@ -87,8 +87,8 @@ def knn_join(
     base_vec_col: str,
     k: int,
     metric: str = "l2",
-    nlist: int = 64,
-    nprobe: int = 8,
+    nlist: int = 0,
+    nprobe: int = 0,
     method: str = "blas",
     n_rows: int | None = None,
     salt: int = 1,
@@ -97,8 +97,16 @@ def knn_join(
     nearest base rows per query row (ties on base id ascending).
 
     Exact when `nprobe >= nlist`; otherwise approximate with IVF-probe
-    recall characteristics. Pass `n_rows` (the base row count) when
-    known to skip the counting pass over the base side.
+    recall characteristics. The DEFAULT (`nlist=0, nprobe=0`) is the
+    recall-calibrated AUTO pairing (`ivf.auto_nlist` / `auto_nprobe`,
+    the same rules as `ivf_nlist=0`/`nprobe=0` index search) — it holds
+    the reference's 0.70 recall floor with margin even on uniform
+    vectors (bench-asserted at 100k: `scale100k_knn_join_auto`).
+    Pinning a small fixed `nprobe` buys latency at UNCHARACTERIZED
+    recall (the 100k bench measures 0.264 at nprobe=4/nlist=512) — do
+    that only with your own recall measurement in hand. Pass `n_rows`
+    (the base row count) when known to skip the counting pass over the
+    base side.
 
     `salt` handles CELL SKEW on the cogroup fast path — the one shuffle
     AQE's skew-join cannot split (a whole cell is one task). With

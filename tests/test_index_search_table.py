@@ -108,6 +108,42 @@ def test_tombstones_and_dim_mismatch(spark, emb, cat):
     assert not set(out.vec_id) & {0, 1}
 
 
+def test_ivfflat_dim_mismatch_dropped(spark, emb, cat):
+    """Round-8 (r7 advice): the IVFFlat branch delegates to
+    index_knn_join — a ragged query row must be DROPPED per-row like the
+    other branches, not crash np.vstack inside the assignment kernel."""
+    create_index(emb, "vec_id", "embedding", "istiv", engine="faiss",
+                 type="IVFFlat", ivf_nlist=8, nprobe=8, catalog=cat)
+    q = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    ragged = q.withColumn(
+        "embedding",
+        F.when(F.col("qid") == 5, F.slice("embedding", 1, 3)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    out = index_search_table(
+        spark, "istiv", ragged, "qid", "embedding", 4, catalog=cat
+    ).toPandas()
+    assert set(out.qid) == {0, 1, 2, 3, 4}
+    assert (out.groupby("qid").size() == 4).all()
+
+
+def test_non_integral_query_id_fails_fast(spark, emb, cat):
+    """Round-8 (r7 advice): a string query id would silently cast to
+    NULL and collapse every query into one window group — the graph
+    path must raise instead."""
+    create_index(emb, "vec_id", "embedding", "istid", engine="diskann",
+                 max_degree=16, build_complexity=32, shards=2, catalog=cat)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("string").alias("qid"), "embedding"
+    )
+    with pytest.raises(ValueError, match="integral type"):
+        index_search_table(spark, "istid", q, "qid", "embedding", 3,
+                          catalog=cat)
+
+
 def test_query_id_collision_renames(spark, emb, cat):
     """A query id column named like the index id column survives (same
     rename discipline as knn_join: output column `_q_<name>`)."""

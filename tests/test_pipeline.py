@@ -62,6 +62,31 @@ def test_prepare_corpus_release_caches(spark, corpus):
     assert release_caches(out) == 0  # idempotent
 
 
+def test_release_operator_caches_catches_derived_frames(spark, corpus):
+    """Round-8 (r7 advice): a transformation of the returned frame drops
+    the tracked-frames attribute, so release_caches on the DERIVED frame
+    frees nothing — the process-level release_operator_caches sweep is
+    the fallback that still frees every operator-persisted block."""
+    from duckdb_ann_spark.caching import (
+        release_caches,
+        release_operator_caches,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    release_operator_caches()  # drain anything from earlier tests
+    out = prepare_corpus(
+        corpus, "doc_id", "text", langs=("en",), min_quality=0.0,
+    )
+    derived = out.select("doc_id")  # attribute does NOT propagate
+    derived.count()
+    assert not cm.isEmpty()
+    assert release_caches(derived) == 0  # the documented trap
+    assert release_operator_caches() >= 3  # the sweep still frees them
+    assert cm.isEmpty()
+    assert release_operator_caches() == 0  # idempotent
+
+
 def test_prepare_corpus_quality_filter(spark, corpus):
     # an impossible floor empties the corpus (and nothing crashes
     # downstream: dedup over zero rows)

@@ -254,10 +254,18 @@ def test_sampling_start_strategies():
 def test_robust_prune_choose_paths_identical():
     """Round-7: robust_prune has two occlusion implementations — the
     python pass for small (back-edge) pools and a numpy lazy-row path
-    for large (visited-set) pools. They must make IDENTICAL choices:
-    the numpy path compares float64-converted f32 ratios, exactly what
-    the python path's tolist() comparisons see, and its per-chosen gemv
-    pair rows must reproduce the small path's gemm rows."""
+    for large (visited-set) pools. Their decisions coincide whenever the
+    underlying pair-distance kernels do: the numpy path compares
+    float64-converted f32 ratios, exactly what the python path's
+    tolist() comparisons see — but its pair rows come from per-chosen
+    gemv calls while the small path uses one full gemm, and BLAS does
+    NOT guarantee bitwise-identical f32 output across kernel shapes
+    (round-7 advice). So the strict-equality pin is gated on a direct
+    kernel-agreement probe: where gemv rows reproduce the gemm rows
+    bitwise (true on this build), the choices MUST match exactly; on a
+    BLAS where they differ by last-ulp, only decision-plausibility is
+    required (first choice — ratio-independent — identical, and the
+    two paths mostly overlapping)."""
     import numpy as np
 
     import duckdb_ann_spark.index.vamana_core as vc
@@ -283,7 +291,37 @@ def test_robust_prune_choose_paths_identical():
                 b = g.robust_prune(p, ids, pd)
             finally:
                 vc._NUMPY_CHOOSE_MIN = old
-            assert a == b
+            # kernel-agreement probe: the exact arrays both paths derive
+            # their ratios from (sorted/deduped pool order is shared)
+            srt = np.lexsort((ids, pd))
+            cand = np.ascontiguousarray(g.vectors[ids[srt]])
+            if metric == "ip":
+                gemm = -(cand @ cand.T)
+                gemv_ok = all(
+                    np.array_equal(-(cand[i + 1:] @ cand[i]),
+                                   gemm[i, i + 1:])
+                    for i in range(len(cand) - 1)
+                )
+            else:
+                n2 = np.einsum("ij,ij->i", cand, cand)
+                gemm = n2[:, None] + n2[None, :] - 2.0 * (cand @ cand.T)
+                np.maximum(gemm, 0.0, out=gemm)
+                gemv_ok = all(
+                    np.array_equal(
+                        np.maximum(
+                            n2[i + 1:] + n2[i] - 2.0 * (cand[i + 1:] @ cand[i]),
+                            0.0,
+                        ),
+                        gemm[i, i + 1:],
+                    )
+                    for i in range(len(cand) - 1)
+                )
+            if gemv_ok:
+                assert a == b
+            else:  # pragma: no cover - BLAS-build dependent
+                assert a[:1] == b[:1]
+                inter = len(set(a) & set(b))
+                assert inter >= min(len(a), len(b)) - 2, (a, b)
 
 
 def test_robust_prune_occlusion_cap():
