@@ -54,6 +54,20 @@ carry an epoch term min-of-3 cannot remove; judge deltas against the
 round's own untouched-workload drift (ann_d*, rel_q1 are good
 canaries), not zero.
 
+Round-8 note — `vamana_build_d128` +17% (r6→r7) adjudicated by the
+prescribed in-process A/B (old full-gemm/uncapped prune kernel vs the
+7b2eeb6 occlusion-cap + lazy-row kernel, alternating reps, one
+process): new/old min ratio 1.033 at 312x128 (this workload's shard
+size) and 0.949 at 2000x128. The kernel is ±5% — it does not explain
++17%; the delta is host epoch (consistent with the ann_d256 +23%
+canary on untouched code). A follow-up `_NUMPY_CHOOSE_MIN` threshold
+sweep (48/96/160/256/inf at 312/781/2000 rows) found no crossover
+outside host noise, with 48 clearly best at 781 rows (the 100k scale
+workload's shard size) — threshold unchanged. Cross-round comparisons
+now carry fixed-work host canaries in the JSON (`calibration`): judge
+each family's delta against the matching canary (gemm / python-loop /
+spark-job), not against zero.
+
 Metric: total wall seconds over all workloads (lower is better), with the
 per-query breakdown in "queries".
 
@@ -102,6 +116,45 @@ N_VECTORS = 10_000
 N_QUERIES = 50
 K = 10
 DIMS = (128, 256, 768)
+
+
+def calibration_canaries(spark) -> dict:
+    """Round-8: fixed-work epoch canaries, timed in-process every bench
+    run and recorded in the JSON (`calibration`), so cross-round totals
+    can be judged against the HOST's drift instead of a judgment call
+    (r7 shipped +6.5% blamed on epochs with split evidence). Three
+    terms, one per execution substrate the workloads mix:
+
+    * `cal_gemm`  — seeded 1024^2 f32 GEMM x8 (BLAS/CPU epoch; the
+      ann_d* and cell-scoring kernels live here);
+    * `cal_py`    — a seeded 400x64 sequential Vamana build (pure-python
+      insert loop epoch; the graph-build workloads live here);
+    * `cal_spark` — sum over an 8M-row range (JVM/scheduler epoch; the
+      per-job fixed overhead every workload pays).
+
+    Min-of-5 each. To compare round N vs round N-1, scale each family's
+    delta by the matching canary's delta first; a workload regression
+    that survives that normalization is code, not weather."""
+    import duckdb_ann_spark.index.vamana_core as vc
+
+    rng = np.random.default_rng(12345)
+    a = rng.random((1024, 1024), dtype=np.float32)
+    v = rng.random((400, 64), dtype=np.float32)
+    out: dict[str, float] = {}
+    for key, fn in (
+        ("cal_gemm", lambda: [a @ a for _ in range(8)]),
+        ("cal_py", lambda: vc.build_graph(
+            v, max_degree=16, build_complexity=32)),
+        ("cal_spark", lambda: spark.range(8_000_000).agg(
+            F.sum("id")).collect()),
+    ):
+        fn()  # warmup
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            out[key] = round(min(dt, out.get(key, dt)), 4)
+    return out
 
 
 def _synthetic_vectors(spark, n: int, dim: int, seed: int):
@@ -198,7 +251,9 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
     t0 = time.perf_counter()
     create_index(
         vecs, "vec_id", "embedding", "bench_vamana", engine="diskann",
-        max_degree=16, build_complexity=32, shards=32, catalog=cat,
+        max_degree=16, build_complexity=32, shards=32, shard_by="hash",
+        catalog=cat,  # hash pinned: shard_by now auto-resolves to cells
+        # past 8 shards; this workload must stay the full-fan-out number
     )
     out["vamana_build_d%d" % dim] = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -380,7 +435,8 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         # wins past ~4 waves)
         create_index(
             vecs, "vec_id", "embedding", "scale_vam", engine="diskann",
-            max_degree=16, build_complexity=32, shards=128, catalog=cat,
+            max_degree=16, build_complexity=32, shards=128,
+            shard_by="hash", catalog=cat,  # pinned: the hash-vs-routed pair
         )
         _t("scale100k_vamana_build", t0)
         t0 = time.perf_counter()
@@ -404,6 +460,23 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         _t("scale100k_vamana_routed_search", t0)
         assert len(rows) == N_QUERIES * K, len(rows)
         recall["scale100k_vamana_routed"] = round(_recall(rows), 3)
+
+        # round-8: the DataFrame-queries path (index_search_table →
+        # search_df) on the same routed index — 10k query ROWS through
+        # mapInPandas with in-task routing, no driver collect of the
+        # query side; the config where the shard cache + probe ranking
+        # actually matter. Recall measured @5 on the first 500 ids
+        # against the same exact ground truth as the knn_join workloads.
+        from duckdb_ann_spark.index import index_search_table
+
+        t0 = time.perf_counter()
+        rows = index_search_table(
+            spark, "scale_vam_routed", qside, "qid", "embedding", KNN_K,
+            catalog=cat,
+        ).collect()
+        _t("scale100k_search_table_routed", t0)
+        assert len(rows) == 10_000 * KNN_K, len(rows)
+        recall["scale100k_search_table_routed"] = round(_knn_recall(rows), 3)
         drop_index("scale_vam_routed", cat)
 
         # routed layered-HNSW at the same shard/routing config
@@ -435,16 +508,38 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         assert len(rows) == 10_000 * KNN_K, len(rows)
         recall["scale100k_knn_join"] = round(_knn_recall(rows), 3)
 
+        # round-8: nlist/nprobe OMITTED — this workload now measures the
+        # operator's literal DEFAULT call (defaults flipped to the auto
+        # pairing this round), so the floor assert below characterizes
+        # what `knn_join(...)` gives a user out of the box
         t0 = time.perf_counter()
         rows = knn_join(
             qside, "qid", "embedding", vecs, "vec_id", "embedding",
-            k=KNN_K, nlist=0, nprobe=0, n_rows=SCALE_N,
+            k=KNN_K, n_rows=SCALE_N,
         ).collect()
         _t("scale100k_knn_join_auto", t0)
         assert len(rows) == 10_000 * KNN_K, len(rows)
         recall["scale100k_knn_join_auto"] = round(_knn_recall(rows), 3)
         out["scale100k_knn_join_auto_probe_frac"] = round(
             auto_nprobe(nl, dim) / nl, 4
+        )
+
+        # round-8: the floor-TARGETED config (ivf.floor_nprobe — 0.7x
+        # the auto rule) between the latency-floor pinned config and the
+        # margin-calibrated auto: the recorded middle of the
+        # recall/probe-work menu (r7 verdict item 6)
+        from duckdb_ann_spark.index.ivf import floor_nprobe
+
+        t0 = time.perf_counter()
+        rows = knn_join(
+            qside, "qid", "embedding", vecs, "vec_id", "embedding",
+            k=KNN_K, nlist=0, nprobe=floor_nprobe(nl, dim), n_rows=SCALE_N,
+        ).collect()
+        _t("scale100k_knn_join_floor", t0)
+        assert len(rows) == 10_000 * KNN_K, len(rows)
+        recall["scale100k_knn_join_floor"] = round(_knn_recall(rows), 3)
+        out["scale100k_knn_join_floor_probe_frac"] = round(
+            floor_nprobe(nl, dim) / nl, 4
         )
 
     out["scale100k_reps"] = reps
@@ -454,8 +549,10 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     # the reference's recall floor, held by every approximate path whose
     # CONFIG claims recall (the pinned knn_join is documented latency-floor)
     for key in ("scale100k_vamana_routed", "scale100k_hnsw_routed",
-                "scale100k_knn_join_auto", "scale100k_ivf",
-                "scale100k_ivf_auto", "scale100k_vamana"):
+                "scale100k_knn_join_auto", "scale100k_knn_join_floor",
+                "scale100k_ivf",
+                "scale100k_ivf_auto", "scale100k_vamana",
+                "scale100k_search_table_routed"):
         assert recall[key] >= 0.70, (key, recall[key])
 
     vecs.unpersist()
@@ -620,6 +717,9 @@ def main() -> None:
         "unit": "sec",
         "recall": recall,
         "sf": sf,
+        # fixed-work host-epoch canaries (see calibration_canaries):
+        # judge cross-round deltas relative to these, not to zero
+        "calibration": calibration_canaries(spark),
     }
     if os.environ.get("SPARK_GRAFT_SCALE100K", "1") != "0":
         scale_t, scale_r = bench_scale(spark)

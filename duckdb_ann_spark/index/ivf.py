@@ -89,6 +89,39 @@ def auto_nprobe(nlist: int, dim: int) -> int:
     return min(nlist, max(8, int(np.ceil(c * nlist ** 0.75))))
 
 
+def floor_nprobe(nlist: int, dim: int) -> int:
+    """Floor-TARGETED probe count: 0.7x the margin-calibrated
+    `auto_nprobe` rule, for callers who want the 0.70 recall floor at
+    the least probe work rather than the auto rule's 0.78-0.89 margin.
+
+    Round-8 sweep at the 100k x d128 knn_join bench workload (uniform
+    vectors — IVF's worst case; nlist=316, recall@5 over 500 queries,
+    same session so walls are comparable):
+
+        multiplier  nprobe  frac   wall     recall@5
+        (pinned)    4/512   0.008   9.4s    0.264
+        0.25        28      0.089   8.6s    0.517
+        0.375       42      0.133  11.3s    0.598
+        0.5         56      0.177  14.1s    0.675   <- under the floor
+        0.7         79      0.250  17.7s    0.763   <- this rule
+        1.0 (auto)  112     0.354  ~22s     0.848
+
+    0.7 is the smallest sweep point clearing 0.70 (bench-confirmed:
+    `scale100k_knn_join_floor` recall 0.763 at probe fraction 0.25,
+    wall ~0.65x the auto config). NEGATIVE RESULT recorded for the
+    "floor at <=2x the pinned wall" goal (r7 verdict #6): the bench
+    measures ~3.5x the pinned 4/512 wall — on uniform vectors the
+    floor needs ~25% probe fraction vs the pinned config's 0.8%, and
+    wall scales with probe volume; no probe-count knob closes that gap.
+    The recall/latency menu is therefore: pinned (latency floor,
+    recall uncharacterized), this rule (cheapest floor-clearing), auto
+    (floor + margin). The margin here is thin by design — real
+    (clustered) embeddings sit above it, but uniform-ish data near the
+    floor should stay on `auto_nprobe`. Floored at 4 so tiny nlist
+    never degenerates to a single probe."""
+    return min(nlist, max(4, int(np.ceil(0.7 * auto_nprobe(nlist, dim)))))
+
+
 def auto_route_nprobe(n_shards: int, dim: int) -> int:
     """`route_nprobe=0` resolution for shard_by='cells' GRAPH shards:
     the IVF rule times 1.6, capped at the shard count.

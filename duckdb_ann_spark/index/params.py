@@ -51,17 +51,21 @@ class DiskannParams:
     # python build is ~6ms/vector, unusable past ~10^5 rows).
     shards: int = 0
     # Spark extension: how rows map to graph shards.
-    # 'hash' (default) = uniform hash of the id — perfectly balanced,
-    # but every query must search EVERY shard (per-query work grows
-    # linearly with the corpus). 'cells' = kmeans cells (the
-    # SPANN/clustered-DiskANN shape): shards are spatial, a search
-    # probes only the `route_nprobe` nearest shards — per-query work
-    # stays ~constant as the corpus grows. RECOMMENDED for any index
-    # large enough to need more than ~8 shards (hash stays the default
-    # only for reference parity / pre-routing artifact compatibility);
-    # at the 100k/128-shard bench config routed search holds 0.87
-    # recall@10 at ~0.6x the full fan-out wall.
-    shard_by: str = "hash"
+    # 'hash' = uniform hash of the id — perfectly balanced, but every
+    # query must search EVERY shard (per-query work grows linearly with
+    # the corpus). 'cells' = kmeans cells (the SPANN/clustered-DiskANN
+    # shape): shards are spatial, a search probes only the
+    # `route_nprobe` nearest shards — per-query work stays ~constant as
+    # the corpus grows; at the 100k/128-shard bench config routed
+    # search holds 0.87 recall@10 at ~0.6x the full fan-out wall.
+    # 'auto' (default since round 8): resolve at build time — 'cells'
+    # past 8 shards (the scale regime, where linear fan-out is the
+    # wrong default at 100 TB), 'hash' at <=8 (full fan-out is the
+    # recall ceiling there and routing would resolve to near-full
+    # fan-out anyway). The RESOLVED value is recorded in the manifest,
+    # so artifacts stay self-describing and vacuum/merge rebuilds keep
+    # the layout they were created with.
+    shard_by: str = "auto"
     # probed shard count for shard_by='cells' search; 0 = AUTO (the
     # routed-calibrated ivf.auto_route_nprobe rule over the shard
     # count — 1.6x the IVF flat-scan rule, budgeting for the in-shard
@@ -79,9 +83,10 @@ class DiskannParams:
         if self.shards < 0:
             raise ValueError("shards must be >= 1 (or 0 for auto)")
         self.shard_by = str(self.shard_by).lower()
-        if self.shard_by not in ("hash", "cells"):
+        if self.shard_by not in ("auto", "hash", "cells"):
             raise ValueError(
-                f"Unknown shard_by '{self.shard_by}'. Supported: hash, cells"
+                f"Unknown shard_by '{self.shard_by}'. "
+                "Supported: auto, hash, cells"
             )
         if int(self.route_nprobe) < 0:
             raise ValueError("route_nprobe must be >= 1 (or 0 for auto)")
@@ -146,8 +151,10 @@ class FaissParams:
     shards: int = 0
     # shard routing for type='HNSW' (see DiskannParams.shard_by):
     # 'hash' = search all shards, 'cells' = kmeans-routed shards probed
-    # via route_nprobe (0 = auto). Ignored by Flat/IVFFlat.
-    shard_by: str = "hash"
+    # via route_nprobe (0 = auto), 'auto' (default) = 'cells' past 8
+    # shards, 'hash' otherwise, resolved at build time into the
+    # manifest. Ignored by Flat/IVFFlat.
+    shard_by: str = "auto"
     route_nprobe: int = 0
     AUTO_SHARD_ROWS = 25_000
     # GPU placement (`src/faiss_index.cpp:84-152`): cpu / gpu / auto.
@@ -185,9 +192,10 @@ class FaissParams:
         if int(self.shards) < 0:
             raise ValueError("shards must be >= 1 (or 0 for auto)")
         self.shard_by = str(self.shard_by).lower()
-        if self.shard_by not in ("hash", "cells"):
+        if self.shard_by not in ("auto", "hash", "cells"):
             raise ValueError(
-                f"Unknown shard_by '{self.shard_by}'. Supported: hash, cells"
+                f"Unknown shard_by '{self.shard_by}'. "
+                "Supported: auto, hash, cells"
             )
         if int(self.route_nprobe) < 0:
             raise ValueError("route_nprobe must be >= 1 (or 0 for auto)")

@@ -15,15 +15,18 @@ Artifact layout:
     route/                     parquet (shard, centroid) — only when
                                shard_by='cells' (kmeans-routed shards)
 
-Shard routing (`shard_by`, beyond-reference): 'hash' (default) spreads
-rows uniformly — perfectly balanced, but every query searches EVERY
-shard, so per-query work grows linearly with the corpus. 'cells' makes
+Shard routing (`shard_by`, beyond-reference): 'hash' spreads rows
+uniformly — perfectly balanced, but every query searches EVERY shard,
+so per-query work grows linearly with the corpus. 'cells' makes
 each shard a kmeans cell (the SPANN / clustered-DiskANN design): a
 search ranks the routing centroids and probes only the `route_nprobe`
 nearest shards (0 = the recall-calibrated `ivf.auto_nprobe` rule), so
 per-query work stays ~constant as the corpus grows; appends route to
 the nearest centroid's shard to preserve the spatial locality the probe
 relies on, and vacuum retrains the routing (the rebalance path).
+'auto' (the default since round 8) resolves at build time — 'cells'
+past 8 shards, 'hash' otherwise — and the manifest records the
+resolved value.
 
 The `.diskann` shard files ARE the vector storage — `vectors()`
 reconstructs (id, vec) rows distributively from shards + label map for
@@ -52,7 +55,12 @@ from .engines import register_engine
 from ..functions.distance import np_index_distances, np_stack_vectors
 from .file_format import read_diskann, read_hnsw, read_sq8, write_diskann
 from .hnsw_core import build_hnsw
-from .vamana_core import VamanaGraph, build_graph, sq8_dequantize, sq8_quantize
+from .vamana_core import (
+    SQ8Vectors,
+    VamanaGraph,
+    build_graph,
+    sq8_quantize,
+)
 from ..functions.text import quote_ident as _quote
 
 GRAPH_DIR = "graph"
@@ -61,13 +69,38 @@ LABELS_DIR = "labels"
 # kmeans centroid per shard, read driver-side at search/append time
 ROUTE_DIR = "route"
 
-# per-process (driver or python worker) shard cache, LRU-bounded: mmap
-# handles are cheap but SQ8 shards cache a DEQUANTIZED full float32
-# matrix, and a long-lived executor serving many indexes/shards would
-# otherwise accumulate them without limit. Eviction only drops the
-# python object — a later touch re-mmaps (cheap) / re-dequantizes.
-_GRAPH_CACHE: "dict" = {}
+# per-process (driver or python worker) shard cache, LRU-bounded two
+# ways (round 8): by RESIDENT BYTES (the real constraint — SQ8 shards
+# keep their u8 codes resident; mmapped f32/adjacency segments charge 0
+# because the OS reclaims those pages under pressure) and by entry COUNT
+# as an fd/handle backstop. Eviction only drops the python object — a
+# later touch re-mmaps / re-reads (cheap). Hash-sharded indexes fan
+# every query over every shard, so a long-lived worker's cache converges
+# to the whole index: at 25k-row x d768 shards the round-7 dequantized-
+# f32 cache cost ~77 MB/shard (~20 GB/worker at the count cap); the u8
+# view caches ~19 MB/shard and the byte budget bounds it regardless.
+_GRAPH_CACHE: "dict" = {}  # key -> (graph, resident_nbytes)
 MAX_CACHED_SHARDS = 256
+MAX_CACHED_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SHARD_CACHE_BYTES", str(1 << 30))
+)
+_CACHE_BYTES = 0
+
+
+def _resident_nbytes(g) -> int:
+    """Bytes this graph object pins in process memory: numpy arrays that
+    are NOT memmaps (mmapped segments are OS-paged, reclaimable) plus
+    the SQ8 code view and HNSW upper-layer adjacency."""
+    total = 0
+    for name in ("vectors", "adjacency", "levels"):
+        arr = getattr(g, name, None)
+        if arr is None or isinstance(arr, np.memmap):
+            continue
+        total += int(arr.nbytes)  # ndarray and SQ8Vectors both expose it
+    for layer in getattr(g, "upper", ()) or ():
+        for ids in layer.values():
+            total += int(getattr(ids, "nbytes", 8 * len(ids)))
+    return total
 
 
 def _read_labels(spark: SparkSession, artifact_dir: str) -> pd.DataFrame:
@@ -154,34 +187,60 @@ def _route_probe_sets(
     return [s if s else set(existing_shards) for s in sets]
 
 
+def _evict_cache_entry(key) -> None:
+    global _CACHE_BYTES
+    _, nbytes = _GRAPH_CACHE.pop(key)
+    _CACHE_BYTES -= nbytes
+
+
+def _clear_shard_cache() -> None:
+    """Reset the cache AND its byte accounting together (tests, or a
+    session that wants to drop every resident shard right now)."""
+    global _CACHE_BYTES
+    _GRAPH_CACHE.clear()
+    _CACHE_BYTES = 0
+
+
 def _load_shard(path: str):
+    global _CACHE_BYTES
     key = (path, os.path.getmtime(path))
-    g = _GRAPH_CACHE.get(key)
-    if g is not None:
+    entry = _GRAPH_CACHE.get(key)
+    if entry is not None:
         # LRU touch: plain dicts iterate in insertion order, so
         # re-inserting moves this key to the back (= most recent)
         del _GRAPH_CACHE[key]
-        _GRAPH_CACHE[key] = g
+        _GRAPH_CACHE[key] = entry
+        return entry[0]
+    # evict stale generations of this shard (append/vacuum rewrote
+    # the file → new mtime → new key; leaking a resident entry per
+    # rewrite bloats long-lived sessions)
+    for stale in [k for k in _GRAPH_CACHE if k[0] == path]:
+        _evict_cache_entry(stale)
+    # a shard with an HNSW appendix loads as a layered HnswGraph
+    # (same search interface); plain shards load as VamanaGraph
+    g = read_hnsw(path, mmap=True)
     if g is None:
-        # evict stale generations of this shard (append/vacuum rewrote
-        # the file → new mtime → new key; a dequantized SQ8 cache entry
-        # is a full n x dim float32 array, so leaking one per rewrite
-        # OOMs long-lived sessions)
-        for stale in [k for k in _GRAPH_CACHE if k[0] == path]:
-            del _GRAPH_CACHE[stale]
-        # a shard with an HNSW appendix loads as a layered HnswGraph
-        # (same search interface); plain shards load as VamanaGraph
-        g = read_hnsw(path, mmap=True)
-        if g is None:
-            g = read_diskann(path, mmap=True)
-            sq8 = read_sq8(path)
-            if sq8 is not None:
-                # search over dequantized codes, like the reference's
-                # SQ8 provider
-                g.vectors = sq8_dequantize(*sq8)
-        _GRAPH_CACHE[key] = g
-        while len(_GRAPH_CACHE) > MAX_CACHED_SHARDS:
-            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+        g = read_diskann(path, mmap=True)
+        sq8 = read_sq8(path)
+        if sq8 is not None:
+            # search in (near) the quantized domain, like the
+            # reference's SQ8 provider (provider.rs:161-231): u8 codes
+            # stay resident, rows dequantize on read — bitwise-equal
+            # distances to the full dequantized matrix at 1/4 the
+            # resident bytes
+            g.vectors = SQ8Vectors(*sq8)
+    nbytes = _resident_nbytes(g)
+    _GRAPH_CACHE[key] = (g, nbytes)
+    _CACHE_BYTES += nbytes
+    # byte budget first (the real constraint), count cap as fd backstop;
+    # always keep the entry just inserted
+    while len(_GRAPH_CACHE) > 1 and (
+        _CACHE_BYTES > MAX_CACHED_BYTES or len(_GRAPH_CACHE) > MAX_CACHED_SHARDS
+    ):
+        oldest = next(iter(_GRAPH_CACHE))
+        if oldest == key:
+            break
+        _evict_cache_entry(oldest)
     return g
 
 
@@ -265,6 +324,17 @@ class VamanaEngine:
                 n_rows = src.count()
             per = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
             shards = max(1, -(-int(n_rows) // per))
+        if getattr(params, "shard_by", "hash") == "auto":
+            # round-8 default: past 8 shards, hash fan-out makes
+            # per-query work linear in the corpus — the wrong default
+            # at scale; kmeans-routed cells keep it ~constant (probed
+            # fraction decays as shards^-0.25) while holding the 0.70
+            # recall floor (auto_route_nprobe calibration). At <=8
+            # shards routing resolves to near-full fan-out anyway, so
+            # 'hash' keeps the reference-parity layout. The RESOLVED
+            # value is written back so the manifest records what was
+            # built (vacuum/merge rebuilds keep it).
+            params.shard_by = "cells" if shards > 8 else "hash"
         # a rebuilt (vacuum/merge) artifact must not inherit a stale
         # routing table from a previous layout
         shutil.rmtree(f"{artifact_dir}/{ROUTE_DIR}", ignore_errors=True)

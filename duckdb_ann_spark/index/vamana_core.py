@@ -631,3 +631,42 @@ def sq8_quantize(vectors: np.ndarray):
 def sq8_dequantize(codes: np.ndarray, mins: np.ndarray, scale: np.ndarray) -> np.ndarray:
     # val = q/255*scale + min  (provider.rs:26-27)
     return (codes.astype(np.float32) / 255.0) * scale + mins
+
+
+class SQ8Vectors:
+    """Row-lazy dequantizing view over SQ8 codes — the reference's SQ8
+    resource contract (`rust_lib/src/provider.rs:161-231`: u8 codes stay
+    resident, dequantize on READ), which a cached full-f32
+    `sq8_dequantize` forfeits (4x the memory exactly where quantization
+    is supposed to save it).
+
+    Duck-types the slice of the ndarray surface the search kernels use
+    (`vectors[int]`, `vectors[index_array]`, `shape`, `len`). Each
+    access dequantizes only the touched rows with the SAME elementwise
+    expression as `sq8_dequantize`, so returned values are bitwise
+    identical to indexing a fully dequantized matrix — search results
+    cannot differ, only the resident footprint does (`nbytes` ~ n*dim
+    instead of 4*n*dim).
+
+    Search-only: writable paths (append/vacuum/`vectors()` rebuild) load
+    the full-precision v2 body via `read_diskann`, never this view."""
+
+    __slots__ = ("codes", "mins", "scale", "shape", "nbytes")
+
+    def __init__(self, codes: np.ndarray, mins: np.ndarray,
+                 scale: np.ndarray) -> None:
+        self.codes = codes
+        self.mins = mins
+        self.scale = scale
+        self.shape = codes.shape
+        self.nbytes = codes.nbytes + mins.nbytes + scale.nbytes
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, idx) -> np.ndarray:
+        # same per-element op sequence as sq8_dequantize → bitwise-equal
+        # rows (float32 div/mul/add are elementwise; row subsetting
+        # commutes with them)
+        return (self.codes[idx].astype(np.float32) / 255.0) * self.scale \
+            + self.mins

@@ -104,7 +104,10 @@ def knn_join(
     vectors (bench-asserted at 100k: `scale100k_knn_join_auto`).
     Pinning a small fixed `nprobe` buys latency at UNCHARACTERIZED
     recall (the 100k bench measures 0.264 at nprobe=4/nlist=512) — do
-    that only with your own recall measurement in hand. Pass `n_rows`
+    that only with your own recall measurement in hand; for the least
+    probe work that still clears the 0.70 floor, pass
+    `nprobe=ivf.floor_nprobe(ivf.auto_nlist(n), dim)` (the measured
+    0.7x rule — sweep table in its docstring). Pass `n_rows`
     (the base row count) when known to skip the counting pass over the
     base side.
 

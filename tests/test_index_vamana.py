@@ -276,10 +276,9 @@ def test_shard_cache_lru_bounded(tmp_path):
 
     g = build_graph(np.ones((3, 4), dtype=np.float32), max_degree=4,
                     build_complexity=8)
-    old_cache = dict(vm._GRAPH_CACHE)
     old_max = vm.MAX_CACHED_SHARDS
     try:
-        vm._GRAPH_CACHE.clear()
+        vm._clear_shard_cache()
         vm.MAX_CACHED_SHARDS = 3
         paths = []
         for i in range(5):
@@ -297,5 +296,88 @@ def test_shard_cache_lru_bounded(tmp_path):
         assert paths[3] not in cached
     finally:
         vm.MAX_CACHED_SHARDS = old_max
-        vm._GRAPH_CACHE.clear()
-        vm._GRAPH_CACHE.update(old_cache)
+        vm._clear_shard_cache()
+
+
+def test_sq8_shard_cache_stays_quantized(tmp_path):
+    """Round-8 (r7 verdict #2): a cached SQ8 shard must pin ~n*dim
+    resident bytes (u8 codes + per-dim min/scale), NOT the 4*n*dim
+    dequantized float32 matrix — the reference's SQ8 resource contract
+    (provider.rs:161-231: u8 resident, dequantize on read). Search
+    results through the lazy view are bitwise identical to the full
+    dequantized matrix."""
+    import numpy as np
+
+    import duckdb_ann_spark.index.vamana as vm
+    from duckdb_ann_spark.index.file_format import write_diskann
+    from duckdb_ann_spark.index.vamana_core import (
+        SQ8Vectors,
+        build_graph,
+        sq8_dequantize,
+        sq8_quantize,
+    )
+
+    rng = np.random.default_rng(8)
+    n, dim = 400, 32
+    vecs = rng.random((n, dim), dtype=np.float32)
+    g = build_graph(vecs, max_degree=8, build_complexity=16)
+    p = str(tmp_path / "q.diskann")
+    write_diskann(p, g, sq8_quantize(vecs))
+    try:
+        vm._clear_shard_cache()
+        loaded = vm._load_shard(p)
+        assert isinstance(loaded.vectors, SQ8Vectors)
+        # resident accounting: codes (n*dim u1) + mins/scale (2*dim f4),
+        # plus nothing else materialized (body vectors/adjacency are mmap)
+        (_, nbytes), = vm._GRAPH_CACHE.values()
+        assert nbytes == n * dim + 2 * dim * 4
+        assert nbytes < 4 * n * dim / 3  # far under the f32 matrix
+        assert vm._CACHE_BYTES == nbytes
+        # row-lazy dequantize is bitwise-equal to the full matrix
+        full = sq8_dequantize(loaded.vectors.codes, loaded.vectors.mins,
+                              loaded.vectors.scale)
+        idx = rng.integers(0, n, size=50)
+        assert np.array_equal(loaded.vectors[idx], full[idx])
+        assert np.array_equal(loaded.vectors[3], full[3])
+        # search through the view == search over the dequantized matrix
+        q = rng.random(dim, dtype=np.float32)
+        got = loaded.search(q, 5, search_complexity=32)
+        loaded.vectors = full
+        want = loaded.search(q, 5, search_complexity=32)
+        assert got == want
+    finally:
+        vm._clear_shard_cache()
+
+
+def test_shard_cache_byte_budget(tmp_path):
+    """The cache evicts by RESIDENT BYTES, not only entry count: two
+    resident SQ8 shards over the budget drop the least-recently-used
+    even with the count cap far away."""
+    import numpy as np
+
+    import duckdb_ann_spark.index.vamana as vm
+    from duckdb_ann_spark.index.file_format import write_diskann
+    from duckdb_ann_spark.index.vamana_core import build_graph, sq8_quantize
+
+    rng = np.random.default_rng(9)
+    n, dim = 300, 16
+    per_shard = n * dim + 2 * dim * 4
+    old_budget = vm.MAX_CACHED_BYTES
+    try:
+        vm._clear_shard_cache()
+        vm.MAX_CACHED_BYTES = int(per_shard * 2.5)  # fits 2, not 3
+        paths = []
+        for i in range(4):
+            vecs = rng.random((n, dim), dtype=np.float32)
+            g = build_graph(vecs, max_degree=8, build_complexity=16)
+            p = str(tmp_path / f"b{i}.diskann")
+            write_diskann(p, g, sq8_quantize(vecs))
+            paths.append(p)
+            vm._load_shard(p)
+        assert len(vm._GRAPH_CACHE) == 2
+        assert {k[0] for k in vm._GRAPH_CACHE} == set(paths[2:])
+        assert vm._CACHE_BYTES == 2 * per_shard
+        assert vm._CACHE_BYTES <= vm.MAX_CACHED_BYTES
+    finally:
+        vm.MAX_CACHED_BYTES = old_budget
+        vm._clear_shard_cache()

@@ -242,3 +242,115 @@ def test_hash_default_writes_no_route(spark, emb, cat):
         build_complexity=32, shards=4, catalog=cat,
     )
     assert not os.path.isdir(os.path.join(cat.path("rhash"), "route"))
+
+
+@pytest.mark.parametrize("engine,opts", [
+    ("diskann", dict(max_degree=16, build_complexity=32)),
+    ("faiss", dict(type="HNSW", hnsw_m=8)),
+])
+def test_routed_churn_cycle(spark, cat, engine, opts):
+    """Round-8 (r7 verdict #7): the full churn cycle on a routed index
+    of EACH graph engine — append 10%, delete 5%, vacuum (retrains the
+    routing), search — with the recall floor held against exact ground
+    truth over the SURVIVING rows, appended rows reachable and deleted
+    rows gone. (The 100k version runs in the gated scale smoke,
+    tests/test_scale_smoke.py.)"""
+    import numpy as np
+
+    from duckdb_ann_spark.index import delete_from_index, index_scan
+
+    dim, n, n_app = 32, 4000, 400
+    rng = np.random.default_rng(88)
+    base = spark.range(n).withColumn(
+        "embedding", F.array(*[F.rand(900 + j).cast("float")
+                               for j in range(dim)]),
+    ).select(F.col("id").alias("vec_id"), "embedding").persist()
+    base.count()
+    create_index(
+        base, "vec_id", "embedding", "churn", engine=engine, shards=8,
+        shard_by="cells", catalog=cat, **opts,
+    )
+    # append 10% (fresh ids, same distribution)
+    appended = spark.range(n, n + n_app).withColumn(
+        "embedding", F.array(*[F.rand(1900 + j).cast("float")
+                               for j in range(dim)]),
+    ).select(F.col("id").alias("vec_id"), "embedding").persist()
+    appended.count()
+    insert_into_index(spark, "churn", appended, cat)
+    # delete 5% (every 20th id of the original corpus)
+    deleted = list(range(0, n, 20))
+    delete_from_index(spark, "churn", deleted, catalog=cat)
+    # vacuum: rebuild without tombstones + RETRAIN the routing
+    vacuum_index(spark, "churn", cat)
+    assert os.path.isdir(os.path.join(cat.path("churn"), "route"))
+
+    # exact ground truth over the survivors
+    surv = base.unionByName(appended).where(
+        ~F.col("vec_id").isin(deleted)
+    ).orderBy("vec_id").toPandas()
+    mat = np.array(surv["embedding"].tolist(), dtype=np.float32)
+    ids = surv["vec_id"].to_numpy()
+    queries = rng.random((20, dim), dtype=np.float32)
+    k = 10
+    hits = 0
+    rows = index_scan(spark, "churn", queries, k, catalog=cat).collect()
+    assert len(rows) == 20 * k
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    for qi, q in enumerate(queries):
+        d = ((mat - q) ** 2).sum(axis=1)
+        truth = set(ids[np.lexsort((ids, d))[:k]].tolist())
+        hits += len(got.get(qi, set()) & truth)
+    assert hits / (20 * k) >= 0.70
+    # tombstoned ids never surface; appended ids are reachable
+    all_got = set().union(*got.values())
+    assert not all_got & set(deleted)
+    app_rows = index_scan(
+        spark, "churn", [
+            [float(x) for x in surv[surv.vec_id == n]["embedding"].iloc[0]]
+        ], k=1, catalog=cat,
+    ).collect()
+    assert app_rows[0]["vec_id"] == n  # its own nearest neighbor
+    base.unpersist(); appended.unpersist()
+    drop_index("churn", cat)
+
+
+def test_shard_by_auto_resolution(spark, cat):
+    """Round-8: shard_by defaults to 'auto' — resolved at build time to
+    'cells' past 8 shards (routing table written, manifest records the
+    resolved value) and 'hash' at <=8 (no routing table); explicit
+    'hash' is honored at any shard count."""
+    import json
+
+    dim = 16
+    base = spark.range(1200).withColumn(
+        "embedding", F.array(*[F.rand(70 + j).cast("float")
+                               for j in range(dim)]),
+    ).select(F.col("id").alias("vec_id"), "embedding")
+
+    m = create_index(base, "vec_id", "embedding", "auto_big",
+                     engine="diskann", max_degree=8, build_complexity=16,
+                     shards=12, catalog=cat)
+    assert m["params"]["shard_by"] == "cells"
+    assert os.path.isdir(os.path.join(cat.path("auto_big"), "route"))
+
+    m = create_index(base, "vec_id", "embedding", "auto_small",
+                     engine="diskann", max_degree=8, build_complexity=16,
+                     shards=4, catalog=cat)
+    assert m["params"]["shard_by"] == "hash"
+    assert not os.path.isdir(os.path.join(cat.path("auto_small"), "route"))
+
+    m = create_index(base, "vec_id", "embedding", "forced_hash",
+                     engine="faiss", type="HNSW", hnsw_m=8, shards=12,
+                     shard_by="hash", catalog=cat)
+    assert m["params"]["shard_by"] == "hash"
+    assert not os.path.isdir(os.path.join(cat.path("forced_hash"), "route"))
+
+    # the resolved value survives vacuum (rebuild keeps the layout)
+    vacuum_index(spark, "auto_big", cat)
+    with open(os.path.join(cat.path("auto_big"), "manifest.json")) as f:
+        assert json.load(f)["params"]["shard_by"] == "cells"
+    assert os.path.isdir(os.path.join(cat.path("auto_big"), "route"))
+    for n in ("auto_big", "auto_small", "forced_hash"):
+        drop_index(n, cat)
