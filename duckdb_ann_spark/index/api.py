@@ -35,6 +35,11 @@ from ..functions.text import quote_ident as _quote
 
 DISTANCE_COL = "_distance"
 DELETED_DIR = "deleted"
+# tombstone over-request bound (round 8): first-pass search depth is
+# k + min(|deleted|, max(2k, OVERREQUEST_CAP)) instead of the
+# reference's unbounded k + |deleted|; see index_scan for the
+# exactness-preserving retry
+OVERREQUEST_CAP = 128
 
 
 
@@ -185,21 +190,49 @@ def index_scan(
         return spark.createDataFrame([], schema)
 
     deleted = _deleted_ids(spark, d, manifest)
-    # over-request k + |deleted| so tombstones can't starve the result
-    # (src/diskann_index.cpp:558-592)
-    eff_k = k + int(manifest.get("num_deleted", 0)) if deleted is not None else k
-    hits = impl.search(spark, manifest, d, qs, eff_k, search_complexity)
-    if deleted is not None:
-        hits = hits.join(F.broadcast(deleted), on=id_col, how="anti")
-        w = Window.partitionBy("query_idx").orderBy(
-            F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc()
+    # over-request so tombstones can't starve the result
+    # (src/diskann_index.cpp:558-592 requests k + |deleted|). Round 8:
+    # the reference's k + |deleted| is UNBOUNDED — after a million
+    # deletes every search would run at depth 1M+k (graph search cost
+    # is ~linear in the request depth), which does not survive scale.
+    # Instead request k + min(|deleted|, max(2k, OVERREQUEST_CAP)) and
+    # RETRY at full k + |deleted| only if some query is left with fewer
+    # than k survivors. Exactness is preserved: when a query holds >= k
+    # survivors inside its top-(k+over) list, those ARE its true top-k
+    # survivors — any survivor ranked deeper than k+over sits below all
+    # k+over rows above it, of which at least k survive. Only starved
+    # queries (tombstones crowding the whole neighborhood) need the
+    # deep pass; heavy-delete indexes should vacuum anyway
+    # (`needs_vacuum`).
+    nd = int(manifest.get("num_deleted", 0)) if deleted is not None else 0
+    if nd == 0:
+        return impl.search(spark, manifest, d, qs, k, search_complexity)
+    over = min(nd, max(2 * k, OVERREQUEST_CAP))
+    hits = impl.search(spark, manifest, d, qs, k + over, search_complexity)
+    filtered = hits.join(F.broadcast(deleted), on=id_col, how="anti")
+    if over < nd:
+        # bounded first pass: check for starvation (any query with < k
+        # survivors — including queries whose every hit was tombstoned,
+        # which vanish from the groupBy). localCheckpoint keeps the
+        # check from re-running the search when the result is consumed.
+        filtered = filtered.localCheckpoint()
+        ok = (
+            filtered.groupBy("query_idx").count()
+            .where(F.col("count") >= k).count()
         )
-        hits = (
-            hits.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= k)
-            .drop("_rn")
-        )
-    return hits
+        if ok < len(qs):
+            hits = impl.search(
+                spark, manifest, d, qs, k + nd, search_complexity
+            )
+            filtered = hits.join(F.broadcast(deleted), on=id_col, how="anti")
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def _as_queries(queries) -> list:
@@ -294,7 +327,16 @@ def index_search_table(
         )
         query_id_col = f"_q_{query_id_col}"
     deleted = _deleted_ids(spark, d, manifest)
-    eff_k = k + int(manifest.get("num_deleted", 0)) if deleted is not None else k
+    # bounded tombstone over-request (round 8, same bound as
+    # index_scan's first pass). No starvation retry here: the query
+    # side is an unbounded DataFrame, so the check would itself cost a
+    # full pass — instead the contract is documented: a query whose
+    # ENTIRE top-(k+over) neighborhood was tombstoned may return fewer
+    # than k rows until `vacuum_index` (which heavy-delete indexes are
+    # told to run — `needs_vacuum`). Tombstones are still never
+    # returned.
+    nd = int(manifest.get("num_deleted", 0)) if deleted is not None else 0
+    eff_k = k + min(nd, max(2 * k, OVERREQUEST_CAP)) if nd else k
 
     if hasattr(impl, "search_df"):
         hits = impl.search_df(

@@ -110,9 +110,10 @@ def floor_nprobe(nlist: int, dim: int) -> int:
     `scale100k_knn_join_floor` recall 0.763 at probe fraction 0.25,
     wall ~0.65x the auto config). NEGATIVE RESULT recorded for the
     "floor at <=2x the pinned wall" goal (r7 verdict #6): the bench
-    measures ~3.5x the pinned 4/512 wall — on uniform vectors the
-    floor needs ~25% probe fraction vs the pinned config's 0.8%, and
-    wall scales with probe volume; no probe-count knob closes that gap.
+    measures ~2.7x the pinned 4/512 wall (12.55s vs 4.60s at min-of-3,
+    sf0.1 host epoch of 2026-08-14) — on uniform vectors the floor
+    needs ~25% probe fraction vs the pinned config's 0.8%, and wall
+    scales with probe volume; no probe-count knob closes that gap.
     The recall/latency menu is therefore: pinned (latency floor,
     recall uncharacterized), this rule (cheapest floor-clearing), auto
     (floor + margin). The margin here is thin by design — real

@@ -76,12 +76,15 @@ def main() -> None:
                   text_col="text", vec_col="embedding", k=5).show()
 
     # -- distributed k-NN join (both sides large) ---------------------
-    print("== 1-NN join, 20 queries x full base ==")
+    # defaults (nlist=0, nprobe=0) are the recall-calibrated AUTO
+    # pairing — holds the 0.70 recall floor with margin out of the box;
+    # see ivf.floor_nprobe for the cheapest floor-clearing config
+    print("== 1-NN join, 20 queries x full base (auto defaults) ==")
     q20 = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
     knn_join(q20, "qid", "embedding", emb, "vec_id", "embedding",
-             k=1, nlist=0, nprobe=4).show(5)
+             k=1).show(5)
 
     # -- DataFrame-queries search against a published index -----------
     # (no driver collect of the query side; repeated joins reuse the

@@ -186,3 +186,47 @@ def test_shard_cache_evicts_rewritten_generations(spark, cat):
         "stale shard generations leaked in _GRAPH_CACHE"
     )
     drop_index(name, cat)
+
+
+def test_bounded_tombstone_overrequest(spark, cat):
+    """Round-8: past max(2k, OVERREQUEST_CAP) tombstones, index_scan's
+    first pass is depth-BOUNDED (the reference's k+|deleted| would make
+    every search linear in the delete count) with an exactness-
+    preserving retry. Exact Flat engine so results can be compared to
+    brute force without graph-approximation flake:
+
+    * deletes spread across the ranking → the bounded first pass alone
+      returns the true top-k survivors (no starvation);
+    * the query's ENTIRE near neighborhood tombstoned (worst case) →
+      the retry kicks in and still returns the true top-k survivors.
+    """
+    import duckdb_ann_spark.index.api as api
+
+    n, k = 1000, 3
+    dim = 4
+    rows = [(i, [float(i), float(i % 7), float(i % 11), 0.0])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    name = "rob_tomb"
+    drop_index(name, cat)
+    create_index(df, "vec_id", "embedding", name, engine="faiss",
+                 type="Flat", table_name="t", catalog=cat)
+    q = [0.0, 0.0, 0.0, 0.0]  # nearest rows are the smallest ids
+
+    # scenario 1: 150 deletes (over the 128 cap), spread far from the
+    # query (ids 500..649) — bounded pass suffices
+    delete_from_index(spark, name, list(range(500, 650)), catalog=cat)
+    got = [r["vec_id"] for r in index_scan(spark, name, [q], k, catalog=cat)
+           .orderBy("_distance", "vec_id").collect()]
+    assert got == [0, 1, 2]
+
+    # scenario 2: additionally tombstone the query's whole neighborhood
+    # (ids 0..149) — first pass starves, the retry must recover the
+    # true survivors
+    delete_from_index(spark, name, list(range(0, 150)), catalog=cat)
+    got = [r["vec_id"] for r in index_scan(spark, name, [q], k, catalog=cat)
+           .orderBy("_distance", "vec_id").collect()]
+    assert got == [150, 151, 152]
+    # sanity: the bound really engaged (both passes' depth math)
+    assert 300 > max(2 * k, api.OVERREQUEST_CAP), "cap must be < |deleted|"
+    drop_index(name, cat)

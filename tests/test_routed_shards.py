@@ -246,6 +246,11 @@ def test_hash_default_writes_no_route(spark, emb, cat):
 
 @pytest.mark.parametrize("engine,opts", [
     ("diskann", dict(max_degree=16, build_complexity=32)),
+    # SQ8 leg: the quantized artifact must survive the same cycle —
+    # routed appends re-quantize rewritten shards, vacuum rebuilds from
+    # the full-precision body, search serves from the u8 code view
+    ("diskann", dict(max_degree=16, build_complexity=32,
+                     quantization="sq8")),
     ("faiss", dict(type="HNSW", hnsw_m=8)),
 ])
 def test_routed_churn_cycle(spark, cat, engine, opts):
