@@ -317,6 +317,14 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
       graph-search miss; round 6's raw IVF rule measured 0.692, under
       the floor). `scale100k_hnsw_routed_*` (round-7): the same routing
       under the layered-HNSW engine.
+    * `scale100k_search_table_routed` (round-8): 10k query ROWS through
+      `index_search_table` → `search_df` on the routed Vamana index —
+      the distributed DataFrame-queries graph path. ~30s (~330 q/s) at
+      recall 0.923@5 vs the GEMM-scored `knn_join_auto` at ~20s /
+      0.848: the graph path buys ~9 recall points for ~1.5x wall at
+      THIS shard size (781-row shards are near the brute-force
+      crossover; at production 25k-row shards the graph's sublinear
+      per-shard search is the asymptotic winner).
     * `scale100k_knn_join`: 10k queries x 100k base through the IVF-cell
       cogroup join at the round-5 PINNED config (nlist=512, nprobe=4 —
       <1% probed fraction; kept for cross-round timing comparability,
