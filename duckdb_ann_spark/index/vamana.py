@@ -103,20 +103,41 @@ def _resident_nbytes(g) -> int:
     return total
 
 
-def _read_labels(spark: SparkSession, artifact_dir: str) -> pd.DataFrame:
-    """Driver-local read of the (shard, label, id) map — avoids a full
-    Spark job for the few-query path; Spark fallback for path schemes
-    pyarrow can't open."""
+def _resolve_labels(
+    spark: SparkSession, artifact_dir: str, pairs: "set[tuple[int, int]]"
+) -> "dict[tuple[int, int], int]":
+    """(shard, label) → id for ONLY the requested pairs. The few-query
+    driver path used to load the WHOLE label map into pandas — O(index)
+    driver memory, which a billion-row index breaks; a filtered pyarrow
+    read keeps it O(hits) (round 8). The shard×label product filter can
+    match a few extra rows (same label number in another hit shard) —
+    harmless, the dict lookup keys stay exact. Spark fallback for path
+    schemes pyarrow can't open."""
+    if not pairs:
+        return {}
+    shards = sorted({s for s, _ in pairs})
+    labs = sorted({l for _, l in pairs})
     try:
         import pyarrow.dataset as ds
 
-        return (
+        pdf = (
             ds.dataset(f"{artifact_dir}/{LABELS_DIR}", format="parquet")
-            .to_table()
+            .to_table(
+                filter=ds.field("shard").isin(shards)
+                & ds.field("label").isin(labs)
+            )
             .to_pandas()
         )
     except Exception:
-        return spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}").toPandas()
+        pdf = (
+            spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
+            .where(F.col("shard").isin(shards) & F.col("label").isin(labs))
+            .toPandas()
+        )
+    return {
+        (int(s), int(l)): int(i)
+        for s, l, i in zip(pdf["shard"], pdf["label"], pdf["id"])
+    }
 
 
 def _route_centroids(spark: SparkSession, artifact_dir: str,
@@ -733,21 +754,32 @@ class VamanaEngine:
                 spark, manifest, artifact_dir, queries, k, search_complexity,
                 shard_files, probe_sets,
             )
-        labels = _read_labels(spark, artifact_dir).set_index(
-            ["shard", "label"]
-        )["id"]
-        rows = []
+        # search first, resolve labels after: only the hit (shard,
+        # label) pairs are read from the label map (O(hits) driver
+        # memory — the map itself scales with the index). ALL shard
+        # hits resolve (<= queries x shards x k) so the final top-k cut
+        # can tie-break on the global id, matching the distributed
+        # path's ORDER BY (_distance, id).
+        per_q: list[list[tuple[float, int, int]]] = []
         for qi, q in enumerate(queries):
-            merged: list[tuple[float, int]] = []
+            hits: list[tuple[float, int, int]] = []
             for shard, path in shard_files:
                 if probe_sets is not None and shard not in probe_sets[qi]:
                     continue
                 g = _load_shard(path)
                 for label, dist in g.search(q, k, search_complexity):
-                    merged.append((dist, int(labels.loc[(shard, label)])))
-            merged.sort()
-            for dist, rid in merged[:k]:
-                rows.append((qi, rid, float(dist)))
+                    hits.append((dist, shard, int(label)))
+            per_q.append(hits)
+        ids = _resolve_labels(
+            spark, artifact_dir,
+            {(s, l) for hits in per_q for _, s, l in hits},
+        )
+        rows = []
+        for qi, hits in enumerate(per_q):
+            merged = sorted(
+                (dist, ids[(shard, label)]) for dist, shard, label in hits
+            )
+            rows += [(qi, rid, float(dist)) for dist, rid in merged[:k]]
         return local_df(
             spark, rows, f"query_idx int, {_quote(id_col)} long, _distance double"
         )
