@@ -230,3 +230,53 @@ def test_bounded_tombstone_overrequest(spark, cat):
     # sanity: the bound really engaged (both passes' depth math)
     assert 300 > max(2 * k, api.OVERREQUEST_CAP), "cap must be < |deleted|"
     drop_index(name, cat)
+
+
+def test_overrequest_retry_on_routed_graph(spark, cat):
+    """The bounded tombstone pass + retry also holds on an approximate
+    routed graph index: after mass-deleting well past the cap (no
+    vacuum), every query still gets k rows and no tombstone surfaces."""
+    import numpy as np
+
+    n, k, dim = 2000, 5, 8
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.random(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    name = "rob_tomb_graph"
+    drop_index(name, cat)
+    create_index(df, "vec_id", "embedding", name, engine="diskann",
+                 max_degree=8, build_complexity=16, shards=10,
+                 shard_by="cells", table_name="t", catalog=cat)
+    deleted = list(range(0, 400))  # 20% of the corpus, > the 128 cap
+    delete_from_index(spark, name, deleted, catalog=cat)
+    qs = [[float(x) for x in rng.random(dim)] for _ in range(3)]
+    got = index_scan(spark, name, qs, k, catalog=cat).collect()
+    assert len(got) == 3 * k
+    assert not {r["vec_id"] for r in got} & set(deleted)
+    drop_index(name, cat)
+
+
+def test_resolve_labels_spark_fallback(spark, cat, monkeypatch):
+    """_resolve_labels' Spark isin-filter fallback returns the same map
+    as the pyarrow path when pyarrow can't open the scheme."""
+    import duckdb_ann_spark.index.vamana as vm
+
+    name = "rob_labels"
+    drop_index(name, cat)
+    create_index(_vecs(spark, range(40)), "vec_id", "embedding", name,
+                 engine="diskann", table_name="t", catalog=cat)
+    d = cat.path(name)
+    pairs = {(0, 3), (0, 17), (0, 39)}
+    want = vm._resolve_labels(spark, d, pairs)
+    assert set(want) == pairs  # single shard: label == insertion order
+
+    import pyarrow.dataset as pads
+
+    def boom(*a, **kw):
+        raise OSError("scheme not supported")
+
+    monkeypatch.setattr(pads, "dataset", boom)
+    got = vm._resolve_labels(spark, d, pairs)
+    assert got == want
+    assert vm._resolve_labels(spark, d, set()) == {}
+    drop_index(name, cat)

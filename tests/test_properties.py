@@ -157,3 +157,37 @@ def test_hnsw_invariants(vecs, k, m, metric):
     g2 = build_hnsw(vecs, m=m, ef_construction=2 * m + 4, metric=metric)
     assert np.array_equal(g.adjacency[: g.n], g2.adjacency[: g2.n])
     assert g.entry_point == g2.entry_point
+
+
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_sq8_lazy_view_matches_eager(n, dim, seed):
+    """SQ8Vectors row access is bitwise-equal to indexing the eagerly
+    dequantized matrix, for any codes/mins/scale and any index shape
+    (int, array, list) — the property the quantized-domain serve path
+    rests on."""
+    import numpy as np
+
+    from duckdb_ann_spark.index.vamana_core import (
+        SQ8Vectors,
+        sq8_dequantize,
+        sq8_quantize,
+    )
+
+    rng = np.random.default_rng(seed)
+    vecs = (rng.random((n, dim), dtype=np.float32) - 0.5) * rng.integers(
+        1, 1000
+    )
+    codes, mins, scale = sq8_quantize(vecs)
+    eager = sq8_dequantize(codes, mins, scale)
+    lazy = SQ8Vectors(codes, mins, scale)
+    assert lazy.shape == (n, dim) and len(lazy) == n
+    assert lazy.nbytes == codes.nbytes + mins.nbytes + scale.nbytes
+    idx = rng.integers(0, n, size=min(n, 7))
+    assert np.array_equal(lazy[idx], eager[idx])
+    assert np.array_equal(lazy[int(idx[0])], eager[int(idx[0])])
+    assert np.array_equal(lazy[list(idx[:3])], eager[list(idx[:3])])
