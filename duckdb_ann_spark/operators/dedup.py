@@ -73,6 +73,8 @@ __all__ = [
     "minhash_signatures",
     "band_keys_from_signatures",
     "minhash_candidate_pairs",
+    "publish_minhash_signatures",
+    "minhash_pairs_incremental",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
@@ -331,6 +333,109 @@ def minhash_candidate_pairs(
         .join(sb, on="id_b")
         .select("id_a", "id_b", est.alias("est_jaccard")),
         sigs,
+    )
+
+
+def publish_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    output_path: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    shingle_words: int = SHINGLE_WORDS,
+) -> None:
+    """Write a corpus' MinHash signature artifact — the PAY-ONCE half of
+    incremental near-dedup (the `index_knn_join` discipline applied to
+    the text side: a 100-TB corpus deduped against daily deltas must
+    not re-tokenize per delta).
+
+    Layout: ``output_path/sig`` (id, sig array<bigint>) and
+    ``output_path/bands`` (id, band, bkey) — the band table is what the
+    delta joins against; the signature table serves est_jaccard lookups
+    for candidate ids only. Both are narrow fixed-width projections
+    (~n_bands rows + one 12-bigint array per doc), a small fixed
+    fraction of corpus bytes. Keys derive from frozen coefficients
+    (``MINHASH_COEFFS``), so artifacts written on any environment join
+    correctly against any later delta."""
+    sigs = minhash_signatures(
+        widen_if_narrow(df), id_col, text_col, n_hashes, shingle_words
+    ).persist()
+    sigs.write.mode("overwrite").parquet(f"{output_path}/sig")
+    band_keys_from_signatures(sigs, id_col, n_hashes, n_bands).write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/bands")
+    sigs.unpersist()
+
+
+def minhash_pairs_incremental(
+    spark,
+    published_path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    shingle_words: int = SHINGLE_WORDS,
+    ids_only: bool = False,
+) -> DataFrame:
+    """Near-dup candidate pairs TOUCHING A NEW ROW, against a published
+    corpus artifact → (id_a, id_b, est_jaccard), id_a < id_b: the
+    new-vs-corpus pairs (via the published band table — the corpus is
+    never re-tokenized) plus the new-vs-new pairs. Corpus-vs-corpus
+    pairs are the published corpus' own dedup, done once at publish
+    time; the result equals `minhash_candidate_pairs(corpus ∪ new)`
+    restricted to pairs with at least one new member (same signatures,
+    same band keys — the suite entry hash-checks that identity against
+    the DuckDB oracle).
+
+    Ids must be disjoint between the published corpus and the delta
+    (same contract as every dedup family: ids are unique). Only the
+    delta is tokenized; the corpus sides of the joins move fixed-width
+    (id, band-key) and (id, 12-bigint) rows."""
+    sigs_new = minhash_signatures(
+        widen_if_narrow(new_df), id_col, text_col, n_hashes, shingle_words
+    ).persist()
+    bands_new = band_keys_from_signatures(sigs_new, id_col, n_hashes, n_bands)
+    bands_pub = spark.read.parquet(f"{published_path}/bands")
+    cross = (
+        bands_pub.select(F.col(id_col).alias("_pid"), "band", "bkey")
+        .join(
+            bands_new.select(F.col(id_col).alias("_nid"), "band", "bkey"),
+            on=["band", "bkey"],
+        )
+        # ids are disjoint by contract; the guard keeps a violation from
+        # fabricating (x, x) self-pairs instead of corrupting downstream
+        .where(F.col("_pid") != F.col("_nid"))
+        .select(
+            F.least("_pid", "_nid").alias("id_a"),
+            F.greatest("_pid", "_nid").alias("id_b"),
+        )
+        .distinct()
+    )
+    within = _candidate_pairs(bands_new, id_col, ["band", "bkey"])
+    pairs = cross.unionByName(within).distinct()
+    if ids_only:
+        return track_caches(pairs, sigs_new)
+    all_sigs = spark.read.parquet(f"{published_path}/sig").unionByName(
+        sigs_new
+    )
+    sa = all_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return track_caches(
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard")),
+        sigs_new,
     )
 
 

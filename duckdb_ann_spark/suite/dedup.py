@@ -153,16 +153,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SH_CTE.strip()},
     {_SIG_CTE},
     {_BANDS_CTE.strip()},
-    {_PAIRS_CTE.strip()}
-    SELECT id_a, id_b,
-           CAST(len(list_filter(list_transform(range(1, 13),
-                                               i -> sig_a[i] = sig_b[i]),
-                                x -> x)) AS DOUBLE) / 12.0 AS est_jaccard
-    FROM pairs
+    {_PAIRS_CTE.strip()},
+    est AS (
+        SELECT id_a, id_b,
+               CAST(len(list_filter(list_transform(range(1, 13),
+                                                   i -> sig_a[i] = sig_b[i]),
+                                    x -> x)) AS DOUBLE) / 12.0 AS est_jaccard
+        FROM pairs
+    )
+    SELECT 'full' AS src, id_a, id_b, est_jaccard FROM est
+    UNION ALL
+    SELECT 'incr' AS src, id_a, id_b, est_jaccard FROM est
+    WHERE id_a % 2 = 1 OR id_b % 2 = 1
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_candidate_pairs(_docs_aug(spark, sf_dir), "doc_id", "text")
+    """MinHash-LSH candidate pairs, BOTH construction paths
+    (consolidated entry, round 8): `src='full'` runs the whole corpus
+    through `minhash_candidate_pairs`; `src='incr'` PUBLISHES the
+    even-id half as a signature artifact (`publish_minhash_signatures`)
+    and runs the odd-id half as a delta through
+    `minhash_pairs_incremental` — the corpus half is never
+    re-tokenized. The oracle identity: incremental pairs == full-run
+    pairs restricted to pairs touching at least one odd (delta) id,
+    bit-for-bit on est_jaccard."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        minhash_pairs_incremental,
+        publish_minhash_signatures,
+    )
+
+    docs = _docs_aug(spark, sf_dir)
+    full = minhash_candidate_pairs(docs, "doc_id", "text").select(
+        F.lit("full").alias("src"), "id_a", "id_b", "est_jaccard"
+    )
+    pub = os.path.join(
+        tempfile.gettempdir(), f"duckdb_ann_spark_suite_pubsig_{os.getpid()}"
+    )
+    shutil.rmtree(pub, ignore_errors=True)
+    publish_minhash_signatures(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", pub
+    )
+    incr = minhash_pairs_incremental(
+        spark, pub, docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text"
+    ).select(F.lit("incr").alias("src"), "id_a", "id_b", "est_jaccard")
+    return full.unionByName(incr)
 
 
 @register(

@@ -402,3 +402,52 @@ def test_extract_features_real_pil_decode(spark):
     # auto on this machine means image; bytes stays the stub
     stub = extract_features(blobs, "doc_id", "blob", decoder="bytes")
     assert stub.collect()[0].features != got[0].features
+
+
+def test_minhash_incremental_matches_full(spark, docs, tmp_path):
+    """Round-8: publish-then-delta incremental dedup equals the full run
+    restricted to pairs touching a delta id — the corpus half is never
+    re-tokenized (its signatures come from the published artifact)."""
+    from duckdb_ann_spark.operators.dedup import (
+        minhash_pairs_incremental,
+        publish_minhash_signatures,
+    )
+
+    full = {(r.id_a, r.id_b): r.est_jaccard
+            for r in minhash_candidate_pairs(docs, "doc_id", "text").collect()}
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    pub = str(tmp_path / "pubsig")
+    publish_minhash_signatures(corpus, "doc_id", "text", pub)
+    incr = {(r.id_a, r.id_b): r.est_jaccard
+            for r in minhash_pairs_incremental(
+                spark, pub, delta, "doc_id", "text").collect()}
+    want = {p: j for p, j in full.items() if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert incr == want
+    assert (0, 1) in incr  # corpus-vs-delta pair found via the artifact
+    # ids_only path: same pair set, no signature joins
+    only = {(r.id_a, r.id_b) for r in minhash_pairs_incremental(
+        spark, pub, delta, "doc_id", "text", ids_only=True).collect()}
+    assert only == set(want)
+
+
+def test_minhash_incremental_plan_shape(spark, docs, tmp_path):
+    """The incremental plan neither crossJoins nor tokenizes the corpus
+    side: the published parquet is scanned with only (id, band, bkey) /
+    (id, sig) columns — no text column anywhere near the corpus legs."""
+    from duckdb_ann_spark.operators.dedup import (
+        minhash_pairs_incremental,
+        publish_minhash_signatures,
+    )
+
+    pub = str(tmp_path / "pubsig2")
+    publish_minhash_signatures(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", pub
+    )
+    out = minhash_pairs_incremental(
+        spark, pub, docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    n_scans = plan.count("Scan parquet")
+    assert n_scans >= 2  # bands + sig artifacts are genuinely read
