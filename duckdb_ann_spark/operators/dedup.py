@@ -75,6 +75,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "publish_minhash_signatures",
     "minhash_pairs_incremental",
+    "dedup_incremental",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
@@ -436,6 +437,41 @@ def minhash_pairs_incremental(
         .join(sb, on="id_b")
         .select("id_a", "id_b", est.alias("est_jaccard")),
         sigs_new,
+    )
+
+
+def dedup_incremental(
+    spark,
+    published_path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    shingle_words: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """The delta rows that SURVIVE near-dedup against a published corpus
+    artifact — the call a daily ingest actually makes. Drops a delta row
+    when it shares an LSH band bucket with ANY corpus row (the corpus
+    copy is canonical regardless of id order — a band-key SEMI-join, so
+    corpus-delta pairs are never materialized) or with a smaller-id
+    delta row (the same larger-id-drops rule `prepare_corpus`' near-
+    dedup applies; chains are not chased, also like the pipeline).
+    Returns `new_df` rows (all columns) minus the drops."""
+    sigs_new = minhash_signatures(
+        widen_if_narrow(new_df), id_col, text_col, n_hashes, shingle_words
+    ).persist()
+    bands_new = band_keys_from_signatures(sigs_new, id_col, n_hashes, n_bands)
+    bands_pub = spark.read.parquet(f"{published_path}/bands")
+    hit_corpus = bands_new.join(
+        bands_pub.select("band", "bkey"), on=["band", "bkey"], how="leftsemi"
+    ).select(id_col)
+    within_larger = _candidate_pairs(bands_new, id_col, ["band", "bkey"]).select(
+        F.col("id_b").alias(id_col)
+    )
+    drops = hit_corpus.union(within_larger).distinct()
+    return track_caches(
+        new_df.join(drops, on=id_col, how="anti"), sigs_new
     )
 
 

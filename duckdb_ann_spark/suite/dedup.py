@@ -165,6 +165,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'incr' AS src, id_a, id_b, est_jaccard FROM est
     WHERE id_a % 2 = 1 OR id_b % 2 = 1
+    UNION ALL
+    -- 'kept': delta (odd-id) docs surviving dedup_incremental — drop on
+    -- any pair with a corpus (even) doc, or as the larger id of a
+    -- delta-delta pair
+    SELECT 'kept' AS src, doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
+           CAST(-1.0 AS DOUBLE) AS est_jaccard
+    FROM aug
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (
+        SELECT CASE WHEN id_a % 2 = 1 AND id_b % 2 = 0 THEN id_a
+                    ELSE id_b END
+        FROM est WHERE id_a % 2 = 1 OR id_b % 2 = 1
+    )
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,12 +188,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     `minhash_pairs_incremental` — the corpus half is never
     re-tokenized. The oracle identity: incremental pairs == full-run
     pairs restricted to pairs touching at least one odd (delta) id,
-    bit-for-bit on est_jaccard."""
+    bit-for-bit on est_jaccard. `src='kept'` adds the
+    `dedup_incremental` survivors (the daily-ingest call: drop on any
+    corpus hit — a band-bucket SEMI-join, pairs never materialized —
+    or as the larger id of a delta-delta pair)."""
     import os
     import shutil
     import tempfile
 
     from ..operators.dedup import (
+        dedup_incremental,
         minhash_pairs_incremental,
         publish_minhash_signatures,
     )
@@ -197,10 +213,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish_minhash_signatures(
         docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", pub
     )
+    delta = docs.where(F.col("doc_id") % 2 == 1)
     incr = minhash_pairs_incremental(
-        spark, pub, docs.where(F.col("doc_id") % 2 == 1), "doc_id", "text"
+        spark, pub, delta, "doc_id", "text"
     ).select(F.lit("incr").alias("src"), "id_a", "id_b", "est_jaccard")
-    return full.unionByName(incr)
+    kept = dedup_incremental(spark, pub, delta, "doc_id", "text").select(
+        F.lit("kept").alias("src"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(-1.0).alias("est_jaccard"),
+    )
+    return full.unionByName(incr).unionByName(kept)
 
 
 @register(

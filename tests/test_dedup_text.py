@@ -451,3 +451,25 @@ def test_minhash_incremental_plan_shape(spark, docs, tmp_path):
     assert "CartesianProduct" not in plan
     n_scans = plan.count("Scan parquet")
     assert n_scans >= 2  # bands + sig artifacts are genuinely read
+
+
+def test_dedup_incremental_survivors(spark, docs, tmp_path):
+    """dedup_incremental returns the delta rows minus corpus-hits (any
+    band-bucket shared with the published corpus, regardless of id
+    order) and minus larger-id delta dups."""
+    from duckdb_ann_spark.operators.dedup import (
+        dedup_incremental,
+        publish_minhash_signatures,
+    )
+
+    corpus = docs.where(F.col("doc_id") % 2 == 0)   # 0, 2, 4
+    delta = docs.where(F.col("doc_id") % 2 == 1)    # 1, 3, 5
+    pub = str(tmp_path / "pub")
+    publish_minhash_signatures(corpus, "doc_id", "text", pub)
+    kept = {r.doc_id for r in
+            dedup_incremental(spark, pub, delta, "doc_id", "text").collect()}
+    # 1 = BASE, identical to corpus doc 0 → dropped; 3 and 5 are unique
+    assert kept == {3, 5}
+    # schema passthrough: all delta columns survive
+    out = dedup_incremental(spark, pub, delta, "doc_id", "text")
+    assert out.columns == delta.columns
