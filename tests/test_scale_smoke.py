@@ -483,3 +483,64 @@ def test_routed_churn_100k(spark, cat, engine, opts):
     assert not got_ids & set(deleted)
     drop_index("churn100k", cat)
     vecs.unpersist(); appended.unpersist()
+
+
+def test_incremental_dedup_200k_corpus(spark, tmp_path_factory):
+    """Round-8: incremental near-dedup at scale — publish a 200k-doc
+    corpus signature artifact ONCE, then dedup a 20k delta against it.
+    The delta pass tokenizes only the delta (the corpus legs of every
+    join move fixed-width band/sig rows from parquet), and the planted
+    cross-corpus duplicates are all caught."""
+    from duckdb_ann_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_pairs_incremental,
+        publish_minhash_signatures,
+    )
+
+    n, nd = 200_000, 20_000
+    # corpus ids 0..n-1; delta ids n..n+nd-1. Every 10th delta doc
+    # copies corpus doc (id - n): a planted cross-corpus duplicate.
+    corpus = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), j -> "
+            "concat('w', cast(pmod(xxhash64(id, j), 50000) as string))))"
+        ).alias("text"),
+    ).persist()
+    corpus.count()
+    delta = spark.range(n, n + nd, 1, 16).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, 40), j -> concat('w', "
+            f"cast(pmod(xxhash64(if(id % 10 = 0, id - {n}, id), j), 50000) "
+            "as string))))"
+        ).alias("text"),
+    ).persist()
+    delta.count()
+
+    pub = str(tmp_path_factory.mktemp("pub200k"))
+    t0 = time.perf_counter()
+    publish_minhash_signatures(corpus, "doc_id", "text", pub)
+    publish_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    kept = dedup_incremental(spark, pub, delta, "doc_id", "text")
+    n_kept = kept.count()
+    dedup_s = time.perf_counter() - t0
+    planted = sum(1 for i in range(n, n + nd) if i % 10 == 0)
+    # every planted duplicate drops (identical text ⇒ all bands collide
+    # ⇒ certain corpus hit); non-planted docs have unique token streams
+    # (band collisions possible but rare), so survivors ≈ nd - planted
+    assert n_kept <= nd - planted
+    assert n_kept >= int((nd - planted) * 0.98)
+
+    t0 = time.perf_counter()
+    n_pairs = minhash_pairs_incremental(
+        spark, pub, delta, "doc_id", "text", ids_only=True
+    ).count()
+    pairs_s = time.perf_counter() - t0
+    assert n_pairs >= planted
+    print(f"\nincremental dedup 200k+20k: publish {publish_s:.1f}s, "
+          f"dedup {dedup_s:.1f}s ({n_kept} kept), pairs {pairs_s:.1f}s "
+          f"({n_pairs} pairs)")
+    corpus.unpersist(); delta.unpersist()
