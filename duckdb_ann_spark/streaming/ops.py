@@ -299,6 +299,7 @@ def stream_dedup_minhash(
     compact_every: int = 8,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    published_path: str | None = None,
 ):
     """Streaming MinHash-LSH near-deduplication via ``foreachBatch``.
 
@@ -353,6 +354,14 @@ def stream_dedup_minhash(
     Rows with a null `ts_col` cannot be placed on the event-time
     horizon: they pass through to the output un-deduplicated and never
     enter state.
+
+    ``published_path`` (round 8) points at a
+    `publish_minhash_signatures` artifact: every batch additionally
+    drops documents whose band keys collide with the PUBLISHED corpus
+    (a static leftsemi join per batch — the streaming face of
+    `dedup_incremental`). Unlike streaming state, the published corpus
+    is immutable reference data: it never expires with the retention
+    horizon and is never rewritten by compaction.
 
     All filesystem maintenance goes through the Hadoop FileSystem API,
     so `state_dir`/`out_dir` may live on any Spark-readable scheme
@@ -432,7 +441,16 @@ def stream_dedup_minhash(
             losers = (
                 intra_losers if cross_losers is None
                 else intra_losers.unionByName(cross_losers)
-            ).distinct()
+            )
+            if published_path:
+                pub_losers = bands.join(
+                    spark.read.parquet(
+                        f"{published_path.rstrip('/')}/bands"
+                    ).select("band", "bkey"),
+                    on=["band", "bkey"], how="leftsemi",
+                ).select(id_col)
+                losers = losers.unionByName(pub_losers)
+            losers = losers.distinct()
             batch_df.join(losers, on=id_col, how="anti").write.mode(
                 "overwrite"
             ).parquet(f"{out_dir.rstrip('/')}/batch_id={batch_id}")

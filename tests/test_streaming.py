@@ -411,3 +411,51 @@ def test_stream_prepare_corpus_matches_batch_gates(spark, sf_dir, tmp_path):
     # schema parity with the batch pipeline output
     assert got.columns == ["doc_id", "text", "n_chars", "n_tokens",
                            "quality_score", "lang_pred"]
+
+
+def test_stream_dedup_minhash_published_corpus(spark, tmp_path):
+    """Round-8: `published_path` adds a static band-key pre-filter — the
+    streaming face of dedup_incremental. Stream docs colliding with the
+    PUBLISHED corpus drop (regardless of event time: the corpus never
+    expires), in-stream policy is unchanged for the rest."""
+    import os
+
+    from duckdb_ann_spark.operators.dedup import publish_minhash_signatures
+    from duckdb_ann_spark.streaming import stream_dedup_minhash
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm fire in the old stone house")
+    other = ("completely different content describing spark dataframes "
+             "parquet files and adaptive query execution at scale")
+    pub = str(tmp_path / "pub")
+    publish_minhash_signatures(
+        spark.createDataFrame([(100, base)], "doc_id long, text string"),
+        "doc_id", "text", pub,
+    )
+    t0 = 1_700_000_000
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (
+        spark.createDataFrame(
+            [(1, base, t0), (2, other, t0 + 10), (3, other + " x", t0 + 20)],
+            "doc_id long, text string, ts_epoch long",
+        )
+        .withColumn("ts", F.timestamp_seconds("ts_epoch"))
+        .select("doc_id", "text", "ts")
+        .coalesce(1)
+        .write.parquet(str(in_dir / "b0.parquet"))
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(str(in_dir / "b0.parquet"))
+    )
+    out_dir = str(tmp_path / "out")
+    q = stream_dedup_minhash(
+        stream, out_dir, str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"), published_path=pub,
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    # 1 collides with published doc 100 → dropped; 3 near-dups 2 inside
+    # the batch → in-stream policy drops the later one; 2 survives
+    assert got == [2], got
