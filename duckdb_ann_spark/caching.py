@@ -28,8 +28,6 @@ re-materializes afterwards.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
 _ATTR = "_dann_cached_frames"
@@ -37,9 +35,14 @@ _ATTR = "_dann_cached_frames"
 # process-level registry of every frame an operator persisted and
 # tracked: the fallback release path when the caller no longer holds
 # the exact returned object (round-7 advice — a derived frame silently
-# drops the attribute). Weak refs: the registry must not keep a frame's
-# JVM plan alive on its own.
-_ALL_TRACKED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+# drops the attribute). STRONG references on purpose (round-8 review):
+# Spark's CacheManager pins the cached blocks regardless of whether any
+# Python wrapper survives, so a weak registry would empty itself on GC
+# exactly in the dropped-all-references scenario the sweep exists for,
+# leaving the blocks unreleasable except via clearCache. The wrapper
+# objects this list keeps alive are tiny next to the cached data they
+# control, and every release path removes its entries.
+_ALL_TRACKED: "list[DataFrame]" = []
 
 
 def track_caches(out: DataFrame, *frames: DataFrame) -> DataFrame:
@@ -59,8 +62,16 @@ def track_caches(out: DataFrame, *frames: DataFrame) -> DataFrame:
             held.append(f)
     setattr(out, _ATTR, held)
     for h in held:
-        _ALL_TRACKED.add(h)
+        if all(h is not t for t in _ALL_TRACKED):
+            _ALL_TRACKED.append(h)
     return out
+
+
+def _forget(f: DataFrame) -> None:
+    for i, t in enumerate(_ALL_TRACKED):
+        if t is f:
+            del _ALL_TRACKED[i]
+            return
 
 
 def release_caches(df: DataFrame) -> int:
@@ -71,7 +82,7 @@ def release_caches(df: DataFrame) -> int:
     held = list(getattr(df, _ATTR, ()))
     for f in held:
         f.unpersist()
-        _ALL_TRACKED.discard(f)
+        _forget(f)
     setattr(df, _ATTR, [])
     return len(held)
 
@@ -81,9 +92,11 @@ def release_operator_caches() -> int:
     returns how many. The safe session-level sweep for when the exact
     returned objects are gone (long-lived services, notebook sessions):
     unlike ``spark.catalog.clearCache()`` it only drops caches this
-    library created, never the application's own."""
+    library created, never the application's own. Works even after the
+    caller dropped every reference — the registry itself keeps the
+    handles alive until released."""
     held = list(_ALL_TRACKED)
+    _ALL_TRACKED.clear()
     for f in held:
         f.unpersist()
-        _ALL_TRACKED.discard(f)
     return len(held)

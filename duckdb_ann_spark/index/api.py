@@ -210,7 +210,12 @@ def index_scan(
     over = min(nd, max(2 * k, OVERREQUEST_CAP))
     hits = impl.search(spark, manifest, d, qs, k + over, search_complexity)
     filtered = hits.join(F.broadcast(deleted), on=id_col, how="anti")
-    if over < nd:
+    n_total = int(manifest["num_vectors"])
+    # retry can only help when the deep pass could see MORE rows than
+    # the bounded pass did AND enough survivors exist to ever reach k —
+    # otherwise a starved result is final and re-searching every call
+    # until vacuum just doubles the cost (round-8 review)
+    if over < nd and k + over < n_total and n_total - nd >= k:
         # bounded first pass: check for starvation (any query with < k
         # survivors — including queries whose every hit was tombstoned,
         # which vanish from the groupBy). localCheckpoint keeps the
@@ -321,6 +326,20 @@ def index_search_table(
 
     cat, manifest, d, impl = _load(name, "", catalog)
     id_col = manifest["id_col"]
+    # every branch carries the query id through a schema that declares
+    # it LONG (search_df's shuffle, knn_join's applyInPandas): a
+    # non-integral id would either silently NULL-collapse all queries
+    # into one window group (graph path) or die mid-job in an Arrow
+    # conversion (IVF/Flat path) — fail loud and identically for all
+    # engines instead (round-8; moved up from search_df per review)
+    qid_type = queries_df.schema[query_id_col].dataType.typeName()
+    if qid_type not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"index_search_table: query id column '{query_id_col}' must "
+            f"be an integral type (got {qid_type}); map string/other ids "
+            "to a long key first (e.g. monotonically_increasing_id or "
+            "xxhash64) and join them back after the search"
+        )
     if query_id_col == id_col:
         queries_df = queries_df.withColumnRenamed(
             query_id_col, f"_q_{query_id_col}"

@@ -904,18 +904,9 @@ class VamanaEngine:
         bc = spark.sparkContext.broadcast(route)
         existing = {s for s, _ in shard_files}
 
-        # the query id rides the shuffle as LONG (knn_join's schema
-        # convention); a silent cast of a non-numeric id would NULL every
-        # row and collapse all queries into one window group (k rows
-        # total instead of k per query) — fail loud instead
-        qid_type = queries_df.schema[query_id_col].dataType.typeName()
-        if qid_type not in ("byte", "short", "integer", "long"):
-            raise ValueError(
-                f"search_df: query id column '{query_id_col}' must be an "
-                f"integral type (got {qid_type}); map string/other ids to "
-                "a long key first (e.g. monotonically_increasing_id or "
-                "xxhash64) and join them back after the search"
-            )
+        # the query id rides the shuffle as LONG; non-integral ids are
+        # rejected one level up in index_search_table (uniformly for
+        # all engines) before reaching this cast
         qdf = queries_df.select(
             F.col(query_id_col).cast("long").alias("_qid"),
             F.col(query_vec_col).alias("_qv"),

@@ -74,6 +74,7 @@ __all__ = [
     "band_keys_from_signatures",
     "minhash_candidate_pairs",
     "publish_minhash_signatures",
+    "published_band_keys",
     "minhash_pairs_incremental",
     "dedup_incremental",
     "ngram_jaccard_pairs",
@@ -351,22 +352,81 @@ def publish_minhash_signatures(
     the text side: a 100-TB corpus deduped against daily deltas must
     not re-tokenize per delta).
 
-    Layout: ``output_path/sig`` (id, sig array<bigint>) and
-    ``output_path/bands`` (id, band, bkey) — the band table is what the
-    delta joins against; the signature table serves est_jaccard lookups
-    for candidate ids only. Both are narrow fixed-width projections
+    Layout: ``output_path/sig`` (id, sig array<bigint>),
+    ``output_path/bands`` (id, band, bkey), and ``output_path/manifest``
+    written LAST (the repo's manifest-is-the-commit-point discipline):
+    readers refuse an artifact with a missing/torn manifest, and the
+    manifest records n_hashes/n_bands/shingle_words so a query with
+    mismatched parameters fails loud instead of joining bogus keys.
+    The band table is what the delta joins against; the signature table
+    serves est_jaccard lookups. Both are narrow fixed-width projections
     (~n_bands rows + one 12-bigint array per doc), a small fixed
     fraction of corpus bytes. Keys derive from frozen coefficients
     (``MINHASH_COEFFS``), so artifacts written on any environment join
-    correctly against any later delta."""
+    correctly against any later delta. Re-publishing IN PLACE while
+    readers are live is inherently racy on object stores — publish each
+    corpus version to a fresh path and switch pointers instead."""
     sigs = minhash_signatures(
         widen_if_narrow(df), id_col, text_col, n_hashes, shingle_words
     ).persist()
+    spark = df.sparkSession
+    from ..local import local_df as _ldf
+
+    # clear the commit marker FIRST (empty overwrite — head() = None
+    # reads as uncommitted) so a crash mid-rewrite leaves a detectably-
+    # unpublished artifact, never a stale-valid one
+    _ldf(spark, [], "n_hashes int, n_bands int, shingle_words int").write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/manifest")
     sigs.write.mode("overwrite").parquet(f"{output_path}/sig")
     band_keys_from_signatures(sigs, id_col, n_hashes, n_bands).write.mode(
         "overwrite"
     ).parquet(f"{output_path}/bands")
     sigs.unpersist()
+    _ldf(
+        spark,
+        [(int(n_hashes), int(n_bands), int(shingle_words))],
+        "n_hashes int, n_bands int, shingle_words int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/manifest")
+
+
+def published_band_keys(
+    spark,
+    published_path: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    shingle_words: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """Validated reader for a `publish_minhash_signatures` artifact →
+    the (id, band, bkey) band table. Raises when the commit-marker
+    manifest is absent (torn/interrupted publish) or records different
+    LSH parameters than the caller's (mismatched keys would join
+    garbage silently). Shared by the batch and streaming consumers so
+    the two corpus-hit implementations cannot drift."""
+    try:
+        m = (
+            spark.read.parquet(f"{published_path.rstrip('/')}/manifest")
+            .head()
+        )
+    except Exception as e:
+        raise ValueError(
+            f"'{published_path}' is not a committed signature artifact "
+            "(missing manifest — interrupted publish?); re-run "
+            "publish_minhash_signatures"
+        ) from e
+    if m is None or (
+        (m["n_hashes"], m["n_bands"], m["shingle_words"])
+        != (n_hashes, n_bands, shingle_words)
+    ):
+        got = None if m is None else (
+            m["n_hashes"], m["n_bands"], m["shingle_words"]
+        )
+        raise ValueError(
+            f"published artifact at '{published_path}' was built with "
+            f"(n_hashes, n_bands, shingle_words)={got}, query asked for "
+            f"{(n_hashes, n_bands, shingle_words)} — keys would not join"
+        )
+    return spark.read.parquet(f"{published_path.rstrip('/')}/bands")
 
 
 def minhash_pairs_incremental(
@@ -398,7 +458,9 @@ def minhash_pairs_incremental(
         widen_if_narrow(new_df), id_col, text_col, n_hashes, shingle_words
     ).persist()
     bands_new = band_keys_from_signatures(sigs_new, id_col, n_hashes, n_bands)
-    bands_pub = spark.read.parquet(f"{published_path}/bands")
+    bands_pub = published_band_keys(
+        spark, published_path, n_hashes, n_bands, shingle_words
+    )
     cross = (
         bands_pub.select(F.col(id_col).alias("_pid"), "band", "bkey")
         .join(
@@ -462,7 +524,9 @@ def dedup_incremental(
         widen_if_narrow(new_df), id_col, text_col, n_hashes, shingle_words
     ).persist()
     bands_new = band_keys_from_signatures(sigs_new, id_col, n_hashes, n_bands)
-    bands_pub = spark.read.parquet(f"{published_path}/bands")
+    bands_pub = published_band_keys(
+        spark, published_path, n_hashes, n_bands, shingle_words
+    )
     hit_corpus = bands_new.join(
         bands_pub.select("band", "bkey"), on=["band", "bkey"], how="leftsemi"
     ).select(id_col)

@@ -359,9 +359,12 @@ def stream_dedup_minhash(
     `publish_minhash_signatures` artifact: every batch additionally
     drops documents whose band keys collide with the PUBLISHED corpus
     (a static leftsemi join per batch — the streaming face of
-    `dedup_incremental`). Unlike streaming state, the published corpus
-    is immutable reference data: it never expires with the retention
-    horizon and is never rewritten by compaction.
+    `dedup_incremental`). The corpus band frame is validated
+    (commit-marker manifest + LSH-parameter match) and persisted ONCE
+    at query construction — it stays cached for the stream's lifetime
+    rather than being re-scanned per trigger. Unlike streaming state,
+    the published corpus is immutable reference data: it never expires
+    with the retention horizon and is never rewritten by compaction.
 
     All filesystem maintenance goes through the Hadoop FileSystem API,
     so `state_dir`/`out_dir` may live on any Spark-readable scheme
@@ -369,7 +372,23 @@ def stream_dedup_minhash(
 
     Returns the StreamingQuery writing survivors to `out_dir`.
     """
-    from ..operators.dedup import band_keys_from_signatures, minhash_signatures
+    from ..operators.dedup import (
+        band_keys_from_signatures,
+        minhash_signatures,
+        published_band_keys,
+    )
+
+    # validate + build the published corpus band frame ONCE (round-8
+    # review: per-batch spark.read re-scanned the immutable corpus every
+    # trigger) and PERSIST it — intentionally pinned for the stream's
+    # lifetime, it is the reference table every batch semi-joins
+    pub_bands = None
+    if published_path:
+        pub_bands = (
+            published_band_keys(stream.sparkSession, published_path)
+            .select("band", "bkey")
+            .persist()
+        )
 
     def _fs(spark, path: str):
         jvm = spark._jvm
@@ -442,12 +461,9 @@ def stream_dedup_minhash(
                 intra_losers if cross_losers is None
                 else intra_losers.unionByName(cross_losers)
             )
-            if published_path:
+            if pub_bands is not None:
                 pub_losers = bands.join(
-                    spark.read.parquet(
-                        f"{published_path.rstrip('/')}/bands"
-                    ).select("band", "bkey"),
-                    on=["band", "bkey"], how="leftsemi",
+                    pub_bands, on=["band", "bkey"], how="leftsemi"
                 ).select(id_col)
                 losers = losers.unionByName(pub_losers)
             losers = losers.distinct()

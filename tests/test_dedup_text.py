@@ -473,3 +473,28 @@ def test_dedup_incremental_survivors(spark, docs, tmp_path):
     # schema passthrough: all delta columns survive
     out = dedup_incremental(spark, pub, delta, "doc_id", "text")
     assert out.columns == delta.columns
+
+
+def test_published_artifact_manifest_validation(spark, docs, tmp_path):
+    """The artifact manifest is the commit point: a torn publish (no
+    manifest) or mismatched LSH parameters refuse loudly instead of
+    joining garbage keys."""
+    import shutil
+
+    from duckdb_ann_spark.operators.dedup import (
+        minhash_pairs_incremental,
+        publish_minhash_signatures,
+        published_band_keys,
+    )
+
+    pub = str(tmp_path / "pub")
+    publish_minhash_signatures(docs, "doc_id", "text", pub)
+    assert published_band_keys(spark, pub).count() > 0
+    with pytest.raises(ValueError, match="keys would not join"):
+        published_band_keys(spark, pub, n_bands=6)
+    with pytest.raises(ValueError, match="keys would not join"):
+        minhash_pairs_incremental(spark, pub, docs, "doc_id", "text",
+                                  shingle_words=2)
+    shutil.rmtree(f"{pub}/manifest")  # simulate an interrupted publish
+    with pytest.raises(ValueError, match="missing manifest"):
+        published_band_keys(spark, pub)

@@ -131,17 +131,21 @@ def test_ivfflat_dim_mismatch_dropped(spark, emb, cat):
 
 
 def test_non_integral_query_id_fails_fast(spark, emb, cat):
-    """Round-8 (r7 advice): a string query id would silently cast to
-    NULL and collapse every query into one window group — the graph
-    path must raise instead."""
+    """Round-8 (r7 advice + r8 review): a string query id would either
+    silently NULL-collapse every query into one window group (graph
+    path) or die mid-job in Arrow (IVF path) — index_search_table must
+    raise up front, identically for every engine."""
     create_index(emb, "vec_id", "embedding", "istid", engine="diskann",
                  max_degree=16, build_complexity=32, shards=2, catalog=cat)
+    create_index(emb, "vec_id", "embedding", "istid_ivf", engine="faiss",
+                 type="IVFFlat", ivf_nlist=8, nprobe=8, catalog=cat)
     q = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").cast("string").alias("qid"), "embedding"
     )
-    with pytest.raises(ValueError, match="integral type"):
-        index_search_table(spark, "istid", q, "qid", "embedding", 3,
-                          catalog=cat)
+    for name in ("istid", "istid_ivf"):
+        with pytest.raises(ValueError, match="integral type"):
+            index_search_table(spark, name, q, "qid", "embedding", 3,
+                              catalog=cat)
 
 
 def test_query_id_collision_renames(spark, emb, cat):

@@ -82,6 +82,13 @@ def test_release_operator_caches_catches_derived_frames(spark, corpus):
     derived.count()
     assert not cm.isEmpty()
     assert release_caches(derived) == 0  # the documented trap
+    # the sweep must survive the caller dropping EVERY reference (the
+    # long-lived-service scenario): Spark pins the blocks regardless of
+    # python wrappers, so the registry holds strong refs (r8 review)
+    import gc
+
+    del out, derived
+    gc.collect()
     assert release_operator_caches() >= 3  # the sweep still frees them
     assert cm.isEmpty()
     assert release_operator_caches() == 0  # idempotent
