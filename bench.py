@@ -669,6 +669,23 @@ def bench_corpus(spark) -> dict[str, float]:
     publish_minhash_signatures(
         docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", pub
     )
+    # round-8: hybrid's BM25 leg through a published text index (the
+    # reference's prebuilt-FTS shape) vs the shared `hybrid_sf` scan
+    # number — publish once, time the per-query path
+    from duckdb_ann_spark.operators.hybrid import (
+        hybrid_search,
+        publish_text_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    hbase = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    hqvec = [float(x) for x in qrow[0]]
+    ti = os.path.join(tempfile.gettempdir(), f"bench_ti_{os.getpid()}")
+    shutil.rmtree(ti, ignore_errors=True)
+    publish_text_index(hbase, "doc_id", "text", ti)
     out: dict[str, float] = {}
     for _ in range(3):
         spark.catalog.clearCache()
@@ -705,8 +722,18 @@ def bench_corpus(spark) -> dict[str, float]:
             dt, out.get("dedup_incremental_sf", dt)
         )
         assert n > 0, n
+
+        t0 = time.perf_counter()
+        n = hybrid_search(
+            hbase, "doc_id", hqvec, "spark join query data",
+            text_col="text", vec_col="embedding", k=10, text_index=ti,
+        ).count()
+        dt = time.perf_counter() - t0
+        out["hybrid_indexed_sf"] = min(dt, out.get("hybrid_indexed_sf", dt))
+        assert n == 10, n
     spark.catalog.clearCache()
     shutil.rmtree(pub, ignore_errors=True)
+    shutil.rmtree(ti, ignore_errors=True)
     return out
 
 

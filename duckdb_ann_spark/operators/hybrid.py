@@ -37,7 +37,14 @@ RRF_K = 60.0
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-__all__ = ["bm25_scores", "bm25_ranks", "hybrid_search", "RRF_K"]
+__all__ = [
+    "bm25_scores",
+    "bm25_ranks",
+    "publish_text_index",
+    "bm25_scores_indexed",
+    "hybrid_search",
+    "RRF_K",
+]
 
 
 def bm25_scores(
@@ -130,6 +137,154 @@ def _term_score(tf: Column, df: Column, dl: Column, n_docs: Column,
     return idf * (tf * F.lit(k1 + 1.0)) / denom
 
 
+def publish_text_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    output_path: str,
+) -> None:
+    """Write an inverted BM25 postings artifact — the analog of the FTS
+    index the reference's `hybrid_search` REQUIRES
+    (`src/ann_search.cpp:903-1020` ranks through DuckDB's prebuilt FTS
+    index; our full-scan `bm25_scores` is the convenience path — this is
+    the scale path: a 100-TB corpus must not re-tokenize per query).
+
+    Layout (manifest-written-LAST commit discipline):
+
+        postings/  (term, <id_col>, tf, dl)  sorted by term, so a
+                   query's `term IN (...)` predicate prunes parquet row
+                   groups. dl is DENORMALIZED onto every posting row
+                   (+8 bytes/row) so scoring needs NO doc-length join —
+                   the hit pivot is the only shuffle, and it moves hit
+                   rows only.
+        stats/     one row (n_docs, total_tokens)
+        manifest/  one row (version, id_col) — the commit marker
+
+    Per-query work becomes: a term-pruned postings scan + one groupBy
+    over the hit rows — nothing scales with corpus text size. Values
+    are stored exactly as the scan path computes them (tf/dl as
+    doubles, integer-valued → exact), so `bm25_scores_indexed` is
+    BIT-IDENTICAL to `bm25_scores` over the same corpus."""
+    from ..functions.text import spark_sql_tokenize, sql_bind_once
+    from ..local import local_df
+
+    spark = docs.sparkSession
+    local_df(spark, [], "version int, id_col string").write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/manifest")  # clear the commit marker first
+    toks_sql = sql_bind_once(
+        spark_sql_tokenize(text_col), "toks",
+        "struct(toks as toks, cast(size(toks) as double) as dl)",
+    )
+    base = docs.select(
+        F.col(id_col), F.expr(toks_sql).alias("_t")
+    ).select(id_col, "_t.toks", "_t.dl").persist()
+    (
+        base.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy("term", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+        .repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{output_path}/postings")
+    )
+    base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/stats")
+    base.unpersist()
+    local_df(
+        spark, [(1, id_col)], "version int, id_col string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/manifest")
+
+
+def _load_text_index(spark, index_path: str):
+    """→ (id_col, postings df, n_docs, total_tokens), after the
+    commit-marker check."""
+    try:
+        m = spark.read.parquet(f"{index_path.rstrip('/')}/manifest").head()
+    except Exception as e:
+        raise ValueError(
+            f"'{index_path}' is not a committed text index (missing "
+            "manifest — interrupted publish?); re-run publish_text_index"
+        ) from e
+    if m is None or int(m["version"]) != 1:
+        raise ValueError(
+            f"text index at '{index_path}' is uncommitted or from an "
+            "unknown version; re-run publish_text_index"
+        )
+    stats = spark.read.parquet(f"{index_path.rstrip('/')}/stats").head()
+    return (
+        m["id_col"],
+        spark.read.parquet(f"{index_path.rstrip('/')}/postings"),
+        float(stats["n_docs"]),
+        float(stats["total_tokens"]),
+    )
+
+
+def bm25_scores_indexed(
+    spark,
+    index_path: str,
+    query_text: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """→ (id, _bm25_score) from a `publish_text_index` artifact —
+    BIT-IDENTICAL scores to `bm25_scores` over the published corpus
+    (same tf/dl/df/N values, the same `_term_score` expression with the
+    published constants as literals, the same sorted-term fold), without
+    touching the corpus text: the postings scan is pruned to the query's
+    terms, per-term doc frequencies are a <=|terms|-row collect, and the
+    hit-row groupBy is the only shuffle (dl rides the posting rows — no
+    doc-length join)."""
+    qterms = sorted(set(py_tokenize(query_text)))
+    if not qterms:
+        id_guess = "id"
+        try:
+            id_guess = _load_text_index(spark, index_path)[0]
+        except ValueError:
+            pass
+        return spark.createDataFrame([], f"{id_guess} long, _bm25_score double")
+    id_col, postings, n_docs, total_tokens = _load_text_index(
+        spark, index_path
+    )
+    post = postings.where(F.col("term").isin(qterms))
+    # df per term: postings hold only tf>0 rows, so the row count per
+    # term IS the scan path's doc frequency. Bounded collect (<= |terms|).
+    dfs = {
+        r["term"]: float(r["df"])
+        for r in post.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        ).collect()
+    }
+    per = post.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == F.lit(t), F.col("tf"))),
+                F.lit(0.0),
+            ).alias(f"tf{i}")
+            for i, t in enumerate(qterms)
+        ],
+        F.max("dl").alias("dl"),
+    )
+    # identical arithmetic to bm25_scores: literal constants carry the
+    # same double values the scan path's broadcast consts row carries,
+    # through the same JVM column ops (avgdl division included)
+    avgdl = F.lit(total_tokens) / F.lit(n_docs)
+    acc: Column = F.lit(0.0)
+    for i, t in enumerate(qterms):
+        tf_i = F.col(f"tf{i}")
+        s_i = _term_score(
+            tf_i, F.lit(dfs.get(t, 0.0)), F.col("dl"), F.lit(n_docs),
+            avgdl, k1, b,
+        )
+        acc = F.when(tf_i > 0, acc + s_i).otherwise(acc)
+    return per.select(F.col(id_col), acc.alias("_bm25_score"))
+
+
 def bm25_ranks(
     docs: DataFrame,
     id_col: str,
@@ -168,13 +323,21 @@ def hybrid_search(
     search_complexity: Optional[int] = None,
     metric: str = "l2",
     catalog=None,
+    text_index: Optional[str] = None,
 ) -> DataFrame:
     """→ docs columns + `_rrf_score, _bm25_rank, _vector_rank` (0 = not
     ranked by that leg), descending score, top k.
 
     Vector leg: through `index` when given (any engine), else exact brute
     force over `vec_col` (the reference always requires a DiskANN index;
-    brute force is our Flat-equivalent convenience)."""
+    brute force is our Flat-equivalent convenience).
+
+    Text leg: through a `publish_text_index` artifact when `text_index`
+    is given — bit-identical ranks to the scan path at none of its
+    per-query corpus tokenization (the reference's own shape: its BM25
+    leg reads a prebuilt FTS index). The artifact must be published
+    over the same corpus as `docs`, like the reference's FTS index is
+    built over the searched table."""
     spark = docs.sparkSession
 
     # ---- vector ranks ----
@@ -202,7 +365,23 @@ def hybrid_search(
     )
 
     # ---- BM25 ranks (empty/failed text leg → vector-only) ----
-    bm_ranks = bm25_ranks(docs, id_col, text_col, query_text or "", bm25_candidates)
+    if text_index is not None:
+        scores = bm25_scores_indexed(spark, text_index, query_text or "")
+        # published artifacts carry their own id column name; align it
+        # to the caller's
+        if scores.columns[0] != id_col:
+            scores = scores.withColumnRenamed(scores.columns[0], id_col)
+        top = scores.orderBy(
+            F.desc("_bm25_score"), F.asc(id_col)
+        ).limit(bm25_candidates)
+        w = Window.orderBy(F.desc("_bm25_score"), F.asc(id_col))
+        bm_ranks = top.withColumn(
+            "_bm25_rank", F.row_number().over(w)
+        ).select(id_col, "_bm25_rank")
+    else:
+        bm_ranks = bm25_ranks(
+            docs, id_col, text_col, query_text or "", bm25_candidates
+        )
 
     # ---- RRF fusion ----
     fused = vec_ranks.join(bm_ranks, on=id_col, how="full").select(

@@ -140,6 +140,13 @@ _ORACLE_FUSED = (
     "    SELECT 'fused' AS mode, doc_id, _rrf_score, _bm25_rank, _vector_rank\n"
     f"    FROM ({_ORACLE})\n"
     "    UNION ALL\n"
+    # round-8: the published-text-index leg is bit-identical to the scan
+    # leg by construction (same tf/dl/df/N through the same expression),
+    # so its oracle IS the fused oracle re-tagged — the hash check pins
+    # that identity
+    "    SELECT 'indexed' AS mode, doc_id, _rrf_score, _bm25_rank, _vector_rank\n"
+    f"    FROM ({_ORACLE})\n"
+    "    UNION ALL\n"
     "    SELECT 'vector_only' AS mode, doc_id, _rrf_score, _bm25_rank, _vector_rank\n"
     f"    FROM ({_ORACLE_VECTOR_ONLY})\n"
     ") ORDER BY mode, _rrf_score DESC, doc_id"
@@ -164,6 +171,27 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fused").alias("mode"),
         "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank",
     )
+    # round-8 'indexed' leg: BM25 through a published inverted-postings
+    # artifact (publish_text_index) instead of the per-query corpus scan
+    # — must hash-match the scan leg's oracle bit-for-bit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.hybrid import publish_text_index
+
+    ti = os.path.join(
+        tempfile.gettempdir(), f"duckdb_ann_spark_suite_ti_{os.getpid()}"
+    )
+    shutil.rmtree(ti, ignore_errors=True)
+    publish_text_index(base, "doc_id", "text", ti)
+    indexed = hybrid_search(
+        base, "doc_id", qv, QUERY_TEXT, text_col="text", vec_col="embedding",
+        k=10, text_index=ti,
+    ).select(
+        F.lit("indexed").alias("mode"),
+        "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank",
+    )
     vec_only = hybrid_search(
         base, "doc_id", qv, "zzzzqqqxx notawordatall", text_col="text",
         vec_col="embedding", k=10,
@@ -171,6 +199,6 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("vector_only").alias("mode"),
         "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank",
     )
-    return fused.unionAll(vec_only).orderBy(
+    return fused.unionAll(indexed).unionAll(vec_only).orderBy(
         "mode", F.col("_rrf_score").desc(), "doc_id"
     )

@@ -90,3 +90,58 @@ def test_indexed_vector_leg(base, qvec, tmp_path):
         base, "doc_id", qvec, "spark join", index="hy", catalog=cat, k=5
     ).collect()
     assert len(res) == 5 and res[0]._rrf_score > 0
+
+
+def test_text_index_scores_bit_identical(spark, base, tmp_path):
+    """Round-8: bm25_scores_indexed over a published postings artifact
+    returns BIT-IDENTICAL scores to the full-scan bm25_scores — same
+    tf/dl/df/N values through the same JVM expression, corpus text never
+    touched at query time."""
+    from duckdb_ann_spark.operators.hybrid import (
+        bm25_scores,
+        bm25_scores_indexed,
+        publish_text_index,
+    )
+
+    path = str(tmp_path / "ti")
+    publish_text_index(base, "doc_id", "text", path)
+    for q in ("spark join query data", "the distributed engine", "zzz"):
+        scan = {r.doc_id: r._bm25_score
+                for r in bm25_scores(base, "doc_id", "text", q).collect()}
+        idx = {r.doc_id: r._bm25_score
+               for r in bm25_scores_indexed(spark, path, q).collect()}
+        assert idx == scan, q  # exact float equality, not approx
+
+
+def test_hybrid_with_text_index_matches_scan(spark, base, qvec, tmp_path):
+    """hybrid_search(text_index=...) returns exactly the scan-path
+    result (ranks, scores, row order)."""
+    from duckdb_ann_spark.operators.hybrid import publish_text_index
+
+    path = str(tmp_path / "ti2")
+    publish_text_index(base, "doc_id", "text", path)
+    kw = dict(text_col="text", vec_col="embedding", k=8)
+    a = hybrid_search(base, "doc_id", qvec, "spark join query data",
+                      **kw).collect()
+    b = hybrid_search(base, "doc_id", qvec, "spark join query data",
+                      text_index=path, **kw).collect()
+    assert a == b
+    # empty-text degradation holds on the indexed path too
+    v = hybrid_search(base, "doc_id", qvec, "", text_index=path,
+                      **kw).collect()
+    assert all(r._bm25_rank == 0 for r in v)
+
+
+def test_text_index_manifest_validation(spark, base, tmp_path):
+    import shutil
+
+    from duckdb_ann_spark.operators.hybrid import (
+        bm25_scores_indexed,
+        publish_text_index,
+    )
+
+    path = str(tmp_path / "ti3")
+    publish_text_index(base, "doc_id", "text", path)
+    shutil.rmtree(f"{path}/manifest")
+    with pytest.raises(ValueError, match="missing manifest"):
+        bm25_scores_indexed(spark, path, "spark data").collect()

@@ -544,3 +544,44 @@ def test_incremental_dedup_200k_corpus(spark, tmp_path_factory):
           f"dedup {dedup_s:.1f}s ({n_kept} kept), pairs {pairs_s:.1f}s "
           f"({n_pairs} pairs)")
     corpus.unpersist(); delta.unpersist()
+
+
+def test_text_index_crossover_200k(spark, tmp_path_factory):
+    """Round-8: at 200k docs the published text index beats the
+    per-query corpus scan (at sf0.1's 5k docs the scan wins on fixed
+    job overhead — recorded in bench; THIS is the regime the artifact
+    exists for), with bit-identical scores."""
+    from duckdb_ann_spark.operators.hybrid import (
+        bm25_scores,
+        bm25_scores_indexed,
+        publish_text_index,
+    )
+
+    n = 200_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), j -> "
+            "concat('w', cast(pmod(xxhash64(id, j), 5000) as string))))"
+        ).alias("text"),
+    ).persist()
+    docs.count()
+    path = str(tmp_path_factory.mktemp("ti200k"))
+    t0 = time.perf_counter()
+    publish_text_index(docs, "doc_id", "text", path)
+    publish_s = time.perf_counter() - t0
+
+    q = "w17 w123 w4999"
+    t0 = time.perf_counter()
+    scan = {r.doc_id: r._bm25_score
+            for r in bm25_scores(docs, "doc_id", "text", q).collect()}
+    scan_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx = {r.doc_id: r._bm25_score
+           for r in bm25_scores_indexed(spark, path, q).collect()}
+    idx_s = time.perf_counter() - t0
+    assert idx == scan  # bit-identical at scale too
+    print(f"\ntext index 200k: publish {publish_s:.1f}s, scan query "
+          f"{scan_s:.2f}s vs indexed {idx_s:.2f}s ({len(idx)} hits)")
+    assert idx_s < scan_s  # the crossover this artifact exists for
+    docs.unpersist()
