@@ -180,6 +180,7 @@ def prepare_corpus(
     benchmark: DataFrame | None = None,
     benchmark_text_col: str = "text",
     decontaminate_n: int = 13,
+    dedup_against: str | None = None,
 ) -> DataFrame:
     """→ the cleaned corpus: (id, text, n_chars, n_tokens, quality_score,
     lang_pred). Row order is NOT guaranteed (no global sort: at corpus
@@ -206,6 +207,17 @@ def prepare_corpus(
       with the benchmark corpus (GPT-3-style decontamination; n=13
       default there and here). One extra scan of the kept slice + a
       broadcast of the benchmark digest set.
+    * ``dedup_against`` (round 8) — path of a
+      `publish_minhash_signatures` artifact: additionally drop documents
+      whose LSH band keys collide with the PUBLISHED corpus (the
+      incremental corpus-prep shape — prepare a daily delta against the
+      canonical corpus without re-tokenizing it; see
+      `dedup_incremental`). The band keys derive from the annotate
+      pass's signature column, so this adds a band projection + one
+      SEMI-join against the artifact, no extra tokenize. Divergence
+      from the in-delta near-dedup, documented: corpus hits drop on
+      band collision alone (the artifact holds no text to Jaccard-
+      verify against), the same policy the streaming path applies.
     """
     # per-row annotate work is the pipeline's heaviest expression chain;
     # make sure a narrow input (one small file) doesn't serialize it
@@ -278,7 +290,24 @@ def prepare_corpus(
         threshold=near_dup_threshold, widen=False, sig_col="_sig",
         cache_sigs=False,
     )
-    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    drops = pairs.select(F.col("id_b").alias(id_col))
+    if dedup_against is not None:
+        from .operators.dedup import (
+            band_keys_from_signatures,
+            published_band_keys,
+        )
+
+        bands_new = band_keys_from_signatures(
+            uniq.select(F.col(id_col), F.col("_sig").alias("sig")), id_col
+        )
+        corpus_hits = bands_new.join(
+            published_band_keys(docs.sparkSession, dedup_against).select(
+                "band", "bkey"
+            ),
+            on=["band", "bkey"], how="leftsemi",
+        ).select(id_col)
+        drops = drops.unionByName(corpus_hits)
+    drops = drops.distinct()
     # every persisted block the returned plan references rides on the
     # output: `release_caches(out)` after materializing frees them all
     # (long-session discipline; releasing is always safe — lineage

@@ -231,3 +231,34 @@ def test_prepare_corpus_lm_filter(spark, sf_dir):
                            min_quality=0.65).select("doc_id").collect()}
     assert gated == want
     assert len(gated) > 0
+
+
+def test_prepare_corpus_dedup_against_published(spark, corpus, tmp_path):
+    """Round-8: dedup_against drops kept docs colliding with a published
+    corpus artifact (incremental corpus prep); without it, output is
+    unchanged from the default pipeline."""
+    from duckdb_ann_spark.operators.dedup import publish_minhash_signatures
+
+    base_ids = sorted(
+        r.doc_id for r in prepare_corpus(
+            corpus, "doc_id", "text", langs=("en",), min_quality=0.0
+        ).select("doc_id").collect()
+    )
+    assert base_ids  # pipeline keeps something to test against
+    # publish a corpus containing THE text of the first kept doc
+    kept_doc = corpus.where(F.col("doc_id") == base_ids[0])
+    pub = str(tmp_path / "pub")
+    publish_minhash_signatures(
+        kept_doc.select(
+            (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+        ),
+        "doc_id", "text", pub,
+    )
+    got = sorted(
+        r.doc_id for r in prepare_corpus(
+            corpus, "doc_id", "text", langs=("en",), min_quality=0.0,
+            dedup_against=pub,
+        ).select("doc_id").collect()
+    )
+    assert base_ids[0] not in got
+    assert got == [i for i in base_ids if i != base_ids[0]]
