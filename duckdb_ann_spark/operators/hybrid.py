@@ -337,7 +337,10 @@ def hybrid_search(
     per-query corpus tokenization (the reference's own shape: its BM25
     leg reads a prebuilt FTS index). The artifact must be published
     over the same corpus as `docs`, like the reference's FTS index is
-    built over the searched table."""
+    built over the searched table. Measured at the 200k-doc gated smoke
+    on an idle host: indexed BM25 query 0.95s vs 1.92s scan, identical
+    scores; at sf0.1's 5k docs the two are even (fixed job overhead) —
+    the artifact is for corpora whose text dwarfs job overhead."""
     spark = docs.sparkSession
 
     # ---- vector ranks ----
