@@ -95,8 +95,13 @@ def release_operator_caches() -> int:
     library created, never the application's own. Works even after the
     caller dropped every reference — the registry itself keeps the
     handles alive until released."""
-    held = list(_ALL_TRACKED)
-    _ALL_TRACKED.clear()
-    for f in held:
+    # drop each entry only AFTER its successful unpersist: clearing the
+    # whole list up front would orphan every remaining frame if one
+    # unpersist raises (e.g. a py4j error against a stopped session) —
+    # a retry of the sweep must still see them (r8 review)
+    n = 0
+    for f in list(_ALL_TRACKED):
         f.unpersist()
-    return len(held)
+        _forget(f)
+        n += 1
+    return n

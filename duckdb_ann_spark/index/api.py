@@ -197,7 +197,8 @@ def index_scan(
     # is ~linear in the request depth), which does not survive scale.
     # Instead request k + min(|deleted|, max(2k, OVERREQUEST_CAP)) and
     # RETRY at full k + |deleted| only if some query is left with fewer
-    # than k survivors. Exactness is preserved: when a query holds >= k
+    # than its ACHIEVABLE result size (min(k, surviving rows) — see
+    # `target` below). Exactness is preserved: when a query holds >= k
     # survivors inside its top-(k+over) list, those ARE its true top-k
     # survivors — any survivor ranked deeper than k+over sits below all
     # k+over rows above it, of which at least k survive. Only starved
@@ -211,19 +212,24 @@ def index_scan(
     hits = impl.search(spark, manifest, d, qs, k + over, search_complexity)
     filtered = hits.join(F.broadcast(deleted), on=id_col, how="anti")
     n_total = int(manifest["num_vectors"])
-    # retry can only help when the deep pass could see MORE rows than
-    # the bounded pass did AND enough survivors exist to ever reach k —
-    # otherwise a starved result is final and re-searching every call
-    # until vacuum just doubles the cost (round-8 review)
-    if over < nd and k + over < n_total and n_total - nd >= k:
-        # bounded first pass: check for starvation (any query with < k
-        # survivors — including queries whose every hit was tombstoned,
-        # which vanish from the groupBy). localCheckpoint keeps the
-        # check from re-running the search when the result is consumed.
+    # each query's ACHIEVABLE result size: k, or every survivor when
+    # fewer than k remain. Gating the retry on `target` (not k) keeps
+    # two properties the round-8 review demanded together: a bounded
+    # pass that already found every reachable survivor never re-searches
+    # (no futile deep pass on every call until vacuum), and a bounded
+    # pass that MISSED recoverable survivors still retries — even when
+    # fewer than k exist (returning the best available rows matters).
+    target = min(k, max(0, n_total - nd))
+    if over < nd and k + over < n_total and target > 0:
+        # bounded first pass: check for starvation (any query with <
+        # target survivors — including queries whose every hit was
+        # tombstoned, which vanish from the groupBy). localCheckpoint
+        # keeps the check from re-running the search when the result is
+        # consumed.
         filtered = filtered.localCheckpoint()
         ok = (
             filtered.groupBy("query_idx").count()
-            .where(F.col("count") >= k).count()
+            .where(F.col("count") >= target).count()
         )
         if ok < len(qs):
             hits = impl.search(

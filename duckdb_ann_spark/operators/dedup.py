@@ -414,13 +414,18 @@ def published_band_keys(
             "(missing manifest — interrupted publish?); re-run "
             "publish_minhash_signatures"
         ) from e
-    if m is None or (
-        (m["n_hashes"], m["n_bands"], m["shingle_words"])
-        != (n_hashes, n_bands, shingle_words)
-    ):
-        got = None if m is None else (
-            m["n_hashes"], m["n_bands"], m["shingle_words"]
+    if m is None:
+        # the cleared-first marker: a publish started but never reached
+        # its final manifest write
+        raise ValueError(
+            f"signature artifact at '{published_path}' is uncommitted "
+            "(publish was interrupted mid-rewrite); re-run "
+            "publish_minhash_signatures"
         )
+    if (m["n_hashes"], m["n_bands"], m["shingle_words"]) != (
+        n_hashes, n_bands, shingle_words
+    ):
+        got = (m["n_hashes"], m["n_bands"], m["shingle_words"])
         raise ValueError(
             f"published artifact at '{published_path}' was built with "
             f"(n_hashes, n_bands, shingle_words)={got}, query asked for "

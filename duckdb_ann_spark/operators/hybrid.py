@@ -251,7 +251,12 @@ def bm25_scores_indexed(
     id_col, postings, n_docs, total_tokens = _load_text_index(
         spark, index_path
     )
-    post = postings.where(F.col("term").isin(qterms))
+    # the pruned postings slice is consumed TWICE (the df collect below
+    # + the pivot); persist so the parquet read happens once per query
+    # (r8 review — this is the latency path the artifact exists for).
+    # The slice rides the returned frame's tracked list: release via
+    # release_caches on the result, or the release_operator_caches sweep.
+    post = postings.where(F.col("term").isin(qterms)).persist()
     # df per term: postings hold only tf>0 rows, so the row count per
     # term IS the scan path's doc frequency. Bounded collect (<= |terms|).
     dfs = {
@@ -282,7 +287,11 @@ def bm25_scores_indexed(
             avgdl, k1, b,
         )
         acc = F.when(tf_i > 0, acc + s_i).otherwise(acc)
-    return per.select(F.col(id_col), acc.alias("_bm25_score"))
+    from ..caching import track_caches
+
+    return track_caches(
+        per.select(F.col(id_col), acc.alias("_bm25_score")), post
+    )
 
 
 def bm25_ranks(

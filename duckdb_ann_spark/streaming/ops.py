@@ -352,8 +352,9 @@ def stream_dedup_minhash(
       deduplicated best-effort only.
 
     Rows with a null `ts_col` cannot be placed on the event-time
-    horizon: they pass through to the output un-deduplicated and never
-    enter state.
+    horizon: they bypass the horizon-based in-stream dedup (pass through
+    un-deduplicated, never enter state) — but they ARE still checked
+    against the published corpus below, which needs no event time.
 
     ``published_path`` (round 8) points at a
     `publish_minhash_signatures` artifact: every batch additionally
@@ -381,14 +382,20 @@ def stream_dedup_minhash(
     # validate + build the published corpus band frame ONCE (round-8
     # review: per-batch spark.read re-scanned the immutable corpus every
     # trigger) and PERSIST it — intentionally pinned for the stream's
-    # lifetime, it is the reference table every batch semi-joins
+    # lifetime, it is the reference table every batch semi-joins. It is
+    # registered with the caching module so `release_operator_caches()`
+    # can free it after the query stops (the frame outlives every
+    # caller reference otherwise).
     pub_bands = None
     if published_path:
+        from ..caching import track_caches
+
         pub_bands = (
             published_band_keys(stream.sparkSession, published_path)
             .select("band", "bkey")
             .persist()
         )
+        track_caches(pub_bands, pub_bands)
 
     def _fs(spark, path: str):
         jvm = spark._jvm
@@ -462,7 +469,20 @@ def stream_dedup_minhash(
                 else intra_losers.unionByName(cross_losers)
             )
             if pub_bands is not None:
-                pub_losers = bands.join(
+                # corpus collisions need NO event time, so null-ts rows
+                # are filtered too (r8 review — they bypass the
+                # horizon-based state machinery, not the static corpus);
+                # their band keys are derived here, the only place that
+                # needs them
+                untimed = batch_df.where(F.col(ts_col).isNull()).select(
+                    F.col(id_col), F.col(text_col)
+                )
+                all_bands = bands.select(id_col, "band", "bkey").unionByName(
+                    band_keys_from_signatures(
+                        minhash_signatures(untimed, id_col, text_col), id_col
+                    )
+                )
+                pub_losers = all_bands.join(
                     pub_bands, on=["band", "bkey"], how="leftsemi"
                 ).select(id_col)
                 losers = losers.unionByName(pub_losers)

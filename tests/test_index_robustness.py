@@ -229,6 +229,21 @@ def test_bounded_tombstone_overrequest(spark, cat):
     assert got == [150, 151, 152]
     # sanity: the bound really engaged (both passes' depth math)
     assert 300 > max(2 * k, api.OVERREQUEST_CAP), "cap must be < |deleted|"
+
+    # scenario 3 (r8 review): fewer than k survivors in total — the
+    # retry must still recover ALL of them (returning the best
+    # available rows matters even when k is unreachable), not skip as
+    # futile. Tombstone everything except two far-away rows.
+    survivors = {700, 900}
+    delete_from_index(
+        spark, name,
+        [i for i in range(1000) if i not in survivors
+         and i not in range(500, 650) and i not in range(0, 150)],
+        catalog=cat,
+    )
+    got = [r["vec_id"] for r in index_scan(spark, name, [q], k, catalog=cat)
+           .orderBy("_distance", "vec_id").collect()]
+    assert got == sorted(survivors)
     drop_index(name, cat)
 
 

@@ -572,14 +572,24 @@ def test_text_index_crossover_200k(spark, tmp_path_factory):
     publish_s = time.perf_counter() - t0
 
     q = "w17 w123 w4999"
-    t0 = time.perf_counter()
-    scan = {r.doc_id: r._bm25_score
-            for r in bm25_scores(docs, "doc_id", "text", q).collect()}
-    scan_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    idx = {r.doc_id: r._bm25_score
-           for r in bm25_scores_indexed(spark, path, q).collect()}
-    idx_s = time.perf_counter() - t0
+    # min-of-2 each: two single-shot timings under a strict inequality
+    # were the flakiest check in the suite (r8 review) — host noise on
+    # this box is documented at ±60%
+    scan_s = idx_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        scan = {r.doc_id: r._bm25_score
+                for r in bm25_scores(docs, "doc_id", "text", q).collect()}
+        scan_s = min(scan_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        idx = {r.doc_id: r._bm25_score
+               for r in bm25_scores_indexed(spark, path, q).collect()}
+        idx_s = min(idx_s, time.perf_counter() - t0)
+        # free only the indexed path's persisted postings slice — a
+        # clearCache would also evict the test's own docs frame
+        from duckdb_ann_spark.caching import release_operator_caches
+
+        release_operator_caches()
     assert idx == scan  # bit-identical at scale too
     print(f"\ntext index 200k: publish {publish_s:.1f}s, scan query "
           f"{scan_s:.2f}s vs indexed {idx_s:.2f}s ({len(idx)} hits)")

@@ -432,12 +432,17 @@ def test_stream_dedup_minhash_published_corpus(spark, tmp_path):
         spark.createDataFrame([(100, base)], "doc_id long, text string"),
         "doc_id", "text", pub,
     )
+    third = ("a third body of text about graph indexes shards and "
+             "recall floors measured against exact brute force truth")
     t0 = 1_700_000_000
     in_dir = tmp_path / "in"
     in_dir.mkdir()
     (
         spark.createDataFrame(
-            [(1, base, t0), (2, other, t0 + 10), (3, other + " x", t0 + 20)],
+            [(1, base, t0), (2, other, t0 + 10), (3, other + " x", t0 + 20),
+             # null event time: bypasses the horizon machinery but must
+             # STILL be checked against the static corpus (r8 review)
+             (4, base, None), (5, third, None)],
             "doc_id long, text string, ts_epoch long",
         )
         .withColumn("ts", F.timestamp_seconds("ts_epoch"))
@@ -457,5 +462,7 @@ def test_stream_dedup_minhash_published_corpus(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
     # 1 collides with published doc 100 → dropped; 3 near-dups 2 inside
-    # the batch → in-stream policy drops the later one; 2 survives
-    assert got == [2], got
+    # the batch → in-stream policy drops the later one; 4 (null ts)
+    # collides with the corpus → dropped despite bypassing the horizon;
+    # 2 and 5 survive
+    assert got == [2, 5], got
