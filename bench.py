@@ -773,6 +773,16 @@ def main() -> None:
 
     total = sum(timings.values())  # headline: shared workloads only
 
+    cal = calibration_canaries(spark)
+    # round-9 (verdict item 6): the canary-RELATIVE total rides in the
+    # JSON so epoch adjudication stops being prose — compare
+    # `value_canary_rel` across rounds; a delta that survives the
+    # normalization is code, not host weather. The unit is the summed
+    # fixed-work canary wall (one GEMM + one python-loop + one spark-job
+    # term), so the ratio is dimensionless and host-epoch-invariant to
+    # first order.
+    canary_unit = cal["cal_gemm"] + cal["cal_py"] + cal["cal_spark"]
+    assert canary_unit > 0, cal
     out = {
         "metric": "bench_total_wall",
         "value": round(total, 3),
@@ -781,7 +791,9 @@ def main() -> None:
         "sf": sf,
         # fixed-work host-epoch canaries (see calibration_canaries):
         # judge cross-round deltas relative to these, not to zero
-        "calibration": calibration_canaries(spark),
+        "calibration": cal,
+        "canary_unit_sec": round(canary_unit, 4),
+        "value_canary_rel": round(total / canary_unit, 3),
     }
     if os.environ.get("SPARK_GRAFT_SCALE100K", "1") != "0":
         scale_t, scale_r = bench_scale(spark)

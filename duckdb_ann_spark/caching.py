@@ -28,6 +28,8 @@ re-materializes afterwards.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _ATTR = "_dann_cached_frames"
@@ -43,6 +45,14 @@ _ATTR = "_dann_cached_frames"
 # objects this list keeps alive are tiny next to the cached data they
 # control, and every release path removes its entries.
 _ALL_TRACKED: "list[DataFrame]" = []
+# guards every _ALL_TRACKED mutation (round-9, verdict item 7): a
+# multithreaded driver — notebook/service sessions Spark explicitly
+# supports — can run operators on one thread while another sweeps
+# release_operator_caches(); the unguarded list ops could lose registry
+# entries mid-resize (unreleasable-except-clearCache blocks). The lock
+# covers only registry bookkeeping, never the unpersist() JVM calls, so
+# a slow py4j round-trip cannot serialize unrelated operator threads.
+_LOCK = threading.Lock()
 
 
 def track_caches(out: DataFrame, *frames: DataFrame) -> DataFrame:
@@ -61,17 +71,19 @@ def track_caches(out: DataFrame, *frames: DataFrame) -> DataFrame:
         if (lvl.useMemory or lvl.useDisk) and all(f is not h for h in held):
             held.append(f)
     setattr(out, _ATTR, held)
-    for h in held:
-        if all(h is not t for t in _ALL_TRACKED):
-            _ALL_TRACKED.append(h)
+    with _LOCK:
+        for h in held:
+            if all(h is not t for t in _ALL_TRACKED):
+                _ALL_TRACKED.append(h)
     return out
 
 
 def _forget(f: DataFrame) -> None:
-    for i, t in enumerate(_ALL_TRACKED):
-        if t is f:
-            del _ALL_TRACKED[i]
-            return
+    with _LOCK:
+        for i, t in enumerate(_ALL_TRACKED):
+            if t is f:
+                del _ALL_TRACKED[i]
+                return
 
 
 def release_caches(df: DataFrame) -> int:
@@ -99,8 +111,10 @@ def release_operator_caches() -> int:
     # whole list up front would orphan every remaining frame if one
     # unpersist raises (e.g. a py4j error against a stopped session) —
     # a retry of the sweep must still see them (r8 review)
+    with _LOCK:
+        snapshot = list(_ALL_TRACKED)
     n = 0
-    for f in list(_ALL_TRACKED):
+    for f in snapshot:
         f.unpersist()
         _forget(f)
         n += 1

@@ -378,11 +378,16 @@ def publish_minhash_signatures(
     _ldf(spark, [], "n_hashes int, n_bands int, shingle_words int").write.mode(
         "overwrite"
     ).parquet(f"{output_path}/manifest")
-    sigs.write.mode("overwrite").parquet(f"{output_path}/sig")
-    band_keys_from_signatures(sigs, id_col, n_hashes, n_bands).write.mode(
-        "overwrite"
-    ).parquet(f"{output_path}/bands")
-    sigs.unpersist()
+    try:
+        sigs.write.mode("overwrite").parquet(f"{output_path}/sig")
+        band_keys_from_signatures(sigs, id_col, n_hashes, n_bands).write.mode(
+            "overwrite"
+        ).parquet(f"{output_path}/bands")
+    finally:
+        # also on a failed write: the artifact stays detectably
+        # uncommitted (manifest cleared above), but the signature frame
+        # must not stay pinned for the session (round-9 advice)
+        sigs.unpersist()
     _ldf(
         spark,
         [(int(n_hashes), int(n_bands), int(shingle_words))],
@@ -522,9 +527,18 @@ def dedup_incremental(
     when it shares an LSH band bucket with ANY corpus row (the corpus
     copy is canonical regardless of id order — a band-key SEMI-join, so
     corpus-delta pairs are never materialized) or with a smaller-id
-    delta row (the same larger-id-drops rule `prepare_corpus`' near-
-    dedup applies; chains are not chased, also like the pipeline).
-    Returns `new_df` rows (all columns) minus the drops."""
+    delta row. BOTH drop rules are COLLISION-ONLY (no exact-Jaccard
+    verification), the same policy as the corpus-hit path and
+    `stream_dedup_minhash` — a rare LSH false positive overdrops
+    rather than underdropping, and the collision-only rule is what
+    keeps the oracle identity `incremental == restricted-full
+    minhash_candidate_pairs` exact. This deliberately DIFFERS from
+    `prepare_corpus`' within-batch near-dedup, which Jaccard-verifies
+    candidates against `near_dup_threshold` before dropping; for
+    verified delta-delta drops, run `prepare_corpus(new_df, ...,
+    dedup_against=published_path)` instead (corpus hits stay
+    collision-only there too — the artifact stores no text to verify
+    against). Returns `new_df` rows (all columns) minus the drops."""
     sigs_new = minhash_signatures(
         widen_if_narrow(new_df), id_col, text_col, n_hashes, shingle_words
     ).persist()

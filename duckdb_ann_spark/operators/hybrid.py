@@ -179,23 +179,28 @@ def publish_text_index(
     base = docs.select(
         F.col(id_col), F.expr(toks_sql).alias("_t")
     ).select(id_col, "_t.toks", "_t.dl").persist()
-    (
-        base.select(id_col, "dl", F.explode("toks").alias("term"))
-        .groupBy("term", id_col)
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("tf"),
-            F.first("dl").alias("dl"),
+    try:
+        (
+            base.select(id_col, "dl", F.explode("toks").alias("term"))
+            .groupBy("term", id_col)
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("tf"),
+                F.first("dl").alias("dl"),
+            )
+            .repartitionByRange(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{output_path}/postings")
         )
-        .repartitionByRange(F.col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{output_path}/postings")
-    )
-    base.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
-    ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/stats")
-    base.unpersist()
+        base.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/stats")
+    finally:
+        # also on a failed write: the artifact is left detectably
+        # uncommitted either way, but the token frame must not stay
+        # pinned for the session (round-9 advice)
+        base.unpersist()
     local_df(
         spark, [(1, id_col)], "version int, id_col string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/manifest")
@@ -377,8 +382,16 @@ def hybrid_search(
     )
 
     # ---- BM25 ranks (empty/failed text leg → vector-only) ----
+    tracked_src = None
     if text_index is not None:
         scores = bm25_scores_indexed(spark, text_index, query_text or "")
+        # the pruned-postings slice bm25_scores_indexed persisted rides
+        # ITS return value's tracked list; thread it onto hybrid's own
+        # return below (round-9 advice) so release_caches() on what the
+        # caller actually holds frees the slice — without this, every
+        # indexed query pinned a new persisted slice until the global
+        # release_operator_caches() sweep
+        tracked_src = scores
         # published artifacts carry their own id column name; align it
         # to the caller's
         if scores.columns[0] != id_col:
@@ -415,8 +428,13 @@ def hybrid_search(
     )
     # fused is <= k rows: broadcast it so the doc-column fetch is one
     # more narrow scan of docs, never a shuffle of the docs table
-    return (
+    out = (
         F.broadcast(fused).join(docs, on=id_col, how="inner")
         .select(*docs.columns, "_rrf_score", "_bm25_rank", "_vector_rank")
         .orderBy(F.desc("_rrf_score"), F.asc(id_col))
     )
+    if tracked_src is not None:
+        from ..caching import track_caches
+
+        out = track_caches(out, tracked_src)
+    return out

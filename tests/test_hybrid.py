@@ -132,6 +132,24 @@ def test_hybrid_with_text_index_matches_scan(spark, base, qvec, tmp_path):
     assert all(r._bm25_rank == 0 for r in v)
 
 
+def test_hybrid_text_index_result_carries_caches(spark, base, qvec, tmp_path):
+    """The persisted pruned-postings slice rides hybrid_search's OWN
+    return value (round-9 advice): release_caches on what the caller
+    holds must free it — not only the global sweep."""
+    from duckdb_ann_spark.caching import release_caches
+    from duckdb_ann_spark.operators.hybrid import publish_text_index
+
+    path = str(tmp_path / "ti4")
+    publish_text_index(base, "doc_id", "text", path)
+    out = hybrid_search(
+        base, "doc_id", qvec, "spark join query data", text_col="text",
+        vec_col="embedding", k=5, text_index=path,
+    )
+    out.count()
+    assert release_caches(out) >= 1
+    assert release_caches(out) == 0  # idempotent
+
+
 def test_text_index_manifest_validation(spark, base, tmp_path):
     import shutil
 
