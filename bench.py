@@ -167,6 +167,39 @@ def _synthetic_vectors(spark, n: int, dim: int, seed: int):
     return df.select(F.col("id").alias("vec_id"), "embedding")
 
 
+def _clustered_vectors(spark, n: int, dim: int, n_clusters: int, seed: int,
+                       sigma: float = 0.02):
+    """Mixture-of-Gaussians-ish synthetic vectors (round 9): REAL
+    embeddings cluster, and the per-index probe calibration exists
+    exactly for that regime — the uniform workloads above are IVF's
+    worst case and say nothing about it. Centers are driver numpy
+    (n_clusters x dim, tiny) joined broadcast; noise is U(±sigma)
+    per dimension, generated distributed. Returns (df, centers)."""
+    from duckdb_ann_spark.local import local_df
+
+    rng = np.random.default_rng(seed)
+    centers = rng.random((n_clusters, dim), dtype=np.float32)
+    cdf = local_df(
+        spark,
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cid int, center array<float>",
+    )
+    noise = F.array(*[
+        (F.rand(seed + 1000 + j) * (2 * sigma) - sigma).cast("float")
+        for j in range(dim)
+    ])
+    df = (
+        spark.range(n)
+        .withColumn("cid", (F.col("id") % n_clusters).cast("int"))
+        .join(F.broadcast(cdf), on="cid")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.zip_with("center", noise, lambda c, x: c + x).alias("embedding"),
+        )
+    )
+    return df, centers
+
+
 def bench_ann(spark, dim: int) -> float:
     rng = np.random.default_rng(4242 + dim)
     queries = rng.random((N_QUERIES, dim), dtype=np.float32)
@@ -398,6 +431,25 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     qside = vecs.where(F.col("vec_id") < 10_000).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
+
+    # clustered-synthetic workload (round 9): the regime the per-index
+    # measured calibration exists for — 64 gaussian-ish clusters at the
+    # same N/dim. Ground truth from the same materialized data.
+    N_CL = 64
+    cvecs, ccenters = _clustered_vectors(spark, SCALE_N, dim, N_CL, seed=99)
+    cvecs = cvecs.persist()
+    cvecs.count()
+    cvp = cvecs.orderBy("vec_id").toPandas()
+    cmat = np.array(cvp["embedding"].tolist(), dtype=np.float32)
+    cids = cvp["vec_id"].to_numpy()
+    crng = np.random.default_rng(4243)
+    cqueries = (
+        ccenters[np.arange(N_QUERIES) % N_CL]
+        + crng.normal(0, 0.02, (N_QUERIES, dim))
+    ).astype(np.float32)
+    ctruth = _exact_truth(cmat, cids, cqueries, K)
+    del cvp, cmat
+
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -504,6 +556,52 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         recall["scale100k_hnsw_routed"] = round(_recall(rows), 3)
         drop_index("scale_hnsw_routed", cat)
 
+        # --- clustered legs (round 9): the per-index MEASURED probe
+        # calibration beside the uniform worst case. nprobe=0 /
+        # route_nprobe=0 resolve through the manifest's build-time
+        # measurement; the probe-frac outputs record how far below the
+        # static uniform rule the measurement lands on clustered data.
+        t0 = time.perf_counter()
+        mc = create_index(
+            cvecs, "vec_id", "embedding", "scale_ivf_clust", engine="faiss",
+            type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
+        )
+        _t("scale100k_ivf_clust_build", t0)
+        cal = mc["calibration"]
+        assert cal is not None
+        out["scale100k_ivf_clust_measured_frac"] = round(
+            cal["nprobe"] / mc["nlist_effective"], 4
+        )
+        t0 = time.perf_counter()
+        rows = index_scan(
+            spark, "scale_ivf_clust", cqueries, K, catalog=cat
+        ).collect()
+        _t("scale100k_ivf_clust_search", t0)
+        assert len(rows) == N_QUERIES * K, len(rows)
+        recall["scale100k_ivf_clust"] = round(_recall_of(rows, ctruth, K), 3)
+        drop_index("scale_ivf_clust", cat)
+
+        t0 = time.perf_counter()
+        mv = create_index(
+            cvecs, "vec_id", "embedding", "scale_vam_clust", engine="diskann",
+            max_degree=16, build_complexity=32, shards=128, shard_by="cells",
+            catalog=cat,
+        )
+        _t("scale100k_vamana_clust_build", t0)
+        rcal = mv["route_calibration"]
+        assert rcal is not None
+        out["scale100k_vamana_clust_measured_frac"] = round(
+            rcal["nprobe"] / 128, 4
+        )
+        t0 = time.perf_counter()
+        rows = index_scan(
+            spark, "scale_vam_clust", cqueries, K, catalog=cat
+        ).collect()
+        _t("scale100k_vamana_clust_search", t0)
+        assert len(rows) == N_QUERIES * K, len(rows)
+        recall["scale100k_vamana_clust"] = round(_recall_of(rows, ctruth, K), 3)
+        drop_index("scale_vam_clust", cat)
+
         # ONE collect per knn_join times the search AND feeds the
         # sampled-recall check (count-then-collect would run the whole
         # distributed join twice)
@@ -560,10 +658,22 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
                 "scale100k_knn_join_auto", "scale100k_knn_join_floor",
                 "scale100k_ivf",
                 "scale100k_ivf_auto", "scale100k_vamana",
-                "scale100k_search_table_routed"):
+                "scale100k_search_table_routed",
+                "scale100k_ivf_clust", "scale100k_vamana_clust"):
         assert recall[key] >= 0.70, (key, recall[key])
+    # the calibrated clustered regime must probe WELL below the static
+    # uniform rule (the round-9 deliverable: measured, not hoped)
+    assert (
+        out["scale100k_ivf_clust_measured_frac"]
+        <= 0.5 * out["scale100k_ivf_auto_probe_frac"]
+    ), out["scale100k_ivf_clust_measured_frac"]
+    assert (
+        out["scale100k_vamana_clust_measured_frac"]
+        <= 0.5 * out["scale100k_route_probe_frac"]
+    ), out["scale100k_vamana_clust_measured_frac"]
 
     vecs.unpersist()
+    cvecs.unpersist()
     return out, recall
 
 

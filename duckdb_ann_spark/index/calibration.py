@@ -1,0 +1,244 @@
+"""Per-index MEASURED probe calibration (round 9).
+
+Every `nprobe=0` / `route_nprobe=0` surface used to resolve through the
+STATIC formulas in `ivf.py` (`auto_nprobe` / `auto_route_nprobe`),
+calibrated once, offline, on UNIFORM vectors — IVF's worst case. The
+bench's own numbers showed what that costs on the worst case it was
+tuned for: routing probed 72% of shards and auto-IVF 35% of cells to
+hold the reference's 0.70 recall@10 floor
+(`/root/reference/test/sql/diskann_streaming.test:40-50`). On real
+(clustered) embeddings those rules over-probe by integer factors, and
+nothing in the artifact said so. At 100x scale this is the difference
+between probing 3 shards and probing 700.
+
+This module measures the probe→recall curve of THE INDEX BEING BUILT,
+at CREATE INDEX time, and stores the floor-clearing probe count in the
+manifest; `nprobe=0` then means "what this index measurably needs",
+falling back to the static worst-case rule only for artifacts without a
+measurement (pre-round-9 manifests, `calibration_queries=0` builds).
+
+How the measurement stays one cheap pass (no per-nprobe re-search):
+for a held-out query sample, the exact top-k neighbors AND the cell
+each neighbor lives in are computed in ONE distributed scan; ranking
+the cells per query by centroid distance then gives the ENTIRE
+recall-vs-nprobe curve in closed form — a true neighbor is found at
+probe depth p iff its cell ranks < p. (For routed GRAPH shards the
+curve is the ROUTING recall — the in-shard graph search multiplies its
+own ~0.92-0.97 miss on top, which is why `ROUTED_TARGET` sits higher
+than `IVF_TARGET`; see the constants.)
+
+Staleness contract: the measurement reflects the data AT BUILD TIME.
+Appends route new rows into the existing cells/shards without
+re-measuring (one bounded pass per append would defeat the append's
+own cost bound), so a heavily-appended index drifts from its recorded
+curve; `vacuum_index` / `merge_indexes` rebuild through `build` and
+therefore RE-measure — the same rebalance path that already retrains
+routing. Tombstones shift the true-neighbor set outward (survivors can
+live in lower-ranked cells), so heavy-delete indexes drift too — the
+engine's existing discipline already routes them to `vacuum_index`
+(`needs_vacuum`), which re-measures.
+
+Scale shape: the scan is mapInPandas with PER-PARTITION top-(k+1)
+accumulation — each partition emits at most `n_queries*(k+1)` rows
+regardless of how many Arrow batches it holds, so driver traffic is
+O(partitions * queries * k), never O(N). Candidate cells are computed
+in-task against the broadcast centroids (a (q*k, nlist) GEMM on <=1k
+rows). Cost is ~one extra narrow scan of the table per build — the
+build already pays two (train sample, assignment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.distance import np_index_distances, np_stack_vectors
+
+# Floor-clearing targets, both sized for the reference's recall@10 >=
+# 0.70 floor plus sampling noise (64 queries x k=10 => recall-estimate
+# std ~0.016; 0.08 margin ~= 5 sigma):
+#
+# * IVF cells are scanned EXACTLY, so routing recall IS end recall:
+#   target 0.78 reproduces the static rule's measured margin band
+#   (0.78-0.89 on uniform) — but now per index, so clustered data gets
+#   the small probe count it actually needs.
+# * Routed graph shards compound the routing miss with the per-shard
+#   graph-search miss, so the routing target sits well above the floor.
+#   Honest round-9 measurement of the residual: on the 100k/128-shard
+#   CLUSTERED bench leg the measured curve is steep (2 probes already
+#   reach 0.958 routing recall) yet end recall is 0.728 — the loss is
+#   IN-SHARD (greedy beam ~0.76 on dense-cluster shards, vs 0.92-0.97
+#   on uniform ones; occlusion pruning bites hardest when every point
+#   is close), which no routing target can buy back — that lever is
+#   `search_complexity` (L), not probes. 0.90 is the belt: steep
+#   curves overshoot it for free (clustered measured nprobe is
+#   unchanged vs a 0.85 target), shallow (uniform) curves land at
+#   0.64 probe fraction — still under the static rule's 0.72 — with
+#   compound 0.83 measured.
+IVF_TARGET = 0.78
+ROUTED_TARGET = 0.90
+DEFAULT_QUERIES = 64
+CAL_K = 10
+
+
+def _sample_queries(
+    src: DataFrame, id_col: str, vec_col: str, n_rows: int, n_queries: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic held-out query sample → (qids, qmat). Hash-sampled
+    by id (the build's train-sample discipline — insertion order is not
+    a scalable concept), first `n_queries` by ascending id so the set
+    is stable for a given table."""
+    overshoot = n_queries * 4
+    sample = src.select(id_col, vec_col)
+    if n_rows > overshoot:
+        modulus = max(1, n_rows // overshoot)
+        sample = sample.where(
+            F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(modulus)) == 0
+        )
+    pdf = sample.toPandas().sort_values(id_col).reset_index(drop=True)
+    pdf = pdf.iloc[:n_queries]
+    if not len(pdf):
+        return np.array([], dtype=np.int64), np.zeros((0, 0), np.float32)
+    return (
+        pdf[id_col].to_numpy(dtype=np.int64),
+        np_stack_vectors(pdf[vec_col]),
+    )
+
+
+def measure_probe_calibration(
+    src: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    metric: str,
+    n_rows: int,
+    target: float,
+    n_queries: int = DEFAULT_QUERIES,
+    k: int = CAL_K,
+) -> dict | None:
+    """→ manifest-ready calibration dict, or None when the index is too
+    small/degenerate to measure (<=1 cell, <2 rows, no sample). The
+    dict's `nprobe` is the smallest probe count whose measured
+    cell-level recall@k clears `target` on the held-out sample; `probes`
+    / `recall` carry a log-spaced slice of the full curve for
+    observability (the curve always ends at 1.0 — every true neighbor's
+    cell is SOMEWHERE in the ranking)."""
+    nlist = int(centroids.shape[0])
+    if nlist <= 1 or n_rows < 2 or n_queries <= 0:
+        return None
+    k = max(1, min(k, n_rows - 1))
+    qids, qmat = _sample_queries(src, id_col, vec_col, n_rows, n_queries)
+    nq = qmat.shape[0]
+    if nq == 0:
+        return None
+    spark = src.sparkSession
+    cap = k + 1  # +1 so dropping the query's own row still leaves k
+    bq = spark.sparkContext.broadcast(
+        (np.ascontiguousarray(qmat), np.ascontiguousarray(centroids))
+    )
+
+    def scan(batches):
+        qm, cm = bq.value
+        dim = qm.shape[1]
+        acc_d = acc_id = acc_v = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np_stack_vectors(pdf[vec_col])
+            if mat.shape[1] != dim:
+                continue  # ragged row: same drop rule as index search
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            d = np_index_distances(metric, mat, qm)  # (nq, n)
+            take = min(cap, d.shape[1])
+            part = np.argpartition(d, take - 1, axis=1)[:, :take]
+            bd = np.take_along_axis(d, part, axis=1)
+            bid = ids[part]
+            bv = mat[part]  # (nq, take, dim)
+            if acc_d is None:
+                acc_d, acc_id, acc_v = bd, bid, bv
+            else:
+                acc_d = np.concatenate([acc_d, bd], axis=1)
+                acc_id = np.concatenate([acc_id, bid], axis=1)
+                acc_v = np.concatenate([acc_v, bv], axis=1)
+            if acc_d.shape[1] > cap:
+                kd = np.empty((nq, cap), acc_d.dtype)
+                ki = np.empty((nq, cap), np.int64)
+                kv = np.empty((nq, cap, dim), acc_v.dtype)
+                for i in range(nq):  # nq is tiny; lexsort is per-row
+                    o = np.lexsort((acc_id[i], acc_d[i]))[:cap]
+                    kd[i], ki[i], kv[i] = acc_d[i][o], acc_id[i][o], acc_v[i][o]
+                acc_d, acc_id, acc_v = kd, ki, kv
+        if acc_d is None:
+            return
+        m = acc_d.shape[1]
+        flat_v = acc_v.reshape(nq * m, dim)
+        cells = np_index_distances(metric, cm, flat_v).argmin(axis=1)
+        yield pd.DataFrame(
+            {
+                "qi": np.repeat(np.arange(nq, dtype=np.int32), m),
+                "_d": acc_d.reshape(-1).astype(np.float64),
+                "_id": acc_id.reshape(-1),
+                "_cell": cells.astype(np.int32),
+            }
+        )
+
+    hits = (
+        src.select(id_col, vec_col)
+        .mapInPandas(scan, schema="qi int, _d double, _id long, _cell int")
+        .toPandas()
+    )
+    if not len(hits):
+        return None
+
+    # per-query cell ranking under the index's own routing order
+    cd = np_index_distances(metric, centroids, qmat)  # (nq, nlist)
+    order = np.argsort(cd, axis=1, kind="stable")
+    rank_of_cell = np.empty_like(order)
+    np.put_along_axis(
+        rank_of_cell, order,
+        np.broadcast_to(np.arange(nlist), (nq, nlist)).copy(), axis=1,
+    )
+
+    ranks: list[int] = []
+    for qi, grp in hits.groupby("qi", sort=True):
+        o = np.lexsort((grp["_id"].to_numpy(), grp["_d"].to_numpy()))
+        g_ids = grp["_id"].to_numpy()[o]
+        g_cells = grp["_cell"].to_numpy()[o]
+        keep = g_ids != qids[int(qi)]  # drop the query's own row
+        top_cells = g_cells[keep][:k]
+        ranks.extend(int(rank_of_cell[int(qi), c]) for c in top_cells)
+    if not ranks:
+        return None
+    hist = np.bincount(np.asarray(ranks), minlength=nlist)
+    curve = np.cumsum(hist) / float(len(ranks))  # curve[p-1] = recall@p probes
+
+    measured = int(np.searchsorted(curve, target, side="left")) + 1
+    measured = min(measured, nlist)
+    # log-spaced curve slice for the manifest (bounded, observable)
+    pts = sorted({1, 2, measured, nlist} | {
+        p for p in (2 ** e for e in range(1, 17)) if p <= nlist
+    })
+    return {
+        "n_queries": int(nq),
+        "k": int(k),
+        "target": float(target),
+        "nprobe": measured,
+        "recall_at_nprobe": round(float(curve[measured - 1]), 4),
+        "probes": [int(p) for p in pts],
+        "recall": [round(float(curve[p - 1]), 4) for p in pts],
+    }
+
+
+def calibrated_nprobe(manifest: dict, key: str = "calibration") -> int:
+    """The measured floor-clearing probe count recorded in `manifest`
+    under `key` ('calibration' for IVF cells, 'route_calibration' for
+    routed graph shards), or 0 when the artifact carries none (old
+    artifacts, disabled builds) — callers fall back to the static
+    `ivf.auto_nprobe` / `auto_route_nprobe` worst-case rules."""
+    cal = manifest.get(key) or {}
+    try:
+        return int(cal.get("nprobe") or 0)
+    except (TypeError, ValueError):
+        return 0

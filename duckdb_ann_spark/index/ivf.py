@@ -240,7 +240,10 @@ class IvfFlatEngine:
             spark.createDataFrame([], f"{CELL_COL} int, centroid array<float>").write.mode(
                 "overwrite"
             ).parquet(f"{artifact_dir}/{CENTROIDS_DIR}")
-            return {"layout": "ivf-parquet-v1", "nlist_effective": 0}
+            return {
+                "layout": "ivf-parquet-v1", "nlist_effective": 0,
+                "calibration": None,
+            }
 
         # deterministic bounded train set (hash-sample by id). A
         # user-supplied train_sample is honored as THE cap (clamped to
@@ -298,6 +301,20 @@ class IvfFlatEngine:
         cdf.coalesce(1).write.mode("overwrite").parquet(
             f"{artifact_dir}/{CENTROIDS_DIR}"
         )
+        # round-9: measure THIS index's recall-vs-nprobe curve on a
+        # held-out sample and store the floor-clearing probe count —
+        # nprobe=0 searches ride the measurement instead of the static
+        # uniform-worst-case auto_nprobe rule (always returned, None
+        # when disabled/degenerate, so rebuilds clear stale values)
+        from .calibration import IVF_TARGET, measure_probe_calibration
+
+        cal = None
+        nq = int(getattr(params, "calibration_queries", 0) or 0)
+        if nq > 0:
+            cal = measure_probe_calibration(
+                df, id_col, vec_col, centroids, metric, int(n),
+                IVF_TARGET, n_queries=nq,
+            )
         return {
             "layout": "ivf-parquet-v1",
             "nlist_effective": int(k_eff),
@@ -305,6 +322,7 @@ class IvfFlatEngine:
             # are observable/testable; reference stride-samples by
             # insertion order, we hash-sample by id — documented divergence)
             "train_size": int(train.shape[0]),
+            "calibration": cal,
         }
 
     def vectors(self, spark: SparkSession, artifact_dir: str) -> DataFrame:
@@ -393,9 +411,16 @@ class IvfFlatEngine:
                 [], f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
             )
         if nprobe == 0:
-            # nprobe=0 = AUTO (extension, pairs with ivf_nlist=0): the
-            # recall-calibrated probe count for the RESOLVED cell count
-            nprobe = auto_nprobe(nlist, int(manifest["dim"]))
+            # nprobe=0 = AUTO (extension, pairs with ivf_nlist=0):
+            # prefer THIS index's measured floor-clearing probe count
+            # (build-time calibration, round 9); artifacts without a
+            # measurement fall back to the static worst-case rule for
+            # the RESOLVED cell count
+            from .calibration import calibrated_nprobe
+
+            nprobe = calibrated_nprobe(manifest) or auto_nprobe(
+                nlist, int(manifest["dim"])
+            )
         nprobe = min(max(1, nprobe), nlist)
 
         vecs = spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")

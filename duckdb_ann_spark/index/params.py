@@ -66,11 +66,20 @@ class DiskannParams:
     # so artifacts stay self-describing and vacuum/merge rebuilds keep
     # the layout they were created with.
     shard_by: str = "auto"
-    # probed shard count for shard_by='cells' search; 0 = AUTO (the
-    # routed-calibrated ivf.auto_route_nprobe rule over the shard
-    # count — 1.6x the IVF flat-scan rule, budgeting for the in-shard
-    # graph-search miss)
+    # probed shard count for shard_by='cells' search; 0 = AUTO: prefer
+    # the PER-INDEX measured floor-clearing probe count the build
+    # recorded in the manifest (`route_calibration` — see
+    # index/calibration.py, round 9), falling back to the static
+    # uniform-worst-case ivf.auto_route_nprobe rule for artifacts
+    # without a measurement
     route_nprobe: int = 0
+    # held-out query sample size for the build-time probe calibration
+    # (Spark extension, round 9): the build measures recall-vs-probed-
+    # shards on this many hash-sampled queries and stores the
+    # floor-clearing count in the manifest. 0 disables (manifest carries
+    # no measurement; route_nprobe=0 then rides the static rule). Only
+    # consulted by shard_by='cells' builds.
+    calibration_queries: int = 64
 
     AUTO_SHARD_ROWS = 25_000
 
@@ -104,6 +113,8 @@ class DiskannParams:
             )
         if int(self.start_nsamples) < 1:
             raise ValueError("start_nsamples must be >= 1")
+        if int(self.calibration_queries) < 0:
+            raise ValueError("calibration_queries must be >= 0 (0 disables)")
 
     @property
     def quantize_sq8(self) -> bool:
@@ -119,6 +130,7 @@ class DiskannParams:
             "shards": self.shards,
             "shard_by": self.shard_by,
             "route_nprobe": self.route_nprobe,
+            "calibration_queries": self.calibration_queries,
             "start_strategy": self.start_strategy,
             "start_nsamples": self.start_nsamples,
             "start_seed": self.start_seed,
@@ -137,8 +149,11 @@ class FaissParams:
     # clamp(floor(sqrt(N)), 16, 65536) at build time, the README's
     # "cells stay ~sqrt(N) rows" sizing rule applied automatically
     ivf_nlist: int = 100
-    # reference default 1; 0 = AUTO (Spark extension): resolve a
-    # recall-calibrated probe count at search time (ivf.auto_nprobe)
+    # reference default 1; 0 = AUTO (Spark extension): prefer the
+    # PER-INDEX measured floor-clearing probe count the build recorded
+    # in the manifest (`calibration`, round 9 — index/calibration.py),
+    # falling back to the static uniform-worst-case ivf.auto_nprobe
+    # rule for artifacts without a measurement
     nprobe: int = 1
     train_sample: int = 0
     description: str = field(default="")
@@ -156,6 +171,12 @@ class FaissParams:
     # manifest. Ignored by Flat/IVFFlat.
     shard_by: str = "auto"
     route_nprobe: int = 0
+    # build-time probe-calibration sample size (round 9, same contract
+    # as DiskannParams.calibration_queries): consulted by IVFFlat
+    # builds (cell-level recall curve → manifest `calibration`) and by
+    # HNSW shard_by='cells' builds (routing curve →
+    # `route_calibration`). 0 disables.
+    calibration_queries: int = 64
     AUTO_SHARD_ROWS = 25_000
     # GPU placement (`src/faiss_index.cpp:84-152`): cpu / gpu / auto.
     # This engine's kernels are numpy/BLAS — there is never a GPU
@@ -199,6 +220,8 @@ class FaissParams:
             )
         if int(self.route_nprobe) < 0:
             raise ValueError("route_nprobe must be >= 1 (or 0 for auto)")
+        if int(self.calibration_queries) < 0:
+            raise ValueError("calibration_queries must be >= 0 (0 disables)")
         if self.gpu is not None:
             if (self.mode or "auto").lower() != "auto":
                 raise ValueError(
@@ -268,6 +291,7 @@ class FaissParams:
             "shards": self.shards,
             "shard_by": self.shard_by,
             "route_nprobe": self.route_nprobe,
+            "calibration_queries": self.calibration_queries,
         }
 
 

@@ -174,29 +174,42 @@ def _route_centroids(spark: SparkSession, artifact_dir: str,
     return cents
 
 
+def _resolve_route_nprobe(manifest: dict, n_shards: int, dim: int) -> int:
+    """route_nprobe=0 resolution shared by every routed-search surface:
+    explicit manifest value > the index's own MEASURED floor-clearing
+    probe count (build-time calibration, round 9) > the static
+    uniform-worst-case `ivf.auto_route_nprobe` rule (pre-round-9
+    artifacts, calibration_queries=0 builds)."""
+    from .calibration import calibrated_nprobe
+    from .ivf import auto_route_nprobe
+
+    rnp = int((manifest.get("params") or {}).get("route_nprobe", 0) or 0)
+    if rnp == 0:
+        rnp = calibrated_nprobe(manifest, "route_calibration")
+    if rnp == 0:
+        rnp = auto_route_nprobe(n_shards, dim)
+    return min(max(1, rnp), n_shards)
+
+
 def _route_probe_sets(
     route: np.ndarray,
     queries,
     metric: str,
-    manifest_params: dict,
+    manifest: dict,
     existing_shards: set[int],
 ) -> list[set[int]]:
     """Per-query probed shard sets: the `route_nprobe` nearest routing
-    centroids (0 = the routed-calibrated ivf.auto_route_nprobe rule,
-    which budgets for the per-shard graph-search miss on top of the
-    routing miss), filtered to shard files that exist (empty cells
-    write none)."""
+    centroids (0 = the index's measured calibration when recorded, else
+    the static ivf.auto_route_nprobe rule — both budget for the
+    per-shard graph-search miss on top of the routing miss), filtered
+    to shard files that exist (empty cells write none)."""
     from ..functions.distance import np_index_distances
-    from .ivf import auto_route_nprobe
 
     qmat = np.asarray(queries, dtype=np.float32)
     if qmat.ndim == 1:
         qmat = qmat[None, :]
     cd = np_index_distances(metric, route, qmat)  # (q, n_shards)
-    rnp = int((manifest_params or {}).get("route_nprobe", 0) or 0)
-    if rnp == 0:
-        rnp = auto_route_nprobe(route.shape[0], route.shape[1])
-    rnp = min(max(1, rnp), route.shape[0])
+    rnp = _resolve_route_nprobe(manifest, route.shape[0], route.shape[1])
     order = np.argsort(cd, axis=1, kind="stable")[:, :rnp]
     sets = [
         {int(c) for c in order[qi] if int(c) in existing_shards}
@@ -309,7 +322,13 @@ class VamanaEngine:
         shards = self._run_sharded_build(
             spark, src, id_col, params, build_shard, artifact_dir
         )
-        return {"layout": "diskann-v2", "shards": shards}
+        return {
+            "layout": "diskann-v2", "shards": shards,
+            # measured routing calibration (round 9; None for
+            # hash/single-shard layouts — also CLEARS a stale value
+            # when vacuum/merge rebuilds under a different layout)
+            "route_calibration": getattr(params, "_route_calibration", None),
+        }
 
     def _run_sharded_build(self, spark, src, id_col, params, build_shard,
                            artifact_dir) -> int:
@@ -338,6 +357,11 @@ class VamanaEngine:
         balance, not perfect hash balance, is the price of locality."""
         import shutil
 
+        # routed-probe calibration result (set by _run_cell_build;
+        # None-initialized here so hash/single-shard builds — and
+        # vacuum/merge rebuilds that CHANGE layout — record no stale
+        # measurement)
+        params._route_calibration = None
         shards = int(getattr(params, "shards", 0))
         n_rows = getattr(params, "_n_rows", None)
         if shards == 0:
@@ -423,6 +447,19 @@ class VamanaEngine:
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{artifact_dir}/{ROUTE_DIR}"
         )
+        # round-9: measure THIS index's routing recall-vs-probed-shards
+        # curve on a held-out sample; route_nprobe=0 searches ride the
+        # measurement instead of the static worst-case rule. The target
+        # budgets for the per-shard graph-search miss on top of the
+        # routing miss (calibration.ROUTED_TARGET).
+        nq = int(getattr(params, "calibration_queries", 0) or 0)
+        if nq > 0 and k_eff > 1:
+            from .calibration import ROUTED_TARGET, measure_probe_calibration
+
+            params._route_calibration = measure_probe_calibration(
+                src, id_col, vec_col, centroids, params.metric, n_rows,
+                ROUTED_TARGET, n_queries=nq,
+            )
 
         from ..functions.distance import np_index_distances
 
@@ -747,7 +784,7 @@ class VamanaEngine:
         if route is not None and len(shard_files) > 1:
             probe_sets = _route_probe_sets(
                 route, queries, manifest["params"]["metric"],
-                manifest["params"], {s for s, _ in shard_files},
+                manifest, {s for s, _ in shard_files},
             )
         if len(queries) > self.DISTRIBUTE_THRESHOLD:
             return self._search_distributed(
@@ -893,12 +930,9 @@ class VamanaEngine:
         route = _route_centroids(spark, artifact_dir, manifest["params"])
         rnp = 0
         if route is not None and len(shard_files) > 1:
-            rnp = int((manifest["params"] or {}).get("route_nprobe", 0) or 0)
-            if rnp == 0:
-                from .ivf import auto_route_nprobe
-
-                rnp = auto_route_nprobe(route.shape[0], route.shape[1])
-            rnp = min(max(1, rnp), route.shape[0])
+            rnp = _resolve_route_nprobe(
+                manifest, route.shape[0], route.shape[1]
+            )
         else:
             route = None
         bc = spark.sparkContext.broadcast(route)
@@ -1064,7 +1098,10 @@ class HnswEngine(VamanaEngine):
         shards = self._run_sharded_build(
             spark, src, id_col, params, build_shard, artifact_dir
         )
-        return {"layout": "hnsw-layered", "shards": shards}
+        return {
+            "layout": "hnsw-layered", "shards": shards,
+            "route_calibration": getattr(params, "_route_calibration", None),
+        }
 
     def append(self, spark, manifest, artifact_dir, df_new, params):
         """Shard-routed append (same policy as VamanaEngine.append):

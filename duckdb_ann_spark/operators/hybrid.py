@@ -26,6 +26,7 @@ happens after `limit(candidates)` — the global window only ever sees
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -41,8 +42,10 @@ __all__ = [
     "bm25_scores",
     "bm25_ranks",
     "publish_text_index",
+    "publish_text_index_delta",
     "bm25_scores_indexed",
     "hybrid_search",
+    "hybrid_search_table",
     "RRF_K",
 ]
 
@@ -200,6 +203,116 @@ def publish_text_index(
         # also on a failed write: the artifact is left detectably
         # uncommitted either way, but the token frame must not stay
         # pinned for the session (round-9 advice)
+        base.unpersist()
+    local_df(
+        spark, [(1, id_col)], "version int, id_col string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/manifest")
+
+
+def publish_text_index_delta(
+    spark,
+    base_path: str,
+    delta_docs: DataFrame,
+    text_col: str,
+    output_path: str,
+    validate_ids: bool = True,
+) -> None:
+    """Merge a DELTA corpus into a published text index → a NEW
+    versioned artifact at `output_path` — the pay-once discipline
+    completed (round 9): a daily-delta corpus must not re-tokenize the
+    whole corpus to refresh its postings (`publish_text_index` was
+    full-rebuild only, which broke the very economics the artifact
+    exists for).
+
+    Only the delta is tokenized. The base contributes its EXISTING
+    postings rows — fixed-width (term, id, tf, dl) — and its two-number
+    stats row; the merge is a union + the same term-range layout write,
+    so the cost is tokenize(delta) + move(postings bytes), never
+    tokenize(corpus). BIT-IDENTICAL to a full republish over
+    corpus ∪ delta by construction: per-posting tf/dl depend only on
+    the posting's own document; per-term df is derived at READ time by
+    counting posting rows (counts union exactly); n_docs/total_tokens
+    are integer-valued doubles whose sums are exact. The suite's
+    `indexed_delta` leg hash-pins this identity against the scan-path
+    oracle.
+
+    Contracts: `output_path` must differ from `base_path` (in-place
+    merge while readers are live is inherently racy on object stores —
+    publish fresh, switch pointers; the base is also still being READ
+    during the merge). Delta ids must be disjoint from the base's
+    (validated with one narrow base-postings column scan; skip with
+    `validate_ids=False` when the caller guarantees it). The delta must
+    carry the base's own id column. Chaining works: the output is a
+    valid base for the next delta."""
+    from ..functions.text import spark_sql_tokenize, sql_bind_once
+    from ..local import local_df
+
+    if os.path.abspath(output_path) == os.path.abspath(base_path):
+        raise ValueError(
+            "publish_text_index_delta: output_path must differ from "
+            "base_path (publish each corpus version to a fresh path and "
+            "switch pointers — in-place merge is racy for live readers)"
+        )
+    id_col, base_postings, n_docs, total_tokens = _load_text_index(
+        spark, base_path
+    )
+    if id_col not in delta_docs.columns:
+        raise ValueError(
+            f"delta is missing the base index's id column '{id_col}'"
+        )
+    if validate_ids:
+        overlap = (
+            base_postings.select(id_col)
+            .join(delta_docs.select(id_col).distinct(), on=id_col,
+                  how="leftsemi")
+            .first()
+        )
+        if overlap is not None:
+            raise ValueError(
+                f"delta ids overlap the published corpus (e.g. "
+                f"{id_col}={overlap[0]}); ids must be disjoint — "
+                "republish from scratch to replace documents"
+            )
+    # clear the commit marker FIRST (same torn-publish discipline as
+    # publish_text_index)
+    local_df(spark, [], "version int, id_col string").write.mode(
+        "overwrite"
+    ).parquet(f"{output_path}/manifest")
+    toks_sql = sql_bind_once(
+        spark_sql_tokenize(text_col), "toks",
+        "struct(toks as toks, cast(size(toks) as double) as dl)",
+    )
+    base = delta_docs.select(
+        F.col(id_col), F.expr(toks_sql).alias("_t")
+    ).select(id_col, "_t.toks", "_t.dl").persist()
+    try:
+        delta_postings = (
+            base.select(id_col, "dl", F.explode("toks").alias("term"))
+            .groupBy("term", id_col)
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("tf"),
+                F.first("dl").alias("dl"),
+            )
+        )
+        (
+            base_postings.select("term", id_col, "tf", "dl")
+            .unionByName(delta_postings)
+            .repartitionByRange(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{output_path}/postings")
+        )
+        dstats = base.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        ).head()
+        local_df(
+            spark,
+            [(float(n_docs + (dstats["n_docs"] or 0.0)),
+              float(total_tokens + (dstats["total_tokens"] or 0.0)))],
+            "n_docs double, total_tokens double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/stats")
+    finally:
         base.unpersist()
     local_df(
         spark, [(1, id_col)], "version int, id_col string"
@@ -438,3 +551,191 @@ def hybrid_search(
 
         out = track_caches(out, tracked_src)
     return out
+
+
+def _term_score_expr(tf: Column, df: Column, dl: Column, n_docs: float,
+                     avgdl: Column, k1: float, b: float) -> Column:
+    """`_term_score` with the corpus constants as literals — the exact
+    arithmetic `bm25_scores_indexed` uses (shared so the table path
+    below cannot drift from the single-query indexed path)."""
+    return _term_score(tf, df, dl, F.lit(float(n_docs)), avgdl, k1, b)
+
+
+def hybrid_search_table(
+    queries_df: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    query_text_col: str,
+    *,
+    text_index: str,
+    index: Optional[str] = None,
+    docs: Optional[DataFrame] = None,
+    doc_id_col: Optional[str] = None,
+    vec_col: Optional[str] = None,
+    k: int = 20,
+    bm25_weight: float = 0.3,
+    vector_weight: float = 0.7,
+    bm25_candidates: int = 50,
+    vector_candidates: int = 50,
+    search_complexity: Optional[int] = None,
+    metric: str = "l2",
+    catalog=None,
+    method: str = "blas",
+) -> DataFrame:
+    """Hybrid BM25+vector RRF for an UNBOUNDED query DataFrame →
+    (<query_id_col>, <doc id col>, _rrf_score, _bm25_rank,
+    _vector_rank), top-k per query — the engine's own discipline
+    (`ann_search_table` → `index_search_table`) applied to the one
+    search surface that was still single-query (round 9). The query
+    side is never collected to the driver.
+
+    Legs (per-query semantics identical to `hybrid_search` — same
+    `_term_score` arithmetic, same rank/RRF shape):
+
+    * text: REQUIRES a `publish_text_index` artifact (the reference's
+      own shape — its BM25 leg reads a prebuilt FTS index; a per-query
+      corpus scan times N queries is exactly what must not happen).
+      Query texts tokenize JVM-side, distinct terms join the
+      term-pruned postings, per-(query, doc) scores fold over the
+      SORTED term list (`sort_array` + `F.aggregate` — the same
+      left-associated sorted-term fold as the scan path, so scores are
+      bit-identical per document), ranks come from a window partitioned
+      by query id (bounded to `bm25_candidates` rows per query).
+    * vector: through `index` (any engine with a DataFrame-queries
+      path — `index_search_table`, in-task routing, measured probe
+      calibration) or brute-force exact against `docs[vec_col]`
+      (`knn_join` full-probe; `method='exact'` for the bit-exact JVM
+      fold — the oracle discipline).
+
+    Scale shape: the only shuffles are the term join (postings side
+    pruned to the queries' terms), the per-(query, doc) groupBy, and
+    the rank windows partitioned by query id — everything is keyed,
+    nothing collects, no per-query jobs. Queries with no recognized
+    terms degrade to vector-only (`_bm25_rank` 0), like the reference's
+    FTS-failure path. Query ids must be integral (the
+    `index_search_table` contract). A query whose vector length
+    mismatches the index dimension keeps its text leg and reports
+    `_vector_rank` 0 — the DataFrame-native reading of the reference's
+    empty-result rule, per leg."""
+    spark = queries_df.sparkSession
+
+    # ---- text leg: published postings, per-query ----
+    from ..functions.text import spark_sql_tokenize
+    from ..caching import track_caches
+
+    idx_id_col, postings, n_docs, total_tokens = _load_text_index(
+        spark, text_index
+    )
+
+    # ---- vector leg ----
+    if index is not None:
+        from ..index import index_search_table
+
+        vhits = index_search_table(
+            spark, index, queries_df, query_id_col, query_vec_col,
+            vector_candidates, search_complexity, catalog,
+        )
+        out_id_col = [c for c in vhits.columns
+                      if c not in (query_id_col, "_distance")][0]
+    else:
+        if docs is None or vec_col is None or doc_id_col is None:
+            raise ValueError(
+                "hybrid_search_table needs `index` or all of "
+                "(docs, doc_id_col, vec_col)"
+            )
+        from .knn_join import knn_join
+
+        out_id_col = doc_id_col
+        vhits = knn_join(
+            queries_df.select(query_id_col, query_vec_col), query_id_col,
+            query_vec_col, docs.select(doc_id_col, vec_col), doc_id_col,
+            vec_col, k=vector_candidates, metric=metric, nlist=0,
+            nprobe=1 << 30, method=method,
+        )
+    wv = Window.partitionBy(query_id_col).orderBy(
+        F.col("_distance").asc_nulls_last(), F.col(out_id_col).asc()
+    )
+    vec_ranks = (
+        vhits.withColumn("_vector_rank", F.row_number().over(wv))
+        .select(query_id_col, out_id_col, "_vector_rank")
+    )
+
+    qterms = queries_df.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(F.expr(spark_sql_tokenize(query_text_col)))
+        ).alias("term"),
+    )
+    # postings pruned to the queries' term set, then df per term derived
+    # from the pruned rows (postings hold only tf>0 rows, so the count
+    # per term IS the corpus doc frequency — the indexed path's rule)
+    post = postings.join(
+        qterms.select("term").distinct(), on="term", how="leftsemi"
+    ).persist()
+    term_df = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    hits = (
+        qterms.join(post, on="term")
+        .join(term_df, on="term")
+    )
+    if idx_id_col == query_id_col:
+        # artifact id column collides with the query id name; the
+        # artifact side is renamed for the fused output
+        hits = hits.withColumnRenamed(idx_id_col, f"_doc_{idx_id_col}")
+        text_id = f"_doc_{idx_id_col}"
+    else:
+        text_id = idx_id_col
+    avgdl = F.lit(float(total_tokens)) / F.lit(float(n_docs))
+    per = hits.groupBy(query_id_col, text_id).agg(
+        F.sort_array(
+            F.collect_list(F.struct("term", "tf", "_df", "dl"))
+        ).alias("_ts"),
+    )
+    score = F.aggregate(
+        "_ts",
+        F.lit(0.0),
+        lambda acc, s: acc + _term_score_expr(
+            s["tf"], s["_df"], s["dl"], n_docs, avgdl, BM25_K1, BM25_B
+        ),
+    )
+    wb = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_bm25_score"), F.asc(out_id_col)
+    )
+    bm_ranks = (
+        per.select(
+            query_id_col, F.col(text_id).alias(out_id_col),
+            score.alias("_bm25_score"),
+        )
+        .withColumn("_bm25_rank", F.row_number().over(wb))
+        .where(F.col("_bm25_rank") <= bm25_candidates)
+        .select(query_id_col, out_id_col, "_bm25_rank")
+    )
+
+    # ---- RRF fusion per query ----
+    fused = vec_ranks.join(
+        bm_ranks, on=[query_id_col, out_id_col], how="full"
+    ).select(
+        query_id_col,
+        out_id_col,
+        F.coalesce(F.col("_bm25_rank"), F.lit(0)).alias("_bm25_rank"),
+        F.coalesce(F.col("_vector_rank"), F.lit(0)).alias("_vector_rank"),
+    )
+    score = F.when(
+        F.col("_bm25_rank") > 0,
+        F.lit(bm25_weight) * (F.lit(1.0) / (F.lit(RRF_K) + F.col("_bm25_rank"))),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("_vector_rank") > 0,
+        F.lit(vector_weight) * (F.lit(1.0) / (F.lit(RRF_K) + F.col("_vector_rank"))),
+    ).otherwise(F.lit(0.0))
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_rrf_score"), F.asc(out_id_col)
+    )
+    return track_caches(
+        fused.withColumn("_rrf_score", score)
+        .withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .select(query_id_col, out_id_col, "_rrf_score", "_bm25_rank",
+                "_vector_rank"),
+        post,
+    )

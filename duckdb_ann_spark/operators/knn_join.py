@@ -309,7 +309,18 @@ def index_knn_join(
     if nlist_eff == 0:
         raise ValueError(f"index '{index_name}' is empty (no trained cells)")
     if nprobe == 0:
-        nprobe = auto_nprobe(nlist_eff, int(manifest["dim"]))
+        # mirror index_scan's resolution exactly (round-9 fix — the old
+        # jump straight to the static rule diverged from index_scan on
+        # indexes with a PINNED build nprobe): the manifest's own
+        # nprobe when pinned > the index's measured floor-clearing
+        # count (build-time calibration) > the static worst-case rule
+        from ..index.calibration import calibrated_nprobe
+
+        nprobe = (
+            int(manifest["params"].get("nprobe", 0) or 0)
+            or calibrated_nprobe(manifest)
+            or auto_nprobe(nlist_eff, int(manifest["dim"]))
+        )
     nprobe = min(max(1, nprobe), nlist_eff)
 
     if query_vec_col == base_vec_col:

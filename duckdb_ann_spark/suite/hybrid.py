@@ -135,6 +135,103 @@ ORDER BY _rrf_score DESC, doc_id LIMIT 10
 """
 
 
+# round-9 `table:<qid>` legs: hybrid_search_table — the unbounded-query
+# DataFrame path (per-query BM25 through the published postings + exact
+# vector ranks + per-query RRF) — re-expressed per query in SQL. The
+# CASE mapping qid → text MUST stay in lockstep with the Spark entry's.
+_TABLE_QIDS = "(0, 7, 13)"
+_TABLE_CASE = (
+    "CASE e.vec_id WHEN 0 THEN 'spark join query data' "
+    "WHEN 7 THEN 'data' ELSE '' END"
+)
+_QTOK = sql_tokenize("q.qtext")
+
+_ORACLE_TABLE = f"""
+WITH queries AS (
+    -- joined to documents so the query set matches the Spark entry's
+    -- (which draws queries from the documents JOIN embeddings corpus)
+    SELECT e.vec_id AS qid, e.embedding AS qv, {_TABLE_CASE} AS qtext
+    FROM embeddings e JOIN documents dq ON e.vec_id = dq.doc_id
+    WHERE e.vec_id IN {_TABLE_QIDS}
+),
+base AS (
+    SELECT d.doc_id, d.text
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+toks AS (SELECT d.doc_id, unnest({_TOK}) AS term FROM base d),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+consts AS (
+    SELECT (SELECT count(*) FROM base) AS n_docs,
+           (SELECT count(*) FROM toks) AS total_tokens
+),
+qt AS (SELECT q.qid, unnest(list_distinct({_QTOK})) AS term FROM queries q),
+tf AS (
+    SELECT t.doc_id, t.term, count(*) AS tf
+    FROM toks t JOIN (SELECT DISTINCT term FROM qt) s USING (term)
+    GROUP BY t.doc_id, t.term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+    SELECT q.qid, tf.doc_id, tf.term,
+        ((floor(ln(1.0 + ((CAST(c.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                   / (CAST(dfreq.df AS DOUBLE) + 0.5))) * 1e9) / 1e9)
+         * (CAST(tf.tf AS DOUBLE) * 2.2))
+        / (CAST(tf.tf AS DOUBLE)
+           + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE))
+                           / (CAST(c.total_tokens AS DOUBLE)
+                              / CAST(c.n_docs AS DOUBLE)))) AS s
+    FROM qt q JOIN tf USING (term) JOIN dfreq USING (term)
+    JOIN dl USING (doc_id) CROSS JOIN consts c
+),
+bm AS (
+    SELECT qid, doc_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+                       (acc, v) -> acc + v) AS _bm25_score
+    FROM scores GROUP BY qid, doc_id
+),
+bmr AS (
+    SELECT qid, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY _bm25_score DESC, doc_id) AS INT)
+               AS _bm25_rank
+    FROM bm
+    QUALIFY _bm25_rank <= 50
+),
+vr AS (
+    SELECT qid, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY _d, doc_id) AS INT) AS _vector_rank
+    FROM (
+        SELECT q.qid, e.vec_id AS doc_id, {_DIST} AS _d
+        FROM embeddings e JOIN base bs ON e.vec_id = bs.doc_id
+        CROSS JOIN queries q
+    )
+    QUALIFY _vector_rank <= 50
+),
+fused AS (
+    SELECT COALESCE(b.qid, v.qid) AS qid,
+           COALESCE(b.doc_id, v.doc_id) AS doc_id,
+           COALESCE(b._bm25_rank, 0) AS _bm25_rank,
+           COALESCE(v._vector_rank, 0) AS _vector_rank
+    FROM bmr b FULL OUTER JOIN vr v
+      ON b.qid = v.qid AND b.doc_id = v.doc_id
+)
+SELECT 'table:' || CAST(qid AS VARCHAR) AS mode,
+       doc_id, _rrf_score, _bm25_rank, _vector_rank
+FROM (
+    SELECT qid, doc_id, _bm25_rank, _vector_rank,
+        (CASE WHEN _bm25_rank > 0
+              THEN 0.3 * (1.0 / (60.0 + CAST(_bm25_rank AS DOUBLE)))
+              ELSE 0.0 END)
+      + (CASE WHEN _vector_rank > 0
+              THEN 0.7 * (1.0 / (60.0 + CAST(_vector_rank AS DOUBLE)))
+              ELSE 0.0 END) AS _rrf_score
+    FROM fused
+)
+QUALIFY row_number() OVER (
+    PARTITION BY qid ORDER BY _rrf_score DESC, doc_id) <= 10
+"""
+
 _ORACLE_FUSED = (
     "SELECT * FROM (\n"
     "    SELECT 'fused' AS mode, doc_id, _rrf_score, _bm25_rank, _vector_rank\n"
@@ -147,8 +244,17 @@ _ORACLE_FUSED = (
     "    SELECT 'indexed' AS mode, doc_id, _rrf_score, _bm25_rank, _vector_rank\n"
     f"    FROM ({_ORACLE})\n"
     "    UNION ALL\n"
+    # round-9: the DELTA-merged artifact (publish even-id half, then
+    # publish_text_index_delta the odd-id half) scores bit-identically
+    # to a full publish over the union — so ITS oracle is the fused
+    # oracle re-tagged too; the hash pins the merge identity
+    "    SELECT 'indexed_delta' AS mode, doc_id, _rrf_score, _bm25_rank, _vector_rank\n"
+    f"    FROM ({_ORACLE})\n"
+    "    UNION ALL\n"
     "    SELECT 'vector_only' AS mode, doc_id, _rrf_score, _bm25_rank, _vector_rank\n"
     f"    FROM ({_ORACLE_VECTOR_ONLY})\n"
+    "    UNION ALL\n"
+    f"    SELECT * FROM ({_ORACLE_TABLE})\n"
     ") ORDER BY mode, _rrf_score DESC, doc_id"
 )
 
@@ -199,6 +305,57 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("vector_only").alias("mode"),
         "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank",
     )
-    return fused.unionAll(indexed).unionAll(vec_only).orderBy(
-        "mode", F.col("_rrf_score").desc(), "doc_id"
+    # round-9 'indexed_delta' leg: publish the even-id half, DELTA-merge
+    # the odd-id half (publish_text_index_delta), search through the
+    # merged artifact — must hash-match the full-corpus fused oracle
+    # bit-for-bit (the merge-identity pin)
+    from ..operators.hybrid import publish_text_index_delta
+
+    ti_base = os.path.join(
+        tempfile.gettempdir(), f"duckdb_ann_spark_suite_tib_{os.getpid()}"
+    )
+    ti_merged = os.path.join(
+        tempfile.gettempdir(), f"duckdb_ann_spark_suite_tim_{os.getpid()}"
+    )
+    shutil.rmtree(ti_base, ignore_errors=True)
+    shutil.rmtree(ti_merged, ignore_errors=True)
+    publish_text_index(
+        base.where(F.col("doc_id") % 2 == 0), "doc_id", "text", ti_base
+    )
+    publish_text_index_delta(
+        spark, ti_base, base.where(F.col("doc_id") % 2 == 1), "text",
+        ti_merged,
+    )
+    indexed_delta = hybrid_search(
+        base, "doc_id", qv, QUERY_TEXT, text_col="text", vec_col="embedding",
+        k=10, text_index=ti_merged,
+    ).select(
+        F.lit("indexed_delta").alias("mode"),
+        "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank",
+    )
+    # round-9 'table:<qid>' legs: hybrid_search_table — the unbounded
+    # query-DataFrame path (no driver collect of the query side), one
+    # mode tag per query so the union keeps the entry's 5-column schema.
+    # qid → text CASE must stay in lockstep with _TABLE_CASE above.
+    from ..operators.hybrid import hybrid_search_table
+
+    qdf = base.where(F.col("doc_id").isin([0, 7, 13])).select(
+        F.col("doc_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.when(F.col("doc_id") == 0, QUERY_TEXT)
+        .when(F.col("doc_id") == 7, "data")
+        .otherwise("")
+        .alias("qtext"),
+    )
+    table_legs = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", text_index=ti, docs=base,
+        doc_id_col="doc_id", vec_col="embedding", k=10, method="exact",
+    ).select(
+        F.concat(F.lit("table:"), F.col("qid").cast("string")).alias("mode"),
+        "doc_id", "_rrf_score", "_bm25_rank", "_vector_rank",
+    )
+    return (
+        fused.unionAll(indexed).unionAll(indexed_delta)
+        .unionAll(vec_only).unionAll(table_legs)
+        .orderBy("mode", F.col("_rrf_score").desc(), "doc_id")
     )

@@ -150,6 +150,162 @@ def test_hybrid_text_index_result_carries_caches(spark, base, qvec, tmp_path):
     assert release_caches(out) == 0  # idempotent
 
 
+def test_text_index_delta_bit_identical_to_full_republish(
+    spark, base, tmp_path
+):
+    """publish_text_index_delta(base_half, delta_half) scores
+    BIT-identically to a full republish over the union — per-posting
+    values are corpus-independent, df counts union exactly, stats sums
+    are exact integer-valued doubles."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.operators.hybrid import (
+        bm25_scores_indexed,
+        publish_text_index,
+        publish_text_index_delta,
+    )
+
+    half_a = base.where(F.col("doc_id") % 2 == 0)
+    half_b = base.where(F.col("doc_id") % 2 == 1)
+    p_base = str(tmp_path / "tid_base")
+    p_merged = str(tmp_path / "tid_merged")
+    p_full = str(tmp_path / "tid_full")
+    publish_text_index(half_a, "doc_id", "text", p_base)
+    publish_text_index_delta(spark, p_base, half_b, "text", p_merged)
+    publish_text_index(base, "doc_id", "text", p_full)
+    for q in ("spark join query data", "the data", "spark"):
+        merged = {r.doc_id: r._bm25_score
+                  for r in bm25_scores_indexed(spark, p_merged, q).collect()}
+        full = {r.doc_id: r._bm25_score
+                for r in bm25_scores_indexed(spark, p_full, q).collect()}
+        assert merged == full, q  # exact float equality
+
+    # chaining: merged artifact is a valid base for the NEXT delta
+    extra = base.limit(0)  # empty delta is legal and a no-op
+    p_chain = str(tmp_path / "tid_chain")
+    publish_text_index_delta(spark, p_merged, extra, "text", p_chain)
+    q = "spark data"
+    assert (
+        {r.doc_id: r._bm25_score
+         for r in bm25_scores_indexed(spark, p_chain, q).collect()}
+        == {r.doc_id: r._bm25_score
+            for r in bm25_scores_indexed(spark, p_full, q).collect()}
+    )
+
+
+def test_text_index_delta_validation(spark, base, tmp_path):
+    import pytest as _pytest
+
+    from duckdb_ann_spark.operators.hybrid import (
+        publish_text_index,
+        publish_text_index_delta,
+    )
+
+    p_base = str(tmp_path / "tv_base")
+    publish_text_index(base.limit(50), "doc_id", "text", p_base)
+    # overlapping ids fail loud
+    with _pytest.raises(ValueError, match="overlap"):
+        publish_text_index_delta(
+            spark, p_base, base.limit(10), "text", str(tmp_path / "tv_out")
+        )
+    # in-place merge refused
+    with _pytest.raises(ValueError, match="must differ"):
+        publish_text_index_delta(spark, p_base, base.limit(0), "text", p_base)
+    # missing id column
+    with _pytest.raises(ValueError, match="id column"):
+        publish_text_index_delta(
+            spark, p_base, base.select("text"), "text",
+            str(tmp_path / "tv_out2"),
+        )
+
+
+def test_hybrid_search_table_matches_per_query(spark, base, tmp_path):
+    """The unbounded-queries path returns, per query, exactly the ranks
+    and RRF scores the single-query hybrid_search computes (same
+    _term_score arithmetic via the published artifact, same exact
+    vector leg, same tie-breaks)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.operators.hybrid import (
+        hybrid_search_table,
+        publish_text_index,
+    )
+
+    ti = str(tmp_path / "hst_ti")
+    publish_text_index(base, "doc_id", "text", ti)
+    texts = {3: "spark join query data", 7: "the data", 11: ""}
+    qrows = base.where(F.col("doc_id").isin(list(texts))).select(
+        F.col("doc_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    qdf = qrows.withColumn(
+        "qtext",
+        F.when(F.col("qid") == 3, texts[3])
+        .when(F.col("qid") == 7, texts[7])
+        .otherwise(""),
+    )
+    got = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", text_index=ti, docs=base,
+        doc_id_col="doc_id", vec_col="embedding", k=8, method="exact",
+    )
+    by_q: dict[int, list] = {}
+    for r in got.orderBy("qid", F.desc("_rrf_score"), "doc_id").collect():
+        by_q.setdefault(r["qid"], []).append(
+            (r["doc_id"], r["_rrf_score"], r["_bm25_rank"], r["_vector_rank"])
+        )
+    for qid, qtext in texts.items():
+        qvec = [
+            float(x)
+            for x in base.where(F.col("doc_id") == qid).head()["embedding"]
+        ]
+        want = [
+            (r["doc_id"], r["_rrf_score"], r["_bm25_rank"], r["_vector_rank"])
+            for r in hybrid_search(
+                base, "doc_id", qvec, qtext, text_col="text",
+                vec_col="embedding", k=8, text_index=ti,
+            ).collect()
+        ]
+        assert by_q[qid] == want, qid  # exact float equality per query
+    # empty-text query degraded to vector-only
+    assert all(t[2] == 0 for t in by_q[11])
+
+
+def test_hybrid_search_table_through_index(spark, base, tmp_path):
+    """Vector leg through a real index's DataFrame-queries path: every
+    query's own document ranks first (self-match), k rows per query."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.index import Catalog, create_index
+    from duckdb_ann_spark.operators.hybrid import (
+        hybrid_search_table,
+        publish_text_index,
+    )
+
+    ti = str(tmp_path / "hsti_ti")
+    publish_text_index(base, "doc_id", "text", ti)
+    cat = Catalog(str(tmp_path / "hsti_cat"))
+    create_index(
+        base, "doc_id", "embedding", "hsti", engine="faiss", type="Flat",
+        catalog=cat,
+    )
+    qdf = base.where(F.col("doc_id") < 12).select(
+        F.col("doc_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.lit("data").alias("qtext"),
+    )
+    out = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", text_index=ti, index="hsti", k=5,
+        catalog=cat,
+    ).collect()
+    per_q: dict[int, int] = {}
+    for r in out:
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+        if r["doc_id"] == r["qid"]:
+            assert r["_vector_rank"] == 1, r  # self-match
+    assert set(per_q) == set(range(12)) and all(
+        v == 5 for v in per_q.values()
+    )
+
+
 def test_text_index_manifest_validation(spark, base, tmp_path):
     import shutil
 

@@ -250,9 +250,11 @@ def test_auto_nprobe_formula():
 
 def test_auto_nprobe_search(spark, emb, qvec, cat):
     """The all-auto pairing (ivf_nlist=0, nprobe=0) searches end-to-end
-    and clears the reference recall floor on the ~uniform testdata —
-    nprobe resolves at SEARCH time from the persisted cell count, so
-    appends that grow the index never stale the probe count."""
+    and clears the reference recall floor on the ~uniform testdata.
+    Since round 9 nprobe=0 rides the BUILD-TIME measured calibration
+    (manifest `calibration`), falling back to the search-time static
+    rule for unmeasured artifacts; appends can slowly stale the
+    measurement (vacuum re-measures — see index/calibration.py)."""
     create_index(
         emb, "vec_id", "embedding", "ivf_auto_np", engine="faiss",
         type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,

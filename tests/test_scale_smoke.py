@@ -90,7 +90,10 @@ def test_ivf_1m_build_and_probe(spark, cat):
     from duckdb_ann_spark.index.ivf import auto_nlist, auto_nprobe
 
     nlist = auto_nlist(n)
-    nprobe = auto_nprobe(nlist, DIM)
+    # round-9: nprobe=0 rides the BUILD-TIME measured calibration when
+    # the manifest carries one; report both it and the static rule
+    cal = cat.load("smoke_ivf").get("calibration") or {}
+    nprobe = cal.get("nprobe") or auto_nprobe(nlist, DIM)
     t0 = time.perf_counter()
     rows = index_scan(spark, "smoke_ivf", queries, K, catalog=cat).collect()
     search_s = time.perf_counter() - t0
@@ -98,13 +101,79 @@ def test_ivf_1m_build_and_probe(spark, cat):
 
     rec = _recall(rows, truth)
     print(f"\nivf 1M: build {build_s:.1f}s, search {search_s:.1f}s "
-          f"(auto nprobe/nlist {nprobe}/{nlist}), recall@{K} {rec:.3f}")
+          f"(measured nprobe {nprobe} vs static {auto_nprobe(nlist, DIM)} "
+          f"of nlist {nlist}), recall@{K} {rec:.3f}")
     # uniform vectors — the worst case for IVF: the auto probe pairing
     # must clear the reference's published floor even here
     # (test/sql/diskann_streaming.test:40-50)
     assert rec >= 0.70, rec
     drop_index("smoke_ivf", cat)
     vecs.unpersist()
+
+
+def _graph_1m_smoke(spark, cat, name: str, engine: str, opts: dict):
+    """Shared body for the 1M graph-engine smokes (round-9 verdict item
+    2): the FULL auto-default path — shards=0 resolves to ~40 shards of
+    AUTO_SHARD_ROWS, shard_by='auto' resolves to 'cells' (the scale
+    regime), route_nprobe=0 rides the measured build-time calibration.
+    This is exactly the configuration a user gets typing nothing, at the
+    scale where routing is real (~40 shards, not the 4 of the 100k
+    tier)."""
+    n = 1_000_000
+    vecs = _vectors(spark, n).persist()
+    vecs.count()
+    rng = np.random.default_rng(99)
+    queries = rng.random((N_QUERIES, DIM), dtype=np.float32)
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+
+    t0 = time.perf_counter()
+    create_index(vecs, "vec_id", "embedding", name, engine=engine,
+                 catalog=cat, **opts)
+    build_s = time.perf_counter() - t0
+    m = cat.load(name)
+    assert m["params"]["shard_by"] == "cells", m["params"]  # auto resolved
+    assert m["shards"] >= 30, m["shards"]  # real routing regime
+    rc = m.get("route_calibration") or {}
+
+    t0 = time.perf_counter()
+    rows = index_scan(spark, name, queries, K, catalog=cat).collect()
+    search_s = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * K
+    rec = _recall(rows, truth)
+
+    # cache-byte observation: a small driver-side search populates the
+    # DRIVER's shard cache (the distributed path's worker caches are the
+    # same code); the byte budget must be holding
+    import duckdb_ann_spark.index.vamana as vam
+
+    vam._clear_shard_cache()
+    index_scan(spark, name, queries[:4], K, catalog=cat).collect()
+    cached_mb = vam._CACHE_BYTES / 1e6
+    assert vam._CACHE_BYTES <= vam.MAX_CACHED_BYTES
+    print(f"\n{engine} 1M routed ({m['shards']} shards): build {build_s:.1f}s,"
+          f" search {search_s:.1f}s (measured route_nprobe "
+          f"{rc.get('nprobe')}, curve recall {rc.get('recall_at_nprobe')}),"
+          f" recall@{K} {rec:.3f}; driver cache after 4-query probe: "
+          f"{len(vam._GRAPH_CACHE)} shards / {cached_mb:.0f} MB")
+    assert rec >= 0.70, rec
+    drop_index(name, cat)
+    vecs.unpersist()
+
+
+def test_vamana_1m_routed_auto_defaults(spark, cat):
+    _graph_1m_smoke(
+        spark, cat, "smoke_vam_1m", "diskann",
+        dict(max_degree=16, build_complexity=32),
+    )
+
+
+def test_hnsw_1m_routed_auto_defaults(spark, cat):
+    _graph_1m_smoke(
+        spark, cat, "smoke_hnsw_1m", "faiss", dict(type="HNSW", hnsw_m=16),
+    )
 
 
 def test_vamana_200k_sharded(spark, cat):
