@@ -47,8 +47,15 @@ class DiskannParams:
     # Spark extension (not in the reference): number of independent graph
     # shards built in parallel; 1 = reference-parity sequential build,
     # 0 = AUTO (1 shard up to AUTO_SHARD_ROWS vectors — identical to the
-    # reference — then one shard per AUTO_SHARD_ROWS; a single-shard
-    # python build is ~6ms/vector, unusable past ~10^5 rows).
+    # reference — then one shard per `auto_shard_rows()` rows, which is
+    # DEGREE-AWARE since round 9: a degree-16 graph on uniform 64-dim
+    # holds ~0.8 local recall@10 (at the default L=build_complexity)
+    # only up to ~1.5k rows; capacity grows ~degree^3 (measured 0.811 at
+    # 1.5k / 0.483 at 12k / 0.336 at 25k for degree 16, 0.872 at 12k for
+    # degree 32). The old flat 25k budget produced floor-failing shards
+    # whenever the user lowered max_degree for cheap builds — the 1M
+    # gated smoke measured end recall 0.422 at degree 16 with 25k-row
+    # shards. Explicit `shards=N` is always honored as-is.
     shards: int = 0
     # Spark extension: how rows map to graph shards.
     # 'hash' = uniform hash of the id — perfectly balanced, but every
@@ -82,6 +89,40 @@ class DiskannParams:
     calibration_queries: int = 64
 
     AUTO_SHARD_ROWS = 25_000
+
+    def auto_shard_rows(self) -> int:
+        """Per-shard row budget for `shards=0` resolution PAST the
+        single-graph parity threshold: what a graph of THIS degree can
+        serve at ~0.8 local recall@10 with the default
+        L=build_complexity, measured on uniform 64-dim vectors (the
+        worst case — see the `shards` field comment). Capacity ~d^3,
+        anchored at degree 16 → 1.5k rows; the reference-default
+        degree 64 lands above the 25k cap, so its layout is unchanged.
+
+        Round-9 shard-budget sweep (100k x 128-dim uniform, degree 16 /
+        build_complexity 32, 50 queries, k=10, local[32]; canaries
+        cal_gemm 0.087 / cal_py 0.70 / cal_spark 0.095):
+
+            shards  rows/shard  hash build/recall   cells build/recall (rnp)
+            4       25,000      105.3s / 0.264      226.9s / 0.242  (4=all)
+            9       11,112       39.9s / 0.426      173.1s / 0.374  (8)
+            13       7,693       39.1s / 0.514       63.1s / 0.436  (10)
+            32       3,125       18.4s / 0.674       35.1s / 0.610  (23)
+            67       1,493       17.9s / 0.864       26.6s / 0.720  (46)
+
+        Search walls were flat (0.67-1.0s) across the whole sweep. At a
+        fixed low degree, MORE shards are strictly better on both axes
+        that matter — the old flat 25k budget (4 shards here) was the
+        slowest build AND the worst recall, and 67 (this rule) is the
+        only row clearing the reference's 0.70 floor. The routing
+        (cells) column pays kmeans+assignment+calibration at build and
+        probes 0.69x of shards at this tiny tier; its payoff is
+        query-work ~constant in corpus size — at 1M the gated smoke
+        measures 188/667 shards probed (0.28, vs the 0.72 static rule)
+        at end recall 0.823 for degree-16 Vamana, and 74/167 (0.44) at
+        0.829 for m=16 HNSW."""
+        cap = max(1_000, int(1_500 * (int(self.max_degree) / 16) ** 3))
+        return min(int(self.AUTO_SHARD_ROWS), cap)
 
     def __post_init__(self) -> None:
         self.metric = _norm_metric(self.metric)
@@ -160,9 +201,12 @@ class FaissParams:
     # Spark extension (not in the reference): HNSW graph shards built in
     # parallel executors; 0 = AUTO (single graph up to AUTO_SHARD_ROWS —
     # structurally identical to the reference's one-HNSW-per-index —
-    # then one shard per AUTO_SHARD_ROWS, so a big CREATE INDEX never
-    # collects the table to the driver); 1 = forced reference-parity
-    # single graph (kept for byte-stable single-graph tests)
+    # then one shard per `auto_shard_rows()`, the round-9 degree-aware
+    # budget: ~m^3 capacity, 25k at the default m=32 but 6k at m=16 —
+    # so a big CREATE INDEX never collects the table to the driver AND
+    # a low-m build gets shards its graphs can actually serve); 1 =
+    # forced reference-parity single graph (kept for byte-stable
+    # single-graph tests)
     shards: int = 0
     # shard routing for type='HNSW' (see DiskannParams.shard_by):
     # 'hash' = search all shards, 'cells' = kmeans-routed shards probed
@@ -178,6 +222,22 @@ class FaissParams:
     # `route_calibration`). 0 disables.
     calibration_queries: int = 64
     AUTO_SHARD_ROWS = 25_000
+
+    def auto_shard_rows(self) -> int:
+        """Degree-aware per-shard budget for HNSW `shards=0` resolution
+        past the single-graph threshold (same contract as
+        `DiskannParams.auto_shard_rows`). Layered HNSW navigates better
+        than a flat graph at equal m — measured local recall@10 on
+        uniform 64-dim at the default ef=ef_construction: m=16 holds
+        0.949 at 1.5k / 0.792 at 6k / 0.572 at 25k rows — so the anchor
+        is m=16 → 6k rows, capacity ~m^3. The default m=32 lands above
+        the 25k cap (layout unchanged). Flat/IVFFlat don't graph-shard.
+        """
+        if self.type.lower() != "hnsw":
+            return int(self.AUTO_SHARD_ROWS)
+        cap = max(1_000, int(6_000 * (int(self.hnsw_m) / 16) ** 3))
+        return min(int(self.AUTO_SHARD_ROWS), cap)
+
     # GPU placement (`src/faiss_index.cpp:84-152`): cpu / gpu / auto.
     # This engine's kernels are numpy/BLAS — there is never a GPU
     # backend (faiss_gpu_info reports available=false), so mode='gpu'

@@ -340,7 +340,9 @@ class VamanaEngine:
         sampling job (repartitionByRange runs one to estimate bounds).
         `params.shards == 0` (both engines' default) resolves here:
         reference-parity single graph up to AUTO_SHARD_ROWS vectors, then
-        one shard per AUTO_SHARD_ROWS — so a big CREATE INDEX never
+        one shard per `params.auto_shard_rows()` (round 9: degree-aware —
+        a low-degree graph degrades well before 25k rows, see the
+        measurement table in params.py) — so a big CREATE INDEX never
         routes the whole table through the driver.
         Returns the number of shard files actually written (empty hash
         partitions write none — the manifest must report what exists,
@@ -367,8 +369,20 @@ class VamanaEngine:
         if shards == 0:
             if n_rows is None:
                 n_rows = src.count()
-            per = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
-            shards = max(1, -(-int(n_rows) // per))
+            cap = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
+            if int(n_rows) <= cap:
+                shards = 1  # reference-parity single graph
+            else:
+                # past the parity threshold the engine picks the layout
+                # anyway — size shards to what the REQUESTED degree can
+                # serve (round 9, degree-aware; see
+                # params.auto_shard_rows: a flat 25k budget measurably
+                # fails the 0.70 floor at degree 16)
+                per = (
+                    params.auto_shard_rows()
+                    if hasattr(params, "auto_shard_rows") else cap
+                )
+                shards = max(1, -(-int(n_rows) // per))
         if getattr(params, "shard_by", "hash") == "auto":
             # round-8 default: past 8 shards, hash fan-out makes
             # per-query work linear in the corpus — the wrong default
@@ -548,8 +562,22 @@ class VamanaEngine:
 
     # a shard at/above this many vectors stops receiving appends; new
     # rows open a fresh overflow shard instead (bounds the rewrite cost
-    # of any single append and keeps shard sizes even at scale)
+    # of any single append and keeps shard sizes even at scale).
+    # Degree-aware since round 9 (see _append_cap): the flat 25k value
+    # is only the ceiling — a low-degree graph degrades well before it.
     APPEND_SHARD_CAP = 25_000
+
+    def _append_cap(self, params) -> int:
+        """Shard-growth threshold for appends: the smaller of the
+        engine's operational ceiling (APPEND_SHARD_CAP — also the knob
+        tests patch) and the same degree-aware budget the auto build
+        uses (params.auto_shard_rows), so a degree-16 index
+        overflows/warns at the size its graphs can actually serve
+        instead of the flat 25k ceiling."""
+        cap = int(self.APPEND_SHARD_CAP)
+        if hasattr(params, "auto_shard_rows"):
+            cap = min(cap, int(params.auto_shard_rows()))
+        return cap
     # appends collect the delta to the driver (sequential insert is the
     # reference's own semantics); a delta past this cap raises instead
     # of silently OOM-ing the driver — same limit-probe house style as
@@ -638,7 +666,7 @@ class VamanaEngine:
                 for rid, vec in zip(sub[id_col], svecs):
                     labels.append((cell, g.insert(vec), int(rid)))
             self._write_shard(path, g, params)
-            if g.n > self.APPEND_SHARD_CAP:
+            if g.n > self._append_cap(params):
                 overgrown.append(cell)
         local_df(
             spark, labels, "shard int, label long, id long"
@@ -653,8 +681,9 @@ class VamanaEngine:
             import warnings
 
             warnings.warn(
-                f"routed append grew shard(s) {overgrown} past "
-                f"APPEND_SHARD_CAP={self.APPEND_SHARD_CAP}; run "
+                f"routed append grew shard(s) {overgrown} past the "
+                f"append cap {self._append_cap(params)} (degree-aware; "
+                f"ceiling APPEND_SHARD_CAP={self.APPEND_SHARD_CAP}); run "
                 "vacuum_index to rebalance (retrains the routing)",
                 stacklevel=3,
             )
@@ -716,7 +745,7 @@ class VamanaEngine:
                 (shard_id, label, int(rid))
                 for label, rid in enumerate(pdf[id_col])
             ]
-        elif g.n >= self.APPEND_SHARD_CAP:
+        elif g.n >= self._append_cap(params):
             # overflow shard: bounded build from just the new rows
             shard_id = max(s for s, _ in shard_files) + 1
             path = f"{artifact_dir}/{GRAPH_DIR}/shard_{shard_id}.diskann"
@@ -1025,11 +1054,12 @@ class HnswEngine(VamanaEngine):
 
     Default `shards=0` = auto (same policy as the DiskANN engine): one
     graph like the reference (faiss builds one HNSW per index) up to
-    AUTO_SHARD_ROWS vectors, then one shard per AUTO_SHARD_ROWS so a big
-    build never collects the table to the driver; `shards=N` forces a
-    count, with N independent layered graphs built in parallel executors
-    and search results merged — a single sequential build is unusable
-    past ~10^5 rows. The
+    AUTO_SHARD_ROWS vectors, then one shard per the degree-aware
+    `auto_shard_rows()` budget (round 9) so a big build never collects
+    the table to the driver and low-m graphs get shards they can serve;
+    `shards=N` forces a count, with N independent layered graphs built
+    in parallel executors and search results merged — a single
+    sequential build is unusable past ~10^5 rows. The
     shard file reuses the `.diskann` v2 body (layer-0 adjacency →
     mmap-able, `vectors()` reconstruction works unchanged) plus an
     upper-layer appendix. Search/distribution plumbing is inherited —
@@ -1144,7 +1174,7 @@ class HnswEngine(VamanaEngine):
                 (shard_id, label, int(rid))
                 for label, rid in enumerate(pdf[id_col])
             ]
-        elif g.n >= self.APPEND_SHARD_CAP:
+        elif g.n >= self._append_cap(params):
             shard_id = max(s for s, _ in shard_files) + 1
             path = f"{artifact_dir}/{GRAPH_DIR}/shard_{shard_id}.diskann"
             g = build_hnsw(

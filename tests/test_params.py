@@ -90,3 +90,30 @@ def test_options_case_insensitive_and_unknown_ignored():
     assert p.max_degree == 8 and p.alpha == 1.1
     q = parse_params("faiss", dict(TYPE="IVFFlat", IVF_NLIST=32, wat="x"))
     assert q.type_norm == "ivfflat" and q.ivf_nlist == 32
+
+
+def test_auto_shard_rows_degree_aware():
+    """Round-9 degree-aware auto shard budget: what a graph of the
+    requested degree can serve at ~0.8 local recall@10 with the default
+    L=build_complexity, measured on uniform 64-dim (see the docstrings
+    for the measurement table). Capacity ~degree^3; the reference
+    defaults (max_degree=64, hnsw_m=32) land on the 25k cap so their
+    layouts are unchanged; low-degree builds get small shards instead
+    of the flat 25k budget that measurably failed the 0.70 floor."""
+    from duckdb_ann_spark.index.params import parse_params
+
+    d = lambda deg: parse_params(
+        "diskann", dict(max_degree=deg)
+    ).auto_shard_rows()
+    assert d(16) == 1_500
+    assert d(32) == 12_000
+    assert d(64) == 25_000  # reference default: cap, layout unchanged
+    assert d(8) == 1_000  # floor
+    h = lambda m: parse_params(
+        "faiss", dict(type="HNSW", hnsw_m=m)
+    ).auto_shard_rows()
+    assert h(16) == 6_000
+    assert h(32) == 25_000  # reference default: cap
+    assert h(8) == 1_000
+    # non-graph FAISS types never graph-shard: budget is the flat cap
+    assert parse_params("faiss", dict(type="Flat")).auto_shard_rows() == 25_000
