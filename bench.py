@@ -470,7 +470,7 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         # fix rides on — records the probe-fraction/latency/recall
         # tradeoff vs the pinned 110/256 workload above
         t0 = time.perf_counter()
-        create_index(
+        m_auto = create_index(
             vecs, "vec_id", "embedding", "scale_ivf_auto", engine="faiss",
             type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
         )
@@ -483,8 +483,13 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         assert len(rows) == N_QUERIES * K, len(rows)
         recall["scale100k_ivf_auto"] = round(_recall(rows), 3)
         nl = auto_nlist(SCALE_N)
+        # report what the leg ACTUALLY probed (round-9 review fix): the
+        # nprobe=0 search rides the manifest's measured calibration when
+        # one exists; the static rule is only the unmeasured fallback
+        _auto_np = ((m_auto.get("calibration") or {}).get("nprobe")
+                    or auto_nprobe(nl, dim))
         out["scale100k_ivf_auto_probe_frac"] = round(
-            auto_nprobe(nl, dim) / nl, 4
+            _auto_np / m_auto["nlist_effective"], 4
         )
         drop_index("scale_ivf_auto", cat)
 
@@ -507,7 +512,7 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         drop_index("scale_vam", cat)
 
         t0 = time.perf_counter()
-        create_index(
+        m_routed = create_index(
             vecs, "vec_id", "embedding", "scale_vam_routed", engine="diskann",
             max_degree=16, build_complexity=32, shards=128, shard_by="cells",
             catalog=cat,
@@ -649,9 +654,12 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         )
 
     out["scale100k_reps"] = reps
-    out["scale100k_route_probe_frac"] = round(
-        auto_route_nprobe(128, dim) / 128, 4
-    )
+    # what the routed uniform legs ACTUALLY probed (round-9 review fix:
+    # route_nprobe=0 rides the measured build-time calibration when the
+    # manifest carries one; the static rule is the unmeasured fallback)
+    _route_np = ((m_routed.get("route_calibration") or {}).get("nprobe")
+                 or auto_route_nprobe(128, dim))
+    out["scale100k_route_probe_frac"] = round(_route_np / 128, 4)
     # the reference's recall floor, held by every approximate path whose
     # CONFIG claims recall (the pinned knn_join is documented latency-floor)
     for key in ("scale100k_vamana_routed", "scale100k_hnsw_routed",

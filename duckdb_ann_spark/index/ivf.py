@@ -310,7 +310,11 @@ class IvfFlatEngine:
 
         cal = None
         nq = int(getattr(params, "calibration_queries", 0) or 0)
-        if nq > 0:
+        # only measure when the build leaves nprobe on AUTO — a pinned
+        # nprobe is what every search will use, so the measurement
+        # could never be consulted and the extra table scan it costs
+        # would be dead weight on every default (nprobe=1) build
+        if nq > 0 and int(getattr(params, "nprobe", 0) or 0) == 0:
             cal = measure_probe_calibration(
                 df, id_col, vec_col, centroids, metric, int(n),
                 IVF_TARGET, n_queries=nq,

@@ -46,16 +46,18 @@ class DiskannParams:
     start_seed: int = 42
     # Spark extension (not in the reference): number of independent graph
     # shards built in parallel; 1 = reference-parity sequential build,
-    # 0 = AUTO (1 shard up to AUTO_SHARD_ROWS vectors — identical to the
-    # reference — then one shard per `auto_shard_rows()` rows, which is
-    # DEGREE-AWARE since round 9: a degree-16 graph on uniform 64-dim
-    # holds ~0.8 local recall@10 (at the default L=build_complexity)
-    # only up to ~1.5k rows; capacity grows ~degree^3 (measured 0.811 at
-    # 1.5k / 0.483 at 12k / 0.336 at 25k for degree 16, 0.872 at 12k for
-    # degree 32). The old flat 25k budget produced floor-failing shards
-    # whenever the user lowered max_degree for cheap builds — the 1M
-    # gated smoke measured end recall 0.422 at degree 16 with 25k-row
-    # shards. Explicit `shards=N` is always honored as-is.
+    # 0 = AUTO: one graph up to `auto_shard_rows()` rows, then one shard
+    # per that budget. The budget is DEGREE-AWARE since round 9 — at the
+    # reference-default degree 64 it is the historical 25k threshold
+    # (default builds keep the reference's single-graph layout exactly),
+    # but a degree-16 graph on uniform 64-dim holds ~0.8 local recall@10
+    # (at the default L=build_complexity) only to ~1.5k rows; capacity
+    # grows ~degree^3 (measured 0.811 at 1.5k / 0.483 at 12k / 0.336 at
+    # 25k for degree 16, 0.872 at 12k for degree 32). The old flat 25k
+    # budget was a silent recall cliff whenever the user lowered
+    # max_degree for cheap builds — the 1M gated smoke measured end
+    # recall 0.422 at degree 16 with 25k-row shards. Explicit `shards=N`
+    # is always honored as-is.
     shards: int = 0
     # Spark extension: how rows map to graph shards.
     # 'hash' = uniform hash of the id — perfectly balanced, but every
@@ -91,13 +93,13 @@ class DiskannParams:
     AUTO_SHARD_ROWS = 25_000
 
     def auto_shard_rows(self) -> int:
-        """Per-shard row budget for `shards=0` resolution PAST the
-        single-graph parity threshold: what a graph of THIS degree can
-        serve at ~0.8 local recall@10 with the default
-        L=build_complexity, measured on uniform 64-dim vectors (the
-        worst case — see the `shards` field comment). Capacity ~d^3,
-        anchored at degree 16 → 1.5k rows; the reference-default
-        degree 64 lands above the 25k cap, so its layout is unchanged.
+        """Per-shard row budget (and single-graph threshold) for
+        `shards=0` resolution: what a graph of THIS degree can serve at
+        ~0.8 local recall@10 with the default L=build_complexity,
+        measured on uniform 64-dim vectors (the worst case — see the
+        `shards` field comment). Capacity ~d^3, anchored at degree 16 →
+        1.5k rows; the reference-default degree 64 lands above the 25k
+        cap, so default builds keep the historical layout exactly.
 
         Round-9 shard-budget sweep (100k x 128-dim uniform, degree 16 /
         build_complexity 32, 50 queries, k=10, local[32]; canaries
@@ -199,10 +201,10 @@ class FaissParams:
     train_sample: int = 0
     description: str = field(default="")
     # Spark extension (not in the reference): HNSW graph shards built in
-    # parallel executors; 0 = AUTO (single graph up to AUTO_SHARD_ROWS —
-    # structurally identical to the reference's one-HNSW-per-index —
-    # then one shard per `auto_shard_rows()`, the round-9 degree-aware
-    # budget: ~m^3 capacity, 25k at the default m=32 but 6k at m=16 —
+    # parallel executors; 0 = AUTO (single graph up to `auto_shard_rows()`
+    # — structurally identical to the reference's one-HNSW-per-index —
+    # then one shard per that budget; degree-aware since round 9: ~m^3
+    # capacity, the historical 25k at the default m=32 but 6k at m=16 —
     # so a big CREATE INDEX never collects the table to the driver AND
     # a low-m build gets shards its graphs can actually serve); 1 =
     # forced reference-parity single graph (kept for byte-stable

@@ -338,12 +338,13 @@ class VamanaEngine:
         (hash of a unique id) and each task builds exactly one graph from
         its whole partition. One shuffle, perfect task balance, no hidden
         sampling job (repartitionByRange runs one to estimate bounds).
-        `params.shards == 0` (both engines' default) resolves here:
-        reference-parity single graph up to AUTO_SHARD_ROWS vectors, then
-        one shard per `params.auto_shard_rows()` (round 9: degree-aware —
-        a low-degree graph degrades well before 25k rows, see the
-        measurement table in params.py) — so a big CREATE INDEX never
-        routes the whole table through the driver.
+        `params.shards == 0` (both engines' default) resolves here: one
+        graph up to `params.auto_shard_rows()` vectors (the round-9
+        degree-aware budget — the historical reference-parity 25k at
+        default degrees, smaller for low-degree graphs that degrade
+        well before 25k rows; measurement table in params.py), then one
+        shard per budget — so a big CREATE INDEX never routes the whole
+        table through the driver.
         Returns the number of shard files actually written (empty hash
         partitions write none — the manifest must report what exists,
         since append's overflow numbering and diagnostics read it).
@@ -369,20 +370,22 @@ class VamanaEngine:
         if shards == 0:
             if n_rows is None:
                 n_rows = src.count()
-            cap = int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
-            if int(n_rows) <= cap:
-                shards = 1  # reference-parity single graph
-            else:
-                # past the parity threshold the engine picks the layout
-                # anyway — size shards to what the REQUESTED degree can
-                # serve (round 9, degree-aware; see
-                # params.auto_shard_rows: a flat 25k budget measurably
-                # fails the 0.70 floor at degree 16)
-                per = (
-                    params.auto_shard_rows()
-                    if hasattr(params, "auto_shard_rows") else cap
-                )
-                shards = max(1, -(-int(n_rows) // per))
+            # one graph up to the DEGREE-AWARE budget, then one shard
+            # per budget (round 9; see params.auto_shard_rows). At the
+            # reference-default degrees the budget IS the historical
+            # 25k parity threshold, so default builds keep the
+            # reference's single-graph layout exactly; a low-degree
+            # build shards earlier because its single graph would
+            # already be under the recall floor at 25k (measured 0.336
+            # local recall@10 for degree 16 — the flat budget was a
+            # silent recall cliff at ANY size past ~1.5k, not just 1M).
+            # `shards=1` still forces the parity layout at any size.
+            per = (
+                params.auto_shard_rows()
+                if hasattr(params, "auto_shard_rows")
+                else int(getattr(params, "AUTO_SHARD_ROWS", 25_000))
+            )
+            shards = max(1, -(-int(n_rows) // per))
         if getattr(params, "shard_by", "hash") == "auto":
             # round-8 default: past 8 shards, hash fan-out makes
             # per-query work linear in the corpus — the wrong default
@@ -466,8 +469,12 @@ class VamanaEngine:
         # measurement instead of the static worst-case rule. The target
         # budgets for the per-shard graph-search miss on top of the
         # routing miss (calibration.ROUTED_TARGET).
+        # only measured when route_nprobe stays on AUTO — a pinned
+        # probe count is what every search will use (same dead-weight
+        # rule as the IVF build's nprobe gate)
         nq = int(getattr(params, "calibration_queries", 0) or 0)
-        if nq > 0 and k_eff > 1:
+        if (nq > 0 and k_eff > 1
+                and int(getattr(params, "route_nprobe", 0) or 0) == 0):
             from .calibration import ROUTED_TARGET, measure_probe_calibration
 
             params._route_calibration = measure_probe_calibration(

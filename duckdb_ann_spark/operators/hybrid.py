@@ -168,10 +168,29 @@ def publish_text_index(
     are stored exactly as the scan path computes them (tf/dl as
     doubles, integer-valued → exact), so `bm25_scores_indexed` is
     BIT-IDENTICAL to `bm25_scores` over the same corpus."""
+    _publish_postings(docs.sparkSession, docs, id_col, text_col, output_path)
+
+
+def _publish_postings(
+    spark,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    output_path: str,
+    extra_postings: Optional[DataFrame] = None,
+    extra_stats: tuple = (0.0, 0.0),
+) -> None:
+    """The SINGLE tokenize → postings → stats → manifest pipeline behind
+    `publish_text_index` (extra_* empty) and `publish_text_index_delta`
+    (extra_postings = the base artifact's existing rows, extra_stats =
+    its (n_docs, total_tokens)). One implementation, so the delta
+    merge's bit-identity-to-full-republish contract cannot drift from
+    the full publish (round-9 review: the two copies had to stay
+    line-for-line identical by hand). Clears the commit marker FIRST,
+    writes it LAST (torn-publish discipline)."""
     from ..functions.text import spark_sql_tokenize, sql_bind_once
     from ..local import local_df
 
-    spark = docs.sparkSession
     local_df(spark, [], "version int, id_col string").write.mode(
         "overwrite"
     ).parquet(f"{output_path}/manifest")  # clear the commit marker first
@@ -183,21 +202,37 @@ def publish_text_index(
         F.col(id_col), F.expr(toks_sql).alias("_t")
     ).select(id_col, "_t.toks", "_t.dl").persist()
     try:
-        (
+        postings = (
             base.select(id_col, "dl", F.explode("toks").alias("term"))
             .groupBy("term", id_col)
             .agg(
                 F.count(F.lit(1)).cast("double").alias("tf"),
                 F.first("dl").alias("dl"),
             )
-            .repartitionByRange(F.col("term"))
+        )
+        if extra_postings is not None:
+            # fixed-width base rows union in as-is: per-posting tf/dl
+            # depend only on the posting's own document, per-term df is
+            # derived at READ time by counting rows (counts union
+            # exactly) — the merge is bit-identical to a full republish
+            postings = extra_postings.select(
+                "term", id_col, "tf", "dl"
+            ).unionByName(postings)
+        (
+            postings.repartitionByRange(F.col("term"))
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(f"{output_path}/postings")
         )
-        base.agg(
+        dstats = base.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             F.sum("dl").alias("total_tokens"),
+        ).head()
+        local_df(
+            spark,
+            [(float(extra_stats[0]) + float(dstats["n_docs"] or 0.0),
+              float(extra_stats[1]) + float(dstats["total_tokens"] or 0.0))],
+            "n_docs double, total_tokens double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/stats")
     finally:
         # also on a failed write: the artifact is left detectably
@@ -244,9 +279,6 @@ def publish_text_index_delta(
     `validate_ids=False` when the caller guarantees it). The delta must
     carry the base's own id column. Chaining works: the output is a
     valid base for the next delta."""
-    from ..functions.text import spark_sql_tokenize, sql_bind_once
-    from ..local import local_df
-
     if os.path.abspath(output_path) == os.path.abspath(base_path):
         raise ValueError(
             "publish_text_index_delta: output_path must differ from "
@@ -273,50 +305,11 @@ def publish_text_index_delta(
                 f"{id_col}={overlap[0]}); ids must be disjoint — "
                 "republish from scratch to replace documents"
             )
-    # clear the commit marker FIRST (same torn-publish discipline as
-    # publish_text_index)
-    local_df(spark, [], "version int, id_col string").write.mode(
-        "overwrite"
-    ).parquet(f"{output_path}/manifest")
-    toks_sql = sql_bind_once(
-        spark_sql_tokenize(text_col), "toks",
-        "struct(toks as toks, cast(size(toks) as double) as dl)",
+    _publish_postings(
+        spark, delta_docs, id_col, text_col, output_path,
+        extra_postings=base_postings,
+        extra_stats=(float(n_docs), float(total_tokens)),
     )
-    base = delta_docs.select(
-        F.col(id_col), F.expr(toks_sql).alias("_t")
-    ).select(id_col, "_t.toks", "_t.dl").persist()
-    try:
-        delta_postings = (
-            base.select(id_col, "dl", F.explode("toks").alias("term"))
-            .groupBy("term", id_col)
-            .agg(
-                F.count(F.lit(1)).cast("double").alias("tf"),
-                F.first("dl").alias("dl"),
-            )
-        )
-        (
-            base_postings.select("term", id_col, "tf", "dl")
-            .unionByName(delta_postings)
-            .repartitionByRange(F.col("term"))
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(f"{output_path}/postings")
-        )
-        dstats = base.agg(
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.sum("dl").alias("total_tokens"),
-        ).head()
-        local_df(
-            spark,
-            [(float(n_docs + (dstats["n_docs"] or 0.0)),
-              float(total_tokens + (dstats["total_tokens"] or 0.0)))],
-            "n_docs double, total_tokens double",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/stats")
-    finally:
-        base.unpersist()
-    local_df(
-        spark, [(1, id_col)], "version int, id_col string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/manifest")
 
 
 def _load_text_index(spark, index_path: str):
@@ -584,7 +577,9 @@ def hybrid_search_table(
 ) -> DataFrame:
     """Hybrid BM25+vector RRF for an UNBOUNDED query DataFrame →
     (<query_id_col>, <doc id col>, _rrf_score, _bm25_rank,
-    _vector_rank), top-k per query — the engine's own discipline
+    _vector_rank), top-k per query; a doc-side id column whose name
+    collides with `query_id_col` is presented as `_doc_<name>` — the
+    engine's own discipline
     (`ann_search_table` → `index_search_table`) applied to the one
     search surface that was still single-query (round 9). The query
     side is never collected to the driver.
@@ -628,6 +623,10 @@ def hybrid_search_table(
     )
 
     # ---- vector leg ----
+    # Collision rule (round-9 review fix): when the doc-side id column
+    # has the SAME name as the query id, the output presents the doc
+    # side as `_doc_<name>` and the query side under its own name —
+    # uniformly across all three vector sources and the text leg.
     if index is not None:
         from ..index import index_search_table
 
@@ -635,8 +634,21 @@ def hybrid_search_table(
             spark, index, queries_df, query_id_col, query_vec_col,
             vector_candidates, search_complexity, catalog,
         )
-        out_id_col = [c for c in vhits.columns
-                      if c not in (query_id_col, "_distance")][0]
+        qren = f"_q_{query_id_col}"
+        if qren in vhits.columns:
+            # the vector index's id column IS the query id name:
+            # index_search_table renamed the QUERY side to _q_<id>;
+            # re-shape to the collision rule above (naively excluding
+            # query_id_col here would pick the QUERY column as the doc
+            # id and partition the rank window by the DOC column —
+            # silently swapped keys)
+            out_id_col = f"_doc_{query_id_col}"
+            vhits = vhits.withColumnRenamed(
+                query_id_col, out_id_col
+            ).withColumnRenamed(qren, query_id_col)
+        else:
+            out_id_col = [c for c in vhits.columns
+                          if c not in (query_id_col, "_distance")][0]
     else:
         if docs is None or vec_col is None or doc_id_col is None:
             raise ValueError(
@@ -646,9 +658,13 @@ def hybrid_search_table(
         from .knn_join import knn_join
 
         out_id_col = doc_id_col
+        dsel = docs.select(doc_id_col, vec_col)
+        if doc_id_col == query_id_col:
+            out_id_col = f"_doc_{doc_id_col}"
+            dsel = dsel.withColumnRenamed(doc_id_col, out_id_col)
         vhits = knn_join(
             queries_df.select(query_id_col, query_vec_col), query_id_col,
-            query_vec_col, docs.select(doc_id_col, vec_col), doc_id_col,
+            query_vec_col, dsel, out_id_col,
             vec_col, k=vector_candidates, metric=metric, nlist=0,
             nprobe=1 << 30, method=method,
         )
@@ -665,27 +681,30 @@ def hybrid_search_table(
         F.explode(
             F.array_distinct(F.expr(spark_sql_tokenize(query_text_col)))
         ).alias("term"),
-    )
+    ).persist()  # consumed twice (prune + hits join): tokenize ONCE
     # postings pruned to the queries' term set, then df per term derived
     # from the pruned rows (postings hold only tf>0 rows, so the count
     # per term IS the corpus doc frequency — the indexed path's rule)
     post = postings.join(
         qterms.select("term").distinct(), on="term", how="leftsemi"
     ).persist()
-    term_df = post.groupBy("term").agg(
+    if idx_id_col == query_id_col:
+        # artifact id column collides with the query id name — rename
+        # the ARTIFACT side BEFORE the join (a post-join rename would
+        # match BOTH same-named columns and erase the query id,
+        # breaking the groupBy below — round-9 review fix)
+        text_id = f"_doc_{idx_id_col}"
+        post_scored = post.withColumnRenamed(idx_id_col, text_id)
+    else:
+        text_id = idx_id_col
+        post_scored = post
+    term_df = post_scored.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )
     hits = (
-        qterms.join(post, on="term")
+        qterms.join(post_scored, on="term")
         .join(term_df, on="term")
     )
-    if idx_id_col == query_id_col:
-        # artifact id column collides with the query id name; the
-        # artifact side is renamed for the fused output
-        hits = hits.withColumnRenamed(idx_id_col, f"_doc_{idx_id_col}")
-        text_id = f"_doc_{idx_id_col}"
-    else:
-        text_id = idx_id_col
     avgdl = F.lit(float(total_tokens)) / F.lit(float(n_docs))
     per = hits.groupBy(query_id_col, text_id).agg(
         F.sort_array(
@@ -737,5 +756,5 @@ def hybrid_search_table(
         .where(F.col("_rn") <= k)
         .select(query_id_col, out_id_col, "_rrf_score", "_bm25_rank",
                 "_vector_rank"),
-        post,
+        post, qterms,
     )

@@ -282,8 +282,14 @@ def index_knn_join(
       assignment pass, no exchange; pruned to the union of probed cells
       (partition pruning, same as index search);
     * query side: one narrow assignment pass to its `nprobe` nearest
-      cells (0 = the recall-calibrated `auto_nprobe` rule), then the
-      same cogroup-GEMM / exact scoring as `knn_join`.
+      cells, then the same cogroup-GEMM / exact scoring as `knn_join`.
+      `nprobe=0` resolves exactly like `index_scan` on this index
+      (round 9): the index's own PINNED build nprobe when one was set
+      (reference semantics — FAISS defaults nprobe=1, and the join
+      must score the same cells a search of that index would), else
+      the index's measured build-time calibration, else the static
+      `auto_nprobe` rule. To force full-probe regardless of the pin,
+      pass `nprobe >= nlist`.
 
     Tombstoned ids are anti-joined off the base side before scoring, so
     results match a vacuumed index. `nprobe >= nlist` degenerates to

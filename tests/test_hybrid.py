@@ -319,3 +319,78 @@ def test_text_index_manifest_validation(spark, base, tmp_path):
     shutil.rmtree(f"{path}/manifest")
     with pytest.raises(ValueError, match="missing manifest"):
         bm25_scores_indexed(spark, path, "spark data").collect()
+
+
+def test_hybrid_search_table_id_collision_both_legs(spark, base, tmp_path):
+    """Round-9 review regressions: (1) a vector INDEX whose id column is
+    the query id name made index_search_table's _q_ rename pick swapped
+    keys; (2) the text leg's post-join rename hit BOTH same-named
+    columns and dropped the query id. Contract now: the doc side comes
+    back as `_doc_<name>`, and results equal the collision-free run
+    modulo column names."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.index import Catalog, create_index
+    from duckdb_ann_spark.operators.hybrid import (
+        hybrid_search_table,
+        publish_text_index,
+    )
+
+    texts = {3: "spark join query data", 7: "the data"}
+    qdf = base.where(F.col("doc_id").isin(list(texts))).select(
+        F.col("doc_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.when(F.col("doc_id") == 3, texts[3]).otherwise(texts[7])
+        .alias("qtext"),
+    )
+    # baseline: no collisions anywhere (artifact + docs keyed doc_id)
+    ti = str(tmp_path / "col_ti")
+    publish_text_index(base, "doc_id", "text", ti)
+    want = {
+        (r["qid"], r["doc_id"]): (r["_rrf_score"], r["_bm25_rank"],
+                                  r["_vector_rank"])
+        for r in hybrid_search_table(
+            qdf, "qid", "qv", "qtext", text_index=ti, docs=base,
+            doc_id_col="doc_id", vec_col="embedding", k=8, method="exact",
+        ).collect()
+    }
+
+    # text artifact AND brute-force docs keyed 'qid' (collides with the
+    # query id): doc side must come back as _doc_qid, values identical
+    base_q = base.select(
+        F.col("doc_id").alias("qid"), "text", "embedding"
+    )
+    ti_q = str(tmp_path / "col_ti_q")
+    publish_text_index(base_q, "qid", "text", ti_q)
+    got_df = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", text_index=ti_q, docs=base_q,
+        doc_id_col="qid", vec_col="embedding", k=8, method="exact",
+    )
+    assert "_doc_qid" in got_df.columns
+    got = {
+        (r["qid"], r["_doc_qid"]): (r["_rrf_score"], r["_bm25_rank"],
+                                    r["_vector_rank"])
+        for r in got_df.collect()
+    }
+    assert got == want
+
+    # vector leg through an INDEX whose id column is the query id name
+    cat = Catalog(str(tmp_path / "col_cat"))
+    create_index(
+        base_q, "qid", "embedding", "col_idx", engine="faiss", type="Flat",
+        catalog=cat,
+    )
+    out = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", text_index=ti_q, index="col_idx",
+        k=8, catalog=cat,
+    )
+    assert "_doc_qid" in out.columns
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+        if r["_doc_qid"] == r["qid"]:
+            # the query's own document must be its top vector hit —
+            # swapped keys would scatter this
+            assert r["_vector_rank"] == 1, dict(r.asDict())
+    assert set(per_q) == set(texts) and all(v == 8 for v in per_q.values())
