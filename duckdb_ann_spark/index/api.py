@@ -173,13 +173,68 @@ def index_scan(
     search_complexity: Optional[int] = None,
     catalog: Optional[Catalog] = None,
     table_name: str = "",
+    target_recall: Optional[float] = None,
 ) -> DataFrame:
     """Low-level scan → (query_idx, id, _distance), the
     `diskann_index_scan` / `faiss_index_scan` shape
-    (`src/diskann_functions.cpp:17-125`)."""
+    (`src/diskann_functions.cpp:17-125`).
+
+    `target_recall` (Spark extension, round 9): resolve the probe count
+    for THIS call from the index's own measured build-time curve
+    (`calibration.nprobe_for_target`) instead of the build default —
+    the manifest stores recall-vs-probes, so a caller can trade probe
+    work for recall per query batch without rebuilding. IVF: cells are
+    scanned exactly, so the target is end recall (modulo the 64-query
+    sampling noise of the measurement). Routed graphs: the curve is the
+    ROUTING recall — a candidate-coverage target; the in-shard search
+    stacks its own miss on top. Fails loud on artifacts without the
+    relevant measurement (pinned-probe builds, calibration_queries=0,
+    hash/single-shard layouts, pre-round-9 artifacts) — a caller asking
+    for a SPECIFIC recall must not be silently handed a static guess.
+    Exact engines (FAISS Flat) satisfy any target by construction."""
     cat, manifest, d, impl = _load(name, table_name, catalog)
     qs = _as_queries(queries)
     id_col = manifest["id_col"]
+
+    if target_recall is not None:
+        if not (0.0 < float(target_recall) <= 1.0):
+            raise ValueError("target_recall must be in (0, 1]")
+        from .calibration import nprobe_for_target
+        from .ivf import IvfFlatEngine
+
+        if isinstance(impl, IvfFlatEngine):
+            if search_complexity:
+                raise ValueError(
+                    "pass either search_complexity (an explicit nprobe "
+                    "for IVFFlat) or target_recall, not both"
+                )
+            resolved = nprobe_for_target(manifest, target_recall)
+            if resolved <= 0:
+                raise ValueError(
+                    f"index '{name}' carries no measured recall curve "
+                    "(built with a pinned nprobe or calibration_queries"
+                    "=0, or pre-dates build-time calibration) — rebuild "
+                    "with nprobe=0 to measure, or pass search_complexity"
+                )
+            search_complexity = resolved
+        elif manifest.get("layout") in ("diskann-v2", "hnsw-layered"):
+            resolved = nprobe_for_target(
+                manifest, target_recall, "route_calibration"
+            )
+            if resolved <= 0:
+                raise ValueError(
+                    f"index '{name}' carries no measured routing curve "
+                    "(hash/single-shard layout, pinned route_nprobe, or "
+                    "calibration_queries=0) — target_recall needs a "
+                    "shard_by='cells' build with calibration enabled"
+                )
+            # per-call routing override: explicit manifest route_nprobe
+            # wins inside _resolve_route_nprobe, so a shallow-copied
+            # manifest carries the resolved count through both the
+            # driver-local and distributed search paths
+            manifest = {**manifest, "params": {**manifest["params"],
+                                               "route_nprobe": resolved}}
+        # exact engines (Flat) meet any target by construction — no-op
 
     if not qs or any(len(q) != manifest["dim"] for q in qs):
         # no queries, or any dimension-mismatched query (ragged batches

@@ -231,6 +231,33 @@ def measure_probe_calibration(
     }
 
 
+def nprobe_for_target(
+    manifest: dict, target: float, key: str = "calibration"
+) -> int:
+    """Resolve a probe count for a CALLER-CHOSEN recall target from the
+    measured curve the build stored in the manifest (round 9): the
+    smallest stored curve point whose measured recall clears `target` —
+    conservative, since stored points are a log-spaced slice and the
+    next stored point can only over-probe. The curve always ends at 1.0
+    (every true neighbor's cell is somewhere in the ranking), so any
+    target <= 1 resolves when a curve exists. Returns 0 when the
+    artifact carries no measurement under `key` — callers fail loud
+    (unlike the nprobe=0 default path, a caller asking for a SPECIFIC
+    recall must not be silently handed the static rule's guess).
+
+    For routed GRAPH shards (`key='route_calibration'`) the curve is the
+    ROUTING recall — the candidate-coverage target; the in-shard graph
+    search stacks its own miss on top, so this is not an end-recall
+    guarantee (same contract as ROUTED_TARGET)."""
+    cal = manifest.get(key) or {}
+    probes = cal.get("probes") or []
+    recall = cal.get("recall") or []
+    for p, r in zip(probes, recall):
+        if float(r) >= float(target):
+            return int(p)
+    return int(probes[-1]) if probes else 0
+
+
 def calibrated_nprobe(manifest: dict, key: str = "calibration") -> int:
     """The measured floor-clearing probe count recorded in `manifest`
     under `key` ('calibration' for IVF cells, 'route_calibration' for

@@ -207,3 +207,91 @@ def test_measure_handles_degenerate_inputs(spark):
         df, "vec_id", "embedding", cells, "l2", 2, 0.78
     )
     assert out is not None and 1 <= out["nprobe"] <= 2 and out["k"] == 1
+
+
+def test_target_recall_resolves_from_stored_curve(spark, data, cat):
+    """index_scan(target_recall=) rides the manifest's measured curve:
+    a higher target probes at least as many cells as the build default,
+    a tiny target probes fewer, and the floor still holds at the
+    build's own target."""
+    cl_df, cl_mat, _, _, centers, rng = data
+    m = create_index(
+        cl_df, "vec_id", "embedding", "tr_ivf", engine="faiss",
+        type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
+    )
+    from duckdb_ann_spark.index.calibration import nprobe_for_target
+
+    default_np = m["calibration"]["nprobe"]
+    assert nprobe_for_target(m, 0.99) >= default_np
+    assert 0 < nprobe_for_target(m, 0.2) <= default_np
+    # target 1.0 resolves to the smallest stored point whose measured
+    # recall is 1.0 (on clean clusters that's far below nlist)
+    p_full = nprobe_for_target(m, 1.0)
+    i_full = m["calibration"]["probes"].index(p_full)
+    assert m["calibration"]["recall"][i_full] == 1.0
+    assert i_full == 0 or m["calibration"]["recall"][i_full - 1] < 1.0
+
+    queries = centers[np.arange(40) % N_CLUSTERS] + rng.normal(
+        0, 0.02, (40, DIM)
+    ).astype(np.float32)
+    rows = index_scan(
+        spark, "tr_ivf", queries, 10, catalog=cat, target_recall=0.95
+    ).collect()
+    assert len(rows) == 40 * 10
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    hit = 0
+    for i, q in enumerate(queries):
+        d = ((cl_mat - q) ** 2).sum(axis=1)
+        truth = set(np.lexsort((np.arange(N), d))[:10].tolist())
+        hit += len(got[i] & truth)
+    assert hit / 400 >= 0.80  # 0.95 cell-coverage target, sampled curve
+    # low target still returns k rows per query (fewer cells scanned)
+    assert index_scan(
+        spark, "tr_ivf", queries[:4], 10, catalog=cat, target_recall=0.2
+    ).count() == 40
+    drop_index("tr_ivf", cat)
+
+
+def test_target_recall_routed_graph_and_errors(spark, data, cat):
+    import pytest as _pytest
+
+    cl_df, _, _, _, centers, rng = data
+    create_index(
+        cl_df, "vec_id", "embedding", "tr_vam", engine="diskann",
+        max_degree=16, build_complexity=32, shards=N_CLUSTERS,
+        shard_by="cells", catalog=cat,
+    )
+    queries = centers[:8] + rng.normal(0, 0.02, (8, DIM)).astype(np.float32)
+    rows = index_scan(
+        spark, "tr_vam", queries, 10, catalog=cat, target_recall=0.97
+    ).collect()
+    assert len(rows) == 80
+    drop_index("tr_vam", cat)
+
+    # unmeasured artifacts fail loud, in both families
+    create_index(
+        cl_df, "vec_id", "embedding", "tr_off", engine="faiss",
+        type="IVFFlat", ivf_nlist=24, nprobe=0, calibration_queries=0,
+        catalog=cat,
+    )
+    with _pytest.raises(ValueError, match="no measured recall curve"):
+        index_scan(spark, "tr_off", [[0.5] * DIM], 5, catalog=cat,
+                   target_recall=0.9)
+    with _pytest.raises(ValueError, match="not both"):
+        index_scan(spark, "tr_off", [[0.5] * DIM], 5, catalog=cat,
+                   search_complexity=4, target_recall=0.9)
+    with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        index_scan(spark, "tr_off", [[0.5] * DIM], 5, catalog=cat,
+                   target_recall=1.5)
+    drop_index("tr_off", cat)
+    create_index(
+        cl_df, "vec_id", "embedding", "tr_hash", engine="diskann",
+        max_degree=16, build_complexity=32, shards=4, shard_by="hash",
+        catalog=cat,
+    )
+    with _pytest.raises(ValueError, match="no measured routing curve"):
+        index_scan(spark, "tr_hash", [[0.5] * DIM], 5, catalog=cat,
+                   target_recall=0.9)
+    drop_index("tr_hash", cat)
