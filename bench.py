@@ -486,8 +486,9 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         # report what the leg ACTUALLY probed (round-9 review fix): the
         # nprobe=0 search rides the manifest's measured calibration when
         # one exists; the static rule is only the unmeasured fallback
-        _auto_np = ((m_auto.get("calibration") or {}).get("nprobe")
-                    or auto_nprobe(nl, dim))
+        from duckdb_ann_spark.index.calibration import calibrated_nprobe
+
+        _auto_np = calibrated_nprobe(m_auto) or auto_nprobe(nl, dim)
         out["scale100k_ivf_auto_probe_frac"] = round(
             _auto_np / m_auto["nlist_effective"], 4
         )
@@ -657,7 +658,9 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     # what the routed uniform legs ACTUALLY probed (round-9 review fix:
     # route_nprobe=0 rides the measured build-time calibration when the
     # manifest carries one; the static rule is the unmeasured fallback)
-    _route_np = ((m_routed.get("route_calibration") or {}).get("nprobe")
+    from duckdb_ann_spark.index.calibration import calibrated_nprobe
+
+    _route_np = (calibrated_nprobe(m_routed, "route_calibration")
                  or auto_route_nprobe(128, dim))
     out["scale100k_route_probe_frac"] = round(_route_np / 128, 4)
     # the reference's recall floor, held by every approximate path whose

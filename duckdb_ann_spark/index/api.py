@@ -200,7 +200,9 @@ def index_scan(
         if not (0.0 < float(target_recall) <= 1.0):
             raise ValueError("target_recall must be in (0, 1]")
         from .calibration import nprobe_for_target
+        from .flat import FlatEngine
         from .ivf import IvfFlatEngine
+        from .vamana import VamanaEngine
 
         if isinstance(impl, IvfFlatEngine):
             if search_complexity:
@@ -217,7 +219,7 @@ def index_scan(
                     "with nprobe=0 to measure, or pass search_complexity"
                 )
             search_complexity = resolved
-        elif manifest.get("layout") in ("diskann-v2", "hnsw-layered"):
+        elif isinstance(impl, VamanaEngine):  # incl. HnswEngine
             resolved = nprobe_for_target(
                 manifest, target_recall, "route_calibration"
             )
@@ -234,7 +236,16 @@ def index_scan(
             # driver-local and distributed search paths
             manifest = {**manifest, "params": {**manifest["params"],
                                                "route_nprobe": resolved}}
-        # exact engines (Flat) meet any target by construction — no-op
+        elif isinstance(impl, FlatEngine):
+            pass  # exact scan meets any target by construction
+        else:
+            # positively-listed engines only: an unknown/approximate
+            # engine silently ignoring an EXPLICIT recall ask is the
+            # exact failure mode this parameter's contract forbids
+            raise ValueError(
+                f"target_recall is not supported for engine "
+                f"{type(impl).__name__} (index '{name}')"
+            )
 
     if not qs or any(len(q) != manifest["dim"] for q in qs):
         # no queries, or any dimension-mismatched query (ragged batches

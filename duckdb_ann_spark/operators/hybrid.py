@@ -629,26 +629,29 @@ def hybrid_search_table(
     # uniformly across all three vector sources and the text leg.
     if index is not None:
         from ..index import index_search_table
+        from ..index.api import _load
 
+        # the AUTHORITATIVE doc-id name is the index manifest's id_col
+        # — detecting the collision by sniffing vhits for a `_q_` column
+        # misfires when the index's id column is literally named
+        # `_q_<query id>` (second-review fix)
+        idx_vec_id = _load(index, "", catalog)[1]["id_col"]
         vhits = index_search_table(
             spark, index, queries_df, query_id_col, query_vec_col,
             vector_candidates, search_complexity, catalog,
         )
-        qren = f"_q_{query_id_col}"
-        if qren in vhits.columns:
-            # the vector index's id column IS the query id name:
-            # index_search_table renamed the QUERY side to _q_<id>;
-            # re-shape to the collision rule above (naively excluding
-            # query_id_col here would pick the QUERY column as the doc
-            # id and partition the rank window by the DOC column —
-            # silently swapped keys)
+        if idx_vec_id == query_id_col:
+            # real collision: index_search_table renamed the QUERY side
+            # to _q_<id>; re-shape to the collision rule above (naively
+            # excluding query_id_col here would pick the QUERY column
+            # as the doc id and partition the rank window by the DOC
+            # column — silently swapped keys)
             out_id_col = f"_doc_{query_id_col}"
             vhits = vhits.withColumnRenamed(
                 query_id_col, out_id_col
-            ).withColumnRenamed(qren, query_id_col)
+            ).withColumnRenamed(f"_q_{query_id_col}", query_id_col)
         else:
-            out_id_col = [c for c in vhits.columns
-                          if c not in (query_id_col, "_distance")][0]
+            out_id_col = idx_vec_id
     else:
         if docs is None or vec_col is None or doc_id_col is None:
             raise ValueError(
