@@ -244,6 +244,20 @@ def _publish_postings(
     ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/manifest")
 
 
+def _norm_index_path(path: str) -> str:
+    """Canonical form for the delta publish's in-place guard: local
+    paths resolve through `os.path.realpath` (symlinked spellings of
+    the same directory must compare equal — abspath strings don't);
+    URI-schemed paths (s3://, hdfs://, file://...) are NOT filesystem
+    paths — realpath/abspath would mangle the double slash — so they
+    only normalize trailing slashes (round-10 advice)."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        return path.rstrip("/")
+    return os.path.realpath(path)
+
+
 def publish_text_index_delta(
     spark,
     base_path: str,
@@ -274,12 +288,20 @@ def publish_text_index_delta(
     Contracts: `output_path` must differ from `base_path` (in-place
     merge while readers are live is inherently racy on object stores —
     publish fresh, switch pointers; the base is also still being READ
-    during the merge). Delta ids must be disjoint from the base's
-    (validated with one narrow base-postings column scan; skip with
-    `validate_ids=False` when the caller guarantees it). The delta must
-    carry the base's own id column. Chaining works: the output is a
-    valid base for the next delta."""
-    if os.path.abspath(output_path) == os.path.abspath(base_path):
+    during the merge). Local paths are compared by `os.path.realpath`,
+    so symlinked spellings of the same directory are caught; URI paths
+    (s3://, hdfs://, file://) are compared as normalized strings only —
+    two URIs that alias the same object-store location through
+    different endpoints/mounts are the CALLER's responsibility. Delta
+    ids must be disjoint from the base's (validated with one narrow
+    base-postings column scan; skip with `validate_ids=False` when the
+    caller guarantees it). CAVEAT: a base document with ZERO tokens has
+    no postings rows and is invisible to that validation — reusing its
+    id double-counts it in n_docs vs a full republish (slightly lower
+    idf/avgdl weights, no crash); keep ids disjoint including empty
+    docs. The delta must carry the base's own id column. Chaining
+    works: the output is a valid base for the next delta."""
+    if _norm_index_path(output_path) == _norm_index_path(base_path):
         raise ValueError(
             "publish_text_index_delta: output_path must differ from "
             "base_path (publish each corpus version to a fresh path and "
@@ -613,6 +635,21 @@ def hybrid_search_table(
     `_vector_rank` 0 — the DataFrame-native reading of the reference's
     empty-result rule, per leg."""
     spark = queries_df.sparkSession
+
+    # the query id rides LONG-declared schemas on BOTH vector paths
+    # (index_search_table's shuffle AND knn_join's applyInPandas) as
+    # well as the text leg's groupBy — enforce the integral contract
+    # here so the docs/knn_join brute-force path fails as loudly as the
+    # index path instead of NULL-collapsing all queries into one window
+    # group or dying mid-job in Arrow (round-10 advice)
+    qid_type = queries_df.schema[query_id_col].dataType.typeName()
+    if qid_type not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"hybrid_search_table: query id column '{query_id_col}' must "
+            f"be an integral type (got {qid_type}); map string/other ids "
+            "to a long key first (e.g. monotonically_increasing_id or "
+            "xxhash64) and join them back after the search"
+        )
 
     # ---- text leg: published postings, per-query ----
     from ..functions.text import spark_sql_tokenize

@@ -217,6 +217,50 @@ def test_text_index_delta_validation(spark, base, tmp_path):
             spark, p_base, base.select("text"), "text",
             str(tmp_path / "tv_out2"),
         )
+    # a SYMLINKED spelling of the base dir is still an in-place merge
+    # (round-10 advice: abspath strings let symlinks evade the guard)
+    link = str(tmp_path / "tv_link")
+    import os as _os
+
+    _os.symlink(p_base, link)
+    with _pytest.raises(ValueError, match="must differ"):
+        publish_text_index_delta(spark, p_base, base.limit(0), "text", link)
+
+
+def test_norm_index_path_uris():
+    """URI-schemed paths normalize without abspath mangling; local
+    paths resolve symlinks."""
+    from duckdb_ann_spark.operators.hybrid import _norm_index_path
+
+    assert _norm_index_path("s3://bucket/idx/") == "s3://bucket/idx"
+    assert _norm_index_path("hdfs://nn:8020/a") == "hdfs://nn:8020/a"
+    # the scheme's double slash survives (abspath would collapse it)
+    assert "://" in _norm_index_path("s3://bucket/idx")
+
+
+def test_hybrid_search_table_rejects_non_integral_qid(spark, base, tmp_path):
+    """Both vector paths fail loud on a string query id (round-10
+    advice: the brute-force path used to NULL-collapse silently)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.operators.hybrid import (
+        hybrid_search_table,
+        publish_text_index,
+    )
+
+    ti = str(tmp_path / "qid_ti")
+    publish_text_index(base.limit(50), "doc_id", "text", ti)
+    qdf = base.limit(2).select(
+        F.col("doc_id").cast("string").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("text").alias("qtext"),
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        hybrid_search_table(
+            qdf, "qid", "qv", "qtext", text_index=ti, docs=base,
+            doc_id_col="doc_id", vec_col="embedding", k=3,
+        )
 
 
 def test_hybrid_search_table_matches_per_query(spark, base, tmp_path):
