@@ -82,6 +82,31 @@ ROUTED_TARGET = 0.90
 DEFAULT_QUERIES = 64
 CAL_K = 10
 
+# In-shard graph-search recall target (round 10 — the symmetric half of
+# the round-9 probe work). Routing calibration holds candidate COVERAGE
+# at ROUTED_TARGET, but the greedy beam inside a probed shard stacks its
+# own miss on top: measured ~0.92-0.97 at the static default L on
+# uniform shards but ~0.76 on dense-cluster shards (occlusion pruning
+# bites when every point is close — round-9 measurement, see the
+# ROUTED_TARGET comment above). 0.90 here makes the compound budget
+# 0.90 * 0.90 = 0.81 against the reference's 0.70 floor; on uniform
+# shards the default L already clears it (measured L == base, zero
+# extra search work), on clustered shards L climbs until the beam
+# holds — converting wall time into the recall the routing work alone
+# cannot buy back.
+L_TARGET = 0.90
+# L grid: multiples of the engine's static default (build_complexity /
+# ef_construction). Search cost is ~linear in L, so the grid tops out
+# at 8x (a shard needing more is mis-sized — the degree-aware budget
+# should have split it) and the measurement records the honest
+# achieved recall when even 8x misses the target.
+L_GRID_FACTORS = (1.0, 1.25, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0)
+L_GRID_CAP = 4096
+# measure on at most this many shards (the busiest by held-out query
+# mass): bounds the per-build measurement cost regardless of shard
+# count, the same discipline as the query-sample cap
+L_MAX_SHARDS = 8
+
 
 def _sample_queries(
     src: DataFrame, id_col: str, vec_col: str, n_rows: int, n_queries: int
@@ -228,7 +253,176 @@ def measure_probe_calibration(
         "recall_at_nprobe": round(float(curve[measured - 1]), 4),
         "probes": [int(p) for p in pts],
         "recall": [round(float(curve[p - 1]), 4) for p in pts],
+        # staleness observability (round 10): the measurement reflects
+        # the data AT BUILD TIME (see the module docstring's staleness
+        # contract); `ann_index_info` compares this against the live
+        # num_vectors and reports `calibration_stale` once appends
+        # drift past CALIBRATION_STALE_FRACTION
+        "rows_at_measurement": int(n_rows),
     }
+
+
+def measure_l_calibration(
+    src: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    metric: str,
+    n_rows: int,
+    shard_files: "list[tuple[int, str]]",
+    base_l: int,
+    target: float = L_TARGET,
+    n_queries: int = DEFAULT_QUERIES,
+    k: int = CAL_K,
+    max_shards: int = L_MAX_SHARDS,
+) -> dict | None:
+    """Measure THIS index's in-shard graph-search recall-vs-L curve at
+    build time (round 10) → manifest-ready dict, or None when there is
+    nothing to measure (no shards, no sample, base_l<=0).
+
+    Why: routing calibration (above) fixes WHICH shards a query probes;
+    this fixes how hard the greedy beam works INSIDE them. The two
+    losses multiply, and round 9's measurement showed the in-shard term
+    is the binding one on clustered data (~0.76 at the static default L
+    vs 0.92-0.97 on uniform shards — occlusion pruning bites when every
+    point is close). `search_complexity=None` searches resolve through
+    the stored value (explicit per-call L > this measurement > the
+    static default), so uniform indexes pay nothing (measured L == base)
+    and clustered ones buy their recall back with wall time.
+
+    How it stays bounded: the held-out sample (the SAME deterministic
+    hash sample the probe calibration uses) is routed to each query's
+    top-1 shard; only the `max_shards` busiest shards are measured. One
+    distributed pass, one task per measured shard: the task mmaps its
+    shard (the search-time cache path), computes the EXACT in-shard
+    top-k once (a (nq, shard_rows) GEMM — a shard is budget-bounded,
+    so this is small), then runs the lock-step batch search once per
+    grid L. Driver traffic is O(shards * |grid|) count rows, never
+    vectors. Recall is judged in the exact-distance domain with a tie
+    tolerance (a returned label counts if its exact distance is within
+    the k-th exact distance), so GEMM-vs-per-row float32 accumulation
+    differences cannot miscount.
+
+    The curve is IN-SHARD recall — the multiplicative partner of the
+    routing curve, not an end-recall guarantee on its own (same
+    contract split as ROUTED_TARGET vs IVF_TARGET)."""
+    if not shard_files or n_queries <= 0 or int(base_l) <= 0 or n_rows < 2:
+        return None
+    base_l = int(base_l)
+    qids, qmat = _sample_queries(src, id_col, vec_col, n_rows, n_queries)
+    nq = qmat.shape[0]
+    if nq == 0:
+        return None
+    existing = {s for s, _ in shard_files}
+    cd = np_index_distances(metric, centroids, qmat)  # (nq, nlist)
+    order = np.argsort(cd, axis=1, kind="stable")
+    tgt = np.full(nq, -1, dtype=np.int64)
+    for i in range(nq):
+        for c in order[i]:
+            if int(c) in existing:
+                tgt[i] = int(c)
+                break
+    keep_q = tgt >= 0
+    if not keep_q.any():
+        return None
+    qmat, tgt = qmat[keep_q], tgt[keep_q]
+    # bound the measurement to the busiest shards by held-out query mass
+    shards_u, counts = np.unique(tgt, return_counts=True)
+    busiest = set(
+        int(s) for s in shards_u[np.argsort(-counts, kind="stable")][:max_shards]
+    )
+    mask = np.array([int(t) in busiest for t in tgt])
+    qmat, tgt = qmat[mask], tgt[mask]
+    grid = sorted(
+        {
+            min(L_GRID_CAP, max(1, int(round(base_l * f))))
+            for f in L_GRID_FACTORS
+        }
+    )
+    spark = src.sparkSession
+    paths = dict(shard_files)
+    rows = [
+        (int(s), [float(x) for x in qmat[i]]) for i, s in enumerate(tgt)
+    ]
+    from ..local import local_df
+
+    # deferred import breaks the module cycle (vamana imports this
+    # module); binding it HERE (driver-side) lets the task closure
+    # capture it by importable reference
+    from .vamana import _load_shard as load_shard
+
+    qdf = local_df(spark, rows, "shard int, _qv array<float>").repartition(
+        min(len(busiest), spark.sparkContext.defaultParallelism), "shard"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for shard, grp in pdf.groupby("shard", sort=True):
+                g = load_shard(paths[int(shard)])
+                n = int(g.n)
+                if n == 0:
+                    continue
+                qs = np_stack_vectors(grp["_qv"])
+                kk = min(k, n)
+                vecs = np.asarray(g.vectors[:n])
+                d_exact = np_index_distances(metric, vecs, qs)  # (nq, n)
+                part = np.partition(d_exact, kk - 1, axis=1)
+                dk = part[:, kk - 1]  # k-th exact distance per query
+                # tie/float tolerance: squared-l2 >= 0, negated-ip can be
+                # negative — widen by magnitude either way
+                tol = dk + np.maximum(1e-6, np.abs(dk) * 1e-5)
+                for L in grid:
+                    res = g.search_batch(qs, kk, L)
+                    hits = 0
+                    for qi, hl in enumerate(res):
+                        for label, _dist in hl:
+                            if d_exact[qi, int(label)] <= tol[qi]:
+                                hits += 1
+                    out.append((int(L), int(hits), int(kk * qs.shape[0])))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["l", "hits", "total"]
+                )
+
+    agg = qdf.mapInPandas(run, schema="l int, hits long, total long").toPandas()
+    if not len(agg):
+        return None
+    curve = (
+        agg.groupby("l", sort=True).sum()
+    )
+    recall = (curve["hits"] / curve["total"]).to_dict()
+    measured = grid[-1]
+    for L in grid:
+        if L in recall and recall[L] >= target:
+            measured = L
+            break
+    ls = [L for L in grid if L in recall]
+    return {
+        "n_queries": int(qmat.shape[0]),
+        "k": int(k),
+        "target": float(target),
+        "base": base_l,
+        "search_complexity": int(measured),
+        "recall_at_l": round(float(recall.get(measured, 0.0)), 4),
+        "ls": [int(L) for L in ls],
+        "recall": [round(float(recall[L]), 4) for L in ls],
+        "rows_at_measurement": int(n_rows),
+    }
+
+
+def calibrated_l(manifest: dict) -> int:
+    """The measured in-shard floor-clearing search_complexity (L /
+    efSearch) recorded in `manifest` under `l_calibration`, or 0 when
+    the artifact carries none — callers fall back to the engine's
+    static default (build_complexity / ef_construction)."""
+    cal = manifest.get("l_calibration") or {}
+    try:
+        return int(cal.get("search_complexity") or 0)
+    except (TypeError, ValueError):
+        return 0
 
 
 def nprobe_for_target(

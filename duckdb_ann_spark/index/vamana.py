@@ -174,6 +174,27 @@ def _route_centroids(spark: SparkSession, artifact_dir: str,
     return cents
 
 
+def _resolve_search_complexity(
+    manifest: dict, search_complexity: int | None
+) -> int | None:
+    """search_complexity=None resolution shared by every graph-search
+    surface (round 10 — the symmetric half of `_resolve_route_nprobe`):
+    explicit per-call value > the index's own MEASURED in-shard
+    floor-clearing L (build-time calibration, `l_calibration`) > None,
+    which the graph kernels resolve to their static default
+    (build_complexity for Vamana, ef_construction for HNSW —
+    `vamana_core.VamanaGraph.search:111`, `hnsw_core:285`). Uniform
+    indexes measure L == the static default, so this is a no-op there;
+    dense-cluster shards measure the larger L their occlusion-pruned
+    beams actually need (the round-9 residual: ~0.76 in-shard recall at
+    the default L on clustered 100k)."""
+    if search_complexity is not None:
+        return search_complexity
+    from .calibration import calibrated_l
+
+    return calibrated_l(manifest) or None
+
+
 def _resolve_route_nprobe(manifest: dict, n_shards: int, dim: int) -> int:
     """route_nprobe=0 resolution shared by every routed-search surface:
     explicit manifest value > the index's own MEASURED floor-clearing
@@ -328,6 +349,9 @@ class VamanaEngine:
             # hash/single-shard layouts — also CLEARS a stale value
             # when vacuum/merge rebuilds under a different layout)
             "route_calibration": getattr(params, "_route_calibration", None),
+            # measured in-shard L calibration (round 10; same
+            # clear-on-rebuild contract)
+            "l_calibration": getattr(params, "_l_calibration", None),
         }
 
     def _run_sharded_build(self, spark, src, id_col, params, build_shard,
@@ -360,11 +384,12 @@ class VamanaEngine:
         balance, not perfect hash balance, is the price of locality."""
         import shutil
 
-        # routed-probe calibration result (set by _run_cell_build;
-        # None-initialized here so hash/single-shard builds — and
-        # vacuum/merge rebuilds that CHANGE layout — record no stale
-        # measurement)
+        # routed-probe + in-shard-L calibration results (set by
+        # _run_cell_build; None-initialized here so hash/single-shard
+        # builds — and vacuum/merge rebuilds that CHANGE layout —
+        # record no stale measurement)
         params._route_calibration = None
+        params._l_calibration = None
         shards = int(getattr(params, "shards", 0))
         n_rows = getattr(params, "_n_rows", None)
         if shards == 0:
@@ -522,7 +547,31 @@ class VamanaEngine:
             .write.mode("overwrite")
             .parquet(f"{artifact_dir}/{LABELS_DIR}")
         )
-        return len(self._shard_files(artifact_dir))
+        # round 10: measure the IN-SHARD graph-search recall-vs-L curve
+        # on the same held-out sample (shard files exist now). Routing
+        # calibration above fixed WHICH shards get probed; this fixes
+        # how hard the beam works inside them — the two losses multiply
+        # (clustered shards measured ~0.76 at the static default L in
+        # round 9, the one floor-margin residual). Measured regardless
+        # of a pinned route_nprobe: L is a per-call knob with no build
+        # pin, so the measurement is never dead weight.
+        shard_files = self._shard_files(artifact_dir)
+        if nq > 0 and shard_files:
+            from .calibration import measure_l_calibration
+
+            params._l_calibration = measure_l_calibration(
+                src, id_col, vec_col, centroids, metric, n_rows,
+                shard_files, self._default_search_complexity(params),
+                n_queries=nq,
+            )
+        return len(shard_files)
+
+    def _default_search_complexity(self, params) -> int:
+        """The engine's STATIC default search L — what a
+        `search_complexity=None` search falls back to inside the graph
+        kernel (`vamana_core.VamanaGraph.search:111`); the base of the
+        build-time L-calibration grid."""
+        return int(params.build_complexity)
 
     def ids(self, spark: SparkSession, artifact_dir: str, id_col: str) -> DataFrame:
         """Just the indexed ids — a column-pruned label-map scan, no
@@ -812,6 +861,11 @@ class VamanaEngine:
         search_complexity: int | None = None,
     ) -> DataFrame:
         id_col = manifest["id_col"]
+        # None → the index's measured in-shard L when recorded (round
+        # 10), else the kernel's static default
+        search_complexity = _resolve_search_complexity(
+            manifest, search_complexity
+        )
         shard_files = self._shard_files(artifact_dir)
         # shard_by='cells': probe only the route_nprobe nearest shards
         # per query instead of fanning out to all of them
@@ -962,6 +1016,9 @@ class VamanaEngine:
         the driver."""
         id_col = manifest["id_col"]
         metric = manifest["params"]["metric"]
+        search_complexity = _resolve_search_complexity(
+            manifest, search_complexity
+        )
         shard_files = self._shard_files(artifact_dir)
         route = _route_centroids(spark, artifact_dir, manifest["params"])
         rnp = 0
@@ -1138,7 +1195,13 @@ class HnswEngine(VamanaEngine):
         return {
             "layout": "hnsw-layered", "shards": shards,
             "route_calibration": getattr(params, "_route_calibration", None),
+            "l_calibration": getattr(params, "_l_calibration", None),
         }
+
+    def _default_search_complexity(self, params) -> int:
+        """efSearch defaults to ef_construction (`hnsw_core:285`) — the
+        base of the build-time L-calibration grid for HNSW shards."""
+        return self._ef_construction(params)
 
     def append(self, spark, manifest, artifact_dir, df_new, params):
         """Shard-routed append (same policy as VamanaEngine.append):

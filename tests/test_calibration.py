@@ -254,6 +254,73 @@ def test_target_recall_resolves_from_stored_curve(spark, data, cat):
     drop_index("tr_ivf", cat)
 
 
+def test_l_calibration_recorded_and_resolved(spark, data, cat):
+    """A routed (cells) build measures the in-shard recall-vs-L curve
+    (round 10): manifest carries `l_calibration` with the grid anchored
+    at the engine's static default; search_complexity=None resolves
+    through it; the default search clears the floor on clustered data."""
+    from duckdb_ann_spark.index.calibration import L_TARGET, calibrated_l
+    from duckdb_ann_spark.index.vamana import _resolve_search_complexity
+
+    cl_df, cl_mat, _, _, centers, rng = data
+    m = create_index(
+        cl_df, "vec_id", "embedding", "lcal_vam", engine="diskann",
+        max_degree=16, build_complexity=32, shards=N_CLUSTERS,
+        shard_by="cells", catalog=cat,
+    )
+    lc = m["l_calibration"]
+    assert lc is not None and lc["target"] == L_TARGET
+    assert lc["base"] == 32  # build_complexity is the static default L
+    assert lc["ls"][0] == 32 and lc["search_complexity"] in lc["ls"]
+    assert lc["search_complexity"] >= 32
+    assert lc["rows_at_measurement"] == N
+    # more beam width never hurts in-shard recall
+    assert lc["recall"][-1] >= lc["recall"][0]
+    assert lc["recall_at_l"] == lc["recall"][lc["ls"].index(
+        lc["search_complexity"])]
+    # resolution order: explicit > measured > None
+    assert _resolve_search_complexity(m, 99) == 99
+    assert _resolve_search_complexity(m, None) == lc["search_complexity"]
+    assert calibrated_l({"l_calibration": None}) == 0
+    assert _resolve_search_complexity({"params": {}}, None) is None
+    # end-to-end: default search (None L) rides the measurement and
+    # holds the floor on the clustered corpus
+    queries = centers[np.arange(30) % N_CLUSTERS] + rng.normal(
+        0, 0.02, (30, DIM)
+    ).astype(np.float32)
+    rows = index_scan(spark, "lcal_vam", queries, 10, catalog=cat).collect()
+    assert _recall(rows, cl_mat, queries) >= 0.70
+    drop_index("lcal_vam", cat)
+
+
+def test_l_calibration_gates(spark, data, cat):
+    """calibration_queries=0 and hash layouts record no L measurement;
+    HNSW cells builds anchor the grid at ef_construction."""
+    cl_df = data[0]
+    m = create_index(
+        cl_df, "vec_id", "embedding", "lcal_off", engine="diskann",
+        max_degree=16, build_complexity=32, shards=N_CLUSTERS,
+        shard_by="cells", calibration_queries=0, catalog=cat,
+    )
+    assert m["l_calibration"] is None
+    drop_index("lcal_off", cat)
+    m = create_index(
+        cl_df, "vec_id", "embedding", "lcal_hash", engine="diskann",
+        max_degree=16, build_complexity=32, shards=4, shard_by="hash",
+        catalog=cat,
+    )
+    assert m["l_calibration"] is None
+    drop_index("lcal_hash", cat)
+    m = create_index(
+        cl_df, "vec_id", "embedding", "lcal_hnsw", engine="faiss",
+        type="HNSW", hnsw_m=16, shards=N_CLUSTERS, shard_by="cells",
+        catalog=cat,
+    )
+    lc = m["l_calibration"]
+    assert lc is not None and lc["base"] == 40  # max(2*16, 40)
+    drop_index("lcal_hnsw", cat)
+
+
 def test_target_recall_routed_graph_and_errors(spark, data, cat):
     import pytest as _pytest
 
