@@ -448,7 +448,27 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         + crng.normal(0, 0.02, (N_QUERIES, dim))
     ).astype(np.float32)
     ctruth = _exact_truth(cmat, cids, cqueries, K)
-    del cvp, cmat
+    # clustered knn_join ground truth (round 10): exact top-KNN_K for
+    # the first KNN_NS clustered base ids — the fresh-build knn_join
+    # leg below measures its own probe curve on this regime
+    ckd = np_index_distances("l2", cmat, cmat[:KNN_NS])
+    cktruth = [
+        set(cids[np.lexsort((cids, ckd[i]))[:KNN_K]].tolist())
+        for i in range(KNN_NS)
+    ]
+    del cvp, cmat, ckd
+
+    def _cknn_recall(rows) -> float:
+        got: dict[int, set] = {}
+        for r in rows:
+            if r["qid"] < KNN_NS:
+                got.setdefault(r["qid"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(i, set()) & cktruth[i]) for i in range(KNN_NS))
+        return hits / (KNN_NS * KNN_K)
+
+    cqside = cvecs.where(F.col("vec_id") < 10_000).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
 
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     for _ in range(reps):
@@ -599,6 +619,16 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         out["scale100k_vamana_clust_measured_frac"] = round(
             rcal["nprobe"] / 128, 4
         )
+        # round-10: the measured in-shard L this leg's searches resolve
+        # to (base 32 = build_complexity; >32 means the calibration
+        # detected the dense-shard beam loss and is paying wall time to
+        # buy the recall back — the search timing above carries the
+        # delta)
+        lcal = mv["l_calibration"]
+        assert lcal is not None
+        out["scale100k_vamana_clust_measured_l"] = float(
+            lcal["search_complexity"]
+        )
         t0 = time.perf_counter()
         rows = index_scan(
             spark, "scale_vam_clust", cqueries, K, catalog=cat
@@ -623,17 +653,43 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         # round-8: nlist/nprobe OMITTED — this workload now measures the
         # operator's literal DEFAULT call (defaults flipped to the auto
         # pairing this round), so the floor assert below characterizes
-        # what `knn_join(...)` gives a user out of the box
+        # what `knn_join(...)` gives a user out of the box. Round 10:
+        # the default call measures its own fresh cells' probe curve
+        # in-call; the frac key reports what the leg ACTUALLY probed
+        # (uniform data ~= the static rule, by construction).
+        kj_stats: dict = {}
         t0 = time.perf_counter()
         rows = knn_join(
             qside, "qid", "embedding", vecs, "vec_id", "embedding",
-            k=KNN_K, n_rows=SCALE_N,
+            k=KNN_K, n_rows=SCALE_N, stats=kj_stats,
         ).collect()
         _t("scale100k_knn_join_auto", t0)
         assert len(rows) == 10_000 * KNN_K, len(rows)
         recall["scale100k_knn_join_auto"] = round(_knn_recall(rows), 3)
         out["scale100k_knn_join_auto_probe_frac"] = round(
+            kj_stats["nprobe"] / kj_stats["nlist"], 4
+        )
+        out["scale100k_knn_join_static_frac"] = round(
             auto_nprobe(nl, dim) / nl, 4
+        )
+
+        # round-10: the DEFAULT call on CLUSTERED data — the fresh-build
+        # path used to ride the static uniform rule (probe frac 0.354 at
+        # r9) while the published clustered index measured 0.009; the
+        # in-call measurement closes that gap on the operator's default
+        # face
+        ckj_stats: dict = {}
+        t0 = time.perf_counter()
+        rows = knn_join(
+            cqside, "qid", "embedding", cvecs, "vec_id", "embedding",
+            k=KNN_K, n_rows=SCALE_N, stats=ckj_stats,
+        ).collect()
+        _t("scale100k_knn_join_clust", t0)
+        assert len(rows) == 10_000 * KNN_K, len(rows)
+        assert ckj_stats["measured"] is True
+        recall["scale100k_knn_join_clust"] = round(_cknn_recall(rows), 3)
+        out["scale100k_knn_join_clust_probe_frac"] = round(
+            ckj_stats["nprobe"] / ckj_stats["nlist"], 4
         )
 
         # round-8: the floor-TARGETED config (ivf.floor_nprobe — 0.7x
@@ -667,11 +723,18 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     # CONFIG claims recall (the pinned knn_join is documented latency-floor)
     for key in ("scale100k_vamana_routed", "scale100k_hnsw_routed",
                 "scale100k_knn_join_auto", "scale100k_knn_join_floor",
+                "scale100k_knn_join_clust",
                 "scale100k_ivf",
                 "scale100k_ivf_auto", "scale100k_vamana",
                 "scale100k_search_table_routed",
                 "scale100k_ivf_clust", "scale100k_vamana_clust"):
         assert recall[key] >= 0.70, (key, recall[key])
+    # round-10 deliverable: the measured in-shard L lifts the clustered
+    # graph leg clear of the floor-margin residual (r9 held 0.728 at
+    # the static L; the verdict's bar is >=0.78)
+    assert recall["scale100k_vamana_clust"] >= 0.78, (
+        recall["scale100k_vamana_clust"]
+    )
     # the calibrated clustered regime must probe WELL below the static
     # uniform rule (the round-9 deliverable: measured, not hoped)
     assert (
@@ -682,6 +745,12 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         out["scale100k_vamana_clust_measured_frac"]
         <= 0.5 * out["scale100k_route_probe_frac"]
     ), out["scale100k_vamana_clust_measured_frac"]
+    # round-10 deliverable: the fresh-build knn_join default measures
+    # its clustered probes well below the static rule too
+    assert (
+        out["scale100k_knn_join_clust_probe_frac"]
+        <= 0.5 * out["scale100k_knn_join_static_frac"]
+    ), out["scale100k_knn_join_clust_probe_frac"]
 
     vecs.unpersist()
     cvecs.unpersist()

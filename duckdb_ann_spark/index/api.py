@@ -197,55 +197,9 @@ def index_scan(
     id_col = manifest["id_col"]
 
     if target_recall is not None:
-        if not (0.0 < float(target_recall) <= 1.0):
-            raise ValueError("target_recall must be in (0, 1]")
-        from .calibration import nprobe_for_target
-        from .flat import FlatEngine
-        from .ivf import IvfFlatEngine
-        from .vamana import VamanaEngine
-
-        if isinstance(impl, IvfFlatEngine):
-            if search_complexity:
-                raise ValueError(
-                    "pass either search_complexity (an explicit nprobe "
-                    "for IVFFlat) or target_recall, not both"
-                )
-            resolved = nprobe_for_target(manifest, target_recall)
-            if resolved <= 0:
-                raise ValueError(
-                    f"index '{name}' carries no measured recall curve "
-                    "(built with a pinned nprobe or calibration_queries"
-                    "=0, or pre-dates build-time calibration) — rebuild "
-                    "with nprobe=0 to measure, or pass search_complexity"
-                )
-            search_complexity = resolved
-        elif isinstance(impl, VamanaEngine):  # incl. HnswEngine
-            resolved = nprobe_for_target(
-                manifest, target_recall, "route_calibration"
-            )
-            if resolved <= 0:
-                raise ValueError(
-                    f"index '{name}' carries no measured routing curve "
-                    "(hash/single-shard layout, pinned route_nprobe, or "
-                    "calibration_queries=0) — target_recall needs a "
-                    "shard_by='cells' build with calibration enabled"
-                )
-            # per-call routing override: explicit manifest route_nprobe
-            # wins inside _resolve_route_nprobe, so a shallow-copied
-            # manifest carries the resolved count through both the
-            # driver-local and distributed search paths
-            manifest = {**manifest, "params": {**manifest["params"],
-                                               "route_nprobe": resolved}}
-        elif isinstance(impl, FlatEngine):
-            pass  # exact scan meets any target by construction
-        else:
-            # positively-listed engines only: an unknown/approximate
-            # engine silently ignoring an EXPLICIT recall ask is the
-            # exact failure mode this parameter's contract forbids
-            raise ValueError(
-                f"target_recall is not supported for engine "
-                f"{type(impl).__name__} (index '{name}')"
-            )
+        search_complexity, manifest = _apply_target_recall(
+            impl, manifest, name, search_complexity, target_recall
+        )
 
     if not qs or any(len(q) != manifest["dim"] for q in qs):
         # no queries, or any dimension-mismatched query (ragged batches
@@ -325,6 +279,73 @@ def index_scan(
     )
 
 
+def _apply_target_recall(
+    impl, manifest: dict, name: str,
+    search_complexity: Optional[int], target_recall: float,
+) -> "tuple[Optional[int], dict]":
+    """Shared `target_recall` resolution (round 10 — extracted from
+    `index_scan` so the DataFrame-queries surfaces speak the same
+    contract) → (search_complexity, manifest). Per engine family:
+
+    * IVFFlat: resolve nprobe from the stored measured curve; mutually
+      exclusive with an explicit search_complexity.
+    * Graph (Vamana/HNSW): resolve route_nprobe from the routing curve
+      into a shallow-copied manifest (explicit manifest route_nprobe
+      wins inside `_resolve_route_nprobe`, so the copy carries the
+      per-call count through every search path); search_complexity is
+      left alone (it is the in-shard L knob, orthogonal — and
+      `l_calibration` already resolves its None case).
+    * Flat: exact scan, any target satisfied by construction.
+    * anything else: fail loud — an approximate engine silently
+      ignoring an EXPLICIT recall ask is the exact failure mode this
+      parameter's contract forbids.
+
+    Fails loud on artifacts without the relevant measurement."""
+    if not (0.0 < float(target_recall) <= 1.0):
+        raise ValueError("target_recall must be in (0, 1]")
+    from .calibration import nprobe_for_target
+    from .flat import FlatEngine
+    from .ivf import IvfFlatEngine
+    from .vamana import VamanaEngine
+
+    if isinstance(impl, IvfFlatEngine):
+        if search_complexity:
+            raise ValueError(
+                "pass either search_complexity (an explicit nprobe "
+                "for IVFFlat) or target_recall, not both"
+            )
+        resolved = nprobe_for_target(manifest, target_recall)
+        if resolved <= 0:
+            raise ValueError(
+                f"index '{name}' carries no measured recall curve "
+                "(built with a pinned nprobe or calibration_queries"
+                "=0, or pre-dates build-time calibration) — rebuild "
+                "with nprobe=0 to measure, or pass search_complexity"
+            )
+        search_complexity = resolved
+    elif isinstance(impl, VamanaEngine):  # incl. HnswEngine
+        resolved = nprobe_for_target(
+            manifest, target_recall, "route_calibration"
+        )
+        if resolved <= 0:
+            raise ValueError(
+                f"index '{name}' carries no measured routing curve "
+                "(hash/single-shard layout, pinned route_nprobe, or "
+                "calibration_queries=0) — target_recall needs a "
+                "shard_by='cells' build with calibration enabled"
+            )
+        manifest = {**manifest, "params": {**manifest["params"],
+                                           "route_nprobe": resolved}}
+    elif isinstance(impl, FlatEngine):
+        pass  # exact scan meets any target by construction
+    else:
+        raise ValueError(
+            f"target_recall is not supported for engine "
+            f"{type(impl).__name__} (index '{name}')"
+        )
+    return search_complexity, manifest
+
+
 def _as_queries(queries) -> list:
     """Normalize a single vector, list of vectors, or numpy matrix to
     list-of-lists."""
@@ -380,6 +401,7 @@ def index_search_table(
     search_complexity: Optional[int] = None,
     catalog: Optional[Catalog] = None,
     method: str = "blas",
+    target_recall: Optional[float] = None,
 ) -> DataFrame:
     """DataFrame-queries index search → (<query_id_col>, <index id col>,
     _distance): every row of an UNBOUNDED query DataFrame gets its k
@@ -406,11 +428,23 @@ def index_search_table(
     appear (over-request + anti-join, like `index_scan`).
     `method='exact'` switches the IVF/Flat scoring to the bit-exact JVM
     fold (oracle discipline); graph engines ignore it (their distances
-    come from the same float32 kernel either way)."""
+    come from the same float32 kernel either way).
+
+    `target_recall` (round 10): the per-call recall knob `index_scan`
+    grew in round 9, on the surface a 100-TB caller actually uses —
+    resolved from the index's measured build-time curve via the same
+    engine dispatch (`_apply_target_recall`): nprobe for IVFFlat,
+    route_nprobe for routed graphs (candidate-coverage semantics — the
+    in-shard search stacks its measured-L miss on top), satisfied by
+    construction for Flat, loud failure for unmeasured artifacts."""
     from ..operators.knn_join import index_knn_join, knn_join
 
     cat, manifest, d, impl = _load(name, "", catalog)
     id_col = manifest["id_col"]
+    if target_recall is not None:
+        search_complexity, manifest = _apply_target_recall(
+            impl, manifest, name, search_complexity, target_recall
+        )
     # every branch carries the query id through a schema that declares
     # it LONG (search_df's shuffle, knn_join's applyInPandas): a
     # non-integral id would either silently NULL-collapse all queries
@@ -543,7 +577,8 @@ def _memory_bytes(m: dict) -> int:
 _LIST_SCHEMA = "name string, engine string, table_name string"
 _INFO_SCHEMA = (
     "name string, engine string, table_name string, num_vectors long, "
-    "num_deleted long, memory_bytes long, quantized boolean, layout string"
+    "num_deleted long, memory_bytes long, quantized boolean, layout string, "
+    "calibration_stale boolean"
 )
 
 
@@ -558,7 +593,14 @@ def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> Da
     """`ann_index_info()` diagnostics (`src/ann_list.cpp:97-221`), plus a
     `layout` column naming the physical structure (e.g. `hnsw-layered`,
     `diskann-v2`, `ivf-parquet-v1`) so structural divergences from the
-    reference's backends are discoverable at runtime."""
+    reference's backends are discoverable at runtime, and a
+    `calibration_stale` column (round 10) that flips true once
+    appends/tombstones have drifted the index past
+    `CALIBRATION_STALE_FRACTION` of what its build-time probe/L
+    measurements were taken on — the `needs_vacuum` discipline applied
+    to the calibration contract (vacuum re-measures)."""
+    from .calibration import calibration_stale
+
     cat = catalog or Catalog()
     rows = [
         (
@@ -570,6 +612,7 @@ def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> Da
             _memory_bytes(m),
             m.get("params", {}).get("quantization", "") == "sq8",
             m.get("layout", ""),
+            calibration_stale(m),
         )
         for m in cat.list()
     ]

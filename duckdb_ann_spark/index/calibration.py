@@ -88,13 +88,19 @@ CAL_K = 10
 # own miss on top: measured ~0.92-0.97 at the static default L on
 # uniform shards but ~0.76 on dense-cluster shards (occlusion pruning
 # bites when every point is close — round-9 measurement, see the
-# ROUTED_TARGET comment above). 0.90 here makes the compound budget
-# 0.90 * 0.90 = 0.81 against the reference's 0.70 floor; on uniform
-# shards the default L already clears it (measured L == base, zero
-# extra search work), on clustered shards L climbs until the beam
-# holds — converting wall time into the recall the routing work alone
-# cannot buy back.
-L_TARGET = 0.90
+# ROUTED_TARGET comment above). Why 0.95 and not the naive
+# compound-budget 0.90: the held-out sample measures DATA-distribution
+# queries, and real query sets sit partly off that distribution — on
+# the 100k/128-shard clustered bench the sample curve read 0.90 at
+# L=1.25x base while the cluster-core query set held only ~0.81
+# in-shard at that L (end recall 0.758). The measured end-recall sweep
+# on that config: L=2x base -> 0.834, 3x -> 0.884, 4x -> 0.904, with
+# walls moving ~10-30% — so the target carries the off-sample margin
+# explicitly; sample-curve 0.95 landed at 2x base = end 0.834, a
+# 0.13 margin over the reference's 0.70 floor. On uniform shards the
+# honest (self-excluded) base-L recall typically sits at/near 0.95
+# already, so the common case stays measured-L == base.
+L_TARGET = 0.95
 # L grid: multiples of the engine's static default (build_complexity /
 # ef_construction). Search cost is ~linear in L, so the grid tops out
 # at 8x (a shard needing more is mis-sized — the degree-aware budget
@@ -309,7 +315,13 @@ def measure_l_calibration(
     if not shard_files or n_queries <= 0 or int(base_l) <= 0 or n_rows < 2:
         return None
     base_l = int(base_l)
-    qids, qmat = _sample_queries(src, id_col, vec_col, n_rows, n_queries)
+    # oversample 4x: the busiest-shard cut below keeps only the queries
+    # routed at the measured shards (a 64-query sample kept just 17 on
+    # the 128-shard bench config — too noisy for a per-L recall
+    # estimate); the pass stays bounded either way
+    qids, qmat = _sample_queries(
+        src, id_col, vec_col, n_rows, min(4 * n_queries, 512)
+    )
     nq = qmat.shape[0]
     if nq == 0:
         return None
@@ -363,24 +375,43 @@ def measure_l_calibration(
             for shard, grp in pdf.groupby("shard", sort=True):
                 g = load_shard(paths[int(shard)])
                 n = int(g.n)
-                if n == 0:
+                if n < 2:
                     continue
                 qs = np_stack_vectors(grp["_qv"])
-                kk = min(k, n)
+                # the query IS a shard row (held-out sample routed to
+                # its own cell), so its self-point is a guaranteed
+                # trivial hit for BOTH the exact truth and the beam —
+                # excluding it keeps the measurement honest (the probe
+                # calibration drops the query's own row for the same
+                # reason; an inflated curve here under-measures L and
+                # the end recall pays for it)
+                kk = min(k, n - 1)
                 vecs = np.asarray(g.vectors[:n])
                 d_exact = np_index_distances(metric, vecs, qs)  # (nq, n)
-                part = np.partition(d_exact, kk - 1, axis=1)
-                dk = part[:, kk - 1]  # k-th exact distance per query
+                part = np.argpartition(d_exact, kk, axis=1)[:, : kk + 1]
+                pd_d = np.take_along_axis(d_exact, part, axis=1)
+                o = np.argsort(pd_d, axis=1, kind="stable")
+                self_lab = np.take_along_axis(part, o[:, :1], axis=1)[:, 0]
+                # kk-th NEIGHBOR threshold = rank kk including self
+                dk = np.take_along_axis(pd_d, o[:, kk:kk + 1], axis=1)[:, 0]
                 # tie/float tolerance: squared-l2 >= 0, negated-ip can be
                 # negative — widen by magnitude either way
                 tol = dk + np.maximum(1e-6, np.abs(dk) * 1e-5)
                 for L in grid:
-                    res = g.search_batch(qs, kk, L)
+                    # request kk+1 so the self-point occupying one slot
+                    # cannot crowd out a true neighbor
+                    res = g.search_batch(qs, kk + 1, L)
                     hits = 0
                     for qi, hl in enumerate(res):
+                        found = 0
                         for label, _dist in hl:
-                            if d_exact[qi, int(label)] <= tol[qi]:
+                            lab = int(label)
+                            if lab == int(self_lab[qi]) or found >= kk:
+                                continue
+                            if d_exact[qi, lab] <= tol[qi]:
                                 hits += 1
+                            found += 1
+                        # only the first kk non-self returns are judged
                     out.append((int(L), int(hits), int(kk * qs.shape[0])))
             if out:
                 yield pd.DataFrame(
@@ -411,6 +442,42 @@ def measure_l_calibration(
         "recall": [round(float(recall[L]), 4) for L in ls],
         "rows_at_measurement": int(n_rows),
     }
+
+
+# Appended-row fraction past which a build-time measurement no longer
+# describes the index it rides on (round 10 — the staleness contract in
+# the module docstring made OBSERVABLE): appends route new rows into
+# existing cells/shards without re-measuring, so curves drift. 0.25 is
+# the same order as the measurement's own target margins (IVF_TARGET
+# 0.78 and ROUTED_TARGET 0.90 both carry ~0.1-0.2 of headroom over the
+# 0.70 floor); drifting the data by a quarter of what was measured is
+# when that headroom stops being credible. Deleted rows count toward
+# the drift too — tombstones shift the true-neighbor set outward, and
+# the fix is the same `vacuum_index` that re-measures.
+CALIBRATION_STALE_FRACTION = 0.25
+
+
+def calibration_stale(manifest: dict) -> bool:
+    """True when the manifest carries at least one build-time
+    measurement (`calibration` / `route_calibration` / `l_calibration`)
+    whose `rows_at_measurement` has drifted by more than
+    CALIBRATION_STALE_FRACTION (appends + tombstones). False for
+    unmeasured artifacts (nothing to go stale) and for pre-round-10
+    measurements without the field (undecidable — the vacuum path
+    refreshes them on first use). Same observability discipline as
+    `needs_vacuum`: the flag tells the caller the rebalance path is
+    due, it never changes search behavior."""
+    appended_base = int(manifest.get("num_vectors", 0))
+    deleted = int(manifest.get("num_deleted", 0) or 0)
+    for key in ("calibration", "route_calibration", "l_calibration"):
+        cal = manifest.get(key) or {}
+        at = cal.get("rows_at_measurement")
+        if not at:
+            continue
+        drift = max(0, appended_base - int(at)) + deleted
+        if drift > CALIBRATION_STALE_FRACTION * int(at):
+            return True
+    return False
 
 
 def calibrated_l(manifest: dict) -> int:

@@ -596,6 +596,7 @@ def hybrid_search_table(
     metric: str = "l2",
     catalog=None,
     method: str = "blas",
+    max_term_df: Optional[float] = None,
 ) -> DataFrame:
     """Hybrid BM25+vector RRF for an UNBOUNDED query DataFrame →
     (<query_id_col>, <doc id col>, _rrf_score, _bm25_rank,
@@ -633,7 +634,24 @@ def hybrid_search_table(
     `index_search_table` contract). A query whose vector length
     mismatches the index dimension keeps its text leg and reports
     `_vector_rank` 0 — the DataFrame-native reading of the reference's
-    empty-result rule, per leg."""
+    empty-result rule, per leg.
+
+    `max_term_df` (round 10 — the high-df blow-up contract): the text
+    leg materializes one row per (query, posting hit) before the
+    per-(query, doc) groupBy, so a stop-word-like query term — df close
+    to N on a Zipfian corpus — contributes ~N rows PER QUERY (the round-
+    10 smoke measures 25M intermediate rows for 100 head-term queries
+    on a 100k-doc Zipf corpus). With `max_term_df=<doc count>`, query
+    terms whose corpus df exceeds it are EXCLUDED from the text leg
+    before the postings join (the candidate blow-up never forms).
+    APPROXIMATION, off by default: BM25's idf already weighs a
+    df≈0.8N term at ~1-2% of a rare term's contribution, but dropping
+    it (a) loses that small score term and (b) drops docs matching
+    ONLY capped terms from the text candidates — ranks can shift where
+    candidates were close. The default (None) stays exact/bit-identical
+    to `hybrid_search`; set a cap only when query texts can contain
+    corpus stop words at scale. Same idea as FTS stop-word lists —
+    declared per call, never silently."""
     spark = queries_df.sparkSession
 
     # the query id rides LONG-declared schemas on BOTH vector paths
@@ -741,6 +759,17 @@ def hybrid_search_table(
     term_df = post_scored.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )
+    if max_term_df is not None:
+        # prune the POSTINGS side before the query-terms join — the
+        # point is that the per-(query, posting-hit) intermediate never
+        # materializes for capped terms; filtering after the join would
+        # pay the blow-up first. term_df itself is computed BEFORE the
+        # cap, so surviving terms keep their true corpus df in scoring.
+        post_scored = post_scored.join(
+            term_df.where(F.col("_df") <= float(max_term_df))
+            .select("term"),
+            on="term", how="leftsemi",
+        )
     hits = (
         qterms.join(post_scored, on="term")
         .join(term_df, on="term")

@@ -92,16 +92,38 @@ def knn_join(
     method: str = "blas",
     n_rows: int | None = None,
     salt: int = 1,
+    calibration_queries: int = 64,
+    target_recall: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """→ DataFrame(<query_id_col>, <base_id_col>, _distance), the k
     nearest base rows per query row (ties on base id ascending).
 
     Exact when `nprobe >= nlist`; otherwise approximate with IVF-probe
-    recall characteristics. The DEFAULT (`nlist=0, nprobe=0`) is the
-    recall-calibrated AUTO pairing (`ivf.auto_nlist` / `auto_nprobe`,
-    the same rules as `ivf_nlist=0`/`nprobe=0` index search) — it holds
-    the reference's 0.70 recall floor with margin even on uniform
-    vectors (bench-asserted at 100k: `scale100k_knn_join_auto`).
+    recall characteristics. The DEFAULT (`nlist=0, nprobe=0`) trains
+    auto-sized cells (`ivf.auto_nlist`, the sqrt-N rule) and — round
+    10 — MEASURES the probe→recall curve of those freshly-trained
+    cells on a held-out sample of the base side
+    (`calibration.measure_probe_calibration`, the same pass a CREATE
+    INDEX runs), probing what THIS data measurably needs instead of
+    the static uniform-worst-case `auto_nprobe` guess: on clustered
+    real data the static rule over-probes by ~an order of magnitude
+    (bench: measured frac 0.009 vs 0.354 at 100k/clustered), and the
+    fresh-build path is the operator's default face. The measurement
+    is one extra narrow scan of the base side (the join already pays
+    two: train sample + assignment); `calibration_queries=0` skips it
+    and falls back to the static rule, which still holds the
+    reference's 0.70 floor with margin even on uniform vectors
+    (bench-asserted at 100k: `scale100k_knn_join_auto`).
+
+    `target_recall` (round 10, same contract as
+    `index_scan(target_recall=)`): resolve the probe count for THIS
+    call from the freshly measured curve instead of the floor target —
+    requires the measurement (errors loud with `calibration_queries=0`
+    or a degenerate curve), mutually exclusive with an explicit
+    `nprobe`. Cell-level recall: cells are scanned exactly, so the
+    target is end recall modulo the sample noise.
+
     Pinning a small fixed `nprobe` buys latency at UNCHARACTERIZED
     recall (the 100k bench measures 0.264 at nprobe=4/nlist=512) — do
     that only with your own recall measurement in hand; for the least
@@ -110,6 +132,12 @@ def knn_join(
     0.7x rule — sweep table in its docstring). Pass `n_rows`
     (the base row count) when known to skip the counting pass over the
     base side.
+
+    `stats`: pass a dict to observe the resolved configuration — the
+    call records `nlist` (effective trained cells), `nprobe` (resolved
+    probe count) and `measured` (whether the in-call calibration
+    produced it) before returning. Observability only; results don't
+    depend on it.
 
     `salt` handles CELL SKEW on the cogroup fast path — the one shuffle
     AQE's skew-join cannot split (a whole cell is one task). With
@@ -145,11 +173,63 @@ def knn_join(
     train = np_stack_vectors(sample.limit(cap).toPandas()[base_vec_col])
     centroids = _kmeans(train, min(nlist, max(1, len(train))))
     nlist_eff = centroids.shape[0]
+    if target_recall is not None:
+        if nprobe:
+            raise ValueError(
+                "pass either nprobe (an explicit probe count) or "
+                "target_recall, not both"
+            )
+        if not (0.0 < float(target_recall) <= 1.0):
+            raise ValueError("target_recall must be in (0, 1]")
+        if int(calibration_queries) <= 0:
+            raise ValueError(
+                "target_recall needs the in-call probe measurement — "
+                "don't pass calibration_queries=0 with it"
+            )
+    measured = False
+    if nprobe == 0 and int(calibration_queries) > 0 and nlist_eff > 1:
+        # nprobe=0 = AUTO (round 10): measure THIS join's freshly
+        # trained cells on a held-out base sample — the same build-time
+        # pass a CREATE INDEX runs — so clustered data gets the small
+        # probe count it actually needs instead of the static
+        # uniform-worst-case rule (see docstring)
+        from ..index.calibration import (
+            IVF_TARGET,
+            measure_probe_calibration,
+            nprobe_for_target,
+        )
+
+        cal = measure_probe_calibration(
+            base_df.select(base_id_col, base_vec_col), base_id_col,
+            base_vec_col, centroids, metric, n, IVF_TARGET,
+            n_queries=int(calibration_queries),
+        )
+        if target_recall is not None:
+            nprobe = nprobe_for_target({"calibration": cal}, target_recall)
+            if nprobe <= 0:
+                raise ValueError(
+                    "knn_join: the in-call probe measurement came back "
+                    "degenerate (too few rows/cells) — target_recall "
+                    "cannot be honored; pass an explicit nprobe"
+                )
+            measured = True
+        elif cal is not None:
+            nprobe = int(cal["nprobe"])
+            measured = True
+    elif target_recall is not None:
+        raise ValueError(
+            "knn_join: target_recall needs >1 trained cell to measure "
+            "a curve; pass an explicit nprobe"
+        )
     if nprobe == 0:
-        # nprobe=0 = AUTO: the same recall-calibrated rule as
-        # ivf_nlist=0/nprobe=0 index search (see ivf.auto_nprobe)
+        # static fallback: calibration disabled or degenerate — the
+        # uniform-worst-case rule, same as ivf_nlist=0/nprobe=0 search
         nprobe = auto_nprobe(nlist_eff, int(centroids.shape[1]))
     nprobe = min(max(1, nprobe), nlist_eff)
+    if stats is not None:
+        stats.update(
+            nlist=int(nlist_eff), nprobe=int(nprobe), measured=bool(measured)
+        )
 
     b = _assign_cells(
         base_df.select(base_id_col, base_vec_col), base_vec_col, centroids,
@@ -264,9 +344,15 @@ def index_knn_join(
     method: str = "blas",
     catalog=None,
     salt: int = 1,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """k-NN join against a PUBLISHED IVFFlat index instead of freshly
     trained cells → (query_id, <index id col>, _distance).
+
+    `target_recall` (round 10, the `index_scan` contract on the join
+    surface): resolve the probe count for THIS call from the index's
+    measured build-time curve — mutually exclusive with an explicit
+    `nprobe`, loud failure on artifacts without a measurement.
 
     `knn_join` pays, on every call, a kmeans train (driver), a full
     assignment pass over the base side, and the base-side exchange into
@@ -314,7 +400,25 @@ def index_knn_join(
     nlist_eff = centroids.shape[0]
     if nlist_eff == 0:
         raise ValueError(f"index '{index_name}' is empty (no trained cells)")
-    if nprobe == 0:
+    if target_recall is not None:
+        if nprobe:
+            raise ValueError(
+                "pass either nprobe (an explicit probe count) or "
+                "target_recall, not both"
+            )
+        if not (0.0 < float(target_recall) <= 1.0):
+            raise ValueError("target_recall must be in (0, 1]")
+        from ..index.calibration import nprobe_for_target
+
+        nprobe = nprobe_for_target(manifest, target_recall)
+        if nprobe <= 0:
+            raise ValueError(
+                f"index '{index_name}' carries no measured recall curve "
+                "(built with a pinned nprobe or calibration_queries=0, "
+                "or pre-dates build-time calibration) — rebuild with "
+                "nprobe=0 to measure, or pass an explicit nprobe"
+            )
+    elif nprobe == 0:
         # mirror index_scan's resolution exactly (round-9 fix — the old
         # jump straight to the static rule diverged from index_scan on
         # indexes with a PINNED build nprobe): the manifest's own

@@ -479,15 +479,16 @@ def q_diskann_streaming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                'embeddings' AS table_name, CAST(n AS BIGINT) AS num_vectors,
                CAST(2 AS BIGINT) AS num_deleted,
                CAST(n * dim * 4 AS BIGINT) AS memory_bytes,
-               false AS quantized, 'flat-parquet-v1' AS layout FROM s
+               false AS quantized, 'flat-parquet-v1' AS layout,
+               false AS calibration_stale FROM s
         UNION ALL
         SELECT 'suite_lib', 'FAISS', 'embeddings', CAST(n AS BIGINT),
                CAST(0 AS BIGINT), CAST(n * dim * 4 AS BIGINT),
-               false, 'flat-parquet-v1' FROM s
+               false, 'flat-parquet-v1', false FROM s
         UNION ALL
         SELECT 'suite_lih', 'FAISS', 'embeddings', CAST(n AS BIGINT),
                CAST(0 AS BIGINT), CAST(n * (dim + 32) * 4 AS BIGINT),
-               false, 'hnsw-layered' FROM s
+               false, 'hnsw-layered', false FROM s
     )
     ORDER BY name
     """,
@@ -498,7 +499,10 @@ def q_ann_list_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions run: the entry asserts `ann_list`'s projection agrees with
     the manifests, then returns the info rows (`src/ann_list.cpp:21-221`),
     including the hash-checked `layout` diagnostic (the HNSW index must
-    report the layered structure, not a flat-graph stand-in)."""
+    report the layered structure, not a flat-graph stand-in) and the
+    round-10 `calibration_stale` column (false here: Flat carries no
+    measurement and the single-graph HNSW records none — unmeasured
+    artifacts have nothing to go stale)."""
     cat = _cat()
     for n, opts in (
         ("suite_lia", {}),

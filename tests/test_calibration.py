@@ -362,3 +362,60 @@ def test_target_recall_routed_graph_and_errors(spark, data, cat):
         index_scan(spark, "tr_hash", [[0.5] * DIM], 5, catalog=cat,
                    target_recall=0.9)
     drop_index("tr_hash", cat)
+
+
+def test_calibration_stale_flag(spark, data, cat):
+    """ann_index_info reports calibration_stale once appends drift past
+    CALIBRATION_STALE_FRACTION of rows_at_measurement; vacuum
+    re-measures and clears it (round 10)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.index import ann_index_info, insert_into_index
+    from duckdb_ann_spark.index.calibration import (
+        CALIBRATION_STALE_FRACTION,
+        calibration_stale,
+    )
+
+    cl_df = data[0]
+    m = create_index(
+        cl_df, "vec_id", "embedding", "stale_ivf", engine="faiss",
+        type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
+    )
+    assert m["calibration"]["rows_at_measurement"] == N
+
+    def _flag():
+        return ann_index_info(spark, cat).where(
+            F.col("name") == "stale_ivf"
+        ).head()["calibration_stale"]
+
+    assert _flag() is False
+    # a small append stays under the threshold
+    small = cl_df.limit(10).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    insert_into_index(spark, "stale_ivf", small, catalog=cat)
+    assert _flag() is False
+    # drift past the fraction -> stale
+    big_n = int(N * CALIBRATION_STALE_FRACTION) + 20
+    big = cl_df.limit(big_n).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"), "embedding"
+    )
+    insert_into_index(spark, "stale_ivf", big, catalog=cat)
+    assert _flag() is True
+    # vacuum rebuilds + re-measures on the grown corpus -> fresh again
+    m2 = vacuum_index(spark, "stale_ivf", cat)
+    assert m2["calibration"]["rows_at_measurement"] == N + 10 + big_n
+    assert _flag() is False
+    drop_index("stale_ivf", cat)
+
+    # pure-function contract: tombstones count toward drift; missing
+    # rows_at_measurement (pre-round-10 artifacts) is undecidable-false
+    base = {"num_vectors": 1000, "num_deleted": 0,
+            "calibration": {"nprobe": 3, "rows_at_measurement": 1000}}
+    assert calibration_stale(base) is False
+    assert calibration_stale({**base, "num_deleted": 300}) is True
+    assert calibration_stale({**base, "num_vectors": 1300}) is True
+    assert calibration_stale(
+        {"num_vectors": 9000, "calibration": {"nprobe": 3}}
+    ) is False
+    assert calibration_stale({"num_vectors": 9000}) is False

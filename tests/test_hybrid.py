@@ -227,6 +227,137 @@ def test_text_index_delta_validation(spark, base, tmp_path):
         publish_text_index_delta(spark, p_base, base.limit(0), "text", link)
 
 
+def test_text_index_three_delta_chain_bit_identical(spark, base, tmp_path):
+    """Chaos item (round 10): THREE chained deltas produce postings,
+    stats and scores bit-identical to one full publish over the union —
+    the chain contract holds transitively, not just for one hop."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.operators.hybrid import (
+        _load_text_index,
+        bm25_scores_indexed,
+        publish_text_index,
+        publish_text_index_delta,
+    )
+
+    quarters = [base.where(F.col("doc_id") % 4 == i) for i in range(4)]
+    paths = [str(tmp_path / f"chain_{i}") for i in range(4)]
+    p_full = str(tmp_path / "chain_full")
+    publish_text_index(quarters[0], "doc_id", "text", paths[0])
+    for i in (1, 2, 3):
+        publish_text_index_delta(
+            spark, paths[i - 1], quarters[i], "text", paths[i]
+        )
+    publish_text_index(base, "doc_id", "text", p_full)
+    # stats rows identical (exact integer-valued doubles)
+    _, _, nd_c, tt_c = _load_text_index(spark, paths[3])
+    _, _, nd_f, tt_f = _load_text_index(spark, p_full)
+    assert (nd_c, tt_c) == (nd_f, tt_f)
+    # postings content identical (term, id, tf, dl multisets)
+    chain_p = spark.read.parquet(f"{paths[3]}/postings")
+    full_p = spark.read.parquet(f"{p_full}/postings")
+    assert chain_p.exceptAll(full_p).count() == 0
+    assert full_p.exceptAll(chain_p).count() == 0
+    # and scores, exactly
+    for q in ("spark join query data", "the data", "spark"):
+        got = {r.doc_id: r._bm25_score
+               for r in bm25_scores_indexed(spark, paths[3], q).collect()}
+        want = {r.doc_id: r._bm25_score
+                for r in bm25_scores_indexed(spark, p_full, q).collect()}
+        assert got == want, q
+
+
+def test_text_index_torn_publish_fails_loud_base_readable(
+    spark, base, tmp_path
+):
+    """Chaos item (round 10): an interrupted publish — the commit
+    marker cleared but the final write never happened (exactly the
+    intermediate state `_publish_postings` passes through) — is
+    detected loudly by every reader AND by a chained delta, while the
+    base artifact it was derived from stays fully readable."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.local import local_df
+    from duckdb_ann_spark.operators.hybrid import (
+        bm25_scores_indexed,
+        publish_text_index,
+        publish_text_index_delta,
+    )
+
+    p_base = str(tmp_path / "torn_base")
+    p_out = str(tmp_path / "torn_out")
+    half_a = base.where(F.col("doc_id") % 2 == 0)
+    half_b = base.where(F.col("doc_id") % 2 == 1)
+    publish_text_index(half_a, "doc_id", "text", p_base)
+    publish_text_index_delta(spark, p_base, half_b, "text", p_out)
+    # simulate the torn state: marker cleared, nothing re-committed
+    local_df(spark, [], "version int, id_col string").write.mode(
+        "overwrite"
+    ).parquet(f"{p_out}/manifest")
+    with _pytest.raises(ValueError, match="uncommitted|not a committed"):
+        bm25_scores_indexed(spark, p_out, "spark")
+    with _pytest.raises(ValueError, match="uncommitted|not a committed"):
+        publish_text_index_delta(
+            spark, p_out, base.limit(0), "text", str(tmp_path / "torn_next")
+        )
+    # a path with no manifest at all is equally loud
+    with _pytest.raises(ValueError, match="not a committed"):
+        bm25_scores_indexed(spark, str(tmp_path / "never_published"), "spark")
+    # the base is untouched and fully readable
+    assert bm25_scores_indexed(spark, p_base, "spark").count() > 0
+    # re-running the delta publish over the torn output REPAIRS it
+    # (overwrite semantics — the commit marker is written last)
+    publish_text_index_delta(spark, p_base, half_b, "text", p_out)
+    assert bm25_scores_indexed(spark, p_out, "spark").count() > 0
+
+
+def test_hybrid_search_table_max_term_df(spark, tmp_path):
+    """max_term_df (round 10): stop-word-like query terms are excluded
+    from the text leg BEFORE the postings join — docs matching only the
+    capped term lose their bm25 rank, docs matching a surviving term
+    keep theirs, and the default (None) stays exact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.operators.hybrid import (
+        hybrid_search_table,
+        publish_text_index,
+    )
+
+    n = 40
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n),
+        # every doc has 'common'; only doc_id < 4 have 'rare'
+        "text": ["common rare" if i < 4 else "common filler"
+                 for i in range(n)],
+        "embedding": [[float(i), float(i)] for i in range(n)],
+    }))
+    ti = str(tmp_path / "cap_ti")
+    publish_text_index(docs, "doc_id", "text", ti)
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "qid": [0], "qv": [[0.0, 0.0]], "qtext": ["common rare"],
+    }))
+    kw = dict(text_index=ti, docs=docs, doc_id_col="doc_id",
+              vec_col="embedding", k=n, vector_candidates=5,
+              bm25_candidates=n, method="exact")
+    exact = hybrid_search_table(qdf, "qid", "qv", "qtext", **kw).collect()
+    capped = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", max_term_df=10, **kw
+    ).collect()
+    # exact: every doc matches 'common' -> all n docs bm25-ranked
+    assert sum(1 for r in exact if r["_bm25_rank"] > 0) == n
+    # capped (df('common')=40 > 10): only the 4 'rare' docs keep a text
+    # rank, and their df/score reflect the TRUE corpus df of 'rare'
+    got_text = {r["doc_id"] for r in capped if r["_bm25_rank"] > 0}
+    assert got_text == {0, 1, 2, 3}, got_text
+    # vector leg identical in both runs
+    assert ({(r["doc_id"], r["_vector_rank"]) for r in exact
+             if r["_vector_rank"] > 0}
+            == {(r["doc_id"], r["_vector_rank"]) for r in capped
+                if r["_vector_rank"] > 0})
+
+
 def test_norm_index_path_uris():
     """URI-schemed paths normalize without abspath mangling; local
     paths resolve symlinks."""

@@ -175,3 +175,50 @@ def test_no_driver_collect_of_queries(spark, emb, cat):
     assert "MapInPandas" in plan
     n = out.count()
     assert n == emb.count() * 3
+
+
+def test_target_recall_on_table_surface(spark, emb, cat):
+    """index_search_table(target_recall=) speaks the index_scan
+    contract (round 10): same engine dispatch, same resolved probes —
+    so the id sets match index_scan at the same target; unmeasured
+    artifacts fail loud."""
+    # IVF with a measured curve (auto build)
+    create_index(emb, "vec_id", "embedding", "tr_ivf_t", engine="faiss",
+                 type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat)
+    want = _scan_pairs(spark, "tr_ivf_t", emb, cat, k=5, n_q=12,
+                       target_recall=0.95)
+    got = _table_pairs(spark, "tr_ivf_t", emb, cat, k=5, n_q=12,
+                       target_recall=0.95)
+    assert got == want
+    drop_index("tr_ivf_t", cat)
+
+    # routed graph with a measured routing curve
+    create_index(
+        emb, "vec_id", "embedding", "tr_vam_t", engine="diskann",
+        max_degree=16, build_complexity=32, shards=16, shard_by="cells",
+        catalog=cat,
+    )
+    want = _scan_pairs(spark, "tr_vam_t", emb, cat, k=5, n_q=12,
+                       target_recall=0.97)
+    got = _table_pairs(spark, "tr_vam_t", emb, cat, k=5, n_q=12,
+                       target_recall=0.97)
+    assert got == want
+    drop_index("tr_vam_t", cat)
+
+    # unmeasured (hash layout) fails loud on the table surface too
+    create_index(emb, "vec_id", "embedding", "tr_hash_t", engine="diskann",
+                 max_degree=16, build_complexity=32, shards=4,
+                 shard_by="hash", catalog=cat)
+    q = emb.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+    with pytest.raises(ValueError, match="no measured routing curve"):
+        index_search_table(spark, "tr_hash_t", q, "qid", "embedding", 3,
+                           catalog=cat, target_recall=0.9)
+    drop_index("tr_hash_t", cat)
+
+    # Flat satisfies any target by construction
+    create_index(emb, "vec_id", "embedding", "tr_flat_t", engine="faiss",
+                 type="Flat", catalog=cat)
+    out = index_search_table(spark, "tr_flat_t", q, "qid", "embedding", 3,
+                             catalog=cat, target_recall=1.0)
+    assert out.count() == 9
+    drop_index("tr_flat_t", cat)

@@ -229,3 +229,144 @@ def test_index_knn_join_rejects_graph_engines(spark, emb, ivf_cat):
     with pytest.raises(ValueError, match="IVFFlat"):
         index_knn_join(spark, "ikg", emb, "vec_id", "embedding", k=3,
                        catalog=ivf_cat)
+
+
+# ---------------------------------------------------------------------------
+# round 10: in-call measured probe calibration + target_recall
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Clustered base (the regime the measurement exists for) + a small
+    query side drawn from the same clusters."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_cl, n, dim = 16, 4_000, 32
+    centers = rng.random((n_cl, dim), dtype=np.float32)
+    mat = (
+        centers[np.arange(n) % n_cl]
+        + rng.normal(0, 0.02, (n, dim)).astype(np.float32)
+    )
+    base = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
+    )
+    return base, mat, n
+
+
+def test_knn_join_default_measures_clustered_probes(spark, clustered):
+    """The DEFAULT call (nlist=0, nprobe=0) measures its fresh cells'
+    probe curve in-call: on clustered data the resolved nprobe sits
+    well below the static uniform rule, and recall still clears the
+    0.70 floor."""
+    from duckdb_ann_spark.index.ivf import auto_nlist, auto_nprobe
+
+    base, mat, n = clustered
+    q = base.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    stats: dict = {}
+    got = knn_join(
+        q, "qid", "embedding", base, "vec_id", "embedding",
+        k=5, n_rows=n, stats=stats,
+    ).collect()
+    assert stats["measured"] is True
+    assert stats["nlist"] >= auto_nlist(n) // 2
+    static = auto_nprobe(stats["nlist"], 32)
+    assert stats["nprobe"] <= static // 2, (stats, static)
+    want = _brute_1nn(mat[:40], np.arange(40), mat, np.arange(n), 5)
+    hits = sum(
+        1 for r in got if r["vec_id"] in {w[0] for w in want[r["qid"]]}
+    )
+    assert hits >= 0.70 * 40 * 5, hits
+
+
+def test_knn_join_calibration_disabled_uses_static_rule(spark, clustered):
+    from duckdb_ann_spark.index.ivf import auto_nprobe
+
+    base, _, n = clustered
+    q = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    stats: dict = {}
+    out = knn_join(
+        q, "qid", "embedding", base, "vec_id", "embedding",
+        k=3, n_rows=n, calibration_queries=0, stats=stats,
+    )
+    assert out.count() == 15
+    assert stats["measured"] is False
+    assert stats["nprobe"] == min(auto_nprobe(stats["nlist"], 32),
+                                  stats["nlist"])
+
+
+def test_knn_join_target_recall(spark, clustered):
+    """target_recall resolves probes from the in-call curve; validation
+    errors fire before any distributed work."""
+    base, mat, n = clustered
+    q = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    s_hi: dict = {}
+    got = knn_join(
+        q, "qid", "embedding", base, "vec_id", "embedding",
+        k=5, n_rows=n, target_recall=1.0, stats=s_hi,
+    ).collect()
+    s_def: dict = {}
+    knn_join(
+        q.limit(1), "qid", "embedding", base, "vec_id", "embedding",
+        k=5, n_rows=n, stats=s_def,
+    ).count()
+    assert s_hi["nprobe"] >= s_def["nprobe"]
+    want = _brute_1nn(mat[:20], np.arange(20), mat, np.arange(n), 5)
+    hits = sum(
+        1 for r in got if r["vec_id"] in {w[0] for w in want[r["qid"]]}
+    )
+    assert hits >= 0.85 * 20 * 5, hits  # 1.0 cell-coverage target
+
+    with pytest.raises(ValueError, match="not both"):
+        knn_join(q, "qid", "embedding", base, "vec_id", "embedding",
+                 k=3, n_rows=n, nprobe=4, target_recall=0.9)
+    with pytest.raises(ValueError, match=r"in \(0, 1\]"):
+        knn_join(q, "qid", "embedding", base, "vec_id", "embedding",
+                 k=3, n_rows=n, target_recall=1.5)
+    with pytest.raises(ValueError, match="calibration_queries"):
+        knn_join(q, "qid", "embedding", base, "vec_id", "embedding",
+                 k=3, n_rows=n, calibration_queries=0, target_recall=0.9)
+
+
+def test_index_knn_join_target_recall(spark, clustered, tmp_path):
+    """The published-index join accepts target_recall with the
+    index_scan contract: resolve from the stored curve, loud failure on
+    unmeasured artifacts, not-both validation."""
+    from duckdb_ann_spark.index import Catalog, create_index, drop_index
+    from duckdb_ann_spark.operators.knn_join import index_knn_join
+
+    base, mat, n = clustered
+    cat = Catalog(str(tmp_path / "ikj_tr"))
+    m = create_index(base, "vec_id", "embedding", "ikj_tr", engine="faiss",
+                     type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat)
+    assert m["calibration"] is not None
+    q = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = index_knn_join(
+        spark, "ikj_tr", q, "qid", "embedding", k=5, catalog=cat,
+        target_recall=0.99,
+    ).collect()
+    assert len(got) == 20 * 5
+    want = _brute_1nn(mat[:20], np.arange(20), mat, np.arange(n), 5)
+    hits = sum(
+        1 for r in got if r["vec_id"] in {w[0] for w in want[r["qid"]]}
+    )
+    assert hits >= 0.80 * 20 * 5, hits
+    with pytest.raises(ValueError, match="not both"):
+        index_knn_join(spark, "ikj_tr", q, "qid", "embedding", k=3,
+                       catalog=cat, nprobe=2, target_recall=0.9)
+    drop_index("ikj_tr", cat)
+    # pinned-nprobe build records no curve -> loud failure
+    create_index(base, "vec_id", "embedding", "ikj_pin", engine="faiss",
+                 type="IVFFlat", ivf_nlist=16, nprobe=4, catalog=cat)
+    with pytest.raises(ValueError, match="no measured recall curve"):
+        index_knn_join(spark, "ikj_pin", q, "qid", "embedding", k=3,
+                       catalog=cat, target_recall=0.9)
+    drop_index("ikj_pin", cat)
