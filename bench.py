@@ -402,23 +402,34 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     truth = _exact_truth(mat, ids, queries, K)
     # knn_join ground truth: exact top-5 for the first KNN_NS query ids
     KNN_NS, KNN_K = 500, 5
-    kd = np_index_distances("l2", mat, mat[:KNN_NS])  # (NS, N)
-    ktruth = [
-        set(ids[np.lexsort((ids, kd[i]))[:KNN_K]].tolist())
-        for i in range(KNN_NS)
-    ]
-    del vp, mat, kd
+
+    def _knn_truth(m, i):
+        """Exact top-KNN_K id sets for the first KNN_NS rows of `m`
+        (queries = base rows, the knn_join workload shape)."""
+        kd = np_index_distances("l2", m, m[:KNN_NS])  # (NS, N)
+        return [
+            set(i[np.lexsort((i, kd[r]))[:KNN_K]].tolist())
+            for r in range(KNN_NS)
+        ]
+
+    def _make_knn_recall(kt):
+        def _r(rows) -> float:
+            got: dict[int, set] = {}
+            for r in rows:
+                if r["qid"] < KNN_NS:
+                    got.setdefault(r["qid"], set()).add(r["vec_id"])
+            hits = sum(
+                len(got.get(i, set()) & kt[i]) for i in range(KNN_NS)
+            )
+            return hits / (KNN_NS * KNN_K)
+        return _r
+
+    ktruth = _knn_truth(mat, ids)
+    _knn_recall = _make_knn_recall(ktruth)
+    del vp, mat
 
     def _recall(rows) -> float:
         return _recall_of(rows, truth, K)
-
-    def _knn_recall(rows) -> float:
-        got: dict[int, set] = {}
-        for r in rows:
-            if r["qid"] < KNN_NS:
-                got.setdefault(r["qid"], set()).add(r["vec_id"])
-        hits = sum(len(got.get(i, set()) & ktruth[i]) for i in range(KNN_NS))
-        return hits / (KNN_NS * KNN_K)
 
     def _t(key: str, t0: float) -> None:
         dt = time.perf_counter() - t0
@@ -451,20 +462,8 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     # clustered knn_join ground truth (round 10): exact top-KNN_K for
     # the first KNN_NS clustered base ids — the fresh-build knn_join
     # leg below measures its own probe curve on this regime
-    ckd = np_index_distances("l2", cmat, cmat[:KNN_NS])
-    cktruth = [
-        set(cids[np.lexsort((cids, ckd[i]))[:KNN_K]].tolist())
-        for i in range(KNN_NS)
-    ]
-    del cvp, cmat, ckd
-
-    def _cknn_recall(rows) -> float:
-        got: dict[int, set] = {}
-        for r in rows:
-            if r["qid"] < KNN_NS:
-                got.setdefault(r["qid"], set()).add(r["vec_id"])
-        hits = sum(len(got.get(i, set()) & cktruth[i]) for i in range(KNN_NS))
-        return hits / (KNN_NS * KNN_K)
+    _cknn_recall = _make_knn_recall(_knn_truth(cmat, cids))
+    del cvp, cmat
 
     cqside = cvecs.where(F.col("vec_id") < 10_000).select(
         F.col("vec_id").alias("qid"), "embedding"

@@ -279,6 +279,25 @@ def index_scan(
     )
 
 
+def require_integral_qid(df: DataFrame, query_id_col: str, surface: str) -> None:
+    """Shared query-id contract for every DataFrame-queries surface
+    (round-10 review: the check lived copy-pasted in
+    `index_search_table` and `hybrid_search_table`): the query id rides
+    LONG-declared schemas (search_df's shuffle, knn_join's
+    applyInPandas, the hybrid text leg's groupBy) — a non-integral id
+    would either silently NULL-collapse all queries into one window
+    group or die mid-job in an Arrow conversion. Fail loud and
+    identically everywhere instead."""
+    qid_type = df.schema[query_id_col].dataType.typeName()
+    if qid_type not in ("byte", "short", "integer", "long"):
+        raise ValueError(
+            f"{surface}: query id column '{query_id_col}' must "
+            f"be an integral type (got {qid_type}); map string/other ids "
+            "to a long key first (e.g. monotonically_increasing_id or "
+            "xxhash64) and join them back after the search"
+        )
+
+
 def _apply_target_recall(
     impl, manifest: dict, name: str,
     search_complexity: Optional[int], target_recall: float,
@@ -445,20 +464,9 @@ def index_search_table(
         search_complexity, manifest = _apply_target_recall(
             impl, manifest, name, search_complexity, target_recall
         )
-    # every branch carries the query id through a schema that declares
-    # it LONG (search_df's shuffle, knn_join's applyInPandas): a
-    # non-integral id would either silently NULL-collapse all queries
-    # into one window group (graph path) or die mid-job in an Arrow
-    # conversion (IVF/Flat path) — fail loud and identically for all
-    # engines instead (round-8; moved up from search_df per review)
-    qid_type = queries_df.schema[query_id_col].dataType.typeName()
-    if qid_type not in ("byte", "short", "integer", "long"):
-        raise ValueError(
-            f"index_search_table: query id column '{query_id_col}' must "
-            f"be an integral type (got {qid_type}); map string/other ids "
-            "to a long key first (e.g. monotonically_increasing_id or "
-            "xxhash64) and join them back after the search"
-        )
+    # fail loud and identically for all engines (round-8; shared helper
+    # round-10)
+    require_integral_qid(queries_df, query_id_col, "index_search_table")
     if query_id_col == id_col:
         queries_df = queries_df.withColumnRenamed(
             query_id_col, f"_q_{query_id_col}"

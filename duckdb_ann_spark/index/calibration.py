@@ -276,6 +276,7 @@ def measure_l_calibration(
     metric: str,
     n_rows: int,
     shard_files: "list[tuple[int, str]]",
+    labels_dir: str,
     base_l: int,
     target: float = L_TARGET,
     n_queries: int = DEFAULT_QUERIES,
@@ -337,14 +338,14 @@ def measure_l_calibration(
     keep_q = tgt >= 0
     if not keep_q.any():
         return None
-    qmat, tgt = qmat[keep_q], tgt[keep_q]
+    qids, qmat, tgt = qids[keep_q], qmat[keep_q], tgt[keep_q]
     # bound the measurement to the busiest shards by held-out query mass
     shards_u, counts = np.unique(tgt, return_counts=True)
     busiest = set(
         int(s) for s in shards_u[np.argsort(-counts, kind="stable")][:max_shards]
     )
     mask = np.array([int(t) in busiest for t in tgt])
-    qmat, tgt = qmat[mask], tgt[mask]
+    qids, qmat, tgt = qids[mask], qmat[mask], tgt[mask]
     grid = sorted(
         {
             min(L_GRID_CAP, max(1, int(round(base_l * f))))
@@ -354,7 +355,8 @@ def measure_l_calibration(
     spark = src.sparkSession
     paths = dict(shard_files)
     rows = [
-        (int(s), [float(x) for x in qmat[i]]) for i, s in enumerate(tgt)
+        (int(s), int(qids[i]), [float(x) for x in qmat[i]])
+        for i, s in enumerate(tgt)
     ]
     from ..local import local_df
 
@@ -363,11 +365,15 @@ def measure_l_calibration(
     # capture it by importable reference
     from .vamana import _load_shard as load_shard
 
-    qdf = local_df(spark, rows, "shard int, _qv array<float>").repartition(
+    qdf = local_df(
+        spark, rows, "shard int, _qid long, _qv array<float>"
+    ).repartition(
         min(len(busiest), spark.sparkContext.defaultParallelism), "shard"
     )
 
     def run(batches):
+        import pyarrow.dataset as pds
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -378,31 +384,53 @@ def measure_l_calibration(
                 if n < 2:
                     continue
                 qs = np_stack_vectors(grp["_qv"])
+                q_ids = grp["_qid"].to_numpy(dtype=np.int64)
                 # the query IS a shard row (held-out sample routed to
                 # its own cell), so its self-point is a guaranteed
                 # trivial hit for BOTH the exact truth and the beam —
                 # excluding it keeps the measurement honest (the probe
                 # calibration drops the query's own row for the same
                 # reason; an inflated curve here under-measures L and
-                # the end recall pays for it)
+                # the end recall pays for it). Exclusion is BY ID via
+                # this shard's label map (round-10 review: picking the
+                # nearest point as "self" miscounts duplicates and is
+                # wrong outright for IP, where self need not rank first)
+                lab_tbl = pds.dataset(labels_dir, format="parquet").to_table(
+                    columns=["label", "id"],
+                    filter=pds.field("shard") == int(shard),
+                )
+                lab_of_id = dict(zip(
+                    lab_tbl["id"].to_pylist(), lab_tbl["label"].to_pylist()
+                ))
                 kk = min(k, n - 1)
                 vecs = np.asarray(g.vectors[:n])
                 d_exact = np_index_distances(metric, vecs, qs)  # (nq, n)
-                part = np.argpartition(d_exact, kk, axis=1)[:, : kk + 1]
-                pd_d = np.take_along_axis(d_exact, part, axis=1)
-                o = np.argsort(pd_d, axis=1, kind="stable")
-                self_lab = np.take_along_axis(part, o[:, :1], axis=1)[:, 0]
-                # kk-th NEIGHBOR threshold = rank kk including self
-                dk = np.take_along_axis(pd_d, o[:, kk:kk + 1], axis=1)[:, 0]
+                nq_s = qs.shape[0]
+                self_lab = np.full(nq_s, -1, dtype=np.int64)
+                dk = np.full(nq_s, np.inf)
+                for qi in range(nq_s):
+                    sl = lab_of_id.get(int(q_ids[qi]), -1)
+                    if sl < 0:
+                        continue  # defensive: row not in this shard
+                    self_lab[qi] = sl
+                    dq = d_exact[qi].copy()
+                    dq[sl] = np.inf  # kk-th NEIGHBOR threshold, self out
+                    dk[qi] = np.partition(dq, kk - 1)[kk - 1]
+                judged = self_lab >= 0
+                if not judged.any():
+                    continue
                 # tie/float tolerance: squared-l2 >= 0, negated-ip can be
                 # negative — widen by magnitude either way
                 tol = dk + np.maximum(1e-6, np.abs(dk) * 1e-5)
+                total = int(kk * judged.sum())
                 for L in grid:
                     # request kk+1 so the self-point occupying one slot
                     # cannot crowd out a true neighbor
                     res = g.search_batch(qs, kk + 1, L)
                     hits = 0
                     for qi, hl in enumerate(res):
+                        if not judged[qi]:
+                            continue
                         found = 0
                         for label, _dist in hl:
                             lab = int(label)
@@ -412,7 +440,7 @@ def measure_l_calibration(
                                 hits += 1
                             found += 1
                         # only the first kk non-self returns are judged
-                    out.append((int(L), int(hits), int(kk * qs.shape[0])))
+                    out.append((int(L), int(hits), total))
             if out:
                 yield pd.DataFrame(
                     out, columns=["l", "hits", "total"]

@@ -561,7 +561,8 @@ class VamanaEngine:
 
             params._l_calibration = measure_l_calibration(
                 src, id_col, vec_col, centroids, metric, n_rows,
-                shard_files, self._default_search_complexity(params),
+                shard_files, f"{artifact_dir}/{LABELS_DIR}",
+                self._default_search_complexity(params),
                 n_queries=nq,
             )
         return len(shard_files)

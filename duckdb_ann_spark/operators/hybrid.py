@@ -247,12 +247,19 @@ def _publish_postings(
 def _norm_index_path(path: str) -> str:
     """Canonical form for the delta publish's in-place guard: local
     paths resolve through `os.path.realpath` (symlinked spellings of
-    the same directory must compare equal — abspath strings don't);
-    URI-schemed paths (s3://, hdfs://, file://...) are NOT filesystem
-    paths — realpath/abspath would mangle the double slash — so they
-    only normalize trailing slashes (round-10 advice)."""
+    the same directory must compare equal — abspath strings don't), and
+    a `file://` URI IS a local path (Spark resolves it to the same
+    directory), so it is unwrapped and realpathed too. Other URI
+    schemes (s3://, hdfs://...) are NOT filesystem paths —
+    realpath/abspath would mangle the double slash — so they only
+    normalize trailing slashes; two remote URIs aliasing one location
+    through different endpoints are the caller's responsibility
+    (round-10 advice + review)."""
     import re
 
+    m = re.match(r"^file://(/.*)$", path, re.IGNORECASE)
+    if m:
+        return os.path.realpath(m.group(1))
     if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
         return path.rstrip("/")
     return os.path.realpath(path)
@@ -654,20 +661,12 @@ def hybrid_search_table(
     declared per call, never silently."""
     spark = queries_df.sparkSession
 
-    # the query id rides LONG-declared schemas on BOTH vector paths
-    # (index_search_table's shuffle AND knn_join's applyInPandas) as
-    # well as the text leg's groupBy — enforce the integral contract
-    # here so the docs/knn_join brute-force path fails as loudly as the
-    # index path instead of NULL-collapsing all queries into one window
-    # group or dying mid-job in Arrow (round-10 advice)
-    qid_type = queries_df.schema[query_id_col].dataType.typeName()
-    if qid_type not in ("byte", "short", "integer", "long"):
-        raise ValueError(
-            f"hybrid_search_table: query id column '{query_id_col}' must "
-            f"be an integral type (got {qid_type}); map string/other ids "
-            "to a long key first (e.g. monotonically_increasing_id or "
-            "xxhash64) and join them back after the search"
-        )
+    # enforce the integral-id contract on BOTH vector paths so the
+    # docs/knn_join brute-force path fails as loudly as the index path
+    # (round-10 advice; shared helper per review)
+    from ..index.api import require_integral_qid
+
+    require_integral_qid(queries_df, query_id_col, "hybrid_search_table")
 
     # ---- text leg: published postings, per-query ----
     from ..functions.text import spark_sql_tokenize

@@ -148,6 +148,22 @@ def knn_join(
     Exchange cost: base x1 (unchanged), queries x(nprobe*s).
     """
     spark = base_df.sparkSession
+    # argument-only validation fires BEFORE the count/train/kmeans work
+    # (round-10 review: a bad target_recall must not cost a pass over a
+    # 100M-row base first)
+    if target_recall is not None:
+        if nprobe:
+            raise ValueError(
+                "pass either nprobe (an explicit probe count) or "
+                "target_recall, not both"
+            )
+        if not (0.0 < float(target_recall) <= 1.0):
+            raise ValueError("target_recall must be in (0, 1]")
+        if int(calibration_queries) <= 0:
+            raise ValueError(
+                "target_recall needs the in-call probe measurement — "
+                "don't pass calibration_queries=0 with it"
+            )
     if query_vec_col == base_vec_col:
         queries_df = queries_df.withColumnRenamed(
             query_vec_col, f"_q_{query_vec_col}"
@@ -173,19 +189,6 @@ def knn_join(
     train = np_stack_vectors(sample.limit(cap).toPandas()[base_vec_col])
     centroids = _kmeans(train, min(nlist, max(1, len(train))))
     nlist_eff = centroids.shape[0]
-    if target_recall is not None:
-        if nprobe:
-            raise ValueError(
-                "pass either nprobe (an explicit probe count) or "
-                "target_recall, not both"
-            )
-        if not (0.0 < float(target_recall) <= 1.0):
-            raise ValueError("target_recall must be in (0, 1]")
-        if int(calibration_queries) <= 0:
-            raise ValueError(
-                "target_recall needs the in-call probe measurement — "
-                "don't pass calibration_queries=0 with it"
-            )
     measured = False
     if nprobe == 0 and int(calibration_queries) > 0 and nlist_eff > 1:
         # nprobe=0 = AUTO (round 10): measure THIS join's freshly

@@ -367,6 +367,10 @@ def test_norm_index_path_uris():
     assert _norm_index_path("hdfs://nn:8020/a") == "hdfs://nn:8020/a"
     # the scheme's double slash survives (abspath would collapse it)
     assert "://" in _norm_index_path("s3://bucket/idx")
+    # file:// IS a local path (round-10 review): a file:// spelling of
+    # a plain path must compare equal, or it evades the in-place guard
+    assert _norm_index_path("file:///data/ti") == _norm_index_path("/data/ti")
+    assert _norm_index_path("FILE:///data/ti/") == _norm_index_path("/data/ti")
 
 
 def test_hybrid_search_table_rejects_non_integral_qid(spark, base, tmp_path):
