@@ -100,6 +100,14 @@ class DiskannParams:
         `shards` field comment). Capacity ~d^3, anchored at degree 16 →
         1.5k rows; the reference-default degree 64 lands above the 25k
         cap, so default builds keep the historical layout exactly.
+        The degree-64 AT-CAP point is MEASURED, not extrapolated
+        (round 10): 25k uniform 64-dim rows, degree 64 / L 128 →
+        local recall@10 = 1.000 (50 queries; single-shard build wall
+        ~29 min of CPU — the d^3 rule's 96k extrapolated capacity is
+        far above the cap, and the measurement agrees with room to
+        spare). The cap therefore stays an OPERATIONAL bound (append
+        rewrite cost, task memory), not a recall bound, at default
+        degrees.
 
         Round-9 shard-budget sweep (100k x 128-dim uniform, degree 16 /
         build_complexity 32, 50 queries, k=10, local[32]; canaries
@@ -234,7 +242,11 @@ class FaissParams:
         0.949 at 1.5k / 0.792 at 6k / 0.572 at 25k rows — so the anchor
         is m=16 → 6k rows, capacity ~m^3. The default m=32 lands above
         the 25k cap (layout unchanged). Flat/IVFFlat don't graph-shard.
-        """
+        The m=32 AT-CAP point is MEASURED, not extrapolated (round 10):
+        25k uniform 64-dim rows, m=32 / ef=ef_construction=64 → local
+        recall@10 = 0.956 (0.986 at ef 128; 50 queries, 51s build) —
+        at the default m the cap is an operational bound, not a recall
+        bound."""
         if self.type.lower() != "hnsw":
             return int(self.AUTO_SHARD_ROWS)
         cap = max(1_000, int(6_000 * (int(self.hnsw_m) / 16) ** 3))
