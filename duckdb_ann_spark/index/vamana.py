@@ -540,7 +540,20 @@ class VamanaEngine:
 
         (
             src.mapInPandas(assign, schema=schema)
-            .repartition(k_eff, F.col("shard"))
+            # RANGE-partition the cells, not hash (round 10): hashing
+            # k_eff dense cell ids into k_eff partitions collides ~26%
+            # of them — those tasks build TWO (or more) graphs
+            # sequentially while ~1/e of the cores sit idle, and the
+            # straggler doubles the build wall exactly when shard
+            # builds are expensive (observed live: the 300k degree-64
+            # smoke finished 10/12 shards in ~27 min and spent another
+            # hour on 2 collision tasks). Range partitioning on the
+            # dense 0..k_eff-1 ids lands ~one cell per task; the price
+            # is the range-boundary sampling job re-running the (cheap,
+            # narrow GEMM) assignment pass once more — the right trade
+            # whenever the per-cell build dominates, which is this
+            # operator's entire regime.
+            .repartitionByRange(k_eff, F.col("shard"))
             .mapInPandas(
                 build_cells, schema="shard int, label long, id long"
             )
