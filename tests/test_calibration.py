@@ -419,3 +419,39 @@ def test_calibration_stale_flag(spark, data, cat):
         {"num_vectors": 9000, "calibration": {"nprobe": 3}}
     ) is False
     assert calibration_stale({"num_vectors": 9000}) is False
+
+
+def test_l_calibration_duplicates_and_ip(spark, cat):
+    """Round-10 review scenario: self-exclusion is BY ID, so duplicate
+    vectors (deduped-then-appended corpora) don't get miscounted as
+    self, and IP metric — where the query's own row need not rank
+    first — measures sanely."""
+    rng = np.random.default_rng(11)
+    n_cl, n, dim = 12, 3_000, 16
+    centers = rng.random((n_cl, dim), dtype=np.float32)
+    mat = (
+        centers[np.arange(n) % n_cl]
+        + rng.normal(0, 0.02, (n, dim)).astype(np.float32)
+    )
+    mat[1::2] = mat[::2]  # every vector duplicated under a second id
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
+    )
+    for name, metric in (("lcal_dup", "l2"), ("lcal_ip", "ip")):
+        m = create_index(
+            df, "vec_id", "embedding", name, engine="diskann",
+            max_degree=16, build_complexity=32, shards=n_cl,
+            shard_by="cells", metric=metric, catalog=cat,
+        )
+        lc = m["l_calibration"]
+        assert lc is not None, (name, m)
+        assert 0.0 < lc["recall_at_l"] <= 1.0, lc
+        assert all(0.0 <= r <= 1.0 for r in lc["recall"]), lc
+        # duplicates make the true neighbor at distance 0 LEGITIMATE
+        # (it is another id) — the curve must still be served: a search
+        # at the measured L returns k rows
+        rows = index_scan(
+            spark, name, [list(mat[0])], 5, catalog=cat
+        ).collect()
+        assert len(rows) == 5
+        drop_index(name, cat)
