@@ -374,6 +374,23 @@ def measure_l_calibration(
     def run(batches):
         import pyarrow.dataset as pds
 
+        # per-task label-map cache: a task sees one shard's queries
+        # across MANY Arrow batches (the repartition is by shard), and
+        # the labels parquet open+filter is the per-group fixed cost
+        # worth paying once (round-10 advice)
+        lab_cache: dict[int, dict] = {}
+
+        def labels_for(shard: int) -> dict:
+            if shard not in lab_cache:
+                lab_tbl = pds.dataset(labels_dir, format="parquet").to_table(
+                    columns=["label", "id"],
+                    filter=pds.field("shard") == shard,
+                )
+                lab_cache[shard] = dict(zip(
+                    lab_tbl["id"].to_pylist(), lab_tbl["label"].to_pylist()
+                ))
+            return lab_cache[shard]
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -395,42 +412,40 @@ def measure_l_calibration(
                 # this shard's label map (round-10 review: picking the
                 # nearest point as "self" miscounts duplicates and is
                 # wrong outright for IP, where self need not rank first)
-                lab_tbl = pds.dataset(labels_dir, format="parquet").to_table(
-                    columns=["label", "id"],
-                    filter=pds.field("shard") == int(shard),
-                )
-                lab_of_id = dict(zip(
-                    lab_tbl["id"].to_pylist(), lab_tbl["label"].to_pylist()
-                ))
+                lab_of_id = labels_for(int(shard))
                 kk = min(k, n - 1)
-                vecs = np.asarray(g.vectors[:n])
-                d_exact = np_index_distances(metric, vecs, qs)  # (nq, n)
-                nq_s = qs.shape[0]
-                self_lab = np.full(nq_s, -1, dtype=np.int64)
-                dk = np.full(nq_s, np.inf)
-                for qi in range(nq_s):
-                    sl = lab_of_id.get(int(q_ids[qi]), -1)
-                    if sl < 0:
-                        continue  # defensive: row not in this shard
-                    self_lab[qi] = sl
-                    dq = d_exact[qi].copy()
-                    dq[sl] = np.inf  # kk-th NEIGHBOR threshold, self out
-                    dk[qi] = np.partition(dq, kk - 1)[kk - 1]
-                judged = self_lab >= 0
+                # judge (and SEARCH) only queries whose row is in this
+                # shard's label map — defensive rows can't be
+                # self-excluded, and searching them per grid L was pure
+                # waste (round-10 advice: |grid| beam runs per
+                # never-judged query)
+                self_all = np.array(
+                    [lab_of_id.get(int(i), -1) for i in q_ids],
+                    dtype=np.int64,
+                )
+                judged = self_all >= 0
                 if not judged.any():
                     continue
+                qs = qs[judged]
+                self_lab = self_all[judged]
+                nq_s = qs.shape[0]
+                vecs = np.asarray(g.vectors[:n])
+                d_exact = np_index_distances(metric, vecs, qs)  # (nq, n)
+                dk = np.full(nq_s, np.inf)
+                for qi in range(nq_s):
+                    dq = d_exact[qi].copy()
+                    dq[self_lab[qi]] = np.inf  # kk-th NEIGHBOR, self out
+                    dk[qi] = np.partition(dq, kk - 1)[kk - 1]
                 # tie/float tolerance: squared-l2 >= 0, negated-ip can be
                 # negative — widen by magnitude either way
                 tol = dk + np.maximum(1e-6, np.abs(dk) * 1e-5)
-                total = int(kk * judged.sum())
+                total = int(kk * nq_s)
                 for L in grid:
                     # request kk+1 so the self-point occupying one slot
                     # cannot crowd out a true neighbor
                     res = g.search_batch(qs, kk + 1, L)
                     hits = 0
                     for qi, hl in enumerate(res):
-                        if not judged[qi]:
-                            continue
                         found = 0
                         for label, _dist in hl:
                             lab = int(label)
@@ -453,12 +468,22 @@ def measure_l_calibration(
         agg.groupby("l", sort=True).sum()
     )
     recall = (curve["hits"] / curve["total"]).to_dict()
+    ls = [L for L in grid if L in recall]
     measured = grid[-1]
     for L in grid:
         if L in recall and recall[L] >= target:
             measured = L
             break
-    ls = [L for L in grid if L in recall]
+    else:
+        # target unmet even at the grid max: pick the CURVE KNEE — the
+        # smallest L within epsilon of the best achieved recall — not
+        # the grid max unconditionally (round-10 advice: a flat curve
+        # past 2x base would otherwise pin every search_complexity=None
+        # search to the 8x beam cost for a ~0.01 recall difference)
+        if ls:
+            best = max(recall[L] for L in ls)
+            eps = 0.01
+            measured = next(L for L in ls if recall[L] >= best - eps)
     return {
         "n_queries": int(qmat.shape[0]),
         "k": int(k),
@@ -502,7 +527,12 @@ def calibration_stale(manifest: dict) -> bool:
         at = cal.get("rows_at_measurement")
         if not at:
             continue
-        drift = max(0, appended_base - int(at)) + deleted
+        # deleted's contribution is bounded by the rows that EXISTED at
+        # measurement — a row appended after measurement and then
+        # tombstoned already counts once through the append term
+        # (round-10 advice: unbounded, it double-counted such rows and
+        # could flip the flag early)
+        drift = max(0, appended_base - int(at)) + min(deleted, int(at))
         if drift > CALIBRATION_STALE_FRACTION * int(at):
             return True
     return False

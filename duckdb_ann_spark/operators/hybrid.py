@@ -257,9 +257,17 @@ def _norm_index_path(path: str) -> str:
     (round-10 advice + review)."""
     import re
 
-    m = re.match(r"^file://(/.*)$", path, re.IGNORECASE)
+    # all three RFC/Hadoop spellings of a local file URI: the empty-
+    # authority triple-slash (file:///x), the single-slash shorthand
+    # Hadoop renders (file:/x), and the localhost authority
+    # (file://localhost/x) — each IS the local path after unwrapping
+    # (round-10 advice: the latter two fell through to the generic-URI
+    # branch and evaded the in-place guard)
+    m = re.match(
+        r"^file:(?:///|/(?!/)|//localhost/)(.*)$", path, re.IGNORECASE
+    )
     if m:
-        return os.path.realpath(m.group(1))
+        return os.path.realpath("/" + m.group(1))
     if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
         return path.rstrip("/")
     return os.path.realpath(path)

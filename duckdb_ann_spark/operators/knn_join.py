@@ -213,7 +213,8 @@ def knn_join(
                 raise ValueError(
                     "knn_join: the in-call probe measurement came back "
                     "degenerate (too few rows/cells) — target_recall "
-                    "cannot be honored; pass an explicit nprobe"
+                    "cannot be honored; drop target_recall and pass an "
+                    "explicit nprobe"
                 )
             measured = True
         elif cal is not None:
@@ -222,7 +223,7 @@ def knn_join(
     elif target_recall is not None:
         raise ValueError(
             "knn_join: target_recall needs >1 trained cell to measure "
-            "a curve; pass an explicit nprobe"
+            "a curve; drop target_recall and pass an explicit nprobe"
         )
     if nprobe == 0:
         # static fallback: calibration disabled or degenerate — the
