@@ -331,6 +331,9 @@ def bench_indexed(spark, dim: int) -> tuple[dict[str, float], dict[str, float]]:
 
 
 SCALE_N = 100_000
+# the asked end-recall target of the round-11 contract leg (the same
+# bar the r10 measured-L deliverable set for the clustered graph leg)
+TR_TARGET = 0.78
 
 
 def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
@@ -566,15 +569,23 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
 
         # routed layered-HNSW at the same shard/routing config
         t0 = time.perf_counter()
-        create_index(
+        mh = create_index(
             vecs, "vec_id", "embedding", "scale_hnsw_routed", engine="faiss",
             type="HNSW", hnsw_m=16, shards=128, shard_by="cells", catalog=cat,
         )
         _t("scale100k_hnsw_routed_build", t0)
+        # round-11 (r10 verdict item 4): ride the MEASURED in-shard L
+        # (search_complexity=None) instead of a pinned 64 — the build
+        # pays for the L measurement, so the bench must exercise it;
+        # the measured value is exported for the r10-vs-r11 timing
+        # adjudication (the pinned-64 leg regressed +26% in r10 without
+        # running any new code)
+        out["scale100k_hnsw_routed_measured_l"] = float(
+            (mh["l_calibration"] or {}).get("search_complexity", 0)
+        )
         t0 = time.perf_counter()
         rows = index_scan(
-            spark, "scale_hnsw_routed", queries, K, search_complexity=64,
-            catalog=cat,
+            spark, "scale_hnsw_routed", queries, K, catalog=cat,
         ).collect()
         _t("scale100k_hnsw_routed_search", t0)
         assert len(rows) == N_QUERIES * K, len(rows)
@@ -628,6 +639,13 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         out["scale100k_vamana_clust_measured_l"] = float(
             lcal["search_complexity"]
         )
+        # the fused build also measured the END recall at the default
+        # operating point — the anchor the target_recall composition
+        # deflates by (round 11)
+        ecal = mv["end_calibration"]
+        assert ecal is not None
+        out["scale100k_vamana_clust_end_measured"] = float(ecal["recall"])
+        out["scale100k_vamana_clust_end_predicted"] = float(ecal["predicted"])
         t0 = time.perf_counter()
         rows = index_scan(
             spark, "scale_vam_clust", cqueries, K, catalog=cat
@@ -635,6 +653,22 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         _t("scale100k_vamana_clust_search", t0)
         assert len(rows) == N_QUERIES * K, len(rows)
         recall["scale100k_vamana_clust"] = round(_recall_of(rows, ctruth, K), 3)
+
+        # round-11: the END-recall contract leg — target_recall=0.78
+        # resolves (route_nprobe, L) JOINTLY from the two measured
+        # curves, deflated by the index's own measured end/predicted
+        # ratio; the floor assert at the bottom checks the MEASURED end
+        # recall clears the ASKED target (the round-10 gap: routing-only
+        # resolution delivered ~0.85 end on a 0.90 ask because the two
+        # losses multiply)
+        t0 = time.perf_counter()
+        rows = index_scan(
+            spark, "scale_vam_clust", cqueries, K, catalog=cat,
+            target_recall=TR_TARGET,
+        ).collect()
+        _t("scale100k_vamana_tr_search", t0)
+        assert len(rows) == N_QUERIES * K, len(rows)
+        recall["scale100k_vamana_tr"] = round(_recall_of(rows, ctruth, K), 3)
         drop_index("scale_vam_clust", cat)
 
         # ONE collect per knn_join times the search AND feeds the
@@ -730,9 +764,19 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         assert recall[key] >= 0.70, (key, recall[key])
     # round-10 deliverable: the measured in-shard L lifts the clustered
     # graph leg clear of the floor-margin residual (r9 held 0.728 at
-    # the static L; the verdict's bar is >=0.78)
+    # the static L; the verdict's bar is >=0.78). Round-11 durability
+    # measurement (r10 verdict item 8, 500 queries on this exact
+    # config): per-query recall mean 0.834, std 0.149, so a 50-query
+    # leg mean has se 0.021 — bootstrap P(mean < 0.78) = 0.0056. The
+    # bar is durable (~1-in-180 runs), not epoch-fragile; left as-is.
     assert recall["scale100k_vamana_clust"] >= 0.78, (
         recall["scale100k_vamana_clust"]
+    )
+    # round-11 deliverable: target_recall is an END-recall contract on
+    # routed graphs — the measured end recall of the composed
+    # (route_nprobe, L) config clears the asked target
+    assert recall["scale100k_vamana_tr"] >= TR_TARGET, (
+        recall["scale100k_vamana_tr"], TR_TARGET
     )
     # the calibrated clustered regime must probe WELL below the static
     # uniform rule (the round-9 deliverable: measured, not hoped)

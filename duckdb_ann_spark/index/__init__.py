@@ -27,6 +27,7 @@ from .api import (  # noqa: F401
     index_search_table,
     insert_into_index,
     merge_indexes,
+    recalibrate_index,
     vacuum_index,
 )
 from .catalog import Catalog  # noqa: F401

@@ -209,6 +209,21 @@ def index_scan(
         schema = f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
         return spark.createDataFrame([], schema)
 
+    return _scan_with_manifest(spark, impl, manifest, d, qs, k,
+                               search_complexity)
+
+
+def _scan_with_manifest(
+    spark: SparkSession, impl, manifest: dict, d: str, qs: list, k: int,
+    search_complexity: Optional[int],
+) -> DataFrame:
+    """The tombstone-aware scan body shared by `index_scan` and the
+    recalibration end-recall measurement (round 11 — the measurement
+    must ride the REAL user path, including the bounded over-request
+    and anti-join, so tombstoned hits can neither starve nor inflate
+    it; the only difference is the caller-supplied manifest copy
+    carrying a per-call route_nprobe)."""
+    id_col = manifest["id_col"]
     deleted = _deleted_ids(spark, d, manifest)
     # over-request so tombstones can't starve the result
     # (src/diskann_index.cpp:558-592 requests k + |deleted|). Round 8:
@@ -307,22 +322,28 @@ def _apply_target_recall(
     contract) → (search_complexity, manifest). Per engine family:
 
     * IVFFlat: resolve nprobe from the stored measured curve; mutually
-      exclusive with an explicit search_complexity.
-    * Graph (Vamana/HNSW): resolve route_nprobe from the routing curve
-      into a shallow-copied manifest (explicit manifest route_nprobe
-      wins inside `_resolve_route_nprobe`, so the copy carries the
-      per-call count through every search path); search_complexity is
-      left alone (it is the in-shard L knob, orthogonal — and
-      `l_calibration` already resolves its None case).
+      exclusive with an explicit search_complexity. Cells are scanned
+      exactly, so routing recall IS end recall.
+    * Graph (Vamana/HNSW): resolve (route_nprobe, search_complexity)
+      JOINTLY from the routing + in-shard curves so the COMPOSED end
+      recall clears the target — deflated by the index's own measured
+      prediction error (`calibration.resolve_end_recall`, round 11;
+      round 10 resolved routing coverage only, which under-delivered
+      because the two losses multiply). route_nprobe rides a
+      shallow-copied manifest (explicit manifest route_nprobe wins
+      inside `_resolve_route_nprobe`, so the copy carries the per-call
+      count through every search path); mutually exclusive with an
+      explicit search_complexity (the resolution OWNS both knobs).
     * Flat: exact scan, any target satisfied by construction.
     * anything else: fail loud — an approximate engine silently
       ignoring an EXPLICIT recall ask is the exact failure mode this
       parameter's contract forbids.
 
-    Fails loud on artifacts without the relevant measurement."""
+    Fails loud on artifacts without the relevant measurement, and on
+    targets the measured curves cannot compose to."""
     if not (0.0 < float(target_recall) <= 1.0):
         raise ValueError("target_recall must be in (0, 1]")
-    from .calibration import nprobe_for_target
+    from .calibration import nprobe_for_target, resolve_end_recall
     from .flat import FlatEngine
     from .ivf import IvfFlatEngine
     from .vamana import VamanaEngine
@@ -343,18 +364,18 @@ def _apply_target_recall(
             )
         search_complexity = resolved
     elif isinstance(impl, VamanaEngine):  # incl. HnswEngine
-        resolved = nprobe_for_target(
-            manifest, target_recall, "route_calibration"
-        )
-        if resolved <= 0:
+        if search_complexity:
             raise ValueError(
-                f"index '{name}' carries no measured routing curve "
-                "(hash/single-shard layout, pinned route_nprobe, or "
-                "calibration_queries=0) — target_recall needs a "
-                "shard_by='cells' build with calibration enabled"
+                "pass either search_complexity (an explicit in-shard "
+                "beam width) or target_recall, not both — target_recall "
+                "resolves BOTH route_nprobe and search_complexity from "
+                "the measured curves"
             )
+        rnp, search_complexity = resolve_end_recall(
+            manifest, target_recall, name=name
+        )
         manifest = {**manifest, "params": {**manifest["params"],
-                                           "route_nprobe": resolved}}
+                                           "route_nprobe": rnp}}
     elif isinstance(impl, FlatEngine):
         pass  # exact scan meets any target by construction
     else:
@@ -708,6 +729,169 @@ def vacuum_index(
     # the rebuild IS the rebalance a routed append may have flagged
     return cat.update(name, num_vectors=int(n), num_deleted=0,
                       needs_vacuum=False, **(extra or {}))
+
+
+def recalibrate_index(
+    spark: SparkSession,
+    name: str,
+    catalog: Optional[Catalog] = None,
+    n_queries: int = 0,
+) -> dict:
+    """Re-run ONLY the build-time calibration measurements against the
+    LIVE artifact (round 11) — the cheap remedy for `calibration_stale`.
+
+    The staleness flag (`ann_index_info`) flips once appends/tombstones
+    drift the index past CALIBRATION_STALE_FRACTION of what its
+    probe/L/end measurements were taken on, but until this round the
+    only refresh was `vacuum_index` — a complete re-shard + re-insert
+    of every graph, a multi-hour event on a 100-TB index. The
+    measurement passes themselves are bounded narrow scans (sample +
+    exact-top-k scan + busiest-shard L pass + one end search), orders
+    cheaper than rebuild; this re-runs exactly them against the
+    cells/shards already on disk and commits the fresh curves +
+    anchors to the manifest. Searches ride the new curves immediately
+    (nprobe=0 / search_complexity=None / target_recall all resolve
+    through the manifest).
+
+    Tombstone discipline: the query sample and the exact end-recall
+    truth are drawn from LIVE rows only (tombstoned ids anti-joined
+    out), and the end measurement runs through the real
+    tombstone-aware scan path, so deleted near-neighbors can neither
+    inflate nor starve it. The in-shard L curve measures the graph AS
+    BUILT (tombstones still occupy the beam until vacuum) — that IS
+    what a search pays. Note `rows_at_measurement` /
+    `deleted_at_measurement` anchor the staleness counters at the
+    CURRENT index state, so the flag clears without a rebuild.
+
+    Raises for artifacts with nothing to measure: Flat (exact),
+    pinned-probe builds (a measurement no search would use — the same
+    dead-weight rule the builds apply), hash/single-shard graph
+    layouts (no routing/L curves to refresh)."""
+    from .calibration import (
+        DEFAULT_QUERIES,
+        IVF_TARGET,
+        measure_graph_calibrations,
+        measure_probe_calibration,
+    )
+    from .ivf import IvfFlatEngine
+    from .vamana import VamanaEngine, _route_centroids
+
+    cat, manifest, d, impl = _load(name, "", catalog)
+    nq = int(n_queries or 0) or int(
+        (manifest.get("params") or {}).get("calibration_queries", 0)
+        or DEFAULT_QUERIES
+    )
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    nv = int(manifest.get("num_vectors", 0))
+    nd = int(manifest.get("num_deleted", 0) or 0)
+    n_live = max(0, nv - nd)
+    if n_live < 2:
+        raise ValueError(
+            f"index '{name}' holds {n_live} live rows — nothing to measure"
+        )
+    src = impl.vectors(spark, d).select(id_col, vec_col)
+    deleted = _deleted_ids(spark, d, manifest)
+    if deleted is not None:
+        src = src.join(F.broadcast(deleted), on=id_col, how="anti")
+
+    def _anchor(cal: Optional[dict]) -> Optional[dict]:
+        # staleness counters restart at the CURRENT index state: the
+        # append term keys off num_vectors (which still counts
+        # tombstoned rows), the delete term off deletes SINCE this
+        # measurement (calibration_stale subtracts the anchor)
+        if cal is not None:
+            cal["rows_at_measurement"] = nv
+            cal["deleted_at_measurement"] = nd
+        return cal
+
+    if isinstance(impl, IvfFlatEngine):
+        if int((manifest.get("params") or {}).get("nprobe", 0) or 0) != 0:
+            raise ValueError(
+                f"index '{name}' pins nprobe — a measurement no search "
+                "would use (rebuild with nprobe=0 to ride calibration)"
+            )
+        centroids = impl._centroids(spark, d)
+        if centroids is None or centroids.shape[0] <= 1:
+            raise ValueError(
+                f"index '{name}' has <=1 trained cell — no curve to measure"
+            )
+        cal = _anchor(measure_probe_calibration(
+            src, id_col, vec_col, centroids,
+            manifest["params"]["metric"], n_live, IVF_TARGET, n_queries=nq,
+        ))
+        if cal is None:
+            raise ValueError(
+                f"index '{name}': measurement came back degenerate "
+                "(too few live rows or an empty sample)"
+            )
+        return cat.update(name, calibration=cal)
+
+    if isinstance(impl, VamanaEngine):  # incl. HnswEngine
+        route = _route_centroids(spark, d, manifest.get("params") or {})
+        shard_files = impl._shard_files(d)
+        if route is None or not shard_files:
+            raise ValueError(
+                f"index '{name}' is not a routed (shard_by='cells') "
+                "layout — it carries no routing/L measurements to refresh"
+            )
+        params = parse_params(manifest["engine"], _params_kwargs(manifest))
+
+        from .calibration import shape_search_results
+
+        def search_fn(qm, kk, rnp, L):
+            mani = {**manifest,
+                    "params": {**manifest["params"],
+                               "route_nprobe": int(rnp)}}
+            res = _scan_with_manifest(
+                spark, impl, mani, d,
+                [[float(x) for x in q] for q in qm], kk, int(L),
+            ).collect()
+            return shape_search_results(res, len(qm), id_col)
+
+        measure_routing = int(
+            (manifest.get("params") or {}).get("route_nprobe", 0) or 0
+        ) == 0
+        from .vamana import LABELS_DIR
+
+        route_cal, l_cal, end_cal = measure_graph_calibrations(
+            src, id_col, vec_col, route, manifest["params"]["metric"],
+            n_live, shard_files, os.path.join(d, LABELS_DIR),
+            impl._default_search_complexity(params), search_fn,
+            measure_routing=measure_routing, n_queries=nq,
+        )
+        # a refresh must never DOWNGRADE the artifact: a measurement
+        # that was present before and comes back degenerate (None) is
+        # an error, not a silent overwrite-with-None that would flip
+        # searches to static defaults and break target_recall
+        # (round-11 review)
+        fresh = {"l_calibration": _anchor(l_cal)}
+        if measure_routing:
+            fresh["route_calibration"] = _anchor(route_cal)
+            fresh["end_calibration"] = _anchor(end_cal)
+        if all(v is None for v in fresh.values()):
+            raise ValueError(
+                f"index '{name}': measurement came back degenerate "
+                "(too few live rows or an empty sample)"
+            )
+        lost = [
+            key for key, v in fresh.items()
+            if v is None and manifest.get(key) is not None
+        ]
+        if lost:
+            raise ValueError(
+                f"index '{name}': re-measurement of {lost} came back "
+                "degenerate while the manifest holds prior values — "
+                "refusing to overwrite measurements with None "
+                "(vacuum_index rebuilds and re-measures if the index "
+                "has genuinely degenerated)"
+            )
+        return cat.update(name, **fresh)
+
+    raise ValueError(
+        f"index '{name}' ({manifest['engine']}/{manifest['subtype']}) "
+        "carries no calibration measurements (exact scan) — nothing to "
+        "recalibrate"
+    )
 
 
 def _params_kwargs(manifest: dict) -> dict:

@@ -138,33 +138,25 @@ def _sample_queries(
     )
 
 
-def measure_probe_calibration(
+def _exact_topk_scan(
     src: DataFrame,
     id_col: str,
     vec_col: str,
+    qmat: np.ndarray,
     centroids: np.ndarray,
     metric: str,
-    n_rows: int,
-    target: float,
-    n_queries: int = DEFAULT_QUERIES,
-    k: int = CAL_K,
-) -> dict | None:
-    """→ manifest-ready calibration dict, or None when the index is too
-    small/degenerate to measure (<=1 cell, <2 rows, no sample). The
-    dict's `nprobe` is the smallest probe count whose measured
-    cell-level recall@k clears `target` on the held-out sample; `probes`
-    / `recall` carry a log-spaced slice of the full curve for
-    observability (the curve always ends at 1.0 — every true neighbor's
-    cell is SOMEWHERE in the ranking)."""
-    nlist = int(centroids.shape[0])
-    if nlist <= 1 or n_rows < 2 or n_queries <= 0:
-        return None
-    k = max(1, min(k, n_rows - 1))
-    qids, qmat = _sample_queries(src, id_col, vec_col, n_rows, n_queries)
-    nq = qmat.shape[0]
-    if nq == 0:
-        return None
+    k: int,
+) -> pd.DataFrame:
+    """ONE distributed scan → per-query exact top-(k+1) candidates with
+    the cell each candidate lives in: per-partition top-(k+1)
+    accumulation (each partition emits at most `nq*(k+1)` rows
+    regardless of batch count, so driver traffic is
+    O(partitions*queries*k), never O(N)); candidate cells computed
+    in-task against the broadcast centroids. The shared substrate of
+    BOTH build-time measurements (routing curve + exact end-recall
+    truth) — round 11 fused them onto this single pass."""
     spark = src.sparkSession
+    nq = qmat.shape[0]
     cap = k + 1  # +1 so dropping the query's own row still leaves k
     bq = spark.sparkContext.broadcast(
         (np.ascontiguousarray(qmat), np.ascontiguousarray(centroids))
@@ -215,36 +207,65 @@ def measure_probe_calibration(
             }
         )
 
-    hits = (
+    return (
         src.select(id_col, vec_col)
         .mapInPandas(scan, schema="qi int, _d double, _id long, _cell int")
         .toPandas()
     )
-    if not len(hits):
-        return None
 
-    # per-query cell ranking under the index's own routing order
+
+def _merge_truth(
+    hits: pd.DataFrame, qids: np.ndarray, k: int
+) -> "list[tuple[np.ndarray, np.ndarray, np.ndarray]]":
+    """Merge the per-partition candidates to the per-query EXACT global
+    top-k → one (ids, dists, cells) triple per query, sorted by
+    (distance, id) with the query's own row dropped (self-exclusion by
+    id — the measurement discipline every calibration pass shares)."""
+    truth: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = [
+        (np.array([], np.int64), np.array([]), np.array([], np.int64))
+    ] * len(qids)
+    for qi, grp in hits.groupby("qi", sort=True):
+        o = np.lexsort((grp["_id"].to_numpy(), grp["_d"].to_numpy()))
+        g_ids = grp["_id"].to_numpy()[o]
+        g_d = grp["_d"].to_numpy()[o]
+        g_cells = grp["_cell"].to_numpy()[o]
+        keep = g_ids != qids[int(qi)]  # drop the query's own row
+        truth[int(qi)] = (
+            g_ids[keep][:k], g_d[keep][:k], g_cells[keep][:k]
+        )
+    return truth
+
+
+def _routing_curve(
+    truth, qmat: np.ndarray, centroids: np.ndarray, metric: str
+) -> np.ndarray | None:
+    """recall-vs-probed-cells curve from the exact truth's cells: rank
+    the cells per query by centroid distance (the index's own routing
+    order); a true neighbor is found at probe depth p iff its cell
+    ranks < p — the ENTIRE curve in closed form, no per-nprobe
+    re-search. curve[p-1] = recall@p probes; None when no ranks."""
+    nlist = int(centroids.shape[0])
     cd = np_index_distances(metric, centroids, qmat)  # (nq, nlist)
     order = np.argsort(cd, axis=1, kind="stable")
     rank_of_cell = np.empty_like(order)
     np.put_along_axis(
         rank_of_cell, order,
-        np.broadcast_to(np.arange(nlist), (nq, nlist)).copy(), axis=1,
+        np.broadcast_to(np.arange(nlist), (qmat.shape[0], nlist)).copy(),
+        axis=1,
     )
-
     ranks: list[int] = []
-    for qi, grp in hits.groupby("qi", sort=True):
-        o = np.lexsort((grp["_id"].to_numpy(), grp["_d"].to_numpy()))
-        g_ids = grp["_id"].to_numpy()[o]
-        g_cells = grp["_cell"].to_numpy()[o]
-        keep = g_ids != qids[int(qi)]  # drop the query's own row
-        top_cells = g_cells[keep][:k]
-        ranks.extend(int(rank_of_cell[int(qi), c]) for c in top_cells)
+    for qi, (_ids, _ds, cells) in enumerate(truth):
+        ranks.extend(int(rank_of_cell[qi, c]) for c in cells)
     if not ranks:
         return None
     hist = np.bincount(np.asarray(ranks), minlength=nlist)
-    curve = np.cumsum(hist) / float(len(ranks))  # curve[p-1] = recall@p probes
+    return np.cumsum(hist) / float(len(ranks))
 
+
+def _probe_cal_dict(
+    curve: np.ndarray, nlist: int, target: float, nq: int, k: int,
+    n_rows: int,
+) -> dict:
     measured = int(np.searchsorted(curve, target, side="left")) + 1
     measured = min(measured, nlist)
     # log-spaced curve slice for the manifest (bounded, observable)
@@ -268,64 +289,82 @@ def measure_probe_calibration(
     }
 
 
-def measure_l_calibration(
+def measure_probe_calibration(
     src: DataFrame,
     id_col: str,
     vec_col: str,
     centroids: np.ndarray,
     metric: str,
     n_rows: int,
-    shard_files: "list[tuple[int, str]]",
-    labels_dir: str,
-    base_l: int,
-    target: float = L_TARGET,
+    target: float,
     n_queries: int = DEFAULT_QUERIES,
     k: int = CAL_K,
-    max_shards: int = L_MAX_SHARDS,
 ) -> dict | None:
-    """Measure THIS index's in-shard graph-search recall-vs-L curve at
-    build time (round 10) → manifest-ready dict, or None when there is
-    nothing to measure (no shards, no sample, base_l<=0).
-
-    Why: routing calibration (above) fixes WHICH shards a query probes;
-    this fixes how hard the greedy beam works INSIDE them. The two
-    losses multiply, and round 9's measurement showed the in-shard term
-    is the binding one on clustered data (~0.76 at the static default L
-    vs 0.92-0.97 on uniform shards — occlusion pruning bites when every
-    point is close). `search_complexity=None` searches resolve through
-    the stored value (explicit per-call L > this measurement > the
-    static default), so uniform indexes pay nothing (measured L == base)
-    and clustered ones buy their recall back with wall time.
-
-    How it stays bounded: the held-out sample (the SAME deterministic
-    hash sample the probe calibration uses) is routed to each query's
-    top-1 shard; only the `max_shards` busiest shards are measured. One
-    distributed pass, one task per measured shard: the task mmaps its
-    shard (the search-time cache path), computes the EXACT in-shard
-    top-k once (a (nq, shard_rows) GEMM — a shard is budget-bounded,
-    so this is small), then runs the lock-step batch search once per
-    grid L. Driver traffic is O(shards * |grid|) count rows, never
-    vectors. Recall is judged in the exact-distance domain with a tie
-    tolerance (a returned label counts if its exact distance is within
-    the k-th exact distance), so GEMM-vs-per-row float32 accumulation
-    differences cannot miscount.
-
-    The curve is IN-SHARD recall — the multiplicative partner of the
-    routing curve, not an end-recall guarantee on its own (same
-    contract split as ROUTED_TARGET vs IVF_TARGET)."""
-    if not shard_files or n_queries <= 0 or int(base_l) <= 0 or n_rows < 2:
+    """→ manifest-ready calibration dict, or None when the index is too
+    small/degenerate to measure (<=1 cell, <2 rows, no sample). The
+    dict's `nprobe` is the smallest probe count whose measured
+    cell-level recall@k clears `target` on the held-out sample; `probes`
+    / `recall` carry a log-spaced slice of the full curve for
+    observability (the curve always ends at 1.0 — every true neighbor's
+    cell is SOMEWHERE in the ranking). The single-measurement surface
+    (IVF builds, `knn_join`'s in-call cells) — graph builds measure
+    routing + in-shard L + end recall together through
+    `measure_graph_calibrations` instead."""
+    nlist = int(centroids.shape[0])
+    if nlist <= 1 or n_rows < 2 or n_queries <= 0:
         return None
-    base_l = int(base_l)
-    # oversample 4x: the busiest-shard cut below keeps only the queries
-    # routed at the measured shards (a 64-query sample kept just 17 on
-    # the 128-shard bench config — too noisy for a per-L recall
-    # estimate); the pass stays bounded either way
-    qids, qmat = _sample_queries(
-        src, id_col, vec_col, n_rows, min(4 * n_queries, 512)
-    )
+    k = max(1, min(k, n_rows - 1))
+    qids, qmat = _sample_queries(src, id_col, vec_col, n_rows, n_queries)
     nq = qmat.shape[0]
     if nq == 0:
         return None
+    hits = _exact_topk_scan(src, id_col, vec_col, qmat, centroids, metric, k)
+    if not len(hits):
+        return None
+    truth = _merge_truth(hits, qids, k)
+    curve = _routing_curve(truth, qmat, centroids, metric)
+    if curve is None:
+        return None
+    return _probe_cal_dict(curve, nlist, target, nq, k, n_rows)
+
+
+def _measure_l_curve(
+    spark,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    centroids: np.ndarray,
+    metric: str,
+    shard_files: "list[tuple[int, str]]",
+    labels_dir: str,
+    grid: "list[int]",
+    k: int,
+    max_shards: int = L_MAX_SHARDS,
+) -> "tuple[dict, int]":
+    """The in-shard recall-vs-L measurement pass (round 10) →
+    ({L: recall}, n_queries_used). Routing calibration fixes WHICH
+    shards a query probes; this fixes how hard the greedy beam works
+    INSIDE them — the two losses multiply, and round 9's measurement
+    showed the in-shard term is the binding one on clustered data
+    (~0.76 at the static default L vs 0.92-0.97 on uniform shards —
+    occlusion pruning bites when every point is close).
+
+    How it stays bounded: the held-out queries (the shared build-time
+    sample) are routed to each query's top-1 shard; only the
+    `max_shards` busiest shards are measured. One distributed pass, one
+    task per measured shard: the task mmaps its shard (the search-time
+    cache path), computes the EXACT in-shard top-k once (a
+    (nq, shard_rows) GEMM — a shard is budget-bounded, so this is
+    small), then runs the lock-step batch search once per grid L.
+    Driver traffic is O(shards * |grid|) count rows, never vectors.
+    Recall is judged in the exact-distance domain with a tie tolerance
+    (a returned label counts if its exact distance is within the k-th
+    exact distance), so GEMM-vs-per-row float32 accumulation
+    differences cannot miscount. Self-exclusion is BY ID via the
+    shard's label map (nearest-point "self" miscounts duplicate vectors
+    and is wrong outright for IP)."""
+    nq = qmat.shape[0]
+    if nq == 0 or not shard_files:
+        return {}, 0
     existing = {s for s, _ in shard_files}
     cd = np_index_distances(metric, centroids, qmat)  # (nq, nlist)
     order = np.argsort(cd, axis=1, kind="stable")
@@ -337,7 +376,7 @@ def measure_l_calibration(
                 break
     keep_q = tgt >= 0
     if not keep_q.any():
-        return None
+        return {}, 0
     qids, qmat, tgt = qids[keep_q], qmat[keep_q], tgt[keep_q]
     # bound the measurement to the busiest shards by held-out query mass
     shards_u, counts = np.unique(tgt, return_counts=True)
@@ -346,13 +385,6 @@ def measure_l_calibration(
     )
     mask = np.array([int(t) in busiest for t in tgt])
     qids, qmat, tgt = qids[mask], qmat[mask], tgt[mask]
-    grid = sorted(
-        {
-            min(L_GRID_CAP, max(1, int(round(base_l * f))))
-            for f in L_GRID_FACTORS
-        }
-    )
-    spark = src.sparkSession
     paths = dict(shard_files)
     rows = [
         (int(s), int(qids[i]), [float(x) for x in qmat[i]])
@@ -463,38 +495,337 @@ def measure_l_calibration(
 
     agg = qdf.mapInPandas(run, schema="l int, hits long, total long").toPandas()
     if not len(agg):
-        return None
+        return {}, 0
     curve = (
         agg.groupby("l", sort=True).sum()
     )
-    recall = (curve["hits"] / curve["total"]).to_dict()
+    return (curve["hits"] / curve["total"]).to_dict(), int(qmat.shape[0])
+
+
+def _l_cal_dict(
+    recall: dict, grid: "list[int]", base_l: int, target: float,
+    nq: int, k: int, n_rows: int,
+) -> dict | None:
+    """→ manifest-ready `l_calibration` dict from the measured
+    {L: recall} map: smallest grid L clearing `target`, else the CURVE
+    KNEE — the smallest L within epsilon of the best achieved recall,
+    not the grid max unconditionally (round-10 advice: a flat curve
+    past 2x base would otherwise pin every search_complexity=None
+    search to the 8x beam cost for a ~0.01 recall difference)."""
     ls = [L for L in grid if L in recall]
+    if not ls:
+        return None
     measured = grid[-1]
     for L in grid:
         if L in recall and recall[L] >= target:
             measured = L
             break
     else:
-        # target unmet even at the grid max: pick the CURVE KNEE — the
-        # smallest L within epsilon of the best achieved recall — not
-        # the grid max unconditionally (round-10 advice: a flat curve
-        # past 2x base would otherwise pin every search_complexity=None
-        # search to the 8x beam cost for a ~0.01 recall difference)
-        if ls:
-            best = max(recall[L] for L in ls)
-            eps = 0.01
-            measured = next(L for L in ls if recall[L] >= best - eps)
+        best = max(recall[L] for L in ls)
+        eps = 0.01
+        measured = next(L for L in ls if recall[L] >= best - eps)
     return {
-        "n_queries": int(qmat.shape[0]),
+        "n_queries": int(nq),
         "k": int(k),
         "target": float(target),
-        "base": base_l,
+        "base": int(base_l),
         "search_complexity": int(measured),
         "recall_at_l": round(float(recall.get(measured, 0.0)), 4),
         "ls": [int(L) for L in ls],
         "recall": [round(float(recall[L]), 4) for L in ls],
         "rows_at_measurement": int(n_rows),
     }
+
+
+def _measure_end_recall(
+    search_fn, qids: np.ndarray, qmat: np.ndarray, truth, k: int,
+    route_nprobe: int, search_complexity: int,
+) -> "tuple[float, int]":
+    """One END-TO-END search of the held-out queries through the real
+    search path at the resolved default config → (measured end
+    recall@k, n_queries). The exact global top-k (from the shared scan)
+    is the truth; judging uses the same exact-domain tie tolerance as
+    the in-shard pass, against the k-th TRUE distance — the search
+    path's own reported distances live in the same metric domain, so
+    kernel-vs-GEMM float noise cannot miscount. Self-excluded by id on
+    both sides (the query row is in the index)."""
+    hits_total = 0
+    judged_total = 0
+    results = search_fn(qmat, k + 1, int(route_nprobe),
+                        int(search_complexity))
+    for qi in range(qmat.shape[0]):
+        t_ids, t_ds, _cells = truth[qi]
+        kk = min(k, len(t_ids))
+        if kk <= 0:
+            continue
+        dk = float(t_ds[kk - 1])
+        tol = dk + max(1e-6, abs(dk) * 1e-5)
+        found = 0
+        hits = 0
+        for rid, dist in results[qi]:
+            if int(rid) == int(qids[qi]) or found >= kk:
+                continue
+            if float(dist) <= tol:
+                hits += 1
+            found += 1
+        hits_total += hits
+        judged_total += kk
+    if judged_total == 0:
+        return 0.0, 0
+    return hits_total / judged_total, int(qmat.shape[0])
+
+
+def shape_search_results(rows, n_queries: int, id_col: str):
+    """Collected (query_idx, id, _distance) rows → the per-query
+    (id, dist) lists sorted by (dist, id) that
+    `measure_graph_calibrations`' search_fn contract expects. Shared
+    by the build-path closure (`vamana._run_cell_build`) and
+    `recalibrate_index` so the shaping/tie-break can never drift
+    between the two end-recall measurements."""
+    out: list[list] = [[] for _ in range(n_queries)]
+    for r in rows:
+        out[int(r["query_idx"])].append(
+            (int(r[id_col]), float(r["_distance"]))
+        )
+    for hits in out:
+        hits.sort(key=lambda t: (t[1], t[0]))
+    return out
+
+
+def _l_grid(base_l: int) -> "list[int]":
+    return sorted(
+        {
+            min(L_GRID_CAP, max(1, int(round(base_l * f))))
+            for f in L_GRID_FACTORS
+        }
+    )
+
+
+def measure_graph_calibrations(
+    src: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    metric: str,
+    n_rows: int,
+    shard_files: "list[tuple[int, str]]",
+    labels_dir: str,
+    base_l: int,
+    search_fn,
+    measure_routing: bool = True,
+    route_target: float = ROUTED_TARGET,
+    l_target: float = L_TARGET,
+    n_queries: int = DEFAULT_QUERIES,
+    k: int = CAL_K,
+    max_shards: int = L_MAX_SHARDS,
+) -> "tuple[dict | None, dict | None, dict | None]":
+    """The FUSED build-time measurement for routed graph indexes
+    (round 11) → (route_calibration, l_calibration, end_calibration),
+    each None when unmeasurable. Round 10 ran the routing and in-shard
+    passes as two fully separate jobs — each with its own
+    `_sample_queries` toPandas and its own scan — which the round-10
+    bench priced at +24-40% of the routed build wall at 100k. This
+    function samples ONCE (the 4x oversample the busiest-shard cut
+    needs), scans ONCE (`_exact_topk_scan` — the per-partition
+    top-(k+1) accumulation whose candidates carry both the cell ranks
+    for the routing curve AND the exact-distance truth), then runs the
+    bounded in-shard L pass on the busiest shards, and finally ONE
+    end-to-end search of the sample at the resolved default config
+    (`search_fn(qmat, k, route_nprobe, L) -> [[(id, dist), ...]]` —
+    the engine's real search path).
+
+    `end_calibration` is the piece that turns the two sample curves
+    into an honest end-recall contract: the sample curves are measured
+    on DATA-distribution queries and their product systematically
+    over-predicts the end recall of off-sample query sets (round-10
+    measurement: sample product ~0.91 vs measured end 0.834 on the
+    clustered 100k config). Storing {measured end recall, predicted
+    product} at the default operating point lets
+    `resolve_end_recall` deflate a caller's `target_recall` by the
+    index's OWN measured prediction error instead of a global fudge
+    factor.
+
+    `measure_routing=False` (pinned `route_nprobe` builds) skips the
+    routing curve AND the end measurement (the composition needs both
+    curves), but still measures L — the per-call knob with no build
+    pin. Routing curve n_queries grows from 64 to the shared 4x sample
+    (a strictly lower-variance curve; the log-spaced manifest slice is
+    unchanged in shape)."""
+    if (not shard_files or n_queries <= 0 or int(base_l) <= 0
+            or n_rows < 2):
+        return None, None, None
+    k = max(1, min(k, n_rows - 1))
+    qids, qmat = _sample_queries(
+        src, id_col, vec_col, n_rows, min(4 * n_queries, 512)
+    )
+    nq = qmat.shape[0]
+    if nq == 0:
+        return None, None, None
+    spark = src.sparkSession
+    hits = _exact_topk_scan(src, id_col, vec_col, qmat, centroids, metric, k)
+    if not len(hits):
+        return None, None, None
+    truth = _merge_truth(hits, qids, k)
+    nlist = int(centroids.shape[0])
+    route_cal = None
+    curve = None
+    if nlist > 1:
+        curve = _routing_curve(truth, qmat, centroids, metric)
+        if curve is not None and measure_routing:
+            route_cal = _probe_cal_dict(
+                curve, nlist, route_target, nq, k, n_rows
+            )
+    grid = _l_grid(int(base_l))
+    l_recall, l_nq = _measure_l_curve(
+        spark, qids, qmat, centroids, metric, shard_files, labels_dir,
+        grid, k, max_shards,
+    )
+    l_cal = _l_cal_dict(
+        l_recall, grid, int(base_l), l_target, l_nq, k, n_rows
+    )
+    end_cal = None
+    if route_cal is not None and l_cal is not None and search_fn is not None:
+        p_star = int(route_cal["nprobe"])
+        l_star = int(l_cal["search_complexity"])
+        rp = float(curve[p_star - 1])
+        rl = float(l_recall[l_star])
+        end_recall, end_nq = _measure_end_recall(
+            search_fn, qids, qmat, truth, k, p_star, l_star
+        )
+        if end_nq > 0:
+            end_cal = {
+                "n_queries": int(end_nq),
+                "k": int(k),
+                "route_nprobe": p_star,
+                "search_complexity": l_star,
+                "recall": round(float(end_recall), 4),
+                "predicted": round(rp * rl, 4),
+                "rows_at_measurement": int(n_rows),
+            }
+    return route_cal, l_cal, end_cal
+
+
+def resolve_end_recall(
+    manifest: dict, target: float, name: str = ""
+) -> "tuple[int, int]":
+    """Resolve (route_nprobe, search_complexity) JOINTLY so the END
+    recall clears `target` (round 11 — `target_recall` on routed
+    graphs used to resolve routing coverage only, silently
+    under-delivering because the routing and in-shard losses
+    multiply), anchored at the index's own MEASURED end recall:
+
+    * target <= `end_calibration.recall`: return the anchor config
+      itself — the one point certified end-to-end. (A 500-query
+      measurement on the clustered-100k bench config killed the
+      tempting alternative: composing the two sample curves with a
+      constant measured deflation and picking a CHEAPER pair
+      delivered 0.713 on a 0.78 ask, because the curves' off-sample
+      bias grows as L shrinks below the anchor.)
+    * target above it: cheapest pair (by the p*L search-cost model,
+      probed shards x beam width) at or above the anchor on BOTH
+      axes — the direction where the sample curves approach 1 and
+      their bias shrinks — whose predicted product grows by the same
+      factor the end recall must.
+    * no anchor (pre-round-11 artifact): raw curve-product rule,
+      best-effort; `recalibrate_index()` measures the anchor without
+      a rebuild.
+
+    Fails loud when either curve is missing or when even the curve
+    maxima cannot compose to the target — an approximate engine must
+    never silently under-deliver an EXPLICIT recall ask."""
+    label = f"index '{name}'" if name else "index"
+    rc = manifest.get("route_calibration") or {}
+    lc = manifest.get("l_calibration") or {}
+    probes = rc.get("probes") or []
+    prec = rc.get("recall") or []
+    if not probes or not prec:
+        raise ValueError(
+            f"{label} carries no measured routing curve "
+            "(hash/single-shard layout, pinned route_nprobe, or "
+            "calibration_queries=0) — target_recall needs a "
+            "shard_by='cells' build with calibration enabled"
+        )
+    ls = lc.get("ls") or []
+    lrec = lc.get("recall") or []
+    if not ls or not lrec:
+        raise ValueError(
+            f"{label} carries no measured in-shard L curve (pre-round-10 "
+            "artifact or degenerate build) — rebuild with calibration "
+            "enabled, or pass search_complexity instead of target_recall"
+        )
+    ec = manifest.get("end_calibration") or {}
+    anchor = None
+    if (
+        ec.get("recall") is not None
+        and ec.get("predicted")
+        and ec.get("route_nprobe")
+        and ec.get("search_complexity")
+    ):
+        anchor = (
+            int(ec["route_nprobe"]), int(ec["search_complexity"]),
+            float(ec["recall"]), float(ec["predicted"]),
+        )
+    if anchor is not None:
+        p_a, l_a, end_a, pred_a = anchor
+        # MEASURED-ANCHOR resolution (round-11 500-query measurement:
+        # a constant deflation extrapolated BELOW the anchor point
+        # under-delivered — 0.713 measured end on a 0.78 ask — because
+        # the sample curves' off-sample bias GROWS as L shrinks; the
+        # one point we can certify end-to-end is the anchor itself).
+        # target <= measured anchor end recall: return the anchor
+        # config — measured to deliver it, never cheaper-but-uncertain.
+        if float(target) <= end_a:
+            return p_a, l_a
+        # target ABOVE the anchor: scale UP monotonically (p >= p_a,
+        # L >= l_a — the direction where the sample curves approach 1
+        # and their bias shrinks), requiring the predicted product to
+        # grow by the same factor the end recall must:
+        # rp*rl >= pred_a * target / end_a.
+        required = pred_a * float(target) / max(end_a, 1e-9)
+        best = None
+        for p, rp in zip(probes, prec):
+            if int(p) < p_a:
+                continue
+            for L, rl in zip(ls, lrec):
+                if int(L) < l_a:
+                    continue
+                if float(rp) * float(rl) >= required:
+                    cost = int(p) * int(L)
+                    if best is None or cost < best[0]:
+                        best = (cost, int(p), int(L))
+        if best is not None:
+            return best[1], best[2]
+        max_prod = max(
+            float(rp) for p, rp in zip(probes, prec) if int(p) >= p_a
+        ) * max(float(rl) for L, rl in zip(ls, lrec) if int(L) >= l_a)
+        best_end = min(1.0, end_a * max_prod / max(pred_a, 1e-9))
+        raise ValueError(
+            f"{label}: target_recall={float(target):g} is not composable "
+            f"from the measured curves (measured end recall {end_a:.3f} "
+            f"at the default config; max composable ~{best_end:.3f}) — "
+            "lower the target, or rebuild with more shards / higher "
+            "degree so the in-shard curve reaches higher"
+        )
+    # no end anchor (pre-round-11 artifact): raw curve-product rule —
+    # the sample curves systematically over-predict off-sample end
+    # recall, so this is best-effort; recalibrate_index() measures the
+    # anchor without a rebuild
+    best = None
+    for p, rp in zip(probes, prec):
+        for L, rl in zip(ls, lrec):
+            if float(rp) * float(rl) >= float(target):
+                cost = int(p) * int(L)
+                if best is None or cost < best[0]:
+                    best = (cost, int(p), int(L))
+    if best is None:
+        best_end = max(float(r) for r in prec) * max(float(r) for r in lrec)
+        raise ValueError(
+            f"{label}: target_recall={float(target):g} is not composable "
+            f"from the measured curves (max composable end recall "
+            f"~{best_end:.3f}) — lower the target, or rebuild with more "
+            "shards / higher degree so the in-shard curve reaches higher"
+        )
+    return best[1], best[2]
 
 
 # Appended-row fraction past which a build-time measurement no longer
@@ -522,17 +853,24 @@ def calibration_stale(manifest: dict) -> bool:
     due, it never changes search behavior."""
     appended_base = int(manifest.get("num_vectors", 0))
     deleted = int(manifest.get("num_deleted", 0) or 0)
-    for key in ("calibration", "route_calibration", "l_calibration"):
+    for key in ("calibration", "route_calibration", "l_calibration",
+                "end_calibration"):
         cal = manifest.get(key) or {}
         at = cal.get("rows_at_measurement")
         if not at:
             continue
-        # deleted's contribution is bounded by the rows that EXISTED at
-        # measurement — a row appended after measurement and then
-        # tombstoned already counts once through the append term
-        # (round-10 advice: unbounded, it double-counted such rows and
-        # could flip the flag early)
-        drift = max(0, appended_base - int(at)) + min(deleted, int(at))
+        # deleted's contribution counts deletes SINCE the measurement
+        # (recalibrate_index anchors `deleted_at_measurement` — round
+        # 11; builds measure at 0 deletes so the anchor defaults to 0)
+        # and is bounded by the rows that EXISTED at measurement — a
+        # row appended after measurement and then tombstoned already
+        # counts once through the append term (round-10 advice:
+        # unbounded, it double-counted such rows and could flip the
+        # flag early)
+        del_since = max(
+            0, deleted - int(cal.get("deleted_at_measurement", 0) or 0)
+        )
+        drift = max(0, appended_base - int(at)) + min(del_since, int(at))
         if drift > CALIBRATION_STALE_FRACTION * int(at):
             return True
     return False

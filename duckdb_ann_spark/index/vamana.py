@@ -352,6 +352,9 @@ class VamanaEngine:
             # measured in-shard L calibration (round 10; same
             # clear-on-rebuild contract)
             "l_calibration": getattr(params, "_l_calibration", None),
+            # measured end recall at the default operating point — the
+            # anchor of the target_recall composition (round 11)
+            "end_calibration": getattr(params, "_end_calibration", None),
         }
 
     def _run_sharded_build(self, spark, src, id_col, params, build_shard,
@@ -390,6 +393,7 @@ class VamanaEngine:
         # record no stale measurement)
         params._route_calibration = None
         params._l_calibration = None
+        params._end_calibration = None
         shards = int(getattr(params, "shards", 0))
         n_rows = getattr(params, "_n_rows", None)
         if shards == 0:
@@ -489,31 +493,27 @@ class VamanaEngine:
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{artifact_dir}/{ROUTE_DIR}"
         )
-        # round-9: measure THIS index's routing recall-vs-probed-shards
-        # curve on a held-out sample; route_nprobe=0 searches ride the
-        # measurement instead of the static worst-case rule. The target
-        # budgets for the per-shard graph-search miss on top of the
-        # routing miss (calibration.ROUTED_TARGET).
-        # only measured when route_nprobe stays on AUTO — a pinned
-        # probe count is what every search will use (same dead-weight
-        # rule as the IVF build's nprobe gate)
-        nq = int(getattr(params, "calibration_queries", 0) or 0)
-        if (nq > 0 and k_eff > 1
-                and int(getattr(params, "route_nprobe", 0) or 0) == 0):
-            from .calibration import ROUTED_TARGET, measure_probe_calibration
-
-            params._route_calibration = measure_probe_calibration(
-                src, id_col, vec_col, centroids, params.metric, n_rows,
-                ROUTED_TARGET, n_queries=nq,
-            )
-
         from ..functions.distance import np_index_distances
+        from ..functions.partitioning import exact_partition_tokens
 
-        bc = spark.sparkContext.broadcast(centroids)
+        # collision-free cell->partition placement (round 11): hashing
+        # k_eff dense cell ids into k_eff partitions collides ~26% of
+        # them — those tasks build TWO (or more) graphs sequentially
+        # while ~1/e of the cores sit idle, and the straggler doubles
+        # the build wall exactly when shard builds are expensive
+        # (observed live: the 300k degree-64 smoke finished 10/12 cells
+        # in ~27 min and spent another hour on 2 collision tasks).
+        # Round 10 fixed that with repartitionByRange, whose
+        # range-boundary sampling job re-ran the whole assignment pass
+        # once more per build; the precomputed hash TOKENS place cell c
+        # in partition c exactly with a plain hash repartition — no
+        # collisions AND no sampling job.
+        tokens = exact_partition_tokens(k_eff)
+        bc = spark.sparkContext.broadcast((centroids, tokens))
         metric = params.metric
 
         def assign(batches):
-            cm = bc.value
+            cm, toks = bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -521,10 +521,12 @@ class VamanaEngine:
                 cells = np_index_distances(metric, mat, cm).argmin(axis=0)
                 out = pdf[[id_col, vec_col]].copy()
                 out["shard"] = cells.astype(np.int32)
+                out["_pt"] = toks[cells].astype(np.int32)
                 yield out
 
         schema = (
-            f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, shard int"
+            f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, "
+            "shard int, _pt int"
         )
 
         def build_cells(batches):
@@ -534,49 +536,63 @@ class VamanaEngine:
             pdf = pd.concat(pdfs)
             for cell, grp in pdf.groupby("shard", sort=True):
                 yield build_shard(
-                    grp.drop(columns=["shard"]).reset_index(drop=True),
+                    grp.drop(columns=["shard", "_pt"]).reset_index(drop=True),
                     int(cell),
                 )
 
         (
             src.mapInPandas(assign, schema=schema)
-            # RANGE-partition the cells, not hash (round 10): hashing
-            # k_eff dense cell ids into k_eff partitions collides ~26%
-            # of them — those tasks build TWO (or more) graphs
-            # sequentially while ~1/e of the cores sit idle, and the
-            # straggler doubles the build wall exactly when shard
-            # builds are expensive (observed live: the 300k degree-64
-            # smoke finished 10/12 shards in ~27 min and spent another
-            # hour on 2 collision tasks). Range partitioning on the
-            # dense 0..k_eff-1 ids lands ~one cell per task; the price
-            # is the range-boundary sampling job re-running the (cheap,
-            # narrow GEMM) assignment pass once more — the right trade
-            # whenever the per-cell build dominates, which is this
-            # operator's entire regime.
-            .repartitionByRange(k_eff, F.col("shard"))
+            .repartition(k_eff, F.col("_pt"))
             .mapInPandas(
                 build_cells, schema="shard int, label long, id long"
             )
             .write.mode("overwrite")
             .parquet(f"{artifact_dir}/{LABELS_DIR}")
         )
-        # round 10: measure the IN-SHARD graph-search recall-vs-L curve
-        # on the same held-out sample (shard files exist now). Routing
-        # calibration above fixed WHICH shards get probed; this fixes
-        # how hard the beam works inside them — the two losses multiply
-        # (clustered shards measured ~0.76 at the static default L in
-        # round 9, the one floor-margin residual). Measured regardless
-        # of a pinned route_nprobe: L is a per-call knob with no build
-        # pin, so the measurement is never dead weight.
+        # FUSED build-time measurement (round 11; shard files exist
+        # now): one shared sample + one exact-top-k scan feed the
+        # routing curve (round 9), the in-shard L curve (round 10), AND
+        # one end-to-end search at the resolved default config whose
+        # measured end recall anchors the target_recall composition
+        # contract (see calibration.measure_graph_calibrations /
+        # resolve_end_recall). The routing curve is only STORED when
+        # route_nprobe stays on AUTO — a pinned probe count is what
+        # every search will use (same dead-weight rule as the IVF
+        # build's nprobe gate); L is a per-call knob with no build pin,
+        # so its measurement is never dead weight.
+        nq = int(getattr(params, "calibration_queries", 0) or 0)
         shard_files = self._shard_files(artifact_dir)
         if nq > 0 and shard_files:
-            from .calibration import measure_l_calibration
+            from .calibration import measure_graph_calibrations
 
-            params._l_calibration = measure_l_calibration(
+            from .calibration import shape_search_results
+
+            def search_fn(qm, kk, rnp, L):
+                mani = {
+                    "id_col": id_col,
+                    "params": {"metric": metric, "shard_by": "cells",
+                               "route_nprobe": int(rnp)},
+                }
+                res = self.search(
+                    spark, mani, artifact_dir,
+                    [[float(x) for x in q] for q in qm], kk,
+                    search_complexity=int(L),
+                ).collect()
+                return shape_search_results(res, len(qm), id_col)
+
+            measure_routing = (
+                k_eff > 1
+                and int(getattr(params, "route_nprobe", 0) or 0) == 0
+            )
+            (
+                params._route_calibration,
+                params._l_calibration,
+                params._end_calibration,
+            ) = measure_graph_calibrations(
                 src, id_col, vec_col, centroids, metric, n_rows,
                 shard_files, f"{artifact_dir}/{LABELS_DIR}",
-                self._default_search_complexity(params),
-                n_queries=nq,
+                self._default_search_complexity(params), search_fn,
+                measure_routing=measure_routing, n_queries=nq,
             )
         return len(shard_files)
 
@@ -1210,6 +1226,7 @@ class HnswEngine(VamanaEngine):
             "layout": "hnsw-layered", "shards": shards,
             "route_calibration": getattr(params, "_route_calibration", None),
             "l_calibration": getattr(params, "_l_calibration", None),
+            "end_calibration": getattr(params, "_end_calibration", None),
         }
 
     def _default_search_complexity(self, params) -> int:

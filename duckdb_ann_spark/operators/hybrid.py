@@ -37,6 +37,26 @@ from ..functions.text import py_tokenize
 RRF_K = 60.0
 BM25_K1 = 1.2
 BM25_B = 0.75
+# block-max candidate bounding (round 11): per-term impact-ordered
+# posting blocks of this many rows; block maxima let the table search
+# prune whole blocks against a per-query threshold with EXACT results.
+# 128 rows ≈ the classic block-max-WAND block size: summaries stay
+# ~1% of postings while a block is still big enough to amortize its
+# row-group read.
+BLOCK_ROWS = 128
+# blocks scanned per (query, term) to SEED the pruning threshold: the
+# top-2 impact blocks bound the seed slice at 256 rows per term while
+# containing the highest single-term contributions — on a Zipfian head
+# term that is what puts the C-th candidate's lower bound high enough
+# to prune the remaining ~99% of the term's blocks
+BLOCK_SEED = 2
+# terms with corpus df at or under this are SHORT: their matching docs
+# join the candidate set wholesale instead of participating in the
+# block bounds — a rare term's enormous max impact would otherwise
+# poison every other term's pruning threshold, and including a few
+# thousand postings outright costs less than the summary arithmetic
+# that would save them
+BLOCK_SHORT_DF = 4096
 
 __all__ = [
     "bm25_scores",
@@ -160,6 +180,13 @@ def publish_text_index(
                    (+8 bytes/row) so scoring needs NO doc-length join —
                    the hit pivot is the only shuffle, and it moves hit
                    rows only.
+        docs/      (id, dl) — the DOC CENSUS (round 11): one row per
+                   document INCLUDING token-less ones, which have no
+                   postings rows and were invisible to the delta
+                   publish's id-overlap validation (a delta reusing
+                   such an id silently double-counted n_docs and broke
+                   the bit-identity promise — the round-10 advice
+                   corner). Deltas validate against this.
         stats/     one row (n_docs, total_tokens)
         manifest/  one row (version, id_col) — the commit marker
 
@@ -179,15 +206,17 @@ def _publish_postings(
     output_path: str,
     extra_postings: Optional[DataFrame] = None,
     extra_stats: tuple = (0.0, 0.0),
+    extra_census: Optional[DataFrame] = None,
 ) -> None:
     """The SINGLE tokenize → postings → stats → manifest pipeline behind
     `publish_text_index` (extra_* empty) and `publish_text_index_delta`
     (extra_postings = the base artifact's existing rows, extra_stats =
-    its (n_docs, total_tokens)). One implementation, so the delta
-    merge's bit-identity-to-full-republish contract cannot drift from
-    the full publish (round-9 review: the two copies had to stay
-    line-for-line identical by hand). Clears the commit marker FIRST,
-    writes it LAST (torn-publish discipline)."""
+    its (n_docs, total_tokens), extra_census = its (id, dl) doc
+    census). One implementation, so the delta merge's
+    bit-identity-to-full-republish contract cannot drift from the full
+    publish (round-9 review: the two copies had to stay line-for-line
+    identical by hand). Clears the commit marker FIRST, writes it LAST
+    (torn-publish discipline)."""
     from ..functions.text import spark_sql_tokenize, sql_bind_once
     from ..local import local_df
 
@@ -218,20 +247,93 @@ def _publish_postings(
             postings = extra_postings.select(
                 "term", id_col, "tf", "dl"
             ).unionByName(postings)
-        (
-            postings.repartitionByRange(F.col("term"))
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(f"{output_path}/postings")
-        )
+        # merged-corpus stats BEFORE the postings write (round 11: the
+        # per-posting impacts below need them)
         dstats = base.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             F.sum("dl").alias("total_tokens"),
         ).head()
+        n_docs = float(extra_stats[0]) + float(dstats["n_docs"] or 0.0)
+        total_tokens = (
+            float(extra_stats[1]) + float(dstats["total_tokens"] or 0.0)
+        )
+        # block-max structure (round 11): per term, postings sorted by
+        # IMPACT (the posting's exact BM25 contribution under THIS
+        # artifact's stats — strictly positive, the +1 idf variant)
+        # descending and chunked into BLOCK_ROWS blocks; `blocks/`
+        # stores each block's max. Query time can then prune whole
+        # blocks that provably cannot reach a running top-k threshold
+        # and still score survivors bit-identically (see
+        # `_blockmax_hits`). A delta merge recomputes impacts for
+        # ALL rows — stats shift — but that is one windowed pass over
+        # postings, the same order as the move-the-postings cost the
+        # delta contract already declares. Impact ordering puts the
+        # per-term pruning in prefix form: survivors are blocks
+        # 0..m_t, everything after is provably under the threshold.
+        if n_docs > 0:
+            from pyspark.sql import Window as _W
+
+            avgdl_expr = F.lit(float(total_tokens)) / F.lit(float(n_docs))
+            w_df = _W.partitionBy("term")
+            w_rank = _W.partitionBy("term").orderBy(
+                F.desc("_impact"), F.asc(id_col)
+            )
+            postings = (
+                postings.repartitionByRange(F.col("term"))
+                .withColumn(
+                    "_df", F.count(F.lit(1)).over(w_df).cast("double")
+                )
+                .withColumn("_impact", _term_score_expr(
+                    F.col("tf"), F.col("_df"), F.col("dl"), n_docs,
+                    avgdl_expr, BM25_K1, BM25_B,
+                ))
+                .withColumn("_blk", F.floor(
+                    (F.row_number().over(w_rank) - F.lit(1))
+                    / F.lit(BLOCK_ROWS)
+                ).cast("int"))
+                .drop("_df")
+            )
+            (
+                postings
+                .sortWithinPartitions("term", "_blk")
+                .write.mode("overwrite")
+                .parquet(f"{output_path}/postings")
+            )
+            # summaries from the WRITTEN rows (a narrow columnar
+            # re-scan — recomputing the window would re-run the whole
+            # pipeline); _k1/_b record the constants the impacts were
+            # computed under, so a reader with different constants
+            # falls back to the plain exact path instead of pruning
+            # with wrong bounds
+            (
+                spark.read.parquet(f"{output_path}/postings")
+                .groupBy("term", "_blk")
+                .agg(
+                    F.max("_impact").alias("_bmax"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .withColumn("_k1", F.lit(float(BM25_K1)))
+                .withColumn("_b", F.lit(float(BM25_B)))
+                .write.mode("overwrite")
+                .parquet(f"{output_path}/blocks")
+            )
+        else:  # empty corpus: keep the legacy empty layout readable
+            (
+                postings.repartitionByRange(F.col("term"))
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(f"{output_path}/postings")
+            )
+        # the doc census (round 11): every document, token-less ones
+        # included — dl is already computed, so this is a narrow
+        # two-column write off the same persisted token frame
+        census = base.select(id_col, "dl")
+        if extra_census is not None:
+            census = extra_census.select(id_col, "dl").unionByName(census)
+        census.write.mode("overwrite").parquet(f"{output_path}/docs")
         local_df(
             spark,
-            [(float(extra_stats[0]) + float(dstats["n_docs"] or 0.0),
-              float(extra_stats[1]) + float(dstats["total_tokens"] or 0.0))],
+            [(n_docs, total_tokens)],
             "n_docs double, total_tokens double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/stats")
     finally:
@@ -308,14 +410,17 @@ def publish_text_index_delta(
     (s3://, hdfs://, file://) are compared as normalized strings only —
     two URIs that alias the same object-store location through
     different endpoints/mounts are the CALLER's responsibility. Delta
-    ids must be disjoint from the base's (validated with one narrow
-    base-postings column scan; skip with `validate_ids=False` when the
-    caller guarantees it). CAVEAT: a base document with ZERO tokens has
-    no postings rows and is invisible to that validation — reusing its
-    id double-counts it in n_docs vs a full republish (slightly lower
-    idf/avgdl weights, no crash); keep ids disjoint including empty
-    docs. The delta must carry the base's own id column. Chaining
-    works: the output is a valid base for the next delta."""
+    ids must be disjoint from the base's — validated against the
+    base's DOC CENSUS (`docs/`, round 11), which covers token-less
+    documents too, closing the round-10 corner where a delta reusing
+    an empty doc's id silently double-counted n_docs and broke the
+    bit-identity promise. Pre-census bases (round ≤10 artifacts) fall
+    back to the postings id scan, where that corner remains (the
+    census the merge WRITES is then reconstructed from postings and
+    inherits the same blind spot — republish to get full coverage).
+    Skip with `validate_ids=False` when the caller guarantees
+    disjointness. The delta must carry the base's own id column.
+    Chaining works: the output is a valid base for the next delta."""
     if _norm_index_path(output_path) == _norm_index_path(base_path):
         raise ValueError(
             "publish_text_index_delta: output_path must differ from "
@@ -329,9 +434,10 @@ def publish_text_index_delta(
         raise ValueError(
             f"delta is missing the base index's id column '{id_col}'"
         )
+    census = _load_census(spark, base_path, id_col, base_postings)
     if validate_ids:
         overlap = (
-            base_postings.select(id_col)
+            census.select(id_col)
             .join(delta_docs.select(id_col).distinct(), on=id_col,
                   how="leftsemi")
             .first()
@@ -346,7 +452,24 @@ def publish_text_index_delta(
         spark, delta_docs, id_col, text_col, output_path,
         extra_postings=base_postings,
         extra_stats=(float(n_docs), float(total_tokens)),
+        extra_census=census,
     )
+
+
+def _load_census(spark, index_path: str, id_col: str,
+                 base_postings: DataFrame) -> DataFrame:
+    """The base artifact's (id, dl) doc census, or its best-effort
+    reconstruction from postings for pre-round-11 artifacts (distinct
+    posting ids — token-less docs are invisible there, the documented
+    residual blind spot of old bases)."""
+    try:
+        return spark.read.parquet(
+            f"{index_path.rstrip('/')}/docs"
+        ).select(id_col, "dl")
+    except Exception:
+        return (
+            base_postings.groupBy(id_col).agg(F.first("dl").alias("dl"))
+        )
 
 
 def _load_text_index(spark, index_path: str):
@@ -591,6 +714,154 @@ def _term_score_expr(tf: Column, df: Column, dl: Column, n_docs: float,
     return _term_score(tf, df, dl, F.lit(float(n_docs)), avgdl, k1, b)
 
 
+def _blockmax_hits(
+    spark,
+    index_path: str,
+    qterms: DataFrame,
+    post_scored: DataFrame,
+    query_id_col: str,
+    text_id: str,
+    n_candidates: int,
+):
+    """Block-max/MaxScore candidate bounding for the table text leg
+    (round 11 — the EXACT successor to the `max_term_df`
+    approximation): → the per-(query, candidate-doc, term) hit rows
+    whose per-doc groupBy is BIT-IDENTICAL to the full exact join on
+    ranks <= n_candidates, or None when the artifact carries no block
+    summaries / was published under different BM25 constants (callers
+    fall back to the full join).
+
+    How it stays exact (every impact is strictly positive — the +1 idf
+    variant — so all bounds below are sound):
+
+    1. THRESHOLD: the top-`BLOCK_SEED` impact blocks per (query, term)
+       are scored; a seed doc's summed visible impacts LOWER-bound its
+       true score (missing terms only add). The `n_candidates`-th
+       largest lower bound is θ(q) — at least n_candidates docs truly
+       score >= θ.
+    2. SHORT terms (corpus df <= BLOCK_SHORT_DF): every matching doc
+       is a candidate outright. Rare terms carry the largest impacts —
+       folding them into the block bounds below would poison every
+       other term's threshold (tmax(rare) ~ 9 vs θ ~ 0.4 on a Zipf
+       corpus), while including their few postings wholesale is
+       cheaper than one block read.
+    3. LONG terms: slice (t, b) survives iff BOTH
+           block_max(t, b) + Σ_{t' long, t'≠t} term_max(t') >= θ(q)
+           |long terms| * block_max(t, b) >= θ(q)
+       and candidate docs are those in ANY surviving slice. A
+       long-only doc d reaching θ has a best term t* with
+       imp >= θ/m_long (second bound) and
+       bmax(t*, b) + rest_long(t*) >= total(d) >= θ (first bound), so
+       its t*-slice survives and d is found. The second bound is what
+       kills a stop-word list outright: a head term whose every
+       impact is tiny cannot be any θ-reaching doc's best term, no
+       matter how large the other terms' maxima are.
+    4. RE-SCORE: candidates (short ∪ long, deduped) join BACK to the
+       term-pruned postings BY DOC and then to the query's own terms —
+       every candidate doc gets its COMPLETE query-term rows, so its
+       collected term set, sorted-term fold and score are identical to
+       the full join's. Docs below θ that slip in as candidates score
+       exactly too and simply rank below the true top-n_candidates.
+
+    Everything here is DataFrame-composed: the summary join is
+    O(query_terms x blocks-per-term) rows, the seed slice is
+    O(query_terms x BLOCK_SEED x BLOCK_ROWS), θ comes from one bounded
+    window, and the re-score join shuffles only the term-pruned
+    postings slice (by doc) and the candidate pairs — no collects, no
+    per-query jobs."""
+    try:
+        blocks = spark.read.parquet(f"{index_path.rstrip('/')}/blocks")
+    except Exception:
+        return None
+    head = blocks.select("_k1", "_b").head()
+    if (
+        head is None
+        or float(head["_k1"]) != float(BM25_K1)
+        or float(head["_b"]) != float(BM25_B)
+    ):
+        return None
+    # only terms still participating in scoring (the post_scored side
+    # already carries the query-term prune and any max_term_df cap, so
+    # its distinct terms ARE the contract — one narrow pass over the
+    # pruned slice, never the full postings)
+    blocks_q = blocks.join(
+        post_scored.select("term").distinct(), on="term", how="leftsemi"
+    )
+    term_stats = blocks_q.groupBy("term").agg(
+        F.max(F.when(F.col("_blk") == 0, F.col("_bmax"))).alias("_tmax"),
+        F.sum("_n").alias("_tdf"),
+    ).withColumn("_short", F.col("_tdf") <= F.lit(int(BLOCK_SHORT_DF)))
+    qt = qterms.join(term_stats, on="term")
+    w_q = Window.partitionBy(query_id_col)
+    long_tmax = F.when(~F.col("_short"), F.col("_tmax")).otherwise(F.lit(0.0))
+    qt = (
+        qt.withColumn("_rest", F.sum(long_tmax).over(w_q) - long_tmax)
+        .withColumn(
+            "_m_long",
+            F.sum((~F.col("_short")).cast("int")).over(w_q),
+        )
+    )
+    seed_hits = qterms.join(
+        post_scored.where(F.col("_blk") < F.lit(int(BLOCK_SEED))),
+        on="term",
+    )
+    lower = seed_hits.groupBy(query_id_col, text_id).agg(
+        F.sum("_impact").alias("_lb")
+    )
+    w_b = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_lb"), F.asc(text_id)
+    )
+    theta = (
+        lower.withColumn("_rn", F.row_number().over(w_b))
+        .where(F.col("_rn") == int(n_candidates))
+        .select(query_id_col, F.col("_lb").alias("_theta"))
+    )
+    # float-tie slack: θ and the bounds are order-dependent float sums
+    # (window sum vs seed groupBy vs the exact path's sorted fold), so
+    # a doc whose true score TIES θ could fall one ulp under the
+    # comparison and break the bit-identity promise — the same 1-ulp
+    # class the idf quantization above exists for. Candidates below θ
+    # re-score exactly and rank out naturally, so the slack is free.
+    theta_eps = F.col("_theta") - F.greatest(
+        F.lit(1e-12), F.abs(F.col("_theta")) * F.lit(1e-9)
+    )
+    # a query with fewer than n_candidates seed docs has no θ —
+    # nothing can be pruned safely, keep every slice
+    surv = (
+        qt.where(~F.col("_short"))
+        .join(blocks_q, on="term")
+        .join(theta, on=query_id_col, how="left")
+        .where(
+            F.col("_theta").isNull()
+            | (
+                (F.col("_bmax") + F.col("_rest") >= theta_eps)
+                & (F.col("_m_long") * F.col("_bmax") >= theta_eps)
+            )
+        )
+        .select(query_id_col, "term", "_blk")
+    )
+    cand_long = surv.join(
+        post_scored.select("term", "_blk", text_id), on=["term", "_blk"]
+    ).select(query_id_col, text_id)
+    cand_short = (
+        qt.where(F.col("_short"))
+        .select(query_id_col, "term")
+        .join(post_scored.select("term", text_id), on="term")
+        .select(query_id_col, text_id)
+    )
+    # seed docs join unconditionally: the θ-defining docs themselves
+    # must never be lost to a float-tie prune (belt to the epsilon
+    # braces above; the seed slice is bounded)
+    cand_seed = lower.select(query_id_col, text_id)
+    cands = (
+        cand_long.unionByName(cand_short).unionByName(cand_seed).distinct()
+    )
+    return (
+        cands.join(post_scored, on=text_id)
+        .join(qterms, on=[query_id_col, "term"])
+    )
+
+
 def hybrid_search_table(
     queries_df: DataFrame,
     query_id_col: str,
@@ -612,6 +883,7 @@ def hybrid_search_table(
     catalog=None,
     method: str = "blas",
     max_term_df: Optional[float] = None,
+    use_blockmax: Optional[bool] = None,
 ) -> DataFrame:
     """Hybrid BM25+vector RRF for an UNBOUNDED query DataFrame →
     (<query_id_col>, <doc id col>, _rrf_score, _bm25_rank,
@@ -666,7 +938,18 @@ def hybrid_search_table(
     candidates were close. The default (None) stays exact/bit-identical
     to `hybrid_search`; set a cap only when query texts can contain
     corpus stop words at scale. Same idea as FTS stop-word lists —
-    declared per call, never silently."""
+    declared per call, never silently.
+
+    `use_blockmax` (round 11 — the EXACT answer to the same blow-up):
+    indexes published this round carry per-term impact-ordered posting
+    blocks + block maxima; the text leg then seeds a per-query top-k
+    threshold from the highest-impact blocks and prunes whole blocks
+    that provably cannot reach it, with ranks <= bm25_candidates
+    BIT-IDENTICAL to the full join (`_blockmax_hits` carries the
+    proof). None (default) = use when the artifact has summaries under
+    matching BM25 constants; True = require (loud error otherwise);
+    False = plain exact join. Composes with `max_term_df` (capped
+    terms leave both the scoring and the bounds)."""
     spark = queries_df.sparkSession
 
     # enforce the integral-id contract on BOTH vector paths so the
@@ -777,10 +1060,29 @@ def hybrid_search_table(
             .select("term"),
             on="term", how="leftsemi",
         )
-    hits = (
-        qterms.join(post_scored, on="term")
-        .join(term_df, on="term")
-    )
+    bm_hits = None
+    if use_blockmax is not False:
+        bm_hits = _blockmax_hits(
+            spark, text_index, qterms, post_scored, query_id_col,
+            text_id, bm25_candidates,
+        )
+        if bm_hits is None and use_blockmax is True:
+            raise ValueError(
+                "use_blockmax=True but the text index carries no block "
+                "summaries under the current BM25 constants (pre-round-"
+                "11 artifact?) — republish the index, or pass "
+                "use_blockmax=False"
+            )
+    if bm_hits is not None:
+        # only the bounded candidate set reaches the per-(query,
+        # posting-hit) intermediate; ranks <= bm25_candidates are
+        # bit-identical to the full join (see _blockmax_hits)
+        hits = bm_hits.join(term_df, on="term")
+    else:
+        hits = (
+            qterms.join(post_scored, on="term")
+            .join(term_df, on="term")
+        )
     avgdl = F.lit(float(total_tokens)) / F.lit(float(n_docs))
     per = hits.groupBy(query_id_col, text_id).agg(
         F.sort_array(

@@ -322,19 +322,41 @@ def test_l_calibration_gates(spark, data, cat):
 
 
 def test_target_recall_routed_graph_and_errors(spark, data, cat):
+    """Round 11: target_recall on routed graphs is an END-recall
+    contract — (route_nprobe, L) resolve jointly from the two measured
+    curves, deflated by the index's own measured end/predicted ratio;
+    targets beyond the composable maximum fail loud instead of
+    silently under-delivering."""
     import pytest as _pytest
 
-    cl_df, _, _, _, centers, rng = data
-    create_index(
+    cl_df, cl_mat, _, _, centers, rng = data
+    m = create_index(
         cl_df, "vec_id", "embedding", "tr_vam", engine="diskann",
         max_degree=16, build_complexity=32, shards=N_CLUSTERS,
         shard_by="cells", catalog=cat,
     )
+    # the build measured all three calibrations (fused pass)
+    assert m["route_calibration"] is not None
+    assert m["l_calibration"] is not None
+    ec = m["end_calibration"]
+    assert ec is not None and 0 < ec["recall"] <= 1.0
+    assert ec["route_nprobe"] >= 1 and ec["search_complexity"] >= 1
     queries = centers[:8] + rng.normal(0, 0.02, (8, DIM)).astype(np.float32)
     rows = index_scan(
-        spark, "tr_vam", queries, 10, catalog=cat, target_recall=0.97
+        spark, "tr_vam", queries, 10, catalog=cat, target_recall=0.8
     ).collect()
     assert len(rows) == 80
+    # the composed config must actually DELIVER the asked end recall on
+    # in-distribution queries (cluster-core query set, the hard case)
+    assert _recall(rows, cl_mat, queries, 10) >= 0.8
+    # an impossible ask fails loud with the composable maximum
+    with _pytest.raises(ValueError, match="not composable"):
+        index_scan(spark, "tr_vam", queries, 10, catalog=cat,
+                   target_recall=0.9999)
+    # graphs: both-knobs is over-constrained (the resolution owns both)
+    with _pytest.raises(ValueError, match="not both"):
+        index_scan(spark, "tr_vam", queries, 10, catalog=cat,
+                   search_complexity=64, target_recall=0.8)
     drop_index("tr_vam", cat)
 
     # unmeasured artifacts fail loud, in both families
@@ -362,6 +384,59 @@ def test_target_recall_routed_graph_and_errors(spark, data, cat):
         index_scan(spark, "tr_hash", [[0.5] * DIM], 5, catalog=cat,
                    target_recall=0.9)
     drop_index("tr_hash", cat)
+
+
+def test_resolve_end_recall_unit():
+    """Pure-curve unit contract of the joint (route_nprobe, L)
+    resolution (round 11): cheapest p*L pair whose composed product
+    clears the target, deflated by the index's own measured
+    end/predicted ratio; loud failures for missing curves and
+    uncomposable targets."""
+    from duckdb_ann_spark.index.calibration import resolve_end_recall
+
+    mani = {
+        "route_calibration": {
+            "probes": [1, 2, 4, 24], "recall": [0.6, 0.9, 0.97, 1.0],
+        },
+        "l_calibration": {
+            "ls": [32, 64, 128], "recall": [0.8, 0.9, 0.95],
+        },
+    }
+    # no end anchor (pre-round-11 artifact): raw curve-product rule —
+    # target .72 -> (2, 32) is the cheapest feasible pair
+    # (0.9*0.8=0.72 at cost 64; (1, any) cannot)
+    assert resolve_end_recall(mani, 0.72) == (2, 32)
+    # higher target walks BOTH knobs up; (4,64): 0.97*0.9=0.873,
+    # cost 256 beats (2,128): 0.9*0.95=0.855 infeasible at 0.86
+    assert resolve_end_recall(mani, 0.86) == (4, 64)
+    # uncomposable: max product 1.0*0.95 < 0.99
+    with pytest.raises(ValueError, match="not composable"):
+        resolve_end_recall(mani, 0.99)
+    # WITH a measured end anchor at (2, 64): end 0.80 at predicted
+    # 0.81 — targets at/under 0.80 return the anchor config itself
+    # (the one point certified end-to-end; the 500-query measurement
+    # showed cheaper extrapolation under-delivers)
+    mani_a = {**mani, "end_calibration": {
+        "route_nprobe": 2, "search_complexity": 64,
+        "recall": 0.80, "predicted": 0.81,
+    }}
+    assert resolve_end_recall(mani_a, 0.72) == (2, 64)
+    assert resolve_end_recall(mani_a, 0.80) == (2, 64)
+    # above the anchor: monotone up-scaling (p>=2, L>=64) with the
+    # predicted product grown by target/end: target 0.85 -> required
+    # product 0.81*0.85/0.80 ~= 0.861 -> (4, 64) (0.873, cost 256)
+    # over (2, 128) (0.855 infeasible)
+    assert resolve_end_recall(mani_a, 0.85) == (4, 64)
+    # the up-scaled claim is still bounded by the curve maxima
+    with pytest.raises(ValueError, match="not composable"):
+        resolve_end_recall(mani_a, 0.97)
+    # missing curves fail loud with the actionable message
+    with pytest.raises(ValueError, match="no measured routing curve"):
+        resolve_end_recall({"l_calibration": mani["l_calibration"]}, 0.8)
+    with pytest.raises(ValueError, match="no measured in-shard L curve"):
+        resolve_end_recall(
+            {"route_calibration": mani["route_calibration"]}, 0.8
+        )
 
 
 def test_calibration_stale_flag(spark, data, cat):
@@ -419,6 +494,110 @@ def test_calibration_stale_flag(spark, data, cat):
         {"num_vectors": 9000, "calibration": {"nprobe": 3}}
     ) is False
     assert calibration_stale({"num_vectors": 9000}) is False
+
+
+def test_recalibrate_index_clears_stale_without_rebuild(spark, data, cat):
+    """Round 11: recalibrate_index re-runs ONLY the measurement passes
+    against the live artifact — append past the stale threshold, flag
+    flips, recalibrate clears it WITHOUT a rebuild (shard files
+    untouched), and searches ride the fresh curves."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_ann_spark.index import (
+        ann_index_info,
+        delete_from_index,
+        insert_into_index,
+        recalibrate_index,
+    )
+    from duckdb_ann_spark.index.calibration import CALIBRATION_STALE_FRACTION
+
+    cl_df, cl_mat, _, _, centers, rng = data
+    m = create_index(
+        cl_df, "vec_id", "embedding", "recal_vam", engine="diskann",
+        max_degree=16, build_complexity=32, shards=N_CLUSTERS,
+        shard_by="cells", catalog=cat,
+    )
+    assert m["route_calibration"] is not None
+    d = cat.path("recal_vam")
+
+    def _flag():
+        return ann_index_info(spark, cat).where(
+            F.col("name") == "recal_vam"
+        ).head()["calibration_stale"]
+
+    assert _flag() is False
+    big_n = int(N * CALIBRATION_STALE_FRACTION) + 50
+    big = cl_df.limit(big_n).select(
+        (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
+    )
+    insert_into_index(spark, "recal_vam", big, catalog=cat)
+    # a few tombstones too: the live-rows discipline must hold
+    delete_from_index(spark, "recal_vam", list(range(20)), catalog=cat)
+    assert _flag() is True
+    # snapshot AFTER the appends (which may rewrite shards), right
+    # before the recalibrate — measurement must not touch graph files
+    shard_mtimes = {
+        f: os.path.getmtime(os.path.join(d, "graph", f))
+        for f in os.listdir(os.path.join(d, "graph"))
+    }
+
+    m2 = recalibrate_index(spark, "recal_vam", catalog=cat)
+    assert _flag() is False
+    # counters anchored at the CURRENT state, not a rebuild's
+    assert m2["route_calibration"]["rows_at_measurement"] == N + big_n
+    assert m2["route_calibration"]["deleted_at_measurement"] == 20
+    assert m2["l_calibration"] is not None
+    assert m2["end_calibration"] is not None
+    assert 0.0 < m2["end_calibration"]["recall"] <= 1.0
+    # NO rebuild happened: recalibrate left every shard file untouched
+    after = {
+        f: os.path.getmtime(os.path.join(d, "graph", f))
+        for f in os.listdir(os.path.join(d, "graph"))
+    }
+    assert after == shard_mtimes
+    # searches ride the fresh curves end-to-end (incl. target_recall)
+    queries = centers[:4] + rng.normal(0, 0.02, (4, DIM)).astype(np.float32)
+    rows = index_scan(
+        spark, "recal_vam", queries, 10, catalog=cat, target_recall=0.75
+    ).collect()
+    assert len(rows) == 40
+    drop_index("recal_vam", cat)
+
+    # IVF path: fresh curve lands under 'calibration'
+    create_index(
+        cl_df, "vec_id", "embedding", "recal_ivf", engine="faiss",
+        type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
+    )
+    m3 = recalibrate_index(spark, "recal_ivf", catalog=cat)
+    assert m3["calibration"]["rows_at_measurement"] == N
+    assert m3["calibration"]["deleted_at_measurement"] == 0
+    drop_index("recal_ivf", cat)
+
+    # nothing-to-measure surfaces fail loud
+    create_index(
+        cl_df, "vec_id", "embedding", "recal_flat", engine="faiss",
+        type="Flat", catalog=cat,
+    )
+    with pytest.raises(ValueError, match="no calibration"):
+        recalibrate_index(spark, "recal_flat", catalog=cat)
+    drop_index("recal_flat", cat)
+    create_index(
+        cl_df, "vec_id", "embedding", "recal_pin", engine="faiss",
+        type="IVFFlat", ivf_nlist=24, nprobe=4, catalog=cat,
+    )
+    with pytest.raises(ValueError, match="pins nprobe"):
+        recalibrate_index(spark, "recal_pin", catalog=cat)
+    drop_index("recal_pin", cat)
+    create_index(
+        cl_df, "vec_id", "embedding", "recal_hash", engine="diskann",
+        max_degree=16, build_complexity=32, shards=4, shard_by="hash",
+        catalog=cat,
+    )
+    with pytest.raises(ValueError, match="not a routed"):
+        recalibrate_index(spark, "recal_hash", catalog=cat)
+    drop_index("recal_hash", cat)
 
 
 def test_l_calibration_duplicates_and_ip(spark, cat):

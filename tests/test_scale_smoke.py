@@ -111,6 +111,103 @@ def test_ivf_1m_build_and_probe(spark, cat):
     vecs.unpersist()
 
 
+def test_ivf_10m_workhorse_tier(spark, cat):
+    """Round-11 (r10 verdict item 5): IVF is the 100-TB-native engine
+    (SURVEY §7 M2a) but had never been exercised past 1M. At 10M rows
+    the sqrt-N rule gives ~3.2k cells and three pieces change regime:
+    the driver-side kmeans (200k-sample cap x 3162 cells), the
+    assignment pass (10M x 3162 GEMM, distributed), and the
+    calibration sampling. Build + calibrated search + knn_join leg,
+    walls and probe fractions printed. dim 16 keeps the arithmetic at
+    smoke scale while the row counts stress the machinery."""
+    n, dim, k = 10_000_000, 16, 10
+    vecs = (
+        spark.range(0, n, 1, 256)
+        .withColumn(
+            "embedding",
+            F.array(*[F.rand(77 + j).cast("float") for j in range(dim)]),
+        )
+        .select(F.col("id").alias("vec_id"), "embedding")
+        .persist()
+    )
+    vecs.count()
+    rng = np.random.default_rng(17)
+    queries = rng.random((N_QUERIES, dim), dtype=np.float32)
+
+    # exact truth through the distributed batch engine (100 x 10M)
+    t0 = time.perf_counter()
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, k, "l2")
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    truth_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    m = create_index(
+        vecs, "vec_id", "embedding", "smoke_ivf10m", engine="faiss",
+        type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
+    )
+    build_s = time.perf_counter() - t0
+    from duckdb_ann_spark.index.ivf import auto_nlist, auto_nprobe
+
+    nlist_eff = int(m["nlist_effective"])
+    assert nlist_eff >= 0.9 * auto_nlist(n), (nlist_eff, auto_nlist(n))
+    cal = m.get("calibration") or {}
+    nprobe = int(cal.get("nprobe") or auto_nprobe(nlist_eff, dim))
+
+    t0 = time.perf_counter()
+    rows = index_scan(
+        spark, "smoke_ivf10m", queries, k, catalog=cat
+    ).collect()
+    search_s = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * k
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    rec = sum(
+        len(got.get(i, set()) & truth.get(i, set()))
+        for i in range(N_QUERIES)
+    ) / (N_QUERIES * k)
+
+    # knn_join leg against the published artifact: 10k query rows
+    from duckdb_ann_spark.index import index_knn_join
+
+    qside = vecs.where(F.col("vec_id") < 10_000).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    t0 = time.perf_counter()
+    jrows = index_knn_join(
+        spark, "smoke_ivf10m", qside, "qid", "embedding", k=5, catalog=cat
+    ).collect()
+    join_s = time.perf_counter() - t0
+    assert len(jrows) == 10_000 * 5, len(jrows)
+    # knn recall on the first 200 query ids vs the distributed truth
+    qsub = vecs.where(F.col("vec_id") < 200).orderBy("vec_id").collect()
+    qmat = np.array([r["embedding"] for r in qsub], dtype=np.float32)
+    jexact = search_batch_ids(vecs, "vec_id", "embedding", qmat, 5, "l2")
+    jtruth: dict[int, set] = {}
+    for r in jexact.collect():
+        jtruth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    jgot: dict[int, set] = {}
+    for r in jrows:
+        if r["qid"] < 200:
+            jgot.setdefault(r["qid"], set()).add(r["vec_id"])
+    jrec = sum(
+        len(jgot.get(i, set()) & jtruth.get(i, set())) for i in range(200)
+    ) / (200 * 5)
+
+    print(
+        f"\nivf 10M (dim {dim}): nlist {nlist_eff}, nprobe {nprobe} "
+        f"(frac {nprobe / nlist_eff:.3f}); truth {truth_s:.1f}s, build "
+        f"{build_s:.1f}s, search {search_s:.1f}s recall {rec:.3f}; "
+        f"index_knn_join 10k q {join_s:.1f}s recall@5 {jrec:.3f}"
+    )
+    assert rec >= 0.70, rec
+    assert jrec >= 0.70, jrec
+    drop_index("smoke_ivf10m", cat)
+    vecs.unpersist()
+
+
 def _graph_1m_smoke(spark, cat, name: str, engine: str, opts: dict):
     """Shared body for the 1M graph-engine smokes (round-9 verdict item
     2): the FULL auto-default layout path — shards=0 resolves through
@@ -827,10 +924,38 @@ def test_hybrid_table_zipfian_high_df(spark, tmp_path_factory):
         vec_col="embedding", k=k,
     )
     t0 = time.perf_counter()
-    out_e = hybrid_search_table(qdf, "qid", "qv", "qtext", **kw)
-    pairs_exact = {(r["qid"], r["doc_id"]) for r in out_e.collect()}
+    out_e = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", use_blockmax=False, **kw
+    )
+    rows_exact = out_e.collect()
+    pairs_exact = {(r["qid"], r["doc_id"]) for r in rows_exact}
     wall_exact = time.perf_counter() - t0
     release_caches(out_e)
+
+    # round-11 (r10 verdict item 6): the block-max path is the EXACT
+    # answer to the same blow-up — candidate intermediate cut >=10x at
+    # BIT-IDENTICAL output vs the full exact join
+    from duckdb_ann_spark.operators.hybrid import _blockmax_hits
+
+    t0 = time.perf_counter()
+    out_w = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", use_blockmax=True, **kw
+    )
+    rows_wand = out_w.collect()
+    wall_wand = time.perf_counter() - t0
+    release_caches(out_w)
+    key = lambda rows: sorted(
+        (r["qid"], r["doc_id"], r["_rrf_score"], r["_bm25_rank"],
+         r["_vector_rank"]) for r in rows
+    )
+    assert key(rows_wand) == key(rows_exact)
+    post_r = spark.read.parquet(f"{path}/postings").join(
+        qterms.select("term").distinct(), on="term", how="leftsemi"
+    )
+    inter_wand = _blockmax_hits(
+        spark, path, qterms, post_r, "qid", "doc_id", 50
+    ).count()
+    assert inter_wand * 10 <= inter_exact, (inter_wand, inter_exact)
     t0 = time.perf_counter()
     out_c = hybrid_search_table(
         qdf, "qid", "qv", "qtext", max_term_df=cap, **kw
@@ -843,10 +968,11 @@ def test_hybrid_table_zipfian_high_df(spark, tmp_path_factory):
     overlap = len(pairs_exact & pairs_capped) / max(1, len(pairs_exact))
     print(
         f"\nzipf hybrid table ({n_q} head-term queries x {n} docs): "
-        f"intermediate rows exact {int(inter_exact):,} vs capped "
+        f"intermediate rows exact {int(inter_exact):,} vs blockmax "
+        f"{int(inter_wand):,} (EXACT, bit-identical) vs capped "
         f"{int(inter_capped):,} (cap df<={cap}); wall exact "
-        f"{wall_exact:.1f}s vs capped {wall_capped:.1f}s; fused top-{k} "
-        f"overlap {overlap:.3f}"
+        f"{wall_exact:.1f}s vs blockmax {wall_wand:.1f}s vs capped "
+        f"{wall_capped:.1f}s; fused top-{k} cap overlap {overlap:.3f}"
     )
     # the vector leg (weight 0.7) is identical in both runs, and capped
     # terms carry ~1-2% of a rare term's idf — the fused sets must agree
