@@ -119,7 +119,18 @@ def test_ivf_10m_workhorse_tier(spark, cat):
     assignment pass (10M x 3162 GEMM, distributed), and the
     calibration sampling. Build + calibrated search + knn_join leg,
     walls and probe fractions printed. dim 16 keeps the arithmetic at
-    smoke scale while the row counts stress the machinery."""
+    smoke scale while the row counts stress the machinery.
+
+    MEASURED (first run, 2026-08-15, local[32]): nlist 3162, build
+    298s (the driver-side kmeans at its 200k-sample cap is the serial
+    fraction — ~10 Lloyd iters of a 3162x200k GEMM; at larger N both
+    the sample cap and the 65536 nlist clamp hold it bounded, and the
+    distributed assignment pass keeps scaling), search 8.2s at recall
+    0.801 with MEASURED nprobe 9 — probe frac 0.003 vs the static
+    uniform rule's 527/3162 = 0.167, a 58x probe cut: at dim 16 even
+    uniform data is spatially easy, and the build-time measurement is
+    what finds that out (the static rule was calibrated at dim>=64).
+    index_knn_join 10k queries in 22.8s at recall@5 0.864."""
     n, dim, k = 10_000_000, 16, 10
     vecs = (
         spark.range(0, n, 1, 256)
@@ -170,7 +181,7 @@ def test_ivf_10m_workhorse_tier(spark, cat):
     ) / (N_QUERIES * k)
 
     # knn_join leg against the published artifact: 10k query rows
-    from duckdb_ann_spark.index import index_knn_join
+    from duckdb_ann_spark.operators.knn_join import index_knn_join
 
     qside = vecs.where(F.col("vec_id") < 10_000).select(
         F.col("vec_id").alias("qid"), "embedding"
