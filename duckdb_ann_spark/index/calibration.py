@@ -634,6 +634,14 @@ def measure_graph_calibrations(
     (`search_fn(qmat, k, route_nprobe, L) -> [[(id, dist), ...]]` —
     the engine's real search path).
 
+    Measured phase walls (uniform 100k x d128, 128 cells, local[32]):
+    sample 0.15s + exact scan 0.65s + merge/curve 0.06s + L pass 0.58s
+    + end search ~1.5-3s (query-capped below) ≈ 3-4.5s total, against
+    a ~21-27s core build — and the same session measured consecutive
+    IDENTICAL builds drifting 20.9-24.4s, so at bench scale the
+    measurement rides inside host noise; at the multi-hour 300k+
+    builds it is rounding error.
+
     `end_calibration` is the piece that turns the two sample curves
     into an honest end-recall contract: the sample curves are measured
     on DATA-distribution queries and their product systematically
@@ -689,8 +697,17 @@ def measure_graph_calibrations(
         l_star = int(l_cal["search_complexity"])
         rp = float(curve[p_star - 1])
         rl = float(l_recall[l_star])
+        # the end search costs ~n_queries * route_nprobe * L beam work
+        # — on UNIFORM data the measured nprobe can be most of the
+        # shards (bench: 79/128), and running the full 4x routing
+        # sample through that blew the routed build wall up 35%
+        # (round-11 bench). 2x n_queries (128 at the default) keeps
+        # the recall-estimate std at ~0.011 for k=10 — plenty for a
+        # deflation anchor — at a quarter of the search work.
+        end_n = min(qmat.shape[0], 2 * n_queries)
         end_recall, end_nq = _measure_end_recall(
-            search_fn, qids, qmat, truth, k, p_star, l_star
+            search_fn, qids[:end_n], qmat[:end_n], truth[:end_n], k,
+            p_star, l_star,
         )
         if end_nq > 0:
             end_cal = {
