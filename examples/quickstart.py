@@ -47,7 +47,8 @@ def main() -> None:
     # -- CREATE INDEX + search ----------------------------------------
     for name, engine, opts in (
         ("demo_flat", "faiss", {}),
-        ("demo_ivf", "faiss", {"type": "IVFFlat", "ivf_nlist": 0, "nprobe": 6}),
+        # nprobe=0: searches ride the build-time MEASURED recall curve
+        ("demo_ivf", "faiss", {"type": "IVFFlat", "ivf_nlist": 0, "nprobe": 0}),
         ("demo_vamana", "diskann", {"max_degree": 32, "build_complexity": 64}),
         ("demo_hnsw", "faiss", {"type": "HNSW", "hnsw_m": 16}),
     ):
@@ -94,6 +95,20 @@ def main() -> None:
     print("== index_search_table: 20-row query DataFrame x ivfflat ==")
     index_search_table(spark, "demo_ivf", q20, "qid", "embedding", k=1,
                        catalog=cat).show(5)
+
+    # -- per-call recall contract + cheap staleness remedy ------------
+    # target_recall resolves the probe count (IVF) or the joint
+    # (route_nprobe, beam width) pair (routed graphs, anchored at the
+    # build-time MEASURED end recall) from the manifest's curves;
+    # recalibrate_index re-runs just the bounded measurement passes
+    # when ann_index_info reports calibration_stale — no rebuild.
+    from duckdb_ann_spark.index import recalibrate_index
+
+    hits = index_scan(spark, "demo_ivf", [qvec], k=3, catalog=cat,
+                      target_recall=0.9).collect()
+    print(f"target_recall=0.9 top-3: {[r.vec_id for r in hits]}")
+    recalibrate_index(spark, "demo_ivf", catalog=cat)
+    print("demo_ivf recalibrated against the live artifact")
 
     # -- near-dup detection three ways --------------------------------
     from duckdb_ann_spark.operators.dedup import (
