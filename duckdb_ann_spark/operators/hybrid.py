@@ -620,7 +620,15 @@ def hybrid_search(
     built over the searched table. Measured at the 200k-doc gated smoke
     on an idle host: indexed BM25 query 0.95s vs 1.92s scan, identical
     scores; at sf0.1's 5k docs the two are even (fixed job overhead) —
-    the artifact is for corpora whose text dwarfs job overhead."""
+    the artifact is for corpora whose text dwarfs job overhead.
+
+    Head-term (stop-word) query texts at scale: this single-query
+    surface scans the full posting list of every query term (~df rows
+    each). Batch workloads with such terms should go through
+    `hybrid_search_table`, whose block-max candidate bounding prunes
+    that intermediate EXACTLY (round 11 — 143x on the Zipf smoke);
+    per single query the fixed job overhead of the pruning plan would
+    eat the savings at any corpus size this path is sensible for."""
     spark = docs.sparkSession
 
     # ---- vector ranks ----

@@ -575,6 +575,17 @@ def test_recalibrate_index_clears_stale_without_rebuild(spark, data, cat):
     assert m3["calibration"]["deleted_at_measurement"] == 0
     drop_index("recal_ivf", cat)
 
+    # layered-HNSW routed: same VamanaEngine branch, own kernel/base-L
+    create_index(
+        cl_df, "vec_id", "embedding", "recal_hnsw", engine="faiss",
+        type="HNSW", hnsw_m=16, shards=N_CLUSTERS, shard_by="cells",
+        catalog=cat,
+    )
+    m4 = recalibrate_index(spark, "recal_hnsw", catalog=cat)
+    assert m4["l_calibration"] is not None
+    assert m4["end_calibration"] is not None
+    drop_index("recal_hnsw", cat)
+
     # nothing-to-measure surfaces fail loud
     create_index(
         cl_df, "vec_id", "embedding", "recal_flat", engine="faiss",
