@@ -892,6 +892,7 @@ def hybrid_search_table(
     method: str = "blas",
     max_term_df: Optional[float] = None,
     use_blockmax: Optional[bool] = None,
+    target_recall: Optional[float] = None,
 ) -> DataFrame:
     """Hybrid BM25+vector RRF for an UNBOUNDED query DataFrame →
     (<query_id_col>, <doc id col>, _rrf_score, _bm25_rank,
@@ -948,6 +949,12 @@ def hybrid_search_table(
     corpus stop words at scale. Same idea as FTS stop-word lists —
     declared per call, never silently.
 
+    `target_recall` (round 11): forwarded to the vector leg —
+    `index_search_table`'s per-call recall contract (measured-curve
+    nprobe for IVF; anchored joint (route_nprobe, L) for routed
+    graphs); the docs-based exact leg satisfies any in-range target by
+    construction, mirroring the Flat rule.
+
     `use_blockmax` (round 11 — the EXACT answer to the same blow-up):
     indexes published this round carry per-term impact-ordered posting
     blocks + block maxima; the text leg then seeds a per-query top-k
@@ -992,6 +999,7 @@ def hybrid_search_table(
         vhits = index_search_table(
             spark, index, queries_df, query_id_col, query_vec_col,
             vector_candidates, search_complexity, catalog,
+            target_recall=target_recall,
         )
         if idx_vec_id == query_id_col:
             # real collision: index_search_table renamed the QUERY side
@@ -1011,6 +1019,13 @@ def hybrid_search_table(
                 "hybrid_search_table needs `index` or all of "
                 "(docs, doc_id_col, vec_col)"
             )
+        if target_recall is not None and not (
+            0.0 < float(target_recall) <= 1.0
+        ):
+            raise ValueError("target_recall must be in (0, 1]")
+        # (an in-range target_recall is satisfied by construction here:
+        # the docs-based vector leg is an exact full-probe join — the
+        # same rule as Flat engines in _apply_target_recall)
         from .knn_join import knn_join
 
         out_id_col = doc_id_col

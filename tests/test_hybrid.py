@@ -636,6 +636,23 @@ def test_hybrid_search_table_through_index(spark, base, tmp_path):
     assert set(per_q) == set(range(12)) and all(
         v == 5 for v in per_q.values()
     )
+    # round-11: target_recall forwards to the vector leg — Flat
+    # satisfies any target by construction, identical output
+    out_tr = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", text_index=ti, index="hsti", k=5,
+        catalog=cat, target_recall=0.99,
+    ).collect()
+    key = lambda rows: sorted((r["qid"], r["doc_id"]) for r in rows)
+    assert key(out_tr) == key(out)
+    # the docs-based exact leg takes the same knob (range-validated)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        hybrid_search_table(
+            qdf, "qid", "qv", "qtext", text_index=ti, docs=base,
+            doc_id_col="doc_id", vec_col="embedding", k=5,
+            target_recall=1.5,
+        )
 
 
 def test_text_index_manifest_validation(spark, base, tmp_path):
