@@ -191,3 +191,75 @@ def test_sq8_lazy_view_matches_eager(n, dim, seed):
     assert np.array_equal(lazy[idx], eager[idx])
     assert np.array_equal(lazy[int(idx[0])], eager[int(idx[0])])
     assert np.array_equal(lazy[list(idx[:3])], eager[list(idx[:3])])
+
+
+@given(
+    probes=st.lists(
+        st.integers(1, 4096), min_size=1, max_size=8, unique=True
+    ).map(sorted),
+    prec_raw=st.lists(st.floats(0.01, 1.0), min_size=8, max_size=8),
+    ls=st.lists(
+        st.integers(1, 4096), min_size=1, max_size=8, unique=True
+    ).map(sorted),
+    lrec_raw=st.lists(st.floats(0.01, 1.0), min_size=8, max_size=8),
+    target=st.floats(0.05, 1.0),
+    anchor_i=st.integers(0, 7),
+    end_ratio=st.floats(0.5, 1.1),
+)
+@settings(max_examples=200, deadline=None)
+def test_resolve_end_recall_invariants(
+    probes, prec_raw, ls, lrec_raw, target, anchor_i, end_ratio
+):
+    """Property contract of the anchored joint resolution (round 11):
+    for ANY monotone pair of curves and any measured anchor, a
+    successful resolution returns curve points whose composed product
+    honors the anchor-scaled requirement, never sits below the anchor
+    config, and an uncomposable target raises instead of silently
+    under-delivering."""
+    from duckdb_ann_spark.index.calibration import resolve_end_recall
+
+    # monotone non-decreasing curves over the sampled grids
+    prec = sorted(prec_raw)[: len(probes)]
+    lrec = sorted(lrec_raw)[: len(ls)]
+    prec = sorted(prec)
+    lrec = sorted(lrec)
+    ai = anchor_i % (len(probes) * len(ls))
+    p_a, l_a = probes[ai // len(ls)], ls[ai % len(ls)]
+    pred_a = prec[ai // len(ls)] * lrec[ai % len(ls)]
+    end_a = min(1.0, max(1e-3, pred_a * end_ratio))
+    mani = {
+        "route_calibration": {"probes": probes, "recall": prec},
+        "l_calibration": {"ls": ls, "recall": lrec},
+        "end_calibration": {
+            "route_nprobe": p_a, "search_complexity": l_a,
+            "recall": end_a, "predicted": pred_a,
+        },
+    }
+    try:
+        p, L = resolve_end_recall(mani, target)
+    except ValueError as e:
+        assert "not composable" in str(e)
+        # loud failure only when the up-scaled requirement is truly
+        # out of reach of the (anchor-restricted) curve maxima
+        if target > end_a:
+            required = pred_a * target / end_a
+            feas = [
+                rp * rl
+                for pp, rp in zip(probes, prec) if pp >= p_a
+                for ll, rl in zip(ls, lrec) if ll >= l_a
+            ]
+            assert not feas or max(feas) < required
+        else:
+            raise AssertionError(
+                f"target {target} <= anchor end {end_a} must resolve"
+            ) from e
+        return
+    if target <= end_a:
+        # at/below the measured anchor: the anchor config itself
+        assert (p, L) == (p_a, l_a)
+    else:
+        # above: monotone up-scaling with the product grown in step
+        assert p >= p_a and L >= l_a
+        rp = dict(zip(probes, prec))[p]
+        rl = dict(zip(ls, lrec))[L]
+        assert rp * rl >= pred_a * target / end_a - 1e-12
