@@ -155,16 +155,184 @@ def auto_route_nprobe(n_shards: int, dim: int) -> int:
     return min(n_shards, int(np.ceil(1.6 * auto_nprobe(n_shards, dim))))
 
 
+# Init-strategy gate for `_kmeans`: at or below this k the ORIGINAL
+# sequential kmeans++ seeding runs BIT-IDENTICALLY (same rng stream,
+# same arithmetic) — every sf0.01 oracle artifact (nlist 8/16) and the
+# 100k bench tier (nlist 316, ~67 routing shards) sits here, so their
+# centroids are stable across rounds. Above it the seeding switches to
+# the k-means|| oversampled init below: the sequential loop is k full
+# passes over the train sample plus a length-n weighted draw PER
+# CENTROID — measured 291.5s of the 10M IVF smoke's 298s build
+# (200k x d16 -> 3162 cells, 32 BLAS threads), 98% of the build wall,
+# serial, on the driver, growing with nlist=sqrt(N) until the 65536
+# clamp (~hours). The reference's own training is stride-sampled and
+# approximate (src/faiss_index.cpp:300-317), so centroid-quality
+# parity never required the exact kmeans++ seeding.
+SEQ_INIT_K_MAX = 512
+_CHUNK_ELEMS = 4_000_000  # ~16 MB f32 distance block per chunk task
+_CHUNK_WORKERS = 16  # x 2 BLAS threads each = the local core budget
+
+
+def _chunk_slices(n: int, k: int) -> "list[slice]":
+    rows = max(1, _CHUNK_ELEMS // max(1, k))
+    return [slice(s, min(s + rows, n)) for s in range(0, n, rows)]
+
+
+def _pmap(fn, slices) -> None:
+    """Run `fn(slice)` over the chunk slices on a thread pool: the
+    per-chunk work is one small GEMM (2 BLAS threads each — the
+    driver-wide cap) plus single-threaded numpy argmin/min scans that
+    RELEASE THE GIL, so at d=16 (where the scans dominate the GEMM)
+    outer threading is the lever BLAS threads cannot be. Each task
+    writes to a disjoint output slice — no synchronization needed."""
+    if len(slices) <= 1:
+        for blk in slices:
+            fn(blk)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(_CHUNK_WORKERS, len(slices))) as ex:
+        list(ex.map(fn, slices))
+
+
+def _chunked_assign(
+    data: np.ndarray, dn: np.ndarray, centroids: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(assign, to_own): nearest-centroid index + squared distance to it
+    per data row, in bounded-memory parallel chunks — the full (k, n)
+    distance matrix the small-k Lloyd builds would be ~52 GB at the
+    65536-cell clamp x the 200k train cap. Ties break to the lowest
+    centroid index, same as the full-matrix argmin."""
+    cn = np.einsum("ij,ij->i", centroids, centroids)
+    n = data.shape[0]
+    assign = np.empty(n, dtype=np.int64)
+    to_own = np.empty(n, dtype=np.float32)
+    ct = np.ascontiguousarray(centroids.T)
+
+    def do(blk: slice) -> None:
+        d = dn[blk, None] + cn[None, :] - 2.0 * (data[blk] @ ct)
+        np.maximum(d, 0.0, out=d)
+        a = d.argmin(axis=1)
+        assign[blk] = a
+        to_own[blk] = d[np.arange(d.shape[0]), a]
+
+    _pmap(do, _chunk_slices(n, centroids.shape[0]))
+    return assign, to_own
+
+
+def _min_d2_update(
+    data: np.ndarray, dn: np.ndarray, new_c: np.ndarray, d2: np.ndarray
+) -> None:
+    """d2 <- min(d2, squared distance to the nearest row of new_c),
+    chunked/threaded like `_chunked_assign`."""
+    cn = np.einsum("ij,ij->i", new_c, new_c)
+    ct = np.ascontiguousarray(new_c.T)
+
+    def do(blk: slice) -> None:
+        d = dn[blk, None] + cn[None, :] - 2.0 * (data[blk] @ ct)
+        np.maximum(d, 0.0, out=d)
+        np.minimum(d2[blk], d.min(axis=1), out=d2[blk])
+
+    _pmap(do, _chunk_slices(data.shape[0], new_c.shape[0]))
+
+
+def _init_scalable(
+    data: np.ndarray, dn: np.ndarray, k: int, rng, rounds: int = 4,
+    oversample: float = 1.0,
+) -> np.ndarray:
+    """k-means|| oversampled seeding (Bahmani et al., VLDB 2012 —
+    public literature) for k > SEQ_INIT_K_MAX: a few VECTORIZED
+    candidate-sampling passes replace the k sequential kmeans++ steps.
+
+    Each round samples every point independently with probability
+    min(1, ell * d2 / sum(d2)) (ell = oversample * k) — expected ~ell
+    new candidates per round, all distance computation chunked
+    GEMM+scan on the `_pmap` pool — then candidates are weighted by
+    the points they serve and reduced to k seeds with a Gumbel-top-k
+    weighted draw plus 3 weighted Lloyd iterations ON THE CANDIDATE
+    SET (m ~ rounds*ell rows, so this reduce is tiny). The main Lloyd
+    loop over the full sample then runs as usual.
+
+    Measured at the 10M IVF smoke's exact seeding shape
+    (200k x d16 -> k=3162, same host session, driver BLAS cap 2):
+    sequential kmeans++ init 291.5s vs this init 8.6s — and the FULL
+    new `_kmeans` (init + 10 Lloyd iters) 17.3s. Oversample sweep at
+    that shape (seed-inertia -> final inertia after Lloyd):
+    2.0 -> 19.2s init / 94028 final; 1.0 -> 8.6s / 94210 (+0.2%);
+    0.5 -> 4.3s / (not run). 1.0 is the default — the Lloyd pass
+    erases the seed-quality gap (tests/test_index_ivf.py pins the
+    <=1.10x inertia ratio vs the sequential init)."""
+    n = data.shape[0]
+    ell = max(1, int(oversample * k))
+    first = int(rng.integers(n))
+    d2 = np.full(n, np.inf, dtype=np.float32)
+    _min_d2_update(data, dn, data[first][None, :], d2)
+    cand_parts = [np.array([first], dtype=np.int64)]
+    for _ in range(rounds):
+        s = float(d2.sum())
+        if s <= 0.0:
+            break
+        p = np.minimum(1.0, (ell / s) * d2.astype(np.float64))
+        idx = np.flatnonzero(rng.random(n) < p)
+        if idx.size == 0:
+            continue
+        cand_parts.append(idx)
+        _min_d2_update(data, dn, data[idx], d2)
+    cidx = np.unique(np.concatenate(cand_parts))
+    cand = np.ascontiguousarray(data[cidx])
+    m = cand.shape[0]
+    if m < k:
+        # statistically negligible under the 4k < n caller guard
+        # (expected candidates ~ rounds * 2k); pad with distinct rows
+        pool = np.setdiff1d(np.arange(n, dtype=np.int64), cidx)
+        pad = rng.permutation(pool)[: k - m]
+        return np.concatenate([cand, data[pad]]).astype(np.float32)
+    if m == k:
+        return cand
+    # weight candidates by the points they serve, then reduce to k
+    assign, _ = _chunked_assign(data, dn, cand)
+    w = np.bincount(assign, minlength=m).astype(np.float64)
+    # weighted sample-without-replacement via Gumbel top-k (exact,
+    # vectorized; rng.choice(replace=False, p=...) is O(k*m))
+    keys = np.log(np.maximum(w, 1e-300)) + rng.gumbel(size=m)
+    seeds = np.argpartition(-keys, k - 1)[:k]
+    cent = cand[seeds].copy()
+    cn_cand = np.einsum("ij,ij->i", cand, cand)
+    for _ in range(3):  # weighted Lloyd on candidates (m ~ 8k rows)
+        a, _ = _chunked_assign(cand, cn_cand, cent)
+        order = np.argsort(a, kind="stable")
+        sa = a[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(sa)) + 1])
+        cells = sa[starts]
+        ws = w[order]
+        wsums = np.add.reduceat(
+            cand[order].astype(np.float64) * ws[:, None], starts, axis=0
+        )
+        wcounts = np.add.reduceat(ws, starts)
+        cent[cells] = (
+            wsums / np.maximum(wcounts, 1e-12)[:, None]
+        ).astype(np.float32)
+    return cent
+
+
 def _kmeans(data: np.ndarray, k: int, seed: int = TRAIN_SEED,
             iters: int = KMEANS_ITERS) -> np.ndarray:
-    """Seeded Lloyd's with kmeans++ init; deterministic for fixed input.
+    """Seeded Lloyd's, deterministic for fixed input; init by k regime:
 
-    Round-5 rewrite for large k (the driver-side cost of every IVF
-    build / knn_join): data row-norms are computed ONCE and reused by
-    all k seeding steps (the generic kernel recomputed them per step —
-    O(k*n*d) redundant work), and the Lloyd centroid update is a
-    sort + add.reduceat segment sum instead of k boolean-mask passes.
-    k=512 on 25.6k x 128: 4.6s -> measured below 1s."""
+    * k <= SEQ_INIT_K_MAX: the original sequential kmeans++ (round-5
+      kernel — row norms shared across steps, segment-sum Lloyd
+      update), BIT-STABLE against all published small-k artifacts;
+    * 4k >= n (dense regime, e.g. the 65536-nlist clamp against the
+      200k train cap): a random distinct subset — kmeans++ spreading
+      buys nothing when a third of the points become centroids;
+    * otherwise: `_init_scalable` (k-means||), the round-12 fix for
+      the 98%-serial driver fraction of large-nlist builds.
+
+    The Lloyd assignment runs full-matrix below the gate (bit-stable)
+    and memory-bounded chunked-and-threaded above it (`_pmap` — the
+    executors idle through this serial driver phase, so the chunk pool
+    may use the whole box; the small-k path keeps the single-threaded
+    arithmetic its published artifacts were built with)."""
     n = data.shape[0]
     k = min(k, n)
     rng = np.random.default_rng(seed)
@@ -176,21 +344,31 @@ def _kmeans(data: np.ndarray, k: int, seed: int = TRAIN_SEED,
         np.maximum(d, 0.0, out=d)
         return d
 
-    # kmeans++ seeding
-    centroids = np.empty((k, data.shape[1]), dtype=np.float32)
-    centroids[0] = data[rng.integers(n)]
-    d2 = d2_to(centroids[0])
-    for i in range(1, k):
-        probs = d2 / d2.sum() if d2.sum() > 0 else None
-        centroids[i] = data[rng.choice(n, p=probs)]
-        np.minimum(d2, d2_to(centroids[i]), out=d2)
+    if k <= SEQ_INIT_K_MAX:
+        # kmeans++ seeding (ORIGINAL loop — bit-stable path)
+        centroids = np.empty((k, data.shape[1]), dtype=np.float32)
+        centroids[0] = data[rng.integers(n)]
+        d2 = d2_to(centroids[0])
+        for i in range(1, k):
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            centroids[i] = data[rng.choice(n, p=probs)]
+            np.minimum(d2, d2_to(centroids[i]), out=d2)
+    elif 4 * k >= n:
+        centroids = np.ascontiguousarray(
+            data[rng.choice(n, size=k, replace=False)]
+        )
+    else:
+        centroids = _init_scalable(data, dn, k, rng)
     arange_n = np.arange(n)
     for _ in range(iters):
-        cn = np.einsum("ij,ij->i", centroids, centroids)
-        dmat = cn[:, None] + dn[None, :] - 2.0 * (centroids @ data.T)
-        np.maximum(dmat, 0.0, out=dmat)  # (k, n)
-        assign = dmat.argmin(axis=0)
-        to_own = dmat[assign, arange_n]
+        if k <= SEQ_INIT_K_MAX:
+            cn = np.einsum("ij,ij->i", centroids, centroids)
+            dmat = cn[:, None] + dn[None, :] - 2.0 * (centroids @ data.T)
+            np.maximum(dmat, 0.0, out=dmat)  # (k, n)
+            assign = dmat.argmin(axis=0)
+            to_own = dmat[assign, arange_n]
+        else:
+            assign, to_own = _chunked_assign(data, dn, centroids)
         order = np.argsort(assign, kind="stable")
         sa = assign[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(sa)) + 1])

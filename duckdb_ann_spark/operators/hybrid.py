@@ -502,6 +502,8 @@ def bm25_scores_indexed(
     query_text: str,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    n_candidates: Optional[int] = None,
+    use_blockmax: Optional[bool] = None,
 ) -> DataFrame:
     """→ (id, _bm25_score) from a `publish_text_index` artifact —
     BIT-IDENTICAL scores to `bm25_scores` over the published corpus
@@ -510,7 +512,23 @@ def bm25_scores_indexed(
     touching the corpus text: the postings scan is pruned to the query's
     terms, per-term doc frequencies are a <=|terms|-row collect, and the
     hit-row groupBy is the only shuffle (dl rides the posting rows — no
-    doc-length join)."""
+    doc-length join).
+
+    `n_candidates` (round 12 — r11 verdict item 2): with it set, the
+    per-doc pivot is restricted to the block-max candidate set
+    (`_blockmax_candidates` — the table surface's exact pruning, fed a
+    one-row query frame), so a Zipf HEAD term no longer materializes
+    its whole O(df) posting list. The returned frame then covers a
+    candidate SUPERSET of the true top-`n_candidates` docs; each
+    returned doc's score is bit-identical (candidates re-score
+    COMPLETELY — semi-join by doc keeps every query-term posting row),
+    so the top-`n_candidates` set and order match the full path
+    exactly. Docs outside the candidate set are absent — callers that
+    need every matching doc's score (no top-k cut) must leave
+    `n_candidates=None`. `use_blockmax`: None = prune when the
+    artifact carries usable block summaries (pre-round-11 artifacts
+    degrade to the full path); True = require them (loud error);
+    False = full path."""
     qterms = sorted(set(py_tokenize(query_text)))
     if not qterms:
         id_guess = "id"
@@ -536,7 +554,29 @@ def bm25_scores_indexed(
             F.count(F.lit(1)).cast("double").alias("df")
         ).collect()
     }
-    per = post.groupBy(id_col).agg(
+    scored = post
+    if n_candidates is not None and use_blockmax is not False:
+        from ..local import local_df
+
+        qdf = local_df(
+            spark, [(0, t) for t in qterms], "_bm_qid int, term string"
+        )
+        cands = _blockmax_candidates(
+            spark, index_path, qdf, post, "_bm_qid", id_col,
+            int(n_candidates),
+        )
+        if cands is None and use_blockmax is True:
+            raise ValueError(
+                "use_blockmax=True but the text index carries no block "
+                "summaries under the current BM25 constants (pre-round-"
+                "11 artifact?) — republish the index, or pass "
+                "use_blockmax=False"
+            )
+        if cands is not None:
+            scored = post.join(
+                cands.select(id_col), on=id_col, how="leftsemi"
+            )
+    per = scored.groupBy(id_col).agg(
         *[
             F.coalesce(
                 F.max(F.when(F.col("term") == F.lit(t), F.col("tf"))),
@@ -604,6 +644,7 @@ def hybrid_search(
     metric: str = "l2",
     catalog=None,
     text_index: Optional[str] = None,
+    use_blockmax: Optional[bool] = None,
 ) -> DataFrame:
     """→ docs columns + `_rrf_score, _bm25_rank, _vector_rank` (0 = not
     ranked by that leg), descending score, top k.
@@ -622,13 +663,15 @@ def hybrid_search(
     scores; at sf0.1's 5k docs the two are even (fixed job overhead) —
     the artifact is for corpora whose text dwarfs job overhead.
 
-    Head-term (stop-word) query texts at scale: this single-query
-    surface scans the full posting list of every query term (~df rows
-    each). Batch workloads with such terms should go through
-    `hybrid_search_table`, whose block-max candidate bounding prunes
-    that intermediate EXACTLY (round 11 — 143x on the Zipf smoke);
-    per single query the fixed job overhead of the pruning plan would
-    eat the savings at any corpus size this path is sensible for."""
+    Head-term (stop-word) query texts at scale (round 12 — r11
+    verdict item 2): the indexed text leg rides the SAME exact
+    block-max candidate bounding as `hybrid_search_table`
+    (`bm25_scores_indexed(n_candidates=bm25_candidates)`), so a head
+    term's O(df) posting list never materializes into the per-doc
+    pivot; ranks are bit-identical by the `_blockmax_candidates`
+    proof. `use_blockmax`: None = auto (prune when the artifact has
+    usable block summaries), True = require, False = full join —
+    the table surface's contract."""
     spark = docs.sparkSession
 
     # ---- vector ranks ----
@@ -658,7 +701,10 @@ def hybrid_search(
     # ---- BM25 ranks (empty/failed text leg → vector-only) ----
     tracked_src = None
     if text_index is not None:
-        scores = bm25_scores_indexed(spark, text_index, query_text or "")
+        scores = bm25_scores_indexed(
+            spark, text_index, query_text or "",
+            n_candidates=bm25_candidates, use_blockmax=use_blockmax,
+        )
         # the pruned-postings slice bm25_scores_indexed persisted rides
         # ITS return value's tracked list; thread it onto hybrid's own
         # return below (round-9 advice) so release_caches() on what the
@@ -722,7 +768,7 @@ def _term_score_expr(tf: Column, df: Column, dl: Column, n_docs: float,
     return _term_score(tf, df, dl, F.lit(float(n_docs)), avgdl, k1, b)
 
 
-def _blockmax_hits(
+def _blockmax_candidates(
     spark,
     index_path: str,
     qterms: DataFrame,
@@ -731,13 +777,16 @@ def _blockmax_hits(
     text_id: str,
     n_candidates: int,
 ):
-    """Block-max/MaxScore candidate bounding for the table text leg
-    (round 11 — the EXACT successor to the `max_term_df`
-    approximation): → the per-(query, candidate-doc, term) hit rows
-    whose per-doc groupBy is BIT-IDENTICAL to the full exact join on
-    ranks <= n_candidates, or None when the artifact carries no block
-    summaries / was published under different BM25 constants (callers
-    fall back to the full join).
+    """Block-max/MaxScore candidate bounding (round 11 — the EXACT
+    successor to the `max_term_df` approximation): → the per-query
+    candidate (query_id, doc_id) pairs GUARANTEED to contain every doc
+    of the true BM25 top-`n_candidates` (so any complete re-score over
+    them is bit-identical to the full join on those ranks), or None
+    when the artifact carries no block summaries / was published under
+    different BM25 constants (callers fall back to the full join).
+    Round 12 splits this candidate step out of `_blockmax_hits` so the
+    SINGLE-query indexed path (`bm25_scores_indexed`) can ride the
+    same pruning as the table surface.
 
     How it stays exact (every impact is strictly positive — the +1 idf
     variant — so all bounds below are sound):
@@ -861,9 +910,32 @@ def _blockmax_hits(
     # must never be lost to a float-tie prune (belt to the epsilon
     # braces above; the seed slice is bounded)
     cand_seed = lower.select(query_id_col, text_id)
-    cands = (
+    return (
         cand_long.unionByName(cand_short).unionByName(cand_seed).distinct()
     )
+
+
+def _blockmax_hits(
+    spark,
+    index_path: str,
+    qterms: DataFrame,
+    post_scored: DataFrame,
+    query_id_col: str,
+    text_id: str,
+    n_candidates: int,
+):
+    """`_blockmax_candidates` joined BACK to the term-pruned postings
+    BY DOC and to each query's own terms (step 4 of the proof above):
+    the per-(query, candidate-doc, term) hit rows whose per-doc
+    groupBy is BIT-IDENTICAL to the full exact join on ranks <=
+    n_candidates; None when the artifact carries no usable block
+    summaries."""
+    cands = _blockmax_candidates(
+        spark, index_path, qterms, post_scored, query_id_col, text_id,
+        n_candidates,
+    )
+    if cands is None:
+        return None
     return (
         cands.join(post_scored, on=text_id)
         .join(qterms, on=[query_id_col, "term"])

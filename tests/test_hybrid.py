@@ -313,6 +313,26 @@ def test_blockmax_bit_identical_and_prunes(spark, tmp_path):
     )
     assert hits_w < 0.1 * hits_e, (hits_w, hits_e)
 
+    # round 12 (r11 verdict item 2): the SINGLE-query indexed path rides
+    # the same candidate bounding — every returned score bit-identical
+    # to the full path, identical top-n_candidates, and the head-term
+    # pivot input measurably bounded
+    from duckdb_ann_spark.caching import release_caches
+    from duckdb_ann_spark.operators.hybrid import bm25_scores_indexed
+
+    full_df = bm25_scores_indexed(spark, path, "head r3")
+    pruned_df = bm25_scores_indexed(
+        spark, path, "head r3", n_candidates=20, use_blockmax=True
+    )
+    full = {r["doc_id"]: r["_bm25_score"] for r in full_df.collect()}
+    pruned = {r["doc_id"]: r["_bm25_score"] for r in pruned_df.collect()}
+    assert pruned and all(full[d] == s for d, s in pruned.items())
+    top = lambda m: sorted((-s, d) for d, s in m.items())[:20]
+    assert top(pruned) == top(full)
+    assert len(pruned) < 0.2 * len(full), (len(pruned), len(full))
+    release_caches(full_df)
+    release_caches(pruned_df)
+
     # require-switch fails loud on a pre-round-11 artifact (no blocks)
     import shutil
 
@@ -321,6 +341,10 @@ def test_blockmax_bit_identical_and_prunes(spark, tmp_path):
         hybrid_search_table(
             qdf, "qid", "qv", "qtext", use_blockmax=True, **kw
         ).collect()
+    with _pytest.raises(ValueError, match="no block summaries"):
+        bm25_scores_indexed(
+            spark, path, "head", n_candidates=5, use_blockmax=True
+        )
     # and auto mode silently falls back to the exact join
     out_f = hybrid_search_table(qdf, "qid", "qv", "qtext", **kw).collect()
     assert key(out_f) == key(out_e)
