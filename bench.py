@@ -118,7 +118,34 @@ K = 10
 DIMS = (128, 256, 768)
 
 
-def calibration_canaries(spark) -> dict:
+def flag_canary_sections(units: dict, tol: float = 0.2) -> list:
+    """Round 12 (r11 verdict item 3): the mid-run contamination
+    detector. `units` maps a section-boundary label to the canary unit
+    measured there; returns the labels whose unit deviates more than
+    `tol` from the run MEDIAN — a host-noise burst confined to one
+    section (a busy-loop, another job's spike) shows up as that
+    boundary's canary breaking from the others, which a single
+    start-of-run canary can never see (round 11's committed bench had
+    untouched brute-force legs move +22-32% while the one canary
+    claimed a FASTER epoch). Fewer than 3 usable measurements → no
+    flags (a median of 2 can't adjudicate). A uniform slowdown moves
+    the median with the values and correctly flags nothing — that case
+    IS an epoch, handled by `value_canary_rel`."""
+    import statistics
+
+    vals = [v for v in units.values() if v and v > 0]
+    if len(vals) < 3:
+        return []
+    med = statistics.median(vals)
+    if med <= 0:
+        return []
+    return sorted(
+        k for k, v in units.items()
+        if v and v > 0 and abs(v / med - 1.0) > tol
+    )
+
+
+def calibration_canaries(spark, reps: int = 5) -> dict:
     """Round-8: fixed-work epoch canaries, timed in-process every bench
     run and recorded in the JSON (`calibration`), so cross-round totals
     can be judged against the HOST's drift instead of a judgment call
@@ -132,9 +159,13 @@ def calibration_canaries(spark) -> dict:
     * `cal_spark` — sum over an 8M-row range (JVM/scheduler epoch; the
       per-job fixed overhead every workload pays).
 
-    Min-of-5 each. To compare round N vs round N-1, scale each family's
-    delta by the matching canary's delta first; a workload regression
-    that survives that normalization is code, not weather."""
+    Min-of-`reps` each (5 for the authoritative cross-round canary;
+    the round-12 per-SECTION boundary readings use 3 — they only need
+    to catch >20% bursts, not set the epoch; 2 was measured too noisy
+    on the cal_py term). To compare round N vs
+    round N-1, scale each family's delta by the matching canary's
+    delta first; a workload regression that survives that
+    normalization is code, not weather."""
     import duckdb_ann_spark.index.vamana_core as vc
 
     rng = np.random.default_rng(12345)
@@ -149,12 +180,16 @@ def calibration_canaries(spark) -> dict:
             F.sum("id")).collect()),
     ):
         fn()  # warmup
-        for _ in range(5):
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
             out[key] = round(min(dt, out.get(key, dt)), 4)
     return out
+
+
+def _canary_unit(cal: dict) -> float:
+    return round(cal["cal_gemm"] + cal["cal_py"] + cal["cal_spark"], 4)
 
 
 def _synthetic_vectors(spark, n: int, dim: int, seed: int):
@@ -990,6 +1025,12 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
+    # round-12 (r11 verdict item 3): canary units at every SECTION
+    # boundary, so a mid-run noise burst is attributable to the section
+    # it hit instead of poisoning the whole round's adjudication
+    section_units: dict[str, float] = {}
+    section_units["start"] = _canary_unit(calibration_canaries(spark, reps=3))
+
     # three full passes, per-workload min (see module docstring)
     timings: dict[str, float] = {}
     recall: dict[str, float] = {}
@@ -1007,6 +1048,7 @@ def main() -> None:
     total = sum(timings.values())  # headline: shared workloads only
 
     cal = calibration_canaries(spark)
+    section_units["after_workloads"] = _canary_unit(cal)
     # round-9 (verdict item 6): the canary-RELATIVE total rides in the
     # JSON so epoch adjudication stops being prose — compare
     # `value_canary_rel` across rounds; a delta that survives the
@@ -1036,7 +1078,19 @@ def main() -> None:
         # only claim the spot-check ran when it actually did
         out["scale_n"] = SCALE_N
         out["scale_excluded_from_total"] = True
+        section_units["after_scale"] = _canary_unit(
+            calibration_canaries(spark, reps=3)
+        )
     timings.update(bench_corpus(spark))
+    section_units["after_corpus"] = _canary_unit(
+        calibration_canaries(spark, reps=3)
+    )
+    # per-section canary units + >20%-from-median flags: a flagged
+    # boundary means the section(s) it bounds ran in a different host
+    # epoch than the rest of the run — judge those legs by their floors
+    # and same-section reruns, not by cross-round wall deltas
+    out["section_canaries"] = section_units
+    out["section_canary_flags"] = flag_canary_sections(section_units)
     out["queries"] = {k: round(v, 3) for k, v in timings.items()}
 
     print(json.dumps(out))

@@ -607,7 +607,8 @@ _LIST_SCHEMA = "name string, engine string, table_name string"
 _INFO_SCHEMA = (
     "name string, engine string, table_name string, num_vectors long, "
     "num_deleted long, memory_bytes long, quantized boolean, layout string, "
-    "calibration_stale boolean"
+    "calibration_stale boolean, end_recall double, end_predicted double, "
+    "end_route_nprobe int, end_search_complexity int"
 )
 
 
@@ -627,12 +628,26 @@ def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> Da
     appends/tombstones have drifted the index past
     `CALIBRATION_STALE_FRACTION` of what its build-time probe/L
     measurements were taken on — the `needs_vacuum` discipline applied
-    to the calibration contract (vacuum re-measures)."""
+    to the calibration contract (vacuum re-measures).
+
+    Round 12 (r11 verdict item 4): the `end_calibration` anchor — the
+    index's headline quality numbers — is exposed as four columns
+    instead of living manifest-only: `end_recall` (the MEASURED
+    end-to-end recall at the resolved default config), `end_predicted`
+    (the routing-curve x L-curve product at that config — the gap to
+    `end_recall` is the off-sample deflation `resolve_end_recall`
+    anchors on), and the anchor config itself (`end_route_nprobe`,
+    `end_search_complexity`). Unmeasured indexes (Flat, IVF,
+    single-graph, pinned-probe builds, pre-round-11 artifacts) report
+    SENTINELS — -1.0 / -1.0 / 0 / 0 — rather than NULLs, keeping the
+    column values (and the driver's value-hash) deterministic."""
     from .calibration import calibration_stale
 
     cat = catalog or Catalog()
-    rows = [
-        (
+    rows = []
+    for m in cat.list():
+        ec = m.get("end_calibration") or {}
+        rows.append((
             m["name"],
             m["engine"],
             m["table_name"],
@@ -642,9 +657,12 @@ def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> Da
             m.get("params", {}).get("quantization", "") == "sq8",
             m.get("layout", ""),
             calibration_stale(m),
-        )
-        for m in cat.list()
-    ]
+            float(ec["recall"]) if ec.get("recall") is not None else -1.0,
+            float(ec["predicted"]) if ec.get("predicted") is not None
+            else -1.0,
+            int(ec.get("route_nprobe") or 0),
+            int(ec.get("search_complexity") or 0),
+        ))
     return spark.createDataFrame(rows, _INFO_SCHEMA)
 
 

@@ -480,15 +480,23 @@ def q_diskann_streaming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(2 AS BIGINT) AS num_deleted,
                CAST(n * dim * 4 AS BIGINT) AS memory_bytes,
                false AS quantized, 'flat-parquet-v1' AS layout,
-               false AS calibration_stale FROM s
+               false AS calibration_stale,
+               CAST(-1.0 AS DOUBLE) AS end_recall,
+               CAST(-1.0 AS DOUBLE) AS end_predicted,
+               CAST(0 AS INT) AS end_route_nprobe,
+               CAST(0 AS INT) AS end_search_complexity FROM s
         UNION ALL
         SELECT 'suite_lib', 'FAISS', 'embeddings', CAST(n AS BIGINT),
                CAST(0 AS BIGINT), CAST(n * dim * 4 AS BIGINT),
-               false, 'flat-parquet-v1', false FROM s
+               false, 'flat-parquet-v1', false,
+               CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+               CAST(0 AS INT), CAST(0 AS INT) FROM s
         UNION ALL
         SELECT 'suite_lih', 'FAISS', 'embeddings', CAST(n AS BIGINT),
                CAST(0 AS BIGINT), CAST(n * (dim + 32) * 4 AS BIGINT),
-               false, 'hnsw-layered', false FROM s
+               false, 'hnsw-layered', false,
+               CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+               CAST(0 AS INT), CAST(0 AS INT) FROM s
     )
     ORDER BY name
     """,
@@ -499,10 +507,14 @@ def q_ann_list_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions run: the entry asserts `ann_list`'s projection agrees with
     the manifests, then returns the info rows (`src/ann_list.cpp:21-221`),
     including the hash-checked `layout` diagnostic (the HNSW index must
-    report the layered structure, not a flat-graph stand-in) and the
+    report the layered structure, not a flat-graph stand-in), the
     round-10 `calibration_stale` column (false here: Flat carries no
     measurement and the single-graph HNSW records none — unmeasured
-    artifacts have nothing to go stale)."""
+    artifacts have nothing to go stale), and the round-12
+    `end_calibration` columns (SENTINELS here — -1.0/-1.0/0/0 — the
+    deterministic stand-in for 'no end anchor'; a routed build's
+    measured values are covered by tests/test_calibration.py, where
+    the measurement is seeded but not SQL-predictable)."""
     cat = _cat()
     for n, opts in (
         ("suite_lia", {}),

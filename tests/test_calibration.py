@@ -341,6 +341,15 @@ def test_target_recall_routed_graph_and_errors(spark, data, cat):
     ec = m["end_calibration"]
     assert ec is not None and 0 < ec["recall"] <= 1.0
     assert ec["route_nprobe"] >= 1 and ec["search_complexity"] >= 1
+    # round 12 (r11 verdict item 4): the anchor is a first-class
+    # ann_index_info row, not a manifest-only fact
+    from duckdb_ann_spark.index import ann_index_info
+
+    info = ann_index_info(spark, cat).where("name = 'tr_vam'").head()
+    assert info["end_recall"] == ec["recall"], info
+    assert info["end_predicted"] == ec["predicted"], info
+    assert info["end_route_nprobe"] == ec["route_nprobe"], info
+    assert info["end_search_complexity"] == ec["search_complexity"], info
     queries = centers[:8] + rng.normal(0, 0.02, (8, DIM)).astype(np.float32)
     rows = index_scan(
         spark, "tr_vam", queries, 10, catalog=cat, target_recall=0.8
@@ -365,6 +374,11 @@ def test_target_recall_routed_graph_and_errors(spark, data, cat):
         type="IVFFlat", ivf_nlist=24, nprobe=0, calibration_queries=0,
         catalog=cat,
     )
+    # an anchor-less artifact reports the deterministic sentinels
+    info = ann_index_info(spark, cat).where("name = 'tr_off'").head()
+    assert info["end_recall"] == -1.0 and info["end_predicted"] == -1.0
+    assert info["end_route_nprobe"] == 0
+    assert info["end_search_complexity"] == 0
     with _pytest.raises(ValueError, match="no measured recall curve"):
         index_scan(spark, "tr_off", [[0.5] * DIM], 5, catalog=cat,
                    target_recall=0.9)

@@ -1171,6 +1171,168 @@ def test_hybrid_table_zipfian_high_df(spark, tmp_path_factory):
     docs.unpersist(); qdf.unpersist()
 
 
+def test_text_dedup_5m_docs(spark, tmp_path_factory):
+    """Round 12 (r11 verdict item 6): the pipeline mandate at the next
+    tier — 5M Zipf docs (25x the proven 200k), exercising exactly the
+    two artifact families whose driver-side mistakes could hide at
+    small scale:
+
+    * MinHash: publish signatures over the 5M corpus, then
+      `dedup_incremental` of a 250k delta with planted cross-corpus
+      duplicates — the banded SEMI-join must stay delta-sized (the
+      corpus side moves fixed-width parquet band rows, never text).
+    * Text index: `publish_text_index` (postings + impact blocks +
+      doc census at 5M), then block-max `hybrid_search_table` with 100
+      HEAD-term queries — the exact-join intermediate would be
+      ~hundreds of millions of rows (computed from the dfs, not run);
+      the block-max candidate intermediate is counted and must undercut
+      it >=10x. One query's full-path scores cross-check the pruned
+      path bit-identically at this scale too.
+
+    Nothing here materializes O(corpus) on the driver: every assert
+    reads counts/aggregates; walls printed.
+
+    MEASURED (first run, 2026-08-15, local[32]): see print — recorded
+    in the round-12 commit message."""
+    from duckdb_ann_spark.caching import release_caches
+    from duckdb_ann_spark.operators.dedup import (
+        dedup_incremental,
+        publish_minhash_signatures,
+    )
+    from duckdb_ann_spark.operators.hybrid import (
+        _blockmax_hits,
+        bm25_scores_indexed,
+        hybrid_search_table,
+        publish_text_index,
+    )
+
+    n, nd, vocab, doc_len, dim, n_q, k = (
+        5_000_000, 250_000, 50_000, 30, 16, 100, 10
+    )
+    corpus = spark.range(0, n, 1, 256).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, {doc_len}), j -> "
+            f"concat('t', cast(floor(pow({vocab}.0, "
+            f"pmod(abs(xxhash64(id, j)), 1000000) / 1000000.0)) as int))))"
+        ).alias("text"),
+        F.expr(
+            f"transform(sequence(1, {dim}), j -> "
+            f"cast(pmod(abs(xxhash64(id, j + 777)), 1000) / 1000.0 "
+            "as float))"
+        ).alias("embedding"),
+    ).persist()
+    corpus.count()
+
+    # ---- MinHash artifact + incremental dedup at 5M ----
+    pub = str(tmp_path_factory.mktemp("pub5m"))
+    t0 = time.perf_counter()
+    publish_minhash_signatures(corpus, "doc_id", "text", pub)
+    publish_sig_s = time.perf_counter() - t0
+    # delta ids n..n+nd-1; every 10th copies corpus doc (id - n)
+    delta = spark.range(n, n + nd, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, {doc_len}), j -> "
+            f"concat('t', cast(floor(pow({vocab}.0, "
+            f"pmod(abs(xxhash64(if(id % 10 = 0, id - {n}, id), j)), "
+            f"1000000) / 1000000.0)) as int))))"
+        ).alias("text"),
+    ).persist()
+    delta.count()
+    t0 = time.perf_counter()
+    n_kept = dedup_incremental(spark, pub, delta, "doc_id", "text").count()
+    dedup_s = time.perf_counter() - t0
+    planted = sum(1 for i in range(n, n + nd) if i % 10 == 0)
+    assert n_kept <= nd - planted
+    # Zipf texts collide more than the 200k smoke's uniform-vocab docs
+    # (head terms dominate shingles) — the floor is about the SEMI-join
+    # not dropping the world, not about near-dup physics
+    assert n_kept >= int((nd - planted) * 0.90), n_kept
+
+    # ---- text index artifact + block-max table search at 5M ----
+    ti = str(tmp_path_factory.mktemp("ti5m"))
+    t0 = time.perf_counter()
+    publish_text_index(corpus, "doc_id", "text", ti)
+    publish_ti_s = time.perf_counter() - t0
+    census_n = spark.read.parquet(f"{ti}/docs").count()
+    assert census_n == n, census_n
+
+    qdf = spark.range(n_q).select(
+        F.col("id").alias("qid"),
+        F.expr(
+            f"transform(sequence(1, {dim}), j -> "
+            f"cast(pmod(abs(xxhash64(id, j + 999)), 1000) / 1000.0 "
+            "as float))"
+        ).alias("qv"),
+        F.expr(
+            f"concat('t1 t3 t', cast({vocab} - 300 + pmod(id, 200) "
+            "as string))"
+        ).alias("qtext"),
+    ).persist()
+    qdf.count()
+    qterms = qdf.select(
+        "qid", F.explode(F.split("qtext", " ")).alias("term")
+    )
+    post = spark.read.parquet(f"{ti}/postings")
+    tdf = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    inter_exact = qterms.join(tdf, "term").agg(F.sum("df")).head()[0]
+    assert inter_exact > 100_000_000, inter_exact  # the head-term wall
+
+    t0 = time.perf_counter()
+    out = hybrid_search_table(
+        qdf, "qid", "qv", "qtext", text_index=ti, docs=corpus,
+        doc_id_col="doc_id", vec_col="embedding", k=k,
+        use_blockmax=True,
+    )
+    agg = out.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("nrows"),
+        F.max("_bm25_rank").alias("maxb"),
+    ).collect()
+    search_s = time.perf_counter() - t0
+    release_caches(out)
+    assert len(agg) == n_q
+    assert all(r["nrows"] == k for r in agg), agg[:3]
+    assert all(r["maxb"] > 0 for r in agg)  # text leg live everywhere
+
+    post_r = post.join(
+        qterms.select("term").distinct(), on="term", how="leftsemi"
+    )
+    inter_bm = _blockmax_hits(
+        spark, ti, qterms, post_r, "qid", "doc_id", 50
+    ).count()
+    assert inter_bm * 10 <= inter_exact, (inter_bm, inter_exact)
+
+    # one head-term query's scores: pruned == full, at 5M too
+    q1 = "t1 t3 t49750"
+    full_df = bm25_scores_indexed(spark, ti, q1)
+    pruned_df = bm25_scores_indexed(
+        spark, ti, q1, n_candidates=20, use_blockmax=True
+    )
+    full_top = full_df.orderBy(
+        F.desc("_bm25_score"), F.asc("doc_id")
+    ).limit(20).collect()
+    pruned_top = pruned_df.orderBy(
+        F.desc("_bm25_score"), F.asc("doc_id")
+    ).limit(20).collect()
+    assert [(r["doc_id"], r["_bm25_score"]) for r in pruned_top] == [
+        (r["doc_id"], r["_bm25_score"]) for r in full_top
+    ]
+    release_caches(full_df)
+    release_caches(pruned_df)
+
+    print(
+        f"\ntext/dedup 5M docs: publish_sigs {publish_sig_s:.1f}s, "
+        f"incremental dedup(250k) {dedup_s:.1f}s ({n_kept} kept / "
+        f"{planted} planted dups dropped), publish_text_index "
+        f"{publish_ti_s:.1f}s (census {census_n:,}), blockmax "
+        f"hybrid_search_table {n_q} head-term queries {search_s:.1f}s; "
+        f"intermediate exact {int(inter_exact):,} vs blockmax "
+        f"{int(inter_bm):,} rows"
+    )
+    corpus.unpersist(); delta.unpersist(); qdf.unpersist()
+
+
 def test_vamana_300k_reference_defaults(spark, cat):
     """Round-10 verdict item 6: the REFERENCE-DEFAULT graph regime
     (max_degree=64, build_complexity=128 -> 25k-row degree-aware shard
