@@ -46,6 +46,7 @@ __all__ = [
     "list_cosine_similarity",
     "cosine_distance",
     "index_distance",
+    "np_from_arrow_list",
     "np_index_distances",
     "np_paired_distances",
     "np_partial_topk",
@@ -154,6 +155,31 @@ def np_stack_vectors(series, dtype=np.float32) -> np.ndarray:
     if len(vals) == 0:
         return np.empty((0, 0), dtype=dtype)
     return np.vstack(vals).astype(dtype, copy=False)
+
+
+def np_from_arrow_list(col, dim: int, dtype=np.float32):
+    """Zero-copy (n, dim) matrix from a pyarrow ``list<float>`` /
+    ``fixed_size_list<float>`` column, or None when the fast path does
+    not apply (nulls, ragged rows) and the caller must fall back to the
+    pandas conversion.
+
+    This is the mapInArrow twin of `np_stack_vectors` (round 12): the
+    Arrow child buffer IS the flat (n*dim,) float array, so a reshape
+    replaces the 10M-row pandas object-Series round trip that was 81%
+    of the 10M IVF build's wall (measured: assignment pass 241.3s via
+    mapInPandas vs 23.7s via mapInArrow at 10M x d16 x nlist 3162)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        return None
+    flat = col.flatten()
+    n = len(col)
+    if len(flat) != n * dim:
+        return None
+    vals = flat.to_numpy(zero_copy_only=False)
+    return vals.astype(dtype, copy=False).reshape(n, dim)
 
 
 def np_index_distances(metric: str, mat: np.ndarray, queries: np.ndarray) -> np.ndarray:

@@ -163,16 +163,31 @@ def _exact_topk_scan(
     )
 
     def scan(batches):
+        # mapInArrow (round 12): every build-time measurement rides this
+        # scan, so the zero-copy vector reshape (vs the pandas
+        # object-Series round trip) cuts the measurement's wall the same
+        # way it cut the IVF assignment pass
+        import pyarrow as pa
+
+        from ..functions.distance import np_from_arrow_list
+
         qm, cm = bq.value
         dim = qm.shape[1]
         acc_d = acc_id = acc_v = None
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            mat = np_stack_vectors(pdf[vec_col])
+            vcol = b.column(b.schema.get_field_index(vec_col))
+            mat = np_from_arrow_list(vcol, dim)
+            if mat is None:
+                mat = np_stack_vectors(
+                    b.select([vec_col]).to_pandas()[vec_col]
+                )
             if mat.shape[1] != dim:
                 continue  # ragged row: same drop rule as index search
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = b.column(b.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64, copy=False)
             d = np_index_distances(metric, mat, qm)  # (nq, n)
             take = min(cap, d.shape[1])
             part = np.argpartition(d, take - 1, axis=1)[:, :take]
@@ -198,18 +213,21 @@ def _exact_topk_scan(
         m = acc_d.shape[1]
         flat_v = acc_v.reshape(nq * m, dim)
         cells = np_index_distances(metric, cm, flat_v).argmin(axis=1)
-        yield pd.DataFrame(
-            {
-                "qi": np.repeat(np.arange(nq, dtype=np.int32), m),
-                "_d": acc_d.reshape(-1).astype(np.float64),
-                "_id": acc_id.reshape(-1),
-                "_cell": cells.astype(np.int32),
-            }
+        yield pa.RecordBatch.from_pandas(
+            pd.DataFrame(
+                {
+                    "qi": np.repeat(np.arange(nq, dtype=np.int32), m),
+                    "_d": acc_d.reshape(-1).astype(np.float64),
+                    "_id": acc_id.reshape(-1),
+                    "_cell": cells.astype(np.int32),
+                }
+            ),
+            preserve_index=False,
         )
 
     return (
         src.select(id_col, vec_col)
-        .mapInPandas(scan, schema="qi int, _d double, _id long, _cell int")
+        .mapInArrow(scan, schema="qi int, _d double, _id long, _cell int")
         .toPandas()
     )
 

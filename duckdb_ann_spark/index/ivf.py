@@ -14,10 +14,13 @@ Spark-first translation — this is the engine that survives 100 TB:
   order — order is not a scalable concept for a distributed table, so we
   hash-sample by id; same train-set-size semantics, documented
   divergence.)
-* **assign + layout**: one narrow mapInPandas pass computes each row's
-  cell; the artifact is parquet **partitioned by cell**, so a probe of
-  `nprobe` cells is parquet partition pruning — the 100 TB scan reads
-  only `nprobe/nlist` of the data.
+* **assign + layout**: one narrow mapInArrow pass computes each row's
+  cell (zero-copy vector reshape — round 12; the pandas object-Series
+  round trip was 81% of the 10M build wall); the artifact is parquet
+  **partitioned by cell** written by ~core-count sorted multi-cell
+  writer tasks (one file per cell), so a probe of `nprobe` cells is
+  parquet partition pruning — the 100 TB scan reads only
+  `nprobe/nlist` of the data.
 * **search**: the driver ranks centroids per query (numpy, tiny), the
   executors scan only probed cells; per-(query, cell) candidate rows are
   ranked with either the BLAS kernel (fast) or exact JVM expressions
@@ -315,6 +318,137 @@ def _init_scalable(
     return cent
 
 
+def _arrow_cells(batch, vec_col: str, cm: np.ndarray, metric: str) -> np.ndarray:
+    """Nearest-centroid cell per row of one Arrow RecordBatch (int32).
+
+    Round 12: the assignment pass was the 10M IVF build's bottleneck
+    after the k-means|| fix — NOT the arithmetic (one bounded GEMM per
+    chunk) but the mapInPandas object-Series round trip of the vector
+    column (measured 241.3s pandas vs 23.7s arrow for the identical
+    10M x d16 x nlist-3162 assignment). The matrix is reshaped
+    zero-copy from the Arrow child buffer; batches the fast path can't
+    serve (nulls/ragged) fall back to the pandas conversion. The
+    distance block is chunked so the (nlist, rows) matrix stays
+    bounded at the 65536-cell clamp (`_chunk_slices`)."""
+    from ..functions.distance import np_from_arrow_list
+
+    col = batch.column(batch.schema.get_field_index(vec_col))
+    mat = np_from_arrow_list(col, cm.shape[1])
+    if mat is None:
+        mat = np_stack_vectors(
+            batch.select([vec_col]).to_pandas()[vec_col]
+        )
+    n = mat.shape[0]
+    cells = np.empty(n, dtype=np.int32)
+    for blk in _chunk_slices(n, cm.shape[0]):
+        cells[blk] = np_index_distances(metric, mat[blk], cm).argmin(axis=0)
+    return cells
+
+
+def _assigned_cells_df(
+    df: DataFrame, id_col: str, vec_col: str, bc, metric: str
+) -> DataFrame:
+    """(id, vec) -> (id, vec, __cell) via one narrow mapInArrow pass.
+    `bc` broadcasts the (nlist, dim) centroid matrix."""
+
+    def assign(batches):
+        import pyarrow as pa
+
+        cm = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            cells = _arrow_cells(b, vec_col, cm, metric)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index(id_col)),
+                    b.column(b.schema.get_field_index(vec_col)),
+                    pa.array(cells, type=pa.int32()),
+                ],
+                names=[id_col, vec_col, CELL_COL],
+            )
+
+    schema = (
+        f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, "
+        f"{CELL_COL} int"
+    )
+    return df.select(id_col, vec_col).mapInArrow(assign, schema=schema)
+
+
+def _write_partition_count(spark: SparkSession, k_eff: int, n: int, dim: int) -> int:
+    """Shuffle width for the cell-partitioned layout write. One task
+    PER CELL (the old `repartition(k_eff)`) is wrong at scale: 3162
+    three-thousand-row tasks cost ~23s more than 32 sorted multi-cell
+    writers at the 10M smoke (measured 31.9s vs 9.0s) — per-task
+    scheduling + parquet-writer setup dominates tiny writes. Instead:
+    enough tasks to keep every core busy and each task under ~128 MB,
+    capped at k_eff (more tasks than cells would leave some empty).
+    Each task sorts its rows by cell (`sortWithinPartitions`), so the
+    dynamic-partition writer keeps ONE open file at a time and the
+    layout stays exactly one file per cell."""
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        width = 0
+    width = max(width, spark.sparkContext.defaultParallelism)
+    est_bytes = n * (dim * 4 + 16)
+    width = max(width, int(est_bytes // (128 << 20)) + 1)
+    return max(1, min(k_eff, width))
+
+
+def _write_centroids(
+    spark: SparkSession,
+    dest: str,
+    centroids: np.ndarray,
+    cell_col: str = CELL_COL,
+) -> None:
+    """Write the (nlist, dim) centroid table to `dest`. pyarrow-direct
+    when the path is a local filesystem path (the 3162-row Spark job
+    costs ~6s of fixed overhead at the 10M build — measured — where
+    pyarrow writes the same parquet in milliseconds); any failure falls
+    back to the Spark write, mirroring `_centroids`' read-side
+    fallback. Also serves the vamana routing-centroid write
+    (cell_col='shard')."""
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    try:
+        import os
+        import re
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m = re.match(
+            r"^file:(?:///|/(?!/)|//localhost/)(.*)$", dest, re.IGNORECASE
+        )
+        path = ("/" + m.group(1)) if m else dest
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+            raise ValueError("non-local scheme; use the Spark writer")
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        tbl = pa.table(
+            {
+                cell_col: pa.array(
+                    np.arange(centroids.shape[0], dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                "centroid": pa.array(
+                    [c for c in centroids.astype(np.float32)],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{path}/part-0.parquet")
+        return
+    except Exception:
+        pass
+    local_df(
+        spark, rows, f"{cell_col} int, centroid array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(dest)
+
+
 def _kmeans(data: np.ndarray, k: int, seed: int = TRAIN_SEED,
             iters: int = KMEANS_ITERS) -> np.ndarray:
     """Seeded Lloyd's, deterministic for fixed input; init by k regime:
@@ -452,33 +586,19 @@ class IvfFlatEngine:
         bc = spark.sparkContext.broadcast(centroids)
         metric = params.metric
 
-        def assign(batches):
-            cm = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                mat = np_stack_vectors(pdf[vec_col])
-                cells = np_index_distances(metric, mat, cm).argmin(axis=0)
-                pdf = pdf[[id_col, vec_col]].copy()
-                pdf[CELL_COL] = cells.astype(np.int32)
-                yield pdf
-
-        schema = f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, {CELL_COL} int"
-        assigned = df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
-        # co-locate each cell before the partitioned write: without this,
-        # every task writes a sliver of every cell (tasks x nlist tiny
-        # files); with it, file count ~= nlist and cell scans are compact
-        assigned.repartition(k_eff, F.col(CELL_COL)).write.mode(
-            "overwrite"
-        ).partitionBy(CELL_COL).parquet(f"{artifact_dir}/{VECTORS_DIR}")
-        cdf = local_df(
-            spark,
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            f"{CELL_COL} int, centroid array<float>",
+        assigned = _assigned_cells_df(df, id_col, vec_col, bc, metric)
+        # co-locate each cell before the partitioned write: without
+        # this, every task writes a sliver of every cell (tasks x nlist
+        # tiny files). Each writer task holds a SORTED run of whole
+        # cells (`_write_partition_count` for why not one task per
+        # cell), so file count ~= nlist and cell scans are compact.
+        p_write = _write_partition_count(spark, k_eff, int(n), dim)
+        assigned.repartition(p_write, F.col(CELL_COL)).sortWithinPartitions(
+            CELL_COL
+        ).write.mode("overwrite").partitionBy(CELL_COL).parquet(
+            f"{artifact_dir}/{VECTORS_DIR}"
         )
-        cdf.coalesce(1).write.mode("overwrite").parquet(
-            f"{artifact_dir}/{CENTROIDS_DIR}"
-        )
+        _write_centroids(spark, f"{artifact_dir}/{CENTROIDS_DIR}", centroids)
         # round-9: measure THIS index's recall-vs-nprobe curve on a
         # held-out sample and store the floor-clearing probe count —
         # nprobe=0 searches ride the measurement instead of the static
@@ -533,20 +653,7 @@ class IvfFlatEngine:
         centroids = self._centroids(spark, artifact_dir)
         bc = spark.sparkContext.broadcast(centroids)
         metric = manifest["params"]["metric"]
-
-        def assign(batches):
-            cm = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                mat = np_stack_vectors(pdf[vec_col])
-                cells = np_index_distances(metric, mat, cm).argmin(axis=0)
-                pdf = pdf[[id_col, vec_col]].copy()
-                pdf[CELL_COL] = cells.astype(np.int32)
-                yield pdf
-
-        schema = f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, {CELL_COL} int"
-        df_new.select(id_col, vec_col).mapInPandas(assign, schema=schema).write.mode(
+        _assigned_cells_df(df_new, id_col, vec_col, bc, metric).write.mode(
             "append"
         ).partitionBy(CELL_COL).parquet(f"{artifact_dir}/{VECTORS_DIR}")
         return {}

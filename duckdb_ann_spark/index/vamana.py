@@ -486,12 +486,10 @@ class VamanaEngine:
         train = np_stack_vectors(sample.toPandas()[vec_col])[:cap]
         centroids = _kmeans(train, shards)
         k_eff = centroids.shape[0]
-        local_df(
-            spark,
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "shard int, centroid array<float>",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{artifact_dir}/{ROUTE_DIR}"
+        from .ivf import _write_centroids
+
+        _write_centroids(
+            spark, f"{artifact_dir}/{ROUTE_DIR}", centroids, cell_col="shard"
         )
         from ..functions.distance import np_index_distances
         from ..functions.partitioning import exact_partition_tokens
@@ -513,16 +511,29 @@ class VamanaEngine:
         metric = params.metric
 
         def assign(batches):
+            # mapInArrow (round 12, same fix as the IVF build): the
+            # pandas round trip of the vector column dominated the
+            # pass, not the assignment GEMM
+            import pyarrow as pa
+
+            from .ivf import _arrow_cells
+
             cm, toks = bc.value
-            for pdf in batches:
-                if not len(pdf):
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                mat = np_stack_vectors(pdf[vec_col])
-                cells = np_index_distances(metric, mat, cm).argmin(axis=0)
-                out = pdf[[id_col, vec_col]].copy()
-                out["shard"] = cells.astype(np.int32)
-                out["_pt"] = toks[cells].astype(np.int32)
-                yield out
+                cells = _arrow_cells(b, vec_col, cm, metric)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column(b.schema.get_field_index(id_col)),
+                        b.column(b.schema.get_field_index(vec_col)),
+                        pa.array(cells, type=pa.int32()),
+                        pa.array(
+                            toks[cells].astype(np.int32), type=pa.int32()
+                        ),
+                    ],
+                    names=[id_col, vec_col, "shard", "_pt"],
+                )
 
         schema = (
             f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, "
@@ -541,7 +552,7 @@ class VamanaEngine:
                 )
 
         (
-            src.mapInPandas(assign, schema=schema)
+            src.mapInArrow(assign, schema=schema)
             .repartition(k_eff, F.col("_pt"))
             .mapInPandas(
                 build_cells, schema="shard int, label long, id long"

@@ -88,23 +88,41 @@ def search_batch_ids(
     out_schema = f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
 
     def part_topk(batches):
+        # mapInArrow (round 12): the scan's cost was the pandas
+        # object-Series conversion of the vector column, not the BLAS
+        # matmul — the Arrow child buffer reshapes zero-copy (same fix
+        # as the IVF build assignment; this path is every exact truth
+        # scan, so calibration measurement passes ride it too)
+        import pyarrow as pa
+
+        from ..functions.distance import np_from_arrow_list
+
         qm = bq.value
-        for pdf in batches:
-            n = len(pdf)
+        dim = qm.shape[1]
+        for b in batches:
+            n = b.num_rows
             if n == 0:
                 continue
-            mat = np_stack_vectors(pdf[vec_col])
-            ids = pdf[id_col].to_numpy()
+            col = b.column(b.schema.get_field_index(vec_col))
+            mat = np_from_arrow_list(col, dim)
+            if mat is None:
+                mat = np_stack_vectors(
+                    b.select([vec_col]).to_pandas()[vec_col]
+                )
+            ids = b.column(b.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
             dists = np_index_distances(metric, mat, qm)  # (q, n)
             kk = min(k, n)
             # tie-safe partial top-k + stack (shared helper): the cut
             # keeps boundary distance ties ordered by id so the global
             # merge never loses the lower-id row
-            yield np_topk_frame(
+            frame = np_topk_frame(
                 dists, ids, range(qm.shape[0]), kk, id_col, DISTANCE_COL
             )
+            yield pa.RecordBatch.from_pandas(frame, preserve_index=False)
 
-    partial = df.select(id_col, vec_col).mapInPandas(part_topk, schema=out_schema)
+    partial = df.select(id_col, vec_col).mapInArrow(part_topk, schema=out_schema)
     w = Window.partitionBy("query_idx").orderBy(
         F.col(DISTANCE_COL).asc_nulls_last(), F.col(id_col).asc()
     )

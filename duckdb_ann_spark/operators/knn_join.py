@@ -53,29 +53,45 @@ CELL_COL = "__cell"
 
 def _assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
                   metric: str, nprobe: int, out_cols: list[str]) -> DataFrame:
-    """Narrow pass: nearest `nprobe` cells per row (exploded)."""
+    """Narrow pass: nearest `nprobe` cells per row (exploded).
+
+    mapInArrow (round 12, same fix as the IVF build assignment): the
+    vector matrix reshapes zero-copy from the Arrow buffer and the
+    nprobe-fold row explosion is one vectorized `RecordBatch.take`
+    instead of a pandas `.iloc` on an object-Series frame."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign(batches):
+        import pyarrow as pa
+
+        from ..functions.distance import np_from_arrow_list
+
         cm = bc.value
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
                 continue
-            mat = np_stack_vectors(pdf[vec_col])
+            col = b.column(b.schema.get_field_index(vec_col))
+            mat = np_from_arrow_list(col, cm.shape[1])
+            if mat is None:
+                mat = np_stack_vectors(
+                    b.select([vec_col]).to_pandas()[vec_col]
+                )
             d = np_index_distances(metric, mat, cm)  # (nlist, n)
             cells = np.argsort(d, axis=0, kind="stable")[:nprobe]  # (p, n)
-            out = pdf[out_cols].iloc[
-                np.tile(np.arange(len(pdf)), nprobe)
-            ].copy()
-            out[CELL_COL] = cells.reshape(-1).astype(np.int32)
-            yield out
+            taken = b.select(out_cols).take(
+                pa.array(np.tile(np.arange(n, dtype=np.int64), nprobe))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [taken.column(i) for i in range(taken.num_columns)]
+                + [pa.array(cells.reshape(-1).astype(np.int32), type=pa.int32())],
+                names=[*out_cols, CELL_COL],
+            )
 
-    schema_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields if f.name in out_cols
-    )
-    return df.mapInPandas(assign, schema=f"{schema_fields}, {CELL_COL} int")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema_fields = ", ".join(f"{c} {types[c]}" for c in out_cols)
+    return df.mapInArrow(assign, schema=f"{schema_fields}, {CELL_COL} int")
 
 
 def knn_join(

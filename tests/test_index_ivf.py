@@ -363,3 +363,100 @@ def test_kmeans_small_k_golden_stability():
     assert digest == (
         "909947509f068685deb4172dca97718f479922e87d715411cfedc46b6623f5dd"
     ), digest
+
+
+def test_arrow_assignment_matches_pandas_path(spark):
+    """Round 12: the mapInArrow assignment (zero-copy vector reshape)
+    must pick the SAME cell per row as the mapInPandas kernel it
+    replaced — same np_index_distances values, same lowest-index tie
+    break. Checked against a driver-side recomputation on both
+    metrics, plus the explicit chunked path (rows > one chunk)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from duckdb_ann_spark.functions.distance import (
+        np_from_arrow_list,
+        np_index_distances,
+    )
+    from duckdb_ann_spark.index.ivf import _arrow_cells
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 3000, 8, 20
+    mat = rng.random((n, dim), dtype=np.float32)
+    cm = rng.random((k, dim), dtype=np.float32)
+    batch = pa.record_batch(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [r for r in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    for metric in ("l2", "ip"):
+        want = np_index_distances(metric, mat, cm).argmin(axis=0)
+        got = _arrow_cells(batch, "embedding", cm, metric)
+        assert got.dtype == np.int32
+        assert np.array_equal(got, want), metric
+
+    # chunked regime: force several _chunk_slices per batch
+    import duckdb_ann_spark.index.ivf as ivf_mod
+
+    old = ivf_mod._CHUNK_ELEMS
+    ivf_mod._CHUNK_ELEMS = k * 100  # 100-row chunks
+    try:
+        got = _arrow_cells(batch, "embedding", cm, "l2")
+    finally:
+        ivf_mod._CHUNK_ELEMS = old
+    assert np.array_equal(got, np_index_distances("l2", mat, cm).argmin(axis=0))
+
+    # fast-path refusals: nulls and ragged rows -> None (callers fall
+    # back to the pandas conversion)
+    with_null = pa.array([[1.0, 2.0], None], type=pa.list_(pa.float32()))
+    assert np_from_arrow_list(with_null, 2) is None
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float32()))
+    assert np_from_arrow_list(ragged, 2) is None
+    # sliced arrays must honor offsets, not re-read from buffer start
+    base = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], type=pa.list_(pa.float32()))
+    sl = np_from_arrow_list(base.slice(1, 2), 2)
+    assert sl is not None and sl.tolist() == [[3.0, 4.0], [5.0, 6.0]]
+
+
+def test_write_centroids_pyarrow_and_uri_forms(spark, tmp_path):
+    """_write_centroids writes a parquet the engine's reader round-trips
+    for plain paths AND file: URI spellings; non-local schemes fall
+    back to the Spark writer (checked via a path Spark can also write)."""
+    import numpy as np
+
+    from duckdb_ann_spark.index.ivf import IvfFlatEngine, _write_centroids
+
+    cents = np.arange(12, dtype=np.float32).reshape(4, 3)
+    eng = IvfFlatEngine()
+
+    plain = str(tmp_path / "plain")
+    _write_centroids(spark, f"{plain}/centroids", cents)
+    got = eng._centroids(spark, plain)
+    assert np.allclose(got, cents)
+
+    uri = tmp_path / "uri"
+    _write_centroids(spark, f"file://{uri}/centroids", cents)
+    got = eng._centroids(spark, str(uri))
+    assert np.allclose(got, cents)
+
+
+def test_write_partition_count_regimes(spark):
+    """One writer task per cell is wrong at scale (measured 31.9s vs
+    9.0s at the 10M smoke); the width rule: core-count floor, ~128MB
+    per task, capped at k_eff."""
+    from duckdb_ann_spark.index.ivf import _write_partition_count
+
+    cores = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    # small build: capped at k_eff (layout unchanged vs pre-round-12)
+    assert _write_partition_count(spark, 8, 60_000, 64) == 8
+    # the 10M smoke shape: core-count, not 3162
+    assert _write_partition_count(spark, 3162, 10_000_000, 16) == cores
+    # huge rows: the 128MB/task term takes over
+    big = _write_partition_count(spark, 65_536, 2_000_000_000, 128)
+    assert big > cores and big <= 65_536

@@ -121,16 +121,22 @@ def test_ivf_10m_workhorse_tier(spark, cat):
     walls and probe fractions printed. dim 16 keeps the arithmetic at
     smoke scale while the row counts stress the machinery.
 
-    MEASURED (first run, 2026-08-15, local[32]): nlist 3162, build
-    298s (the driver-side kmeans at its 200k-sample cap is the serial
-    fraction — ~10 Lloyd iters of a 3162x200k GEMM; at larger N both
-    the sample cap and the 65536 nlist clamp hold it bounded, and the
-    distributed assignment pass keeps scaling), search 8.2s at recall
-    0.801 with MEASURED nprobe 9 — probe frac 0.003 vs the static
-    uniform rule's 527/3162 = 0.167, a 58x probe cut: at dim 16 even
-    uniform data is spatially easy, and the build-time measurement is
-    what finds that out (the static rule was calibrated at dim>=64).
-    index_knn_join 10k queries in 22.8s at recall@5 0.864."""
+    MEASURED (2026-08-16, conftest session = local[8] by default;
+    round-12 trajectory, same env each time): nlist 3162, build
+    298s (r11: sequential kmeans++ seeding ~98% of the wall) ->
+    156.1s (k-means|| init; the remainder was the assignment pass's
+    mapInPandas object-Series round trip + a one-task-per-cell
+    partitioned write) -> 115.5s (mapInArrow zero-copy assignment +
+    core-count sorted multi-cell writers + pyarrow-direct centroid
+    write) — a 2.58x cut at recall 0.831 (floor 0.70) with MEASURED
+    nprobe 10 — probe frac 0.003 vs the static uniform rule's
+    527/3162 = 0.167: at dim 16 even uniform data is spatially easy,
+    and the build-time measurement is what finds that out (the static
+    rule was calibrated at dim>=64). truth scan 19.1 -> 11.6s (the
+    same arrow fix riding search_batch_ids); index_knn_join 10k
+    queries 27.6s at recall@5 0.864. Phase attribution at local[32]
+    (prof run): sample 2.2s / kmeans 17.0s / assign+write dominates
+    the rest / centroid write 6.0s -> 0.1s / calibration 7.4s."""
     n, dim, k = 10_000_000, 16, 10
     vecs = (
         spark.range(0, n, 1, 256)
