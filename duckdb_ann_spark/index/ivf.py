@@ -769,22 +769,53 @@ class IvfFlatEngine:
         out_schema = f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
 
         def score(batches):
+            # mapInArrow (round 12, same fix as the build assignment):
+            # the probe scan's rows reshape zero-copy and the per-cell
+            # grouping is a numpy argsort over the int32 cell column —
+            # no pandas object-Series round trip on the scan path
+            import pyarrow as pa
+
+            from ..functions.distance import np_from_arrow_list
+
             qm, pmap = bq.value
-            for pdf in batches:
-                if not len(pdf):
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                for cell, grp in pdf.groupby(CELL_COL, sort=False):
-                    qidx = pmap.get(int(cell))
+                cells_np = b.column(
+                    b.schema.get_field_index(CELL_COL)
+                ).to_numpy(zero_copy_only=False)
+                mat = np_from_arrow_list(
+                    b.column(b.schema.get_field_index(vec_col)),
+                    qm.shape[1],
+                )
+                if mat is None:
+                    mat = np_stack_vectors(
+                        b.select([vec_col]).to_pandas()[vec_col]
+                    )
+                ids_np = b.column(
+                    b.schema.get_field_index(id_col)
+                ).to_numpy(zero_copy_only=False)
+                order = np.argsort(cells_np, kind="stable")
+                sc = cells_np[order]
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(sc)) + 1, [len(sc)]]
+                )
+                for s, e in zip(starts[:-1], starts[1:]):
+                    qidx = pmap.get(int(sc[s]))
                     if qidx is None:
                         continue
-                    mat = np_stack_vectors(grp[vec_col])
-                    ids = grp[id_col].to_numpy()
-                    d = np_index_distances(metric, mat, qm[qidx])  # (nq, n)
-                    kk = min(k, mat.shape[0])
+                    sel = order[s:e]
+                    d = np_index_distances(metric, mat[sel], qm[qidx])
+                    kk = min(k, len(sel))
                     # tie-safe per-batch cut + stack (shared helper)
-                    yield np_topk_frame(d, ids, qidx, kk, id_col, DISTANCE_COL)
+                    frame = np_topk_frame(
+                        d, ids_np[sel], qidx, kk, id_col, DISTANCE_COL
+                    )
+                    yield pa.RecordBatch.from_pandas(
+                        frame, preserve_index=False
+                    )
 
-        partial = pruned.select(CELL_COL, id_col, vec_col).mapInPandas(
+        partial = pruned.select(CELL_COL, id_col, vec_col).mapInArrow(
             score, schema=out_schema
         )
         w = Window.partitionBy("query_idx").orderBy(

@@ -305,22 +305,45 @@ def _cell_scored_topk(
         # of parallelism: pick nlist >= cluster parallelism so no single
         # task owns too much of the corpus.
 
-        def score_cell(qpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
-            if not len(qpdf) or not len(bpdf):
-                return pd.DataFrame(
-                    {query_id_col: np.array([], dtype=np.int64),
-                     base_id_col: np.array([], dtype=np.int64),
-                     DISTANCE_COL: np.array([], dtype=np.float64)}
-                )
-            qm = np_stack_vectors(qpdf[query_vec_col])
-            bm = np_stack_vectors(bpdf[base_vec_col])
+        def score_cell(qtab, btab):
+            # applyInArrow (round 12, same fix as the scan paths): both
+            # sides' vector matrices reshape zero-copy from the Arrow
+            # buffers instead of round-tripping pandas object Series
+            import pyarrow as pa
+
+            from ..functions.distance import np_from_arrow_list
+
+            empty = pa.table(
+                {query_id_col: pa.array([], type=pa.int64()),
+                 base_id_col: pa.array([], type=pa.int64()),
+                 DISTANCE_COL: pa.array([], type=pa.float64())}
+            )
+            if qtab.num_rows == 0 or btab.num_rows == 0:
+                return empty
+
+            qcol = qtab.column(qtab.schema.get_field_index(query_vec_col))
+            bcol = btab.column(btab.schema.get_field_index(base_vec_col))
+            qdim = len(qcol[0].as_py() or [])
+            bdim = len(bcol[0].as_py() or [])
+            qm = np_from_arrow_list(qcol, qdim)
+            if qm is None:
+                qm = np_stack_vectors(qcol.to_pandas())
+            bm = np_from_arrow_list(bcol, bdim)
+            if bm is None:
+                bm = np_stack_vectors(bcol.to_pandas())
             d = np_index_distances(metric, bm, qm)  # (nq, nb)
             kk = min(k, bm.shape[0])
-            return np_topk_frame(
-                d, bpdf[base_id_col].to_numpy(),
-                qpdf[query_id_col].to_numpy(), kk, base_id_col,
+            qids = qtab.column(
+                qtab.schema.get_field_index(query_id_col)
+            ).to_numpy(zero_copy_only=False)
+            bids = btab.column(
+                btab.schema.get_field_index(base_id_col)
+            ).to_numpy(zero_copy_only=False)
+            frame = np_topk_frame(
+                d, bids, qids, kk, base_id_col,
                 DISTANCE_COL, qidx_col=query_id_col, qidx_dtype=np.int64,
             )
+            return pa.Table.from_pandas(frame, preserve_index=False)
 
         salt = max(1, int(salt))
         if salt > 1:
@@ -340,7 +363,7 @@ def _cell_scored_topk(
         scored = (
             q.groupby(*group_cols)
             .cogroup(b.groupby(*group_cols))
-            .applyInPandas(score_cell, schema=out_schema)
+            .applyInArrow(score_cell, schema=out_schema)
         )
 
     w = Window.partitionBy(query_id_col).orderBy(

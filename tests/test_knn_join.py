@@ -72,7 +72,7 @@ def test_no_cartesian_product(spark, emb):
 
 def test_blas_path_cogroups_never_materializes_pairs(spark, emb):
     """The fast path must be the cell COGROUP shape: one exchange per
-    side keyed on cell + FlatMapCoGroupsInPandas, no join operator, and
+    side keyed on cell + FlatMapCoGroupsInArrow, no join operator, and
     exactly three exchanges total (q cells, b cells, final window merge)
     — a pair-materializing join would put |q_cell| x |b_cell| vector
     rows on the wire."""
@@ -82,7 +82,7 @@ def test_blas_path_cogroups_never_materializes_pairs(spark, emb):
         k=2, nlist=8, nprobe=2,
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "FlatMapCoGroupsInArrow" in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 3, plan
 
