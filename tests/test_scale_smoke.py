@@ -134,9 +134,11 @@ def test_ivf_10m_workhorse_tier(spark, cat):
     and the build-time measurement is what finds that out (the static
     rule was calibrated at dim>=64). truth scan 19.1 -> 11.6s (the
     same arrow fix riding search_batch_ids); index_knn_join 10k
-    queries 27.6s at recall@5 0.864. Phase attribution at local[32]
-    (prof run): sample 2.2s / kmeans 17.0s / assign+write dominates
-    the rest / centroid write 6.0s -> 0.1s / calibration 7.4s."""
+    queries 27.6s -> 20.9s at recall@5 0.864 (cogroup applyInArrow),
+    search 7.4s on the arrow probe scorer. Phase attribution at
+    local[32] (prof run): sample 2.2s / kmeans 17.0s / assign+write
+    dominates the rest / centroid write 6.0s -> 0.1s / calibration
+    7.4s."""
     n, dim, k = 10_000_000, 16, 10
     vecs = (
         spark.range(0, n, 1, 256)
@@ -225,9 +227,9 @@ def test_ivf_10m_workhorse_tier(spark, cat):
     vecs.unpersist()
 
 
-def test_hnsw_10m_routed_tier(spark, cat):
+def _graph_10m_smoke(spark, cat, name, engine, create_kw):
     """Round 12 (r11 verdict item 5): the routed GRAPH tier at 10M —
-    ~10x more shards than the proven 1M smokes. At dim 16 / hnsw_m 16
+    ~10x more shards than the proven 1M smokes. At dim 16 / degree 16
     the degree-aware budget (6000 rows/shard) gives ~1667 cells:
     the routing kmeans runs k > SEQ_INIT_K_MAX (the round-12 k-means||
     init — at 1667 cells the OLD sequential seeding alone would be
@@ -275,11 +277,11 @@ def test_hnsw_10m_routed_tier(spark, cat):
 
     t0 = time.perf_counter()
     create_index(
-        vecs, "vec_id", "embedding", "smoke_hnsw10m", engine="faiss",
-        type="HNSW", hnsw_m=16, catalog=cat,
+        vecs, "vec_id", "embedding", name, engine=engine,
+        catalog=cat, **create_kw,
     )
     build_s = time.perf_counter() - t0
-    m = cat.load("smoke_hnsw10m")
+    m = cat.load(name)
     assert m["params"]["shard_by"] == "cells", m["params"]
     assert m["shards"] >= 1000, m["shards"]  # the 10x-regime claim
     rc = m.get("route_calibration") or {}
@@ -288,7 +290,7 @@ def test_hnsw_10m_routed_tier(spark, cat):
 
     t0 = time.perf_counter()
     rows = index_scan(
-        spark, "smoke_hnsw10m", queries, k, catalog=cat
+        spark, name, queries, k, catalog=cat
     ).collect()
     search_s = time.perf_counter() - t0
     assert len(rows) == N_QUERIES * k
@@ -304,7 +306,7 @@ def test_hnsw_10m_routed_tier(spark, cat):
     tr_asked = 0.78
     t0 = time.perf_counter()
     tr_rows = index_scan(
-        spark, "smoke_hnsw10m", queries, k, catalog=cat,
+        spark, name, queries, k, catalog=cat,
         target_recall=tr_asked,
     ).collect()
     tr_s = time.perf_counter() - t0
@@ -328,7 +330,7 @@ def test_hnsw_10m_routed_tier(spark, cat):
     )
     t0 = time.perf_counter()
     jrows = index_search_table(
-        spark, "smoke_hnsw10m", qside, "qid", "embedding", k=5,
+        spark, name, qside, "qid", "embedding", k=5,
         catalog=cat,
     ).collect()
     join_s = time.perf_counter() - t0
@@ -348,19 +350,48 @@ def test_hnsw_10m_routed_tier(spark, cat):
     ) / (200 * 5)
 
     print(
-        f"\nhnsw 10M routed (dim {dim}, {m['shards']} shards): truth "
+        f"\n{engine} 10M routed (dim {dim}, {m['shards']} shards): truth "
         f"{truth_s:.1f}s, build {build_s:.1f}s, search {search_s:.1f}s "
         f"recall {rec:.3f} (route_nprobe {rc.get('nprobe')}, measured L "
         f"{lc.get('search_complexity')}); target_recall {tr_asked} -> "
         f"{tr_rec:.3f} in {tr_s:.1f}s (anchor end {ec.get('recall')} / "
-        f"predicted {ec.get('predicted')}); index_knn_join 10k q "
+        f"predicted {ec.get('predicted')}); index_search_table 10k q "
         f"{join_s:.1f}s recall@5 {jrec:.3f}"
     )
     assert rec >= 0.70, rec
     assert tr_rec >= tr_asked, (tr_rec, tr_asked)
     assert jrec >= 0.70, jrec
-    drop_index("smoke_hnsw10m", cat)
+    drop_index(name, cat)
     vecs.unpersist()
+
+
+def test_hnsw_10m_routed_tier(spark, cat):
+    _graph_10m_smoke(
+        spark, cat, "smoke_hnsw10m", "faiss",
+        dict(type="HNSW", hnsw_m=16),
+    )
+
+
+def test_vamana_10m_routed_tier(spark, cat):
+    """The flagship DiskANN analog at the same 10M tier (r11 verdict
+    called vamana optional here; the 1M smoke's degree-16 config keeps
+    the per-shard RobustPrune affordable while the shard count, routing
+    k-means||, fused calibration, and end-recall contract all run at
+    the 10x regime).
+
+    MEASURED (first run, 2026-08-16, SPARK_GRAFT_CPUS=32 → local[32],
+    24g driver, dim 16): 6667 shards (deg-16 budget → 1500 rows/shard
+    — k-means|| routing at k=6667, a regime where the old sequential
+    seeding alone would be ~10 min of serial driver wall); truth 8.3s,
+    build 899.0s (per-cell RobustPrune graph construction, one task
+    per cell — distributed, scales out), search 4.1s at recall 0.904
+    (route_nprobe 23, measured L 32), target_recall 0.78 delivered
+    0.904 in 3.8s (anchor end 0.903 / predicted 0.891),
+    index_search_table 10k queries 18.6s at recall@5 0.931."""
+    _graph_10m_smoke(
+        spark, cat, "smoke_vam10m", "diskann",
+        dict(max_degree=16, build_complexity=32),
+    )
 
 
 def _graph_1m_smoke(spark, cat, name: str, engine: str, opts: dict):
