@@ -34,6 +34,7 @@ ColumnOrName = Union[Column, str]
 
 __all__ = [
     "as_vector_lit",
+    "cast_id_vec",
     "l2sq_distance",
     "array_distance",
     "list_distance",
@@ -59,6 +60,27 @@ METRICS = ("l2", "ip", "cosine")
 
 def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def cast_id_vec(df, id_col: str, vec_col: str):
+    """Normalize an (id, vec) frame to the engine's Arrow-pass dtypes:
+    `<id> long, <vec> array<float>` (column order preserved, other
+    columns dropped).
+
+    mapInArrow/applyInArrow hand RecordBatches to the JVM under the
+    DECLARED schema with NO coercion — unlike mapInPandas, which
+    converts. A user frame with `array<double>` vectors or int32 ids
+    passed verbatim into a declared `array<float>`/`long` output column
+    crashes executors with ArrowColumnVector accessor errors
+    (round-13 advice; regression introduced by the round-12
+    mapInPandas→mapInArrow migration). Every Arrow-pass entry point
+    casts ONCE through this helper; when the input already has the
+    target types Catalyst's SimplifyCasts removes the no-ops, so
+    published float32 artifacts stay bit-stable."""
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).cast("array<float>").alias(vec_col),
+    )
 
 
 def _dbl(c: ColumnOrName) -> Column:
@@ -169,6 +191,7 @@ def np_from_arrow_list(col, dim: int, dtype=np.float32):
     of the 10M IVF build's wall (measured: assignment pass 241.3s via
     mapInPandas vs 23.7s via mapInArrow at 10M x d16 x nlist 3162)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -178,6 +201,14 @@ def np_from_arrow_list(col, dim: int, dtype=np.float32):
     n = len(col)
     if len(flat) != n * dim:
         return None
+    # total length alone can't see COMPENSATING ragged rows (one short,
+    # one long sums to n*dim but reshapes misaligned — round-13 advice);
+    # per-row lengths are a cheap int pass. FixedSizeList can't be
+    # ragged, so only variable-length lists pay it.
+    if not pa.types.is_fixed_size_list(col.type):
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if not (lens == dim).all():
+            return None
     vals = flat.to_numpy(zero_copy_only=False)
     return vals.astype(dtype, copy=False).reshape(n, dim)
 
@@ -280,7 +311,11 @@ def np_topk_frame(dists, ids, qidx_values, kk: int, id_col: str,
     return pd.DataFrame(
         {
             qidx_col: np.concatenate(qs_out),
-            id_col: np.concatenate(ids_out),
+            # int64, unconditionally: every consumer declares the id
+            # column `long`, and the Arrow-pass consumers
+            # (RecordBatch/Table.from_pandas) do NOT coerce — an int32
+            # ids input would crash the JVM read (round-13 advice)
+            id_col: np.concatenate(ids_out).astype(np.int64, copy=False),
             dist_col: np.concatenate(d_out).astype(np.float64),
         }
     )

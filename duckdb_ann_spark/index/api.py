@@ -99,7 +99,17 @@ def create_index(
         # reference wording: src/diskann_index.cpp:268
         raise ValueError(f'Index with name "{name}" already exists!')
 
-    src = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+    # normalize to the engines' storage dtypes (long ids, float32
+    # vectors — what the reference's FLOAT[N] index columns store) ONCE
+    # at the API boundary: every engine's Arrow passes declare
+    # `long`/`array<float>` schemas, and mapInArrow does not coerce —
+    # an array<double> or int32-id input would crash executors
+    # (round-13 advice). No-op casts are eliminated by Catalyst.
+    from ..functions.distance import cast_id_vec
+
+    src = cast_id_vec(
+        df.where(F.col(vec_col).isNotNull()), id_col, vec_col
+    )
     stats = src.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(id_col).alias("n_ids"),
@@ -1008,7 +1018,13 @@ def insert_into_index(
     dimension and id uniqueness against the existing index."""
     cat, manifest, d, impl = _load(name, "", catalog)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
-    src = df_new.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+    # same API-boundary dtype normalization as create_index: appends
+    # route into the engines' Arrow passes too (round-13 advice)
+    from ..functions.distance import cast_id_vec
+
+    src = cast_id_vec(
+        df_new.where(F.col(vec_col).isNotNull()), id_col, vec_col
+    )
     stats = src.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(id_col).alias("n_ids"),

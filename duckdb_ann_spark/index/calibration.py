@@ -225,8 +225,13 @@ def _exact_topk_scan(
             preserve_index=False,
         )
 
+    from ..functions.distance import cast_id_vec
+
     return (
-        src.select(id_col, vec_col)
+        # Arrow-pass dtype normalization (round-13 advice): knn_join
+        # feeds USER frames through this scan; builds feed the already-
+        # normalized create_index src, where the casts are no-ops
+        cast_id_vec(src, id_col, vec_col)
         .mapInArrow(scan, schema="qi int, _d double, _id long, _cell int")
         .toPandas()
     )

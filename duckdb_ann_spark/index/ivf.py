@@ -372,7 +372,14 @@ def _assigned_cells_df(
         f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, "
         f"{CELL_COL} int"
     )
-    return df.select(id_col, vec_col).mapInArrow(assign, schema=schema)
+    from ..functions.distance import cast_id_vec
+
+    # belt-and-braces dtype cast (round-13 advice): create_index/append
+    # normalize at the API boundary, so this is a Catalyst-eliminated
+    # no-op there — but the batch passes input columns VERBATIM into
+    # the declared long/array<float> schema, so any future caller with
+    # a raw frame must not crash executors
+    return cast_id_vec(df, id_col, vec_col).mapInArrow(assign, schema=schema)
 
 
 def _write_partition_count(spark: SparkSession, k_eff: int, n: int, dim: int) -> int:
@@ -403,15 +410,20 @@ def _write_centroids(
     cell_col: str = CELL_COL,
 ) -> None:
     """Write the (nlist, dim) centroid table to `dest`. pyarrow-direct
-    when the path is a local filesystem path (the 3162-row Spark job
-    costs ~6s of fixed overhead at the 10M build — measured — where
-    pyarrow writes the same parquet in milliseconds); any failure falls
-    back to the Spark write, mirroring `_centroids`' read-side
-    fallback. Also serves the vamana routing-centroid write
-    (cell_col='shard')."""
-    rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
-    ]
+    when the path resolves to the DRIVER'S LOCAL filesystem (the
+    3162-row Spark job costs ~6s of fixed overhead at the 10M build —
+    measured — where pyarrow writes the same parquet in milliseconds);
+    any failure falls back to the Spark write, mirroring `_centroids`'
+    read-side fallback. Also serves the vamana routing-centroid write
+    (cell_col='shard').
+
+    A scheme-less dest is only local when the session's fs.defaultFS
+    is (round-13 advice): on a cluster whose default filesystem is a
+    DFS, Spark writes the vectors parquet to the DFS while a pyarrow
+    write here would land the centroids on the driver's local disk —
+    a split artifact unreadable from other machines (and the rmtree
+    could delete an unrelated same-named local directory). An explicit
+    `file:` URI stays pyarrow-eligible regardless."""
     try:
         import os
         import re
@@ -426,6 +438,19 @@ def _write_centroids(
         path = ("/" + m.group(1)) if m else dest
         if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
             raise ValueError("non-local scheme; use the Spark writer")
+        if m is None:
+            # scheme-less: local only if the resolved default fs is
+            default_fs = (
+                spark.sparkContext._jsc.hadoopConfiguration().get(
+                    "fs.defaultFS", "file:///"
+                )
+                or "file:///"
+            )
+            if not default_fs.lower().startswith("file:"):
+                raise ValueError(
+                    "scheme-less dest under a non-local fs.defaultFS; "
+                    "use the Spark writer"
+                )
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         tbl = pa.table(
@@ -444,6 +469,11 @@ def _write_centroids(
         return
     except Exception:
         pass
+    # fallback only: the list-of-Python-floats materialization is
+    # deferred here so the pyarrow fast path never builds it
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
     local_df(
         spark, rows, f"{cell_col} int, centroid array<float>"
     ).coalesce(1).write.mode("overwrite").parquet(dest)

@@ -551,8 +551,15 @@ class VamanaEngine:
                     int(cell),
                 )
 
+        from ..functions.distance import cast_id_vec
+
         (
-            src.mapInArrow(assign, schema=schema)
+            # belt-and-braces dtype cast (round-13 advice): the assign
+            # batches pass id/vec VERBATIM into the declared
+            # long/array<float> schema; create_index already normalizes,
+            # so this is a Catalyst-eliminated no-op on that path
+            cast_id_vec(src, id_col, vec_col)
+            .mapInArrow(assign, schema=schema)
             .repartition(k_eff, F.col("_pt"))
             .mapInPandas(
                 build_cells, schema="shard int, label long, id long"

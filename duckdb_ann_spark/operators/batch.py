@@ -82,6 +82,13 @@ def search_batch_ids(
         )
     if method == "exact":
         return _search_batch_exact(df, id_col, vec_col, queries, k, metric)
+    # Arrow-pass dtype normalization (round-13 advice): mapInArrow does
+    # not coerce, so array<double> vectors / int32 ids must be cast
+    # BEFORE the pass or the declared long/array<float> schema crashes
+    # the JVM read. No-op for already-typed frames.
+    from ..functions.distance import cast_id_vec
+
+    df = cast_id_vec(df, id_col, vec_col)
     qmat = _queries_matrix(queries)
     spark = df.sparkSession
     bq = spark.sparkContext.broadcast(qmat)

@@ -190,6 +190,14 @@ def knn_join(
             query_id_col, f"_q_{query_id_col}"
         )
         query_id_col = f"_q_{query_id_col}"
+    # Arrow-pass dtype normalization (round-13 advice): the assignment
+    # mapInArrow, the applyInArrow cogroup, and the in-call calibration
+    # scan all declare long/array<float> schemas and do not coerce —
+    # cast BOTH sides once here (no-op for already-typed frames)
+    from ..functions.distance import cast_id_vec
+
+    base_df = cast_id_vec(base_df, base_id_col, base_vec_col)
+    queries_df = cast_id_vec(queries_df, query_id_col, query_vec_col)
 
     # bounded deterministic train sample from the base side
     n = base_df.count() if n_rows is None else int(n_rows)
@@ -493,9 +501,12 @@ def index_knn_join(
     deleted = _deleted_ids(spark, d, manifest)
     if deleted is not None:
         b = b.join(F.broadcast(deleted), on=base_id_col, how="anti")
+    from ..functions.distance import cast_id_vec
+
     q = _assign_cells(
-        queries_df.select(query_id_col, query_vec_col), query_vec_col,
-        centroids, metric, nprobe, [query_id_col, query_vec_col],
+        cast_id_vec(queries_df, query_id_col, query_vec_col),
+        query_vec_col, centroids, metric, nprobe,
+        [query_id_col, query_vec_col],
     )
     if nprobe < nlist_eff:
         # partition pruning: only cells some query probes are scanned.

@@ -295,3 +295,64 @@ def test_resolve_labels_spark_fallback(spark, cat, monkeypatch):
     assert got == want
     assert vm._resolve_labels(spark, d, set()) == {}
     drop_index(name, cat)
+
+
+def _raw_vecs(spark, n, dim=4):
+    """The round-13 advice reproducer: array<double> vectors + INT ids —
+    the dtypes a user frame most commonly arrives with. Every Arrow
+    pass declares long/array<float> and does not coerce, so these must
+    be cast at the operator boundary or executors crash with
+    ArrowColumnVector accessor errors."""
+    rows = [(int(i), [float(i % 7 + j) for j in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+@pytest.mark.parametrize("engine,opts", [
+    ("faiss", {"type": "IVFFlat", "ivf_nlist": 4, "nprobe": 4}),
+    ("faiss", {}),
+    ("diskann", {}),
+])
+def test_double_vec_int_id_inputs(spark, cat, engine, opts):
+    """create_index + scan + insert over array<double>/int-id input
+    (round-13 advice): the r12 mapInArrow migration crashed these."""
+    name = f"rob_dtypes_{engine}_{opts.get('type', 'flat')}"
+    drop_index(name, cat)
+    create_index(_raw_vecs(spark, 48), "vec_id", "embedding", name,
+                 engine=engine, table_name="t", catalog=cat, **opts)
+    hits = index_scan(spark, name, [[0.0, 1.0, 2.0, 3.0]], k=3, catalog=cat)
+    assert hits.count() == 3
+    extra = spark.createDataFrame(
+        [(1000, [9.0, 9.0, 9.0, 9.0])], "vec_id int, embedding array<double>"
+    )
+    m = insert_into_index(spark, name, extra, catalog=cat)
+    assert m["num_vectors"] == 49
+    got = index_scan(spark, name, [[9.0, 9.0, 9.0, 9.0]], k=1, catalog=cat)
+    assert [r["vec_id"] for r in got.collect()] == [1000]
+    drop_index(name, cat)
+
+
+def test_double_vec_int_id_batch_and_join(spark):
+    """ann_search_batch + knn_join (blas fast paths) over
+    array<double>/int-id frames — the non-index Arrow passes of the
+    round-13 advice, including the in-call probe calibration scan."""
+    from duckdb_ann_spark.operators.batch import search_batch_ids
+    from duckdb_ann_spark.operators.knn_join import knn_join
+
+    base = _raw_vecs(spark, 60)
+    hits = search_batch_ids(
+        base, "vec_id", "embedding", [[0.0, 1.0, 2.0, 3.0]], 3
+    ).collect()
+    assert len(hits) == 3
+
+    q = spark.createDataFrame(
+        [(int(i), [float(i % 7 + j) for j in range(4)]) for i in range(5)],
+        "qid int, qv array<double>",
+    )
+    j = knn_join(q, "qid", "qv", base, "vec_id", "embedding", k=2,
+                 nlist=4, nprobe=4)
+    rows = j.collect()
+    assert len(rows) == 10
+    # exact self-match: query i's vector equals base row i's exactly
+    best = {r["qid"]: r["vec_id"] for r in rows if r["_distance"] == 0.0}
+    assert all(best[i] % 7 == i % 7 for i in best)
