@@ -1029,6 +1029,13 @@ def main() -> None:
     # boundary, so a mid-run noise burst is attributable to the section
     # it hit instead of poisoning the whole round's adjudication
     section_units: dict[str, float] = {}
+    # one full THROWAWAY canary before the recorded `start` reading
+    # (round 13 — r12 verdict item 4): the per-term single warmup inside
+    # calibration_canaries does not fully shed JVM/BLAS first-job
+    # warmup, so r12's first boundary read 4.47 vs a run median of 1.02
+    # on a run whose early legs were FAST — a detector that flags warmup
+    # as contamination every round trains the reader to ignore it
+    calibration_canaries(spark, reps=1)
     section_units["start"] = _canary_unit(calibration_canaries(spark, reps=3))
 
     # three full passes, per-workload min (see module docstring)

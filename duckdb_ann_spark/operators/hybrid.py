@@ -57,6 +57,19 @@ BLOCK_SEED = 2
 # thousand postings outright costs less than the summary arithmetic
 # that would save them
 BLOCK_SHORT_DF = 4096
+# single-query block-max COST GATE (round 13 — r12's one bench
+# regression): the pruning plan carries ~1.3s of fixed Spark job
+# overhead (blocks read + θ seeding + three-way union + distinct +
+# semi-join), so `bm25_scores_indexed(use_blockmax=None)` engages it
+# only when the query's total posting mass (sum of per-term dfs —
+# already collected driver-side at the decision point) reaches this
+# floor. Anchored by the two measured endpoints: at sf0.1 (~5k docs,
+# sum(df) ≈ 10^3) the unconditional prune DOUBLED the query
+# (1.22 → 2.52s, r12 bench) while the 5M-doc Zipf head-term smoke
+# (sum(df) ≈ 10^6) keeps a >=10x win. 50k posting rows ≈ where the
+# pivot work the prune saves matches the plan overhead on the Zipf
+# corpus shape; `use_blockmax=True` bypasses the gate.
+BLOCKMAX_MIN_POSTINGS = 50_000
 
 __all__ = [
     "bm25_scores",
@@ -525,10 +538,25 @@ def bm25_scores_indexed(
     so the top-`n_candidates` set and order match the full path
     exactly. Docs outside the candidate set are absent — callers that
     need every matching doc's score (no top-k cut) must leave
-    `n_candidates=None`. `use_blockmax`: None = prune when the
-    artifact carries usable block summaries (pre-round-11 artifacts
-    degrade to the full path); True = require them (loud error);
-    False = full path."""
+    `n_candidates=None`. `use_blockmax`: None = AUTO — prune when the
+    artifact carries usable block summaries AND the query's posting
+    mass clears the COST GATE below (pre-round-11 artifacts degrade to
+    the full path); True = require the summaries and prune
+    unconditionally (loud error without them); False = full path.
+
+    Cost gate (round 13 — r12's one bench regression): the pruning
+    plan (block read + θ seeding + three-way union + distinct +
+    semi-join) is ~1.3s of FIXED Spark job overhead per query, so for
+    a single query it only pays when the pruned posting mass is large.
+    The per-term dfs are already collected driver-side at the decision
+    point, so the gate is free arithmetic: engage the prune only when
+    `sum(df) >= max(64 * n_candidates, BLOCKMAX_MIN_POSTINGS)`.
+    Below the gate there is nothing to prune — at sf0.1's ~5k-doc
+    corpus the unconditional r12 prune DOUBLED the query
+    (1.22 → 2.52s) while the 5M-doc Zipf head-term smoke (sum(df) in
+    the millions) keeps its >=10x intermediate cut through this same
+    auto path. Scores are bit-identical either way, so the gate is
+    plan-only — no oracle risk."""
     qterms = sorted(set(py_tokenize(query_text)))
     if not qterms:
         id_guess = "id"
@@ -555,7 +583,15 @@ def bm25_scores_indexed(
         ).collect()
     }
     scored = post
-    if n_candidates is not None and use_blockmax is not False:
+    engage = n_candidates is not None and (
+        use_blockmax is True
+        or (
+            use_blockmax is None
+            and sum(dfs.values())
+            >= max(64 * int(n_candidates), BLOCKMAX_MIN_POSTINGS)
+        )
+    )
+    if engage:
         from ..local import local_df
 
         qdf = local_df(

