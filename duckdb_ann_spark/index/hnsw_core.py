@@ -187,6 +187,55 @@ class HnswGraph:
             visited_out.update(np.flatnonzero(visited).tolist())
         return result
 
+    def _search_layer0_slab(self, q: np.ndarray,
+                            entries: list[tuple[float, int]],
+                            ef: int, B: int) -> list[tuple[float, int]]:
+        """Frontier-slab beam search on LAYER 0 → ascending (dist,
+        label), len <= ef — the bulk-build twin of `_search_layer`
+        (round 13, same design as `VamanaGraph._slab_search_visited`):
+        each wave expands the B best unexpanded candidates within the
+        current ef-th-best threshold and scores all their unvisited
+        neighbors in ONE `_dists` kernel, so the per-hop python
+        bookkeeping that dominated the build (round-5 finding in the
+        module docstring) amortizes across the wave. The final result
+        is the top-ef of the visited set — the same quantity the
+        sequential beam converges to — but the visited set itself
+        differs (waved expansion order), so only `build_hnsw` calls
+        this, behind vamana_core.BULK_MIN_ROWS; searches and appends
+        keep `_search_layer` byte-for-byte."""
+        ids = np.fromiter((i for _, i in entries), np.int64,
+                          count=len(entries))
+        ds = np.asarray([d for d, _ in entries], dtype=np.float64)
+        vis = np.zeros(self.n, dtype=bool)
+        vis[ids] = True
+        expanded = np.zeros(len(ids), dtype=bool)
+        while True:
+            une = np.flatnonzero(~expanded)
+            if not une.size:
+                break
+            if len(ids) >= ef:
+                thresh = np.partition(ds, ef - 1)[ef - 1]
+                une = une[ds[une] <= thresh]
+                if not une.size:
+                    break
+            if une.size > B:
+                une = une[np.argpartition(ds[une], B - 1)[:B]]
+            expanded[une] = True
+            rows = self.adjacency[ids[une]].reshape(-1)
+            rows = rows[rows != NO_EDGE].astype(np.int64)
+            rows = rows[~vis[rows]]
+            if rows.size:
+                rows = np.unique(rows)
+                vis[rows] = True
+                nds = _dists(self.metric, self.vectors[rows], q)
+                ids = np.concatenate([ids, rows])
+                ds = np.concatenate([ds, nds.astype(np.float64)])
+                expanded = np.concatenate(
+                    [expanded, np.zeros(rows.size, bool)]
+                )
+        top = np.lexsort((ids, ds))[:ef]
+        return [(float(ds[i]), int(ids[i])) for i in top]
+
     def _select(self, cands: list[tuple[float, int]], mm: int) -> list[int]:
         """Algorithm 4 neighbor selection: scan candidates by ascending
         distance, keep e only when it is closer to q than to every
@@ -228,7 +277,10 @@ class HnswGraph:
         return [ids[i] for i in kept]
 
     # -- insert ---------------------------------------------------------
-    def insert(self, vector) -> int:
+    def insert(self, vector, _slab_B: int = 0) -> int:
+        """`_slab_B > 0` switches the LAYER-0 beam to the frontier-slab
+        body (bulk builds only — `build_hnsw` passes it behind
+        vamana_core.BULK_MIN_ROWS; appends never do)."""
         v = np.asarray(vector, dtype=np.float32)
         label = self.n
         self._grow(label + 1)
@@ -247,7 +299,12 @@ class HnswGraph:
         for lc in range(self.max_level, lvl, -1):
             ep = self._search_layer(v, ep, 1, lc)
         for lc in range(min(lvl, self.max_level), -1, -1):
-            w = self._search_layer(v, ep, self.ef_construction, lc)
+            if lc == 0 and _slab_B:
+                w = self._search_layer0_slab(
+                    v, ep, self.ef_construction, _slab_B
+                )
+            else:
+                w = self._search_layer(v, ep, self.ef_construction, lc)
             mm = self.m0 if lc == 0 else self.m
             nbrs = self._select(w, mm)
             self._set_neighbors(label, lc, nbrs)
@@ -309,10 +366,21 @@ class HnswGraph:
 def build_hnsw(vectors: np.ndarray, m: int = 32, ef_construction: int = 64,
                metric: str = "l2") -> HnswGraph:
     """Sequential build by repeated insert — the reference shape
-    (faiss `IndexHNSWFlat::add`, single graph)."""
+    (faiss `IndexHNSWFlat::add`, single graph).
+
+    Builds at/above `vamana_core.BULK_MIN_ROWS` rows run the layer-0
+    beam through the frontier-slab body (round 13; same gate discipline
+    as the Vamana bulk build — small, byte-pinned builds keep the
+    historical path bit-for-bit). Measured at 6000x16/m16 (the 10M-smoke
+    HNSW cell shape): 2.0x build at recall parity (sweep in
+    `_search_layer0_slab`'s commit)."""
+    from .vamana_core import BULK_MIN_ROWS, _bulk_wave_width
+
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+    n = len(vectors)
     g = HnswGraph(vectors.shape[1] if vectors.size else 0, m, ef_construction,
-                  metric, capacity=max(len(vectors), 16))
+                  metric, capacity=max(n, 16))
+    slab_b = _bulk_wave_width(vectors.shape[1]) if n >= BULK_MIN_ROWS else 0
     for v in vectors:
-        g.insert(v)
+        g.insert(v, _slab_B=slab_b)
     return g

@@ -242,6 +242,52 @@ def _route_probe_sets(
     return [s if s else set(existing_shards) for s in sets]
 
 
+def _hits_batch(qs: np.ndarray, qids: list, psets, shard_files,
+                k: int, search_complexity, qid_name: str, qid_np_dtype):
+    """One Arrow hit RecordBatch (qid, shard, label, _distance) for a
+    task's query slab: per probed shard, the lock-step `search_batch`;
+    hits stack as typed numpy arrays (round 13 — the python-tuple-list →
+    pandas frame assembly was the largest remaining pandas surface on
+    the search paths). `psets` is positional (probe set per query row)
+    or None for full fan-out."""
+    import pyarrow as pa
+
+    out_q, out_s, out_l, out_d = [], [], [], []
+    for shard, path in shard_files:
+        if psets is None:
+            sub_qs, sub_ids = qs, qids
+        else:
+            keep = [i for i in range(len(qids)) if shard in psets[i]]
+            if not keep:
+                continue
+            sub_qs = qs[keep]
+            sub_ids = [qids[i] for i in keep]
+        g = _load_shard(path)
+        # lock-step batch: all of this task's queries advance together,
+        # distance work aggregated per hop
+        for qi, hits in zip(
+            sub_ids, g.search_batch(sub_qs, k, search_complexity)
+        ):
+            if not hits:
+                continue
+            la, da = zip(*hits)
+            n = len(la)
+            out_q.append(np.full(n, qi, dtype=qid_np_dtype))
+            out_s.append(np.full(n, shard, dtype=np.int32))
+            out_l.append(np.asarray(la, dtype=np.int64))
+            out_d.append(np.asarray(da, dtype=np.float64))
+    if out_q:
+        cols = [np.concatenate(out_q), np.concatenate(out_s),
+                np.concatenate(out_l), np.concatenate(out_d)]
+    else:
+        cols = [np.empty(0, qid_np_dtype), np.empty(0, np.int32),
+                np.empty(0, np.int64), np.empty(0, np.float64)]
+    return pa.RecordBatch.from_arrays(
+        [pa.array(c) for c in cols],
+        names=[qid_name, "shard", "label", "_distance"],
+    )
+
+
 def _evict_cache_entry(key) -> None:
     global _CACHE_BYTES
     _, nbytes = _GRAPH_CACHE.pop(key)
@@ -315,9 +361,14 @@ class VamanaEngine:
         os.makedirs(f"{artifact_dir}/{GRAPH_DIR}", exist_ok=True)
         src = df.select(id_col, vec_col)
 
-        def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
-            pdf = pdf.sort_values(id_col).reset_index(drop=True)
-            vecs = np_stack_vectors(pdf[vec_col])
+        def build_shard_np(ids: np.ndarray, vecs: np.ndarray,
+                           shard: int) -> pd.DataFrame:
+            # id-sorted build (reference insert order); numpy-facing so
+            # the cell build's mapInArrow path never round-trips the
+            # vectors through pandas object Series (round 13)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order].astype(np.int64, copy=False)
+            vecs = vecs[order]
             g = build_graph(
                 vecs,
                 max_degree=params.max_degree,
@@ -334,14 +385,14 @@ class VamanaEngine:
             )
             return pd.DataFrame(
                 {
-                    "shard": np.int32(shard),
-                    "label": np.arange(len(pdf), dtype=np.int64),
-                    "id": pdf[id_col].to_numpy(),
+                    "shard": np.full(len(ids), shard, dtype=np.int32),
+                    "label": np.arange(len(ids), dtype=np.int64),
+                    "id": ids,
                 }
             )
 
         shards = self._run_sharded_build(
-            spark, src, id_col, params, build_shard, artifact_dir
+            spark, src, id_col, params, build_shard_np, artifact_dir
         )
         return {
             "layout": "diskann-v2", "shards": shards,
@@ -357,7 +408,7 @@ class VamanaEngine:
             "end_calibration": getattr(params, "_end_calibration", None),
         }
 
-    def _run_sharded_build(self, spark, src, id_col, params, build_shard,
+    def _run_sharded_build(self, spark, src, id_col, params, build_shard_np,
                            artifact_dir) -> int:
         """Shared shard-and-merge driver for every graph engine: 1 shard
         = reference-parity driver build; N shards = the shuffle partition
@@ -386,6 +437,18 @@ class VamanaEngine:
         routes). Cell sizes follow the data distribution — the kmeans
         balance, not perfect hash balance, is the price of locality."""
         import shutil
+
+        vec_col = [c for c in src.columns if c != id_col][0]
+
+        def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
+            # pandas adapter for the single-shard / hash-partition
+            # paths; the cell path feeds build_shard_np from Arrow
+            # buffers directly (stack-then-sort == sort-then-stack, so
+            # both paths produce byte-identical shard files)
+            return build_shard_np(
+                pdf[id_col].to_numpy(), np_stack_vectors(pdf[vec_col]),
+                shard,
+            )
 
         # routed-probe + in-shard-L calibration results (set by
         # _run_cell_build; None-initialized here so hash/single-shard
@@ -438,8 +501,8 @@ class VamanaEngine:
 
         if getattr(params, "shard_by", "hash") == "cells":
             return self._run_cell_build(
-                spark, src, id_col, params, build_shard, artifact_dir, shards,
-                n_rows,
+                spark, src, id_col, params, build_shard_np, artifact_dir,
+                shards, n_rows,
             )
 
         def build_partition(batches):
@@ -462,7 +525,7 @@ class VamanaEngine:
         )
         return len(self._shard_files(artifact_dir))
 
-    def _run_cell_build(self, spark, src, id_col, params, build_shard,
+    def _run_cell_build(self, spark, src, id_col, params, build_shard_np,
                         artifact_dir, shards: int, n_rows) -> int:
         """shard_by='cells': train routing centroids on a bounded
         deterministic sample (the IVF build's train discipline), assign
@@ -541,14 +604,53 @@ class VamanaEngine:
         )
 
         def build_cells(batches):
-            pdfs = [p for p in batches if len(p)]
-            if not pdfs:
+            # mapInArrow (round 13 — r12 verdict item 2): the OLD
+            # mapInPandas body round-tripped every vector through a
+            # pandas object Series on its way into the per-cell build —
+            # the same conversion tax the round-12 Arrow scan fixes
+            # removed everywhere else. Vectors reshape zero-copy from
+            # the Arrow child buffers; grouping is one stable argsort
+            # over the int32 cell column.
+            import pyarrow as pa
+
+            from ..functions.distance import np_from_arrow_list
+
+            id_parts, vec_parts, cell_parts = [], [], []
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                ids_b = b.column(b.schema.get_field_index(id_col)).to_numpy(
+                    zero_copy_only=False
+                )
+                vcol = b.column(b.schema.get_field_index(vec_col))
+                dim = len(vcol[0].as_py() or []) if b.num_rows else 0
+                mat = np_from_arrow_list(vcol, dim)
+                if mat is None:
+                    mat = np_stack_vectors(
+                        b.select([vec_col]).to_pandas()[vec_col]
+                    )
+                cells_b = b.column(
+                    b.schema.get_field_index("shard")
+                ).to_numpy(zero_copy_only=False)
+                id_parts.append(ids_b)
+                vec_parts.append(mat)
+                cell_parts.append(cells_b)
+            if not id_parts:
                 return
-            pdf = pd.concat(pdfs)
-            for cell, grp in pdf.groupby("shard", sort=True):
-                yield build_shard(
-                    grp.drop(columns=["shard", "_pt"]).reset_index(drop=True),
-                    int(cell),
+            ids = np.concatenate(id_parts)
+            vecs = np.vstack(vec_parts)
+            cells = np.concatenate(cell_parts)
+            order = np.argsort(cells, kind="stable")
+            cells_s = cells[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(cells_s)) + 1, [len(cells_s)]]
+            )
+            for a, z in zip(starts[:-1], starts[1:]):
+                rows = order[a:z]
+                frame = build_shard_np(ids[rows], vecs[rows],
+                                       int(cells_s[a]))
+                yield pa.RecordBatch.from_pandas(
+                    frame, preserve_index=False
                 )
 
         from ..functions.distance import cast_id_vec
@@ -561,7 +663,7 @@ class VamanaEngine:
             cast_id_vec(src, id_col, vec_col)
             .mapInArrow(assign, schema=schema)
             .repartition(k_eff, F.col("_pt"))
-            .mapInPandas(
+            .mapInArrow(
                 build_cells, schema="shard int, label long, id long"
             )
             .write.mode("overwrite")
@@ -982,38 +1084,37 @@ class VamanaEngine:
             spark, qrows, "query_idx int, _qv array<float>"
         ).repartition(npart, "query_idx")
         bpm = spark.sparkContext.broadcast(probe_sets)
+        dim = len(qrows[0][1]) if qrows else 0
 
         def run(batches):
+            # mapInArrow (round 13 — r12 verdict item 7): the query
+            # matrix reshapes zero-copy from the Arrow buffer and the
+            # hit frame assembles as typed numpy arrays instead of a
+            # python tuple list through a pandas frame
+            import pyarrow as pa
+
+            from ..functions.distance import np_from_arrow_list
+
             pm = bpm.value
-            for pdf in batches:
-                out = []
-                if not len(pdf):
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                qs = np_stack_vectors(pdf["_qv"])
-                qids = pdf["query_idx"].tolist()
-                for shard, path in shard_files:
-                    if pm is None:
-                        sub_qs, sub_ids = qs, qids
-                    else:
-                        keep = [i for i, qi in enumerate(qids)
-                                if shard in pm[qi]]
-                        if not keep:
-                            continue
-                        sub_qs = qs[keep]
-                        sub_ids = [qids[i] for i in keep]
-                    g = _load_shard(path)
-                    # lock-step batch: all of this task's queries advance
-                    # together, distance work aggregated per hop
-                    for qi, hits in zip(
-                        sub_ids, g.search_batch(sub_qs, k, search_complexity)
-                    ):
-                        for label, dist in hits:
-                            out.append((int(qi), shard, int(label), float(dist)))
-                yield pd.DataFrame(
-                    out, columns=["query_idx", "shard", "label", "_distance"]
+                qcol = b.column(b.schema.get_field_index("_qv"))
+                qs = np_from_arrow_list(qcol, dim)
+                if qs is None:
+                    qs = np_stack_vectors(
+                        b.select(["_qv"]).to_pandas()["_qv"]
+                    )
+                qids = b.column(
+                    b.schema.get_field_index("query_idx")
+                ).to_numpy(zero_copy_only=False).tolist()
+                psets = None if pm is None else [pm[qi] for qi in qids]
+                yield _hits_batch(
+                    qs, qids, psets, shard_files, k, search_complexity,
+                    "query_idx", np.int32,
                 )
 
-        hits = qdf.mapInPandas(
+        hits = qdf.mapInArrow(
             run, schema="query_idx int, shard int, label long, _distance double"
         )
         labels = spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
@@ -1095,14 +1196,31 @@ class VamanaEngine:
         # Same price knn_join pays to explode its query side.
         qdf = qdf.repartition(spark.sparkContext.defaultParallelism)
 
+        dim = int(manifest["dim"])
+
         def run(batches):
+            # mapInArrow (round 13 — r12 verdict item 7): zero-copy
+            # query matrix in, typed numpy hit arrays out — the same
+            # conversion that cut the scan paths in round 12, applied
+            # to the largest remaining pandas surface (the 10k-query
+            # index_search_table legs at 10M)
+            import pyarrow as pa  # noqa: F401  (used via _hits_batch)
+
+            from ..functions.distance import np_from_arrow_list
+
             route_mat = bc.value
-            for pdf in batches:
-                if not len(pdf):
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                out = []
-                qs = np_stack_vectors(pdf["_qv"])
-                qids = pdf["_qid"].tolist()
+                qcol = b.column(b.schema.get_field_index("_qv"))
+                qs = np_from_arrow_list(qcol, dim)
+                if qs is None:
+                    qs = np_stack_vectors(
+                        b.select(["_qv"]).to_pandas()["_qv"]
+                    )
+                qids = b.column(
+                    b.schema.get_field_index("_qid")
+                ).to_numpy(zero_copy_only=False).tolist()
                 if route_mat is None:
                     pm = None
                 else:
@@ -1112,27 +1230,12 @@ class VamanaEngine:
                     for qi in range(qs.shape[0]):
                         s = {int(c) for c in order[qi] if int(c) in existing}
                         pm.append(s if s else existing)
-                for shard, path in shard_files:
-                    if pm is None:
-                        sub_qs, sub_ids = qs, qids
-                    else:
-                        keep = [i for i, _ in enumerate(qids)
-                                if shard in pm[i]]
-                        if not keep:
-                            continue
-                        sub_qs = qs[keep]
-                        sub_ids = [qids[i] for i in keep]
-                    g = _load_shard(path)
-                    for qi, hits in zip(
-                        sub_ids, g.search_batch(sub_qs, k, search_complexity)
-                    ):
-                        for label, dist in hits:
-                            out.append((int(qi), shard, int(label), float(dist)))
-                yield pd.DataFrame(
-                    out, columns=["_qid", "shard", "label", "_distance"]
+                yield _hits_batch(
+                    qs, qids, pm, shard_files, k, search_complexity,
+                    "_qid", np.int64,
                 )
 
-        hits = qdf.mapInPandas(
+        hits = qdf.mapInArrow(
             run, schema="_qid long, shard int, label long, _distance double"
         )
         labels = spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
@@ -1211,10 +1314,12 @@ class HnswEngine(VamanaEngine):
         m, ef = int(params.hnsw_m), self._ef_construction(params)
         metric = params.metric
 
-        def build_shard(pdf: pd.DataFrame, shard: int) -> pd.DataFrame:
-            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        def build_shard_np(ids: np.ndarray, vecs: np.ndarray,
+                           shard: int) -> pd.DataFrame:
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order].astype(np.int64, copy=False)
             g = build_hnsw(
-                np_stack_vectors(pdf[vec_col]), m=m, ef_construction=ef,
+                vecs[order] if len(ids) else vecs, m=m, ef_construction=ef,
                 metric=metric,
             )
             write_diskann(
@@ -1223,22 +1328,21 @@ class HnswEngine(VamanaEngine):
             )
             return pd.DataFrame(
                 {
-                    "shard": np.int32(shard),
-                    "label": np.arange(len(pdf), dtype=np.int64),
-                    "id": pdf[id_col].to_numpy()
-                    if len(pdf) else np.array([], dtype=np.int64),
+                    "shard": np.full(len(ids), shard, dtype=np.int32),
+                    "label": np.arange(len(ids), dtype=np.int64),
+                    "id": ids,
                 }
             )
 
-        return build_shard
+        return build_shard_np
 
     def build(self, spark, df, id_col, vec_col, artifact_dir, params, dim):
         os.makedirs(f"{artifact_dir}/{GRAPH_DIR}", exist_ok=True)
         src = df.select(id_col, vec_col)
-        build_shard = self._build_shard_fn(artifact_dir, id_col, vec_col,
-                                           params)
+        build_shard_np = self._build_shard_fn(artifact_dir, id_col, vec_col,
+                                              params)
         shards = self._run_sharded_build(
-            spark, src, id_col, params, build_shard, artifact_dir
+            spark, src, id_col, params, build_shard_np, artifact_dir
         )
         return {
             "layout": "hnsw-layered", "shards": shards,

@@ -46,6 +46,36 @@ _NUMPY_CHOOSE_MIN = 48
 # insert no matter how large a search's visited set grows.
 MAX_OCCLUSION_SIZE = 750
 
+# builds at/above this many rows take the BULK insert body (round 13 —
+# r12 verdict item 2): frontier-slab beam search (one numpy wave per
+# expansion round instead of per-hop python bookkeeping) + batched
+# back-edge prune kernels. The bulk body makes the same KIND of
+# decisions (final beam result is still "top-L of visited"; prunes are
+# the same occlusion scan) but expands candidates in waves, so the
+# visited sets — and therefore the graph bytes — differ from the
+# sequential path: the gate keeps every byte-pinned artifact (grid
+# goldens <=125 rows, file-format goldens, the sf0.01/sf0.1 oracle
+# builds at 500/2000 rows... sf0.1 is above the gate but its oracle
+# entries degenerate to exact search, graph-byte-independent) on the
+# historical path, exactly the SEQ_INIT_K_MAX discipline the round-12
+# k-means|| gate set. Large builds are recall-floor gated, not
+# byte-pinned; measured at the 10M smoke shapes the bulk body cuts the
+# per-cell build 1.2-1.7x at recall parity (sweep in the
+# build_graph docstring).
+BULK_MIN_ROWS = 1024
+
+
+def _bulk_wave_width(dim: int) -> int:
+    """Frontier-slab wave width: how many best unexpanded candidates
+    expand per wave. Narrow waves track the sequential threshold closely
+    (less wasted expansion — what low dims want, where distance work is
+    cheap and over-expansion feeds the pruner); wide waves amortize the
+    per-wave numpy dispatch over more distance work (what high dims
+    want). Measured min-of-reps at 1500x16/deg16 (the 10M vamana cell
+    shape): B=8 1.25x vs B=32 0.80x; at 4000x128/deg32: B=8 1.45x vs
+    B=32 1.70x."""
+    return min(64, max(8, dim // 4))
+
 
 def _dists(metric: str, mat: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Row-wise distances via ONE einsum kernel shape. Every distance the
@@ -424,6 +454,160 @@ class VamanaGraph:
             cur_alpha = min(cur_alpha * inc, self.alpha)
         return [int(ids[i]) for i in chosen]
 
+    # -- bulk build body (round 13) --------------------------------------
+    def _slab_search_visited(self, q: np.ndarray, L: int, B: int):
+        """Frontier-slab greedy search → (visited ids, their distances),
+        both 1-D arrays. Replaces the per-hop python loop of `search`
+        for the BULK build body: each wave expands the `B` best
+        unexpanded candidates within the current threshold (the L-th
+        best distance seen — the same `result[L-1]` stop rule), computes
+        all their unvisited neighbors' distances in ONE `_dists` kernel,
+        and merges with ~10 numpy dispatches total. The final visited
+        set differs from `search`'s (expansion order is waved, not
+        strictly best-first), which is why this body is gated behind
+        BULK_MIN_ROWS; the insert pool contract is identical — ALL
+        visited nodes with their distances."""
+        eps = np.asarray(
+            [ep for ep in self.entry_points if ep < self.n], dtype=np.int64
+        )
+        vis = np.zeros(self.n, dtype=bool)
+        vis[eps] = True
+        ids = eps
+        ds = _dists(self.metric, self.vectors[eps], q)
+        expanded = np.zeros(len(ids), dtype=bool)
+        while True:
+            une = np.flatnonzero(~expanded)
+            if not une.size:
+                break
+            if len(ids) >= L:
+                thresh = np.partition(ds, L - 1)[L - 1]
+                une = une[ds[une] <= thresh]
+                if not une.size:
+                    break
+            if une.size > B:
+                une = une[np.argpartition(ds[une], B - 1)[:B]]
+            expanded[une] = True
+            rows = self.adjacency[ids[une]].reshape(-1)
+            rows = rows[rows != NO_EDGE].astype(np.int64)
+            rows = rows[~vis[rows]]
+            if rows.size:
+                rows = np.unique(rows)
+                vis[rows] = True
+                nds = _dists(self.metric, self.vectors[rows], q)
+                ids = np.concatenate([ids, rows])
+                ds = np.concatenate([ds, nds])
+                expanded = np.concatenate(
+                    [expanded, np.zeros(rows.size, bool)]
+                )
+        return ids, ds
+
+    def _backedges_batch(self, out: list[int], label: int) -> None:
+        """Back-edge pass with the per-j prune KERNELS batched: every
+        overflowing neighbor j's pool is exactly (its max_degree
+        neighbors + label) — a uniform (nj, degree+1) block — so the
+        pair distances, the (dist, id) pool sorts, and the occlusion
+        ratios all compute as single batched einsum/lexsort calls; only
+        the (sequentially-dependent) occlusion choose loop stays per j.
+        Decision-equivalent to per-j `robust_prune(assume_unique=True)`
+        modulo BLAS kernel-shape last-ulp effects (the documented
+        cross-path property the lazy/small prune paths already live
+        with) — bulk-body-only, behind BULK_MIN_ROWS."""
+        need: list[int] = []
+        for j in out:
+            nbrs_j = self.neighbors(j)
+            if label in nbrs_j:
+                continue
+            nn = len(nbrs_j)
+            if nn < self.max_degree:
+                self.adjacency[j, nn] = np.uint32(label)
+            else:
+                need.append(int(j))
+        if not need:
+            return
+        nj = len(need)
+        m = self.max_degree + 1
+        P = np.empty((nj, m), dtype=np.int64)
+        P[:, : self.max_degree] = self.adjacency[np.asarray(need)]
+        P[:, self.max_degree] = label
+        jv = self.vectors[np.asarray(need)]  # (nj, dim)
+        pv = self.vectors[P.reshape(-1)].reshape(nj, m, -1)
+        if self.metric == "ip":
+            d = -np.einsum("bij,bj->bi", pv, jv)
+        else:
+            diff = pv - jv[:, None, :]
+            d = np.einsum("bij,bij->bi", diff, diff)  # (nj, m)
+        # per-row (dist, id) sort via one composite lexsort
+        rows_key = np.repeat(np.arange(nj), m)
+        order = np.lexsort(
+            (P.reshape(-1), d.reshape(-1), rows_key)
+        ).reshape(nj, m)
+        order -= (np.arange(nj) * m)[:, None]
+        Ps = np.take_along_axis(P, order, axis=1)
+        dsq = np.take_along_axis(d, order, axis=1)
+        pvs = np.take_along_axis(pv, order[:, :, None], axis=1)
+        if self.metric == "ip":
+            pair = -np.einsum("bij,bkj->bik", pvs, pvs)
+        else:
+            n2 = np.einsum("bij,bij->bi", pvs, pvs)
+            pair = (
+                n2[:, :, None] + n2[:, None, :]
+                - 2.0 * np.einsum("bij,bkj->bik", pvs, pvs)
+            )
+            np.maximum(pair, 0.0, out=pair)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = dsq[:, None, :] / pair
+        fmax = np.float32(np.finfo(np.float32).max)
+        ratio[pair == 0] = fmax
+        fmax_f = float(fmax)
+        inc = min(self.alpha, 1.2)
+        degree = self.max_degree
+        for t, j in enumerate(need):
+            # the small-pool occlusion scan of robust_prune, over the
+            # precomputed batched ratio rows (same decisions)
+            rl = ratio[t].tolist()
+            chosen: list[int] = []
+            cur_alpha = 1.0
+            occlude = [0.0] * m
+            while len(chosen) < degree:
+                for i in range(m):
+                    if len(chosen) >= degree:
+                        break
+                    if occlude[i] > cur_alpha:
+                        continue
+                    occlude[i] = fmax_f
+                    chosen.append(i)
+                    ri = rl[i]
+                    for jj in range(i + 1, m):
+                        if ri[jj] > occlude[jj]:
+                            occlude[jj] = ri[jj]
+                if cur_alpha == self.alpha:
+                    break
+                cur_alpha = min(cur_alpha * inc, self.alpha)
+            self._set_neighbors(j, [int(Ps[t, i]) for i in chosen])
+
+    def _insert_bulk(self, vector, B: int) -> int:
+        """Bulk-build insert: identical structure to `insert` with the
+        slab search and the batched back-edge pass. Only `build_graph`
+        calls this (above BULK_MIN_ROWS); live appends keep `insert`."""
+        v = np.asarray(vector, dtype=np.float32)
+        label = self.n
+        self._grow(label + 1)
+        self.vectors[label] = v
+        self.n += 1
+        if label == 0:
+            self.entry_points = [0]
+            return 0
+        ids, ds = self._slab_search_visited(v, self.build_complexity, B)
+        keep = ids != label
+        vis_ids, vis_ds = ids[keep], ds[keep]
+        order = np.argsort(vis_ids, kind="stable")
+        out = self.robust_prune(
+            label, vis_ids[order], vis_ds[order], assume_unique=True
+        )
+        self._set_neighbors(label, out)
+        self._backedges_batch(out, label)
+        return label
+
     # -- insert --------------------------------------------------------
     def insert(self, vector) -> int:
         """Vamana insert: search → prune visited → out-edges → back-edges
@@ -586,21 +770,34 @@ def build_graph(vectors: np.ndarray, max_degree: int = 64,
     `start_strategy` mirrors the reference's entry-point strategies
     (see `select_entry_points`); the chosen labels are computed upfront
     and become the search entry points as soon as they are inserted, so
-    later inserts and all searches descend from them."""
+    later inserts and all searches descend from them.
+
+    Builds at/above BULK_MIN_ROWS rows take the bulk insert body
+    (`_insert_bulk`: frontier-slab search + batched back-edge prune —
+    round 13); below it, and for every live append, the historical
+    per-hop `insert` keeps byte-pinned artifacts stable. Measured
+    (min-of-reps, the bulk body vs sequential): 1500x16/deg16/bc32
+    (the 10M-smoke vamana cell shape) 1.25x, 6000x16 1.63x,
+    4000x128/deg32/bc64 1.70x — recall vs brute force within +-0.005
+    of the sequential build at every shape."""
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+    n = len(vectors)
     g = VamanaGraph(vectors.shape[1] if vectors.size else 0, max_degree,
                     build_complexity, alpha, metric,
-                    capacity=max(len(vectors), 16))
+                    capacity=max(n, 16))
     chosen = select_entry_points(vectors, start_strategy, start_nsamples,
                                  start_seed, metric)
+    bulk = n >= BULK_MIN_ROWS
+    B = _bulk_wave_width(vectors.shape[1]) if bulk else 0
+    ins = (lambda v: g._insert_bulk(v, B)) if bulk else g.insert
     if start_strategy == "first":
         # insert() already seeds entry_points = [0]
         for v in vectors:
-            g.insert(v)
+            ins(v)
         return g
     chosen_set = set(chosen)
     for label, v in enumerate(vectors):
-        g.insert(v)
+        ins(v)
         if label in chosen_set:
             g.entry_points = [c for c in chosen if c <= label]
     return g

@@ -163,16 +163,17 @@ def test_query_id_collision_renames(spark, emb, cat):
 
 def test_no_driver_collect_of_queries(spark, emb, cat):
     """The plan never CollectLimits or broadcasts the query side: the
-    graph path is a mapInPandas over the query frame; result arrives
-    without materializing queries on the driver (smoke: plan contains
-    no BroadcastExchange on the query branch before the search)."""
+    graph path is a mapInArrow over the query frame (round 13; was
+    mapInPandas); result arrives without materializing queries on the
+    driver (smoke: plan contains no BroadcastExchange on the query
+    branch before the search)."""
     create_index(emb, "vec_id", "embedding", "istp", engine="diskann",
                  max_degree=16, build_complexity=32, shards=2, catalog=cat)
     q = emb.select(F.col("vec_id").alias("qid"), "embedding")
     out = index_search_table(spark, "istp", q, "qid", "embedding", 3,
                              catalog=cat)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
     n = out.count()
     assert n == emb.count() * 3
 

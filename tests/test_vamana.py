@@ -350,3 +350,83 @@ def test_robust_prune_occlusion_cap():
     finally:
         vc.MAX_OCCLUSION_SIZE = old
     assert capped == direct
+
+
+def test_bulk_build_gate_and_recall():
+    """Round 13 (r12 verdict item 2): builds at/above BULK_MIN_ROWS take
+    the frontier-slab + batched-back-edge body; below the gate the
+    historical sequential insert is byte-identical (the SEQ_INIT_K_MAX
+    discipline), and above it recall vs brute force stays within the
+    engine contract."""
+    import duckdb_ann_spark.index.vamana_core as vc
+    from duckdb_ann_spark.index.vamana_core import build_graph
+
+    rng = np.random.default_rng(29)
+    old = vc.BULK_MIN_ROWS
+    try:
+        # below-gate builds never touch the bulk body: byte-identical
+        v = rng.random((400, 16), dtype=np.float32)
+        g1 = build_graph(v, max_degree=16, build_complexity=32)
+        vc.BULK_MIN_ROWS = 10 ** 9
+        g0 = build_graph(v, max_degree=16, build_complexity=32)
+        assert np.array_equal(g0.adjacency[:g0.n], g1.adjacency[:g1.n])
+        assert g0.entry_points == g1.entry_points
+
+        # above-gate: bulk body engages; recall parity with sequential
+        vc.BULK_MIN_ROWS = old
+        v = rng.random((1500, 16), dtype=np.float32)
+        qs = rng.random((50, 16), dtype=np.float32)
+        gb = build_graph(v, max_degree=16, build_complexity=32)
+        vc.BULK_MIN_ROWS = 10 ** 9
+        gs = build_graph(v, max_degree=16, build_complexity=32)
+
+        def recall(g):
+            hit = 0
+            for q in qs:
+                d = ((v - q) ** 2).sum(axis=1)
+                truth = set(np.argsort(d, kind="stable")[:10].tolist())
+                hit += len(truth & {i for i, _ in g.search(q, 10)})
+            return hit / (len(qs) * 10)
+
+        rb, rs = recall(gb), recall(gs)
+        assert rb >= rs - 0.03, (rb, rs)
+        assert rb >= 0.80, rb
+    finally:
+        vc.BULK_MIN_ROWS = old
+
+
+def test_bulk_build_hnsw_gate_and_recall():
+    """HNSW twin of the bulk-build gate test: layer-0 slab beam above
+    the gate, byte-identical below it."""
+    import duckdb_ann_spark.index.vamana_core as vc
+    from duckdb_ann_spark.index.hnsw_core import build_hnsw
+
+    rng = np.random.default_rng(31)
+    old = vc.BULK_MIN_ROWS
+    try:
+        v = rng.random((400, 16), dtype=np.float32)
+        g1 = build_hnsw(v, m=8, ef_construction=40)
+        vc.BULK_MIN_ROWS = 10 ** 9
+        g0 = build_hnsw(v, m=8, ef_construction=40)
+        assert np.array_equal(g0.adjacency[:g0.n], g1.adjacency[:g1.n])
+
+        vc.BULK_MIN_ROWS = old
+        v = rng.random((2000, 16), dtype=np.float32)
+        qs = rng.random((50, 16), dtype=np.float32)
+        gb = build_hnsw(v, m=16, ef_construction=40)
+        vc.BULK_MIN_ROWS = 10 ** 9
+        gs = build_hnsw(v, m=16, ef_construction=40)
+
+        def recall(g):
+            hit = 0
+            for q in qs:
+                d = ((v - q) ** 2).sum(axis=1)
+                truth = set(np.argsort(d, kind="stable")[:10].tolist())
+                hit += len(truth & {i for i, _ in g.search(q, 10)})
+            return hit / (len(qs) * 10)
+
+        rb, rs = recall(gb), recall(gs)
+        assert rb >= rs - 0.03, (rb, rs)
+        assert rb >= 0.80, rb
+    finally:
+        vc.BULK_MIN_ROWS = old
