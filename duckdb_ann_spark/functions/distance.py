@@ -48,6 +48,8 @@ __all__ = [
     "cosine_distance",
     "index_distance",
     "np_from_arrow_list",
+    "np_u8_from_arrow_binary",
+    "arrow_f32_list",
     "np_index_distances",
     "np_paired_distances",
     "np_partial_topk",
@@ -211,6 +213,47 @@ def np_from_arrow_list(col, dim: int, dtype=np.float32):
             return None
     vals = flat.to_numpy(zero_copy_only=False)
     return vals.astype(dtype, copy=False).reshape(n, dim)
+
+
+def np_u8_from_arrow_binary(col, dim: int):
+    """Zero-copy-ish (n, dim) uint8 matrix from a pyarrow ``binary``
+    column of fixed-width SQ8 code rows, or None when the fast path
+    does not apply (nulls, ragged rows). The binary→fixed_size_binary
+    cast validates uniform width; the fixed array's data buffer IS the
+    flat (n*dim,) byte run (round 13 — the IVF sq8 cell scan's twin of
+    `np_from_arrow_list`)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        return None
+    try:
+        fsb = col.cast(pa.binary(dim))
+    except Exception:
+        return None  # ragged rows (cast to fixed width fails)
+    buf = fsb.buffers()[1]
+    flat = np.frombuffer(buf, dtype=np.uint8)
+    start = fsb.offset * dim
+    return flat[start : start + len(fsb) * dim].reshape(len(fsb), dim)
+
+
+def arrow_f32_list(mat: np.ndarray):
+    """(n, dim) float matrix -> ONE pyarrow list<float> array (offsets
+    stride dim, child = the flat buffer) — the write-side twin of
+    `np_from_arrow_list`, no per-row python lists."""
+    import pyarrow as pa
+
+    mat = np.ascontiguousarray(mat, dtype=np.float32)
+    n, dim = mat.shape
+    offs = np.arange(n + 1, dtype=np.int32) * dim
+    child = pa.Array.from_buffers(
+        pa.float32(), n * dim, [None, pa.py_buffer(mat.tobytes())]
+    )
+    return pa.Array.from_buffers(
+        pa.list_(pa.float32()), n, [None, pa.py_buffer(offs.tobytes())],
+        children=[child],
+    )
 
 
 def np_index_distances(metric: str, mat: np.ndarray, queries: np.ndarray) -> np.ndarray:

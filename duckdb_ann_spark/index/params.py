@@ -260,6 +260,14 @@ class FaissParams:
     # gpu='false' → cpu, gpu='true' → gpu (faiss_gpu.test:55-69).
     mode: str = "auto"
     gpu: object = None
+    # SQ8 scalar quantization for the IVFFlat cell layout (round 13 —
+    # the reference serves quantized vectors from its live index,
+    # rust_lib/src/provider.rs:161-231; FAISS's own ScalarQuantizer
+    # trains its per-dim min/scale on the TRAIN SAMPLE, which is the
+    # semantics the distributed tier adopts). '' = fp32 (default),
+    # 'sq8' = cells store u8 codes at 1/4 the scan bytes; search
+    # dequantizes rows inside the Arrow scorer.
+    quantization: str = ""
 
     def __post_init__(self) -> None:
         self.metric = _norm_metric(self.metric)
@@ -271,6 +279,18 @@ class FaissParams:
             raise ValueError(
                 f"Unknown FAISS index type '{self.type}'. Supported: Flat, HNSW, IVFFlat"
             )
+        q = (self.quantization or "").lower()
+        if q and q != "sq8":
+            raise ValueError(
+                f"Unknown quantization '{self.quantization}'. Supported: sq8"
+            )
+        if q and self.type.lower() != "ivfflat":
+            raise ValueError(
+                "quantization='sq8' applies to type='IVFFlat' (Flat is the "
+                "exact engine; HNSW shards quantize via the DISKANN "
+                "engine's quantization option)"
+            )
+        self.quantization = q
         # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61);
         # nprobe=0 is OUR extension: AUTO — resolve a recall-calibrated
         # probe count at search time (ivf.auto_nprobe; pairs with
@@ -366,7 +386,12 @@ class FaissParams:
             "shard_by": self.shard_by,
             "route_nprobe": self.route_nprobe,
             "calibration_queries": self.calibration_queries,
+            "quantization": self.quantization,
         }
+
+    @property
+    def quantize_sq8(self) -> bool:
+        return self.quantization == "sq8"
 
 
 def _known_options(cls, options: dict) -> dict:

@@ -501,6 +501,7 @@ def index_knn_join(
     deleted = _deleted_ids(spark, d, manifest)
     if deleted is not None:
         b = b.join(F.broadcast(deleted), on=base_id_col, how="anti")
+    sq8 = impl._sq8_params(manifest)
     from ..functions.distance import cast_id_vec
 
     q = _assign_cells(
@@ -525,6 +526,13 @@ def index_knn_join(
         ]
         if len(probed) < nlist_eff:
             b = b.where(F.col(CELL_COL).isin(probed))
+    if sq8 is not None:
+        # dequantize AFTER the cell pruning so the parquet scan still
+        # reads only the probed cells' (1/4-size) code files
+        from ..index.ivf import _decode_cells_df
+
+        b = _decode_cells_df(b, base_id_col, base_vec_col, sq8,
+                             with_cell=True)
     return _cell_scored_topk(
         q, b, query_id_col, query_vec_col, base_id_col, base_vec_col,
         k, metric, method, salt,

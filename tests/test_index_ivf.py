@@ -460,3 +460,119 @@ def test_write_partition_count_regimes(spark):
     # huge rows: the 128MB/task term takes over
     big = _write_partition_count(spark, 65_536, 2_000_000_000, 128)
     assert big > cores and big <= 65_536
+
+
+def _dir_bytes(path):
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_sq8_cells_quarter_bytes_and_recall(spark, cat):
+    """Round 13 (r12 verdict item 3): quantization='sq8' stores u8 codes
+    in the cell parquet (~1/4 the vector bytes), dequantizes inside the
+    Arrow scorer, and holds recall within noise of the fp32 build.
+    ann_index_info reports quantized=true and the 1-byte/dim memory
+    estimate."""
+    import numpy as np
+
+    from duckdb_ann_spark.index import ann_index_info, insert_into_index
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 4000, 32, 10
+    rows = [(int(i), [float(x) for x in rng.random(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = [[float(x) for x in rng.random(dim)] for _ in range(20)]
+
+    create_index(df, "vec_id", "embedding", "ivf_f32", engine="faiss",
+                 type="IVFFlat", ivf_nlist=16, nprobe=6, catalog=cat)
+    m8 = create_index(df, "vec_id", "embedding", "ivf_sq8", engine="faiss",
+                      type="IVFFlat", ivf_nlist=16, nprobe=6,
+                      quantization="sq8", catalog=cat)
+    assert m8["params"]["quantization"] == "sq8"
+    assert len(m8["sq8_min"]) == dim and len(m8["sq8_scale"]) == dim
+
+    # ~4x fewer vector bytes on disk (codes are 1 byte/dim vs 4)
+    b_f32 = _dir_bytes(cat.path("ivf_f32") + "/vectors")
+    b_sq8 = _dir_bytes(cat.path("ivf_sq8") + "/vectors")
+    assert b_sq8 < b_f32 / 2.5, (b_sq8, b_f32)
+
+    # recall parity within noise (same cells — identical centroids —
+    # so only the u8 rounding can move results)
+    def recall(name):
+        got = index_scan(spark, name, qs, k, catalog=cat).collect()
+        per = {}
+        for r in got:
+            per.setdefault(r["query_idx"], set()).add(r["vec_id"])
+        hit = 0
+        for i, q in enumerate(qs):
+            truth = set(_brute_ids(df, q, k))
+            hit += len(truth & per.get(i, set()))
+        return hit / (len(qs) * k)
+
+    r_f32, r_sq8 = recall("ivf_f32"), recall("ivf_sq8")
+    assert r_sq8 >= r_f32 - 0.05, (r_sq8, r_f32)
+
+    # info surface
+    info = {r["name"]: r for r in ann_index_info(spark, catalog=cat).collect()}
+    assert info["ivf_sq8"]["quantized"] is True
+    assert info["ivf_f32"]["quantized"] is False
+    assert info["ivf_sq8"]["memory_bytes"] < info["ivf_f32"]["memory_bytes"]
+
+    # full probe degenerates to exact over the dequantized domain
+    got = index_scan(spark, "ivf_sq8", [qs[0]], k=5, catalog=cat,
+                     search_complexity=16).collect()
+    assert len(got) == 5
+
+    # append quantizes with the stored min/scale and is searchable
+    extra = spark.createDataFrame(
+        [(100000, qs[0])], "vec_id long, embedding array<float>"
+    )
+    insert_into_index(spark, "ivf_sq8", extra, catalog=cat)
+    got = index_scan(spark, "ivf_sq8", [qs[0]], k=1, catalog=cat).collect()
+    assert got[0]["vec_id"] == 100000
+    drop_index("ivf_f32", cat)
+    drop_index("ivf_sq8", cat)
+
+
+def test_sq8_vacuum_and_knn_join(spark, cat):
+    """SQ8 artifacts survive the lifecycle: delete + vacuum rebuilds
+    (re-quantizing the dequantized survivors), and index_knn_join
+    dequantizes after its cell pruning."""
+    import numpy as np
+
+    from duckdb_ann_spark.index import delete_from_index, vacuum_index
+    from duckdb_ann_spark.operators.knn_join import index_knn_join
+
+    rng = np.random.default_rng(12)
+    n, dim = 2000, 16
+    rows = [(int(i), [float(x) for x in rng.random(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    create_index(df, "vec_id", "embedding", "ivf_sq8l", engine="faiss",
+                 type="IVFFlat", ivf_nlist=8, nprobe=8,
+                 quantization="sq8", catalog=cat)
+
+    delete_from_index(spark, "ivf_sq8l", list(range(100)), catalog=cat)
+    m = vacuum_index(spark, "ivf_sq8l", catalog=cat)
+    assert m["num_vectors"] == n - 100 and m["num_deleted"] == 0
+    assert m["params"]["quantization"] == "sq8"
+    got = index_scan(
+        spark, "ivf_sq8l", [rows[500][1]], k=3, catalog=cat
+    ).collect()
+    assert got[0]["vec_id"] == 500  # self-match survives quantization
+
+    q = spark.createDataFrame(rows[500:520], "qid long, qv array<float>")
+    j = index_knn_join(spark, "ivf_sq8l", q, "qid", "qv", k=2, catalog=cat)
+    jrows = j.collect()
+    assert len(jrows) == 20 * 2
+    top = {}
+    for r in jrows:
+        if r["qid"] not in top or r["_distance"] < top[r["qid"]][1]:
+            top[r["qid"]] = (r["vec_id"], r["_distance"])
+    hits = sum(1 for qid, (vid, _) in top.items() if vid == qid)
+    assert hits >= 18, hits  # u8 rounding may shift a borderline pair
+    drop_index("ivf_sq8l", cat)

@@ -111,6 +111,64 @@ def test_ivf_1m_build_and_probe(spark, cat):
     vecs.unpersist()
 
 
+def test_ivf_1m_sq8_quarter_bytes(spark, cat):
+    """Round 13 (r12 verdict item 3): the SQ8 cell layout at 1M —
+    quantization='sq8' must hold recall within noise of the fp32 build
+    on the SAME cells while the vectors parquet shrinks ~4x (1 byte/dim
+    codes vs 4). Bytes-on-disk and both recalls are printed; the scan
+    savings is the 100-TB design point (the reference serves quantized
+    vectors from its live index, provider.rs:161-231 — this is that
+    contract, distributed)."""
+    n = 1_000_000
+    vecs = _vectors(spark, n).persist()
+    vecs.count()
+    rng = np.random.default_rng(99)
+    queries = rng.random((N_QUERIES, DIM), dtype=np.float32)
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+
+    def _dir_bytes(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    stats = {}
+    for name, kw in (("smoke_ivf32", {}),
+                     ("smoke_ivf8", {"quantization": "sq8"})):
+        t0 = time.perf_counter()
+        create_index(
+            vecs, "vec_id", "embedding", name, engine="faiss",
+            type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat, **kw,
+        )
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rows = index_scan(spark, name, queries, K, catalog=cat).collect()
+        search_s = time.perf_counter() - t0
+        assert len(rows) == N_QUERIES * K
+        stats[name] = (
+            build_s, search_s, _recall(rows, truth),
+            _dir_bytes(os.path.join(cat.path(name), "vectors")),
+        )
+    b32, s32, r32, by32 = stats["smoke_ivf32"]
+    b8, s8, r8, by8 = stats["smoke_ivf8"]
+    print(
+        f"\nivf 1M sq8: fp32 build {b32:.1f}s search {s32:.1f}s recall "
+        f"{r32:.3f} bytes {by32/1e6:.1f}MB | sq8 build {b8:.1f}s search "
+        f"{s8:.1f}s recall {r8:.3f} bytes {by8/1e6:.1f}MB "
+        f"({by32/max(by8,1):.2f}x smaller)"
+    )
+    assert by8 < by32 / 2.5, (by8, by32)
+    assert r8 >= r32 - 0.03, (r8, r32)
+    assert r8 >= 0.70, r8
+    drop_index("smoke_ivf32", cat)
+    drop_index("smoke_ivf8", cat)
+    vecs.unpersist()
+
+
 def test_ivf_10m_workhorse_tier(spark, cat):
     """Round-11 (r10 verdict item 5): IVF is the 100-TB-native engine
     (SURVEY §7 M2a) but had never been exercised past 1M. At 10M rows
@@ -225,6 +283,97 @@ def test_ivf_10m_workhorse_tier(spark, cat):
     assert jrec >= 0.70, jrec
     drop_index("smoke_ivf10m", cat)
     vecs.unpersist()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE_100M"),
+    reason="set SPARK_GRAFT_SCALE_SMOKE_100M=1 for the ~10-minute "
+           "100M-row IVF tier",
+)
+def test_ivf_100m_tier(spark, cat):
+    """Round 13 (r12 verdict item 5): the next rung past the proven 10M
+    — at 100M x d16 (6.4 GB of raw vectors) the sqrt-N rule gives
+    nlist=10k, an order past round 12's k-means|| regime; the 200k
+    train cap binds hard (20 rows/cell of train data); and the sorted
+    multi-cell writer faces 10k cells from 256 input partitions.
+    Build + measured-probe search + index_knn_join leg, walls printed,
+    floors >= 0.70. Gated separately (SPARK_GRAFT_SCALE_SMOKE_100M) —
+    the tier costs ~10 min of wall on a 32-core host.
+
+    MEASURED (first run, 2026-08-16, SPARK_GRAFT_CPUS=32 -> local[32]):
+    see the print; recorded in the round-13 commit message."""
+    n, dim, k = 100_000_000, 16, 10
+    vecs = (
+        spark.range(0, n, 1, 256)
+        .withColumn(
+            "embedding",
+            F.array(*[F.rand(513 + j).cast("float") for j in range(dim)]),
+        )
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+    # no persist: F.rand(seed) is deterministic for a fixed partitioning,
+    # and a 100M-row cache would fight the build for executor memory —
+    # regeneration is a cheap narrow codegen pass
+    rng = np.random.default_rng(41)
+    queries = rng.random((N_QUERIES, dim), dtype=np.float32)
+
+    t0 = time.perf_counter()
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, k, "l2")
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    truth_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    m = create_index(
+        vecs, "vec_id", "embedding", "smoke_ivf100m", engine="faiss",
+        type="IVFFlat", ivf_nlist=0, nprobe=0, catalog=cat,
+    )
+    build_s = time.perf_counter() - t0
+    from duckdb_ann_spark.index.ivf import auto_nlist, auto_nprobe
+
+    nlist_eff = int(m["nlist_effective"])
+    assert nlist_eff >= 0.9 * auto_nlist(n), (nlist_eff, auto_nlist(n))
+    cal = m.get("calibration") or {}
+    nprobe = int(cal.get("nprobe") or auto_nprobe(nlist_eff, dim))
+
+    t0 = time.perf_counter()
+    rows = index_scan(
+        spark, "smoke_ivf100m", queries, k, catalog=cat
+    ).collect()
+    search_s = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * k
+    rec = _recall(rows, truth)
+
+    from duckdb_ann_spark.operators.knn_join import index_knn_join
+
+    qside = vecs.where(F.col("vec_id") < 10_000).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    t0 = time.perf_counter()
+    jrows = index_knn_join(
+        spark, "smoke_ivf100m", qside, "qid", "embedding", k=5, catalog=cat
+    ).collect()
+    join_s = time.perf_counter() - t0
+    assert len(jrows) == 10_000 * 5, len(jrows)
+    jgot: dict[int, set] = {}
+    for r in jrows:
+        if r["qid"] < N_QUERIES:
+            jgot.setdefault(r["qid"], set()).add(r["vec_id"])
+    # self-recall: query i IS base row i, so its own id must be its
+    # 1-NN — a cheap floor that needs no second exact pass at 100M
+    self_hit = sum(1 for i in range(N_QUERIES) if i in jgot.get(i, set()))
+
+    print(
+        f"\nivf 100M (dim {dim}): nlist {nlist_eff}, nprobe {nprobe} "
+        f"(frac {nprobe / nlist_eff:.4f}); truth {truth_s:.1f}s, build "
+        f"{build_s:.1f}s, search {search_s:.1f}s recall {rec:.3f}; "
+        f"index_knn_join 10k q {join_s:.1f}s self-recall "
+        f"{self_hit / N_QUERIES:.3f}"
+    )
+    assert rec >= 0.70, rec
+    assert self_hit / N_QUERIES >= 0.70
+    drop_index("smoke_ivf100m", cat)
 
 
 def _graph_10m_smoke(spark, cat, name, engine, create_kw):
