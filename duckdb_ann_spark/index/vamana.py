@@ -533,7 +533,23 @@ class VamanaEngine:
         graph per CELL. A shuffle partition may receive several cells
         (hash of the cell id), so the build task loops per cell —
         shard file ids are cell ids, dense 0..k_eff-1."""
+        import time as _time
+
         from .ivf import _kmeans
+
+        # phase-wall attribution for scale tuning (round 13): set
+        # SPARK_GRAFT_BUILD_PHASES=1 to print each build phase's wall —
+        # the 10M smokes report one build number; this names where it
+        # goes (train/kmeans vs assign+build vs calibration)
+        _phases = os.environ.get("SPARK_GRAFT_BUILD_PHASES")
+        _t0 = _time.perf_counter()
+
+        def _phase(name: str) -> None:
+            nonlocal _t0
+            if _phases:
+                now = _time.perf_counter()
+                print(f"[build-phase] {name}: {now - _t0:.1f}s", flush=True)
+                _t0 = now
 
         vec_col = [c for c in src.columns if c != id_col][0]
         if n_rows is None:
@@ -546,8 +562,11 @@ class VamanaEngine:
             sample = src.where(
                 F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(modulus)) == 0
             ).select(vec_col)
+        _phase("count+sample-plan")
         train = np_stack_vectors(sample.toPandas()[vec_col])[:cap]
+        _phase("train-collect")
         centroids = _kmeans(train, shards)
+        _phase("routing-kmeans")
         k_eff = centroids.shape[0]
         from .ivf import _write_centroids
 
@@ -669,6 +688,7 @@ class VamanaEngine:
             .write.mode("overwrite")
             .parquet(f"{artifact_dir}/{LABELS_DIR}")
         )
+        _phase("assign+cell-builds+labels")
         # FUSED build-time measurement (round 11; shard files exist
         # now): one shared sample + one exact-top-k scan feed the
         # routing curve (round 9), the in-shard L curve (round 10), AND
@@ -714,6 +734,7 @@ class VamanaEngine:
                 self._default_search_complexity(params), search_fn,
                 measure_routing=measure_routing, n_queries=nq,
             )
+            _phase("fused-calibration")
         return len(shard_files)
 
     def _default_search_complexity(self, params) -> int:

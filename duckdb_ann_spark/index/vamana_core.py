@@ -61,8 +61,13 @@ MAX_OCCLUSION_SIZE = 750
 # k-means|| gate set. Large builds are recall-floor gated, not
 # byte-pinned; measured at the 10M smoke shapes the bulk body cuts the
 # per-cell build 1.2-1.7x at recall parity (sweep in the
-# build_graph docstring).
-BULK_MIN_ROWS = 1024
+# build_graph docstring). Env-overridable (executors read their own
+# copy of this module, so a monkeypatched constant never reaches
+# them): SPARK_GRAFT_BULK_MIN_ROWS=<n>, e.g. a huge value forces the
+# sequential body everywhere for A/B runs.
+import os as _os
+
+BULK_MIN_ROWS = int(_os.environ.get("SPARK_GRAFT_BULK_MIN_ROWS", "1024"))
 
 
 def _bulk_wave_width(dim: int) -> int:

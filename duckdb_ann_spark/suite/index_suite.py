@@ -271,20 +271,30 @@ def q_diskann_index_scan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS num_vectors,
            CAST((SELECT len(embedding) FROM embeddings LIMIT 1) AS INT)
                AS dimension,
-           true AS quantized, true AS recon_within_half_step
+           true AS quantized, true AS recon_within_half_step,
+           'diskann-v2' AS layout
     FROM embeddings
+    UNION ALL
+    SELECT CAST(count(*) AS BIGINT),
+           CAST((SELECT len(embedding) FROM embeddings LIMIT 1) AS INT),
+           true, true, 'ivf-parquet'
+    FROM embeddings
+    ORDER BY layout
     """,
 )
 def q_diskann_sq8_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 quantization contract (`rust_lib/src/provider.rs:161-231`):
     codes are per-dimension u8 with min/scale, so every dequantized value
     must sit within half a quantization step (scale/255/2) of the
-    original. The entry builds an SQ8 Vamana index, reads the codes back
-    from the `.diskann` appendix, and verifies the bound over every
-    (vector, dimension) — hash-green, replacing the old rows-only SQ8
-    search entry (search recall for SQ8 is gated in tests)."""
+    original. Two rows, one per SQ8 surface (round 13): the `.diskann`
+    appendix of an SQ8 Vamana build, and the DISTRIBUTED tier — the
+    IVF cell layout's u8 code columns read back through the engine's
+    Arrow-decoding vectors() view. Hash-green; search recall for SQ8 is
+    gated in tests. (At these oracle SFs the IVF train sample covers
+    every row, so no value clips and the half-step bound is exact.)"""
     import numpy as np
 
+    from ..index.engines import get_engine
     from ..index.file_format import read_diskann, read_sq8
     from ..index.vamana_core import sq8_dequantize
 
@@ -311,10 +321,34 @@ def q_diskann_sq8_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         err = np.abs(sq8_dequantize(codes, mins, scale) - g.vectors[: g.n])
         # half-step bound + float32 slack
         ok = ok and bool((err <= scale / 255.0 / 2.0 + 1e-5).all())
+
+    drop_index("suite_ivf_q", cat)
+    m2 = create_index(
+        _emb(spark, sf_dir), "vec_id", "embedding", "suite_ivf_q",
+        engine="faiss", type="IVFFlat", ivf_nlist=8, nprobe=8,
+        quantization="sq8", catalog=cat,
+    )
+    impl = get_engine("faiss", "ivfflat")
+    deq = impl.vectors(spark, cat.path("suite_ivf_q")).toPandas()
+    orig = _emb(spark, sf_dir).toPandas()
+    deq = deq.sort_values("vec_id").reset_index(drop=True)
+    orig = orig.sort_values("vec_id").reset_index(drop=True)
+    ok2 = bool((deq["vec_id"].to_numpy() == orig["vec_id"].to_numpy()).all())
+    dm = np.vstack(deq["embedding"].to_numpy()).astype(np.float32)
+    om = np.vstack(orig["embedding"].to_numpy()).astype(np.float32)
+    scale2 = np.asarray(m2["sq8_scale"], dtype=np.float32)
+    ok2 = ok2 and bool(
+        (np.abs(dm - om) <= scale2 / 255.0 / 2.0 + 1e-5).all()
+    )
     return spark.createDataFrame(
-        [(int(m["num_vectors"]), int(m["dim"]), True, bool(ok))],
+        [
+            (int(m["num_vectors"]), int(m["dim"]), True, bool(ok),
+             "diskann-v2"),
+            (int(m2["num_vectors"]), int(m2["dim"]), True, bool(ok2),
+             "ivf-parquet"),
+        ],
         "num_vectors long, dimension int, quantized boolean, "
-        "recon_within_half_step boolean",
+        "recon_within_half_step boolean, layout string",
     )
 
 

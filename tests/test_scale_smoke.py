@@ -301,7 +301,12 @@ def test_ivf_100m_tier(spark, cat):
     the tier costs ~10 min of wall on a 32-core host.
 
     MEASURED (first run, 2026-08-16, SPARK_GRAFT_CPUS=32 -> local[32]):
-    see the print; recorded in the round-13 commit message."""
+    nlist 10000, measured nprobe 8 (probe frac 0.0008 — an order below
+    the 10M tier's 0.003, exactly the sqrt-N scaling the design
+    predicts); truth 30.3s, build 875.5s (7.6x wall for 10x the 10M
+    tier's rows — sublinear: the fixed phases amortize and the
+    assignment/write dominate), search 19.1s recall 0.798 (floor
+    0.70), index_knn_join 10k queries 75.9s self-recall 1.000."""
     n, dim, k = 100_000_000, 16, 10
     vecs = (
         spark.range(0, n, 1, 256)
@@ -402,7 +407,14 @@ def _graph_10m_smoke(spark, cat, name, engine, create_kw):
     14.9s at recall@5 0.929. The original draft called index_knn_join
     here — that surface is IVFFlat-only BY DESIGN (no cell layout on
     graph engines), which this first run caught; the graph engines'
-    DataFrame-queries path is index_search_table."""
+    DataFrame-queries path is index_search_table.
+
+    ROUND 13 (bulk build body + Arrow cell input): build 507.4 →
+    463.2s at identical recall (0.916) — the layer-0 slab beam wins
+    1.44x on the isolated 6000-row cell build, but the wall
+    amortizes it against the assignment pass, the 10M-row shuffle,
+    the per-cell file writes, and the fused calibration (phase
+    attribution in the vamana twin below)."""
     n, dim, k = 10_000_000, 16, 10
     vecs = (
         spark.range(0, n, 1, 256)
@@ -536,7 +548,19 @@ def test_vamana_10m_routed_tier(spark, cat):
     per cell — distributed, scales out), search 4.1s at recall 0.904
     (route_nprobe 23, measured L 32), target_recall 0.78 delivered
     0.904 in 3.8s (anchor end 0.903 / predicted 0.891),
-    index_search_table 10k queries 18.6s at recall@5 0.931."""
+    index_search_table 10k queries 18.6s at recall@5 0.931.
+
+    ROUND 13 (bulk build body + Arrow cell input): build 899.0 →
+    808-827s at identical recall (0.904). Phase attribution
+    (SPARK_GRAFT_BUILD_PHASES=1, the 826.7s run): routing-kmeans
+    47.5s (driver), assign+cell-builds+labels 695.5s (distributed),
+    fused-calibration 80.6s. The bulk insert body is verified
+    1.6-1.7x on the isolated cell build under 32-way process
+    parallelism (64 cells / 32 procs: 11.2s sequential vs 6.6s bulk)
+    and 1.20x end-to-end on a calibration-free 1M A/B
+    (SPARK_GRAFT_BULK_MIN_ROWS=10^9 97.8s vs default 81.3s) — the
+    10M wall dilutes it with the shared assign/shuffle/write/
+    calibration phases, which are now the larger half."""
     _graph_10m_smoke(
         spark, cat, "smoke_vam10m", "diskann",
         dict(max_degree=16, build_complexity=32),
