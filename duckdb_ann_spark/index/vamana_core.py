@@ -566,6 +566,11 @@ class VamanaGraph:
         fmax_f = float(fmax)
         inc = min(self.alpha, 1.2)
         degree = self.max_degree
+        # (round 13, measured and rejected: a batched "no pair ratio
+        # exceeds 1.0 → keep the first `degree` sorted" short-circuit
+        # fires on only ~5% of back-edge pools at the uniform d16 smoke
+        # shape — occlusion is nearly always present — and its triu
+        # gather cost more than the skipped python scans saved.)
         for t, j in enumerate(need):
             # the small-pool occlusion scan of robust_prune, over the
             # precomputed batched ratio rows (same decisions)
