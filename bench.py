@@ -145,6 +145,28 @@ def flag_canary_sections(units: dict, tol: float = 0.2) -> list:
     )
 
 
+def retry_plan(flags: list, scale_on: bool = True) -> list:
+    """Round 14 (r13 verdict item 2): which sections to re-run when
+    canary boundaries flag. A flagged boundary implicates the section(s)
+    it bounds; >=2 flags mean the whole run's epoch is suspect, so every
+    section retries. One retry round only — a host that stays noisy
+    through two full epochs is the epoch, and `value_canary_rel` plus
+    the published flags adjudicate it."""
+    bounds = {
+        "start": ["workloads"],
+        "after_workloads": ["workloads", "scale"],
+        "after_scale": ["scale", "corpus"],
+        "after_corpus": ["corpus"],
+    }
+    if not flags:
+        return []
+    if len(flags) >= 2:
+        todo = ["workloads", "scale", "corpus"]
+    else:
+        todo = bounds[flags[0]]
+    return [s for s in todo if s != "scale" or scale_on]
+
+
 def calibration_canaries(spark, reps: int = 5) -> dict:
     """Round-8: fixed-work epoch canaries, timed in-process every bench
     run and recorded in the JSON (`calibration`), so cross-round totals
@@ -1038,57 +1060,65 @@ def main() -> None:
     calibration_canaries(spark, reps=1)
     section_units["start"] = _canary_unit(calibration_canaries(spark, reps=3))
 
-    # three full passes, per-workload min (see module docstring)
+    scale_on = os.environ.get("SPARK_GRAFT_SCALE100K", "1") != "0"
+
+    def _sec_workloads():
+        # three full passes, per-workload min (see module docstring)
+        t: dict[str, float] = {}
+        r: dict[str, float] = {}
+        for _ in range(3):
+            ti, r = run_workloads(spark)
+            for k, v in ti.items():
+                t[k] = min(v, t.get(k, v))
+            # the dedup / pipeline operators persist() intermediates that
+            # the returned DataFrames reference (so they cannot unpersist
+            # them internally); drop them between passes so pass 2
+            # measures the same cold-cache plan as pass 1 instead of
+            # fighting leftover blocks for executor memory
+            spark.catalog.clearCache()
+        return t, r
+
+    def _sec_scale():
+        t, r = bench_scale(spark)
+        spark.catalog.clearCache()
+        return t, r
+
+    def _sec_corpus():
+        return bench_corpus(spark), {}
+
     timings: dict[str, float] = {}
     recall: dict[str, float] = {}
-    for _ in range(3):
-        t, recall = run_workloads(spark)
+    wl_keys: set = set()
+
+    def _merge(t: dict, r: dict) -> None:
+        # min across epochs: host noise only ever INFLATES a wall, so
+        # the min is the cleanest observation of each leg
         for k, v in t.items():
             timings[k] = min(v, timings.get(k, v))
-        # the dedup / pipeline operators persist() intermediates that the
-        # returned DataFrames reference (so they cannot unpersist them
-        # internally); drop them between passes so pass 2 measures the
-        # same cold-cache plan as pass 1 instead of fighting leftover
-        # blocks for executor memory
-        spark.catalog.clearCache()
+        recall.update(r)
 
-    total = sum(timings.values())  # headline: shared workloads only
+    _merge(*_sec_workloads())
+    wl_keys = set(timings)
 
     cal = calibration_canaries(spark)
     section_units["after_workloads"] = _canary_unit(cal)
-    # round-9 (verdict item 6): the canary-RELATIVE total rides in the
-    # JSON so epoch adjudication stops being prose — compare
-    # `value_canary_rel` across rounds; a delta that survives the
-    # normalization is code, not host weather. The unit is the summed
-    # fixed-work canary wall (one GEMM + one python-loop + one spark-job
-    # term), so the ratio is dimensionless and host-epoch-invariant to
-    # first order.
-    canary_unit = cal["cal_gemm"] + cal["cal_py"] + cal["cal_spark"]
-    assert canary_unit > 0, cal
     out = {
         "metric": "bench_total_wall",
-        "value": round(total, 3),
         "unit": "sec",
-        "recall": recall,
         "sf": sf,
         # fixed-work host-epoch canaries (see calibration_canaries):
         # judge cross-round deltas relative to these, not to zero
         "calibration": cal,
-        "canary_unit_sec": round(canary_unit, 4),
-        "value_canary_rel": round(total / canary_unit, 3),
     }
-    if os.environ.get("SPARK_GRAFT_SCALE100K", "1") != "0":
-        scale_t, scale_r = bench_scale(spark)
-        timings.update(scale_t)
-        recall.update(scale_r)
-        spark.catalog.clearCache()
+    if scale_on:
+        _merge(*_sec_scale())
         # only claim the spot-check ran when it actually did
         out["scale_n"] = SCALE_N
         out["scale_excluded_from_total"] = True
         section_units["after_scale"] = _canary_unit(
             calibration_canaries(spark, reps=3)
         )
-    timings.update(bench_corpus(spark))
+    _merge(*_sec_corpus())
     section_units["after_corpus"] = _canary_unit(
         calibration_canaries(spark, reps=3)
     )
@@ -1097,7 +1127,62 @@ def main() -> None:
     # epoch than the rest of the run — judge those legs by their floors
     # and same-section reruns, not by cross-round wall deltas
     out["section_canaries"] = section_units
-    out["section_canary_flags"] = flag_canary_sections(section_units)
+    flags = flag_canary_sections(section_units)
+    out["section_canary_flags"] = flags
+    # test hook: exercise the retry path end-to-end on a clean host
+    # (e.g. SPARK_GRAFT_BENCH_FORCE_RETRY=after_corpus); the published
+    # flags stay the REAL ones
+    forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE_RETRY")
+    if forced:
+        flags = [f for f in forced.split(",") if f]
+
+    # round 14 (r13 verdict item 2): a flagged boundary used to publish
+    # anyway — r13's run flagged ALL FOUR and burned the round's signal.
+    # Now a noisy host costs minutes, not a round: re-run the section(s)
+    # a flagged boundary bounds once (the whole bench when >=2 flag) and
+    # keep the per-leg MIN across epochs. One retry round only; both the
+    # original flags and the retry's own canaries stay in the JSON.
+    if flags:
+        todo = retry_plan(flags, scale_on)
+        runners = {"workloads": _sec_workloads, "scale": _sec_scale,
+                   "corpus": _sec_corpus}
+        retry_units: dict[str, float] = {
+            "start": _canary_unit(calibration_canaries(spark, reps=3))
+        }
+        for sec in todo:
+            _merge(*runners[sec]())
+            retry_units[f"after_{sec}"] = _canary_unit(
+                calibration_canaries(spark, reps=3)
+            )
+        out["retried"] = todo
+        out["retry_section_canaries"] = retry_units
+        out["retry_section_canary_flags"] = flag_canary_sections(retry_units)
+        if "workloads" in todo:
+            # the headline rides the retried epoch too: refresh the
+            # authoritative canary and keep the cleaner (smaller) unit —
+            # min-of-legs already selects the cleaner epoch per leg, so
+            # pairing it with the noisier unit would overstate the win
+            cal2 = calibration_canaries(spark)
+            if _canary_unit(cal2) < _canary_unit(cal):
+                out["calibration"] = cal2
+
+    total = sum(timings[k] for k in wl_keys)  # headline: shared workloads
+    cal_final = out["calibration"]
+    # round-9 (verdict item 6): the canary-RELATIVE total rides in the
+    # JSON so epoch adjudication stops being prose — compare
+    # `value_canary_rel` across rounds; a delta that survives the
+    # normalization is code, not host weather. The unit is the summed
+    # fixed-work canary wall (one GEMM + one python-loop + one spark-job
+    # term), so the ratio is dimensionless and host-epoch-invariant to
+    # first order.
+    canary_unit = (
+        cal_final["cal_gemm"] + cal_final["cal_py"] + cal_final["cal_spark"]
+    )
+    assert canary_unit > 0, cal_final
+    out["value"] = round(total, 3)
+    out["recall"] = recall
+    out["canary_unit_sec"] = round(canary_unit, 4)
+    out["value_canary_rel"] = round(total / canary_unit, 3)
     out["queries"] = {k: round(v, 3) for k, v in timings.items()}
 
     print(json.dumps(out))

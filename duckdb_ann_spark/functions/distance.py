@@ -78,7 +78,31 @@ def cast_id_vec(df, id_col: str, vec_col: str):
     mapInPandas→mapInArrow migration). Every Arrow-pass entry point
     casts ONCE through this helper; when the input already has the
     target types Catalyst's SimplifyCasts removes the no-ops, so
-    published float32 artifacts stay bit-stable."""
+    published float32 artifacts stay bit-stable.
+
+    Validates the SOURCE types before casting (round-13 advice): an
+    ANSI-off `cast('long')` turns a string id column into silent nulls
+    — wrong join output instead of the loud executor Arrow error the
+    pre-cast code raised. Schema inspection is driver-local and free;
+    no extra action."""
+    from pyspark.sql.types import ArrayType, NumericType
+
+    id_t = df.schema[id_col].dataType
+    if not isinstance(id_t, NumericType):
+        raise ValueError(
+            f"id column '{id_col}' must be a numeric/integral type, got "
+            f"{id_t.simpleString()} (a lossy cast would silently null "
+            "non-numeric ids)"
+        )
+    vec_t = df.schema[vec_col].dataType
+    if not (
+        isinstance(vec_t, ArrayType)
+        and isinstance(vec_t.elementType, NumericType)
+    ):
+        raise ValueError(
+            f"vector column '{vec_col}' must be array<numeric>, got "
+            f"{vec_t.simpleString()}"
+        )
     return df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col).cast("array<float>").alias(vec_col),

@@ -618,7 +618,7 @@ _INFO_SCHEMA = (
     "name string, engine string, table_name string, num_vectors long, "
     "num_deleted long, memory_bytes long, quantized boolean, layout string, "
     "calibration_stale boolean, end_recall double, end_predicted double, "
-    "end_route_nprobe int, end_search_complexity int"
+    "end_route_nprobe int, end_search_complexity int, sq8_clip_count long"
 )
 
 
@@ -657,6 +657,7 @@ def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> Da
     rows = []
     for m in cat.list():
         ec = m.get("end_calibration") or {}
+        quantized = m.get("params", {}).get("quantization", "") == "sq8"
         rows.append((
             m["name"],
             m["engine"],
@@ -664,7 +665,7 @@ def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> Da
             m["num_vectors"],
             m.get("num_deleted", 0),
             _memory_bytes(m),
-            m.get("params", {}).get("quantization", "") == "sq8",
+            quantized,
             m.get("layout", ""),
             calibration_stale(m),
             float(ec["recall"]) if ec.get("recall") is not None else -1.0,
@@ -672,6 +673,14 @@ def ann_index_info(spark: SparkSession, catalog: Optional[Catalog] = None) -> Da
             else -1.0,
             int(ec.get("route_nprobe") or 0),
             int(ec.get("search_complexity") or 0),
+            # round 14 (r13 verdict item 6): values clipped by the SQ8
+            # encode across build+appends. DETERMINISTIC SENTINEL -1
+            # for fp32 artifacts (no envelope to clip against);
+            # quantized artifacts report the running count (0 for
+            # never-clipped and for pre-round-14 manifests; the vamana
+            # .diskann appendix quantizes each shard over ALL its
+            # vectors so it genuinely never clips)
+            int(m.get("sq8_clip_count", 0) or 0) if quantized else -1,
         ))
     return spark.createDataFrame(rows, _INFO_SCHEMA)
 

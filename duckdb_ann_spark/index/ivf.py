@@ -83,20 +83,11 @@ def sq8_train(train: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return mins, scale
 
 
-def sq8_encode(mat: np.ndarray, mins: np.ndarray,
-               scale: np.ndarray) -> np.ndarray:
-    """u8 codes; rows outside the train envelope clip (faiss SQ8
-    behavior). Same rounding as the reference (provider.rs:26-27)."""
-    return np.clip(
-        np.round((mat - mins) / scale * 255.0), 0, 255
-    ).astype(np.uint8)
-
-
-def sq8_decode(codes: np.ndarray, mins: np.ndarray,
-               scale: np.ndarray) -> np.ndarray:
-    # val = q/255*scale + min (provider.rs:26-27), elementwise f32 —
-    # bitwise the same expression vamana_core.sq8_dequantize evaluates
-    return (codes.astype(np.float32) / 255.0) * scale + mins
+# ONE codec for both quantized tiers (round-13 advice: the cell layout
+# and the .diskann appendix previously held verbatim copies of the
+# bit-sensitivity-critical encode/decode expressions)
+from .vamana_core import sq8_dequantize as sq8_decode  # noqa: E402
+from .vamana_core import sq8_encode  # noqa: E402,F401
 
 
 def _codes_binary_array(codes: np.ndarray):
@@ -394,13 +385,18 @@ def _arrow_cells(batch, vec_col: str, cm: np.ndarray, metric: str) -> np.ndarray
 
 def _assigned_cells_df(
     df: DataFrame, id_col: str, vec_col: str, bc, metric: str,
-    sq8_bc=None,
+    sq8_bc=None, clip_acc=None,
 ) -> DataFrame:
     """(id, vec) -> (id, vec, __cell) via one narrow mapInArrow pass.
     `bc` broadcasts the (nlist, dim) centroid matrix. With `sq8_bc`
     (a broadcast (mins, scale) pair) the vector column is replaced by
     the SQ8_COL binary code column — quantization rides the assignment
-    pass, no extra scan."""
+    pass, no extra scan. `clip_acc` (a Spark long accumulator) receives
+    the count of clipped VALUES — components outside the train
+    envelope, which lose precision silently (faiss SQ8 clip semantics)
+    — so the degradation is observable via `ann_index_info`
+    (round-13 verdict item 6). Accumulator counts can overshoot on task
+    retries; observability, not an invariant."""
 
     def assign(batches):
         import pyarrow as pa
@@ -423,9 +419,12 @@ def _assigned_cells_df(
                     mat = np_stack_vectors(
                         b.select([vec_col]).to_pandas()[vec_col]
                     )
-                payload = _codes_binary_array(
-                    sq8_encode(mat, mins, scale)
+                codes, n_clip = sq8_encode(
+                    mat, mins, scale, count_clipped=True
                 )
+                if clip_acc is not None and n_clip:
+                    clip_acc.add(n_clip)
+                payload = _codes_binary_array(codes)
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column(b.schema.get_field_index(id_col)),
@@ -464,6 +463,37 @@ def _np_codes_from_col(col, dim: int) -> np.ndarray:
     return codes
 
 
+# (appId, mins bytes, scale bytes) -> Broadcast. Every vectors()/search/
+# join over the same SQ8 artifact reuses ONE broadcast instead of
+# re-shipping (and leaking) a fresh block per call (round-13 advice);
+# the app-id key drops entries from a previous SparkContext.
+_SQ8_BC_CACHE: dict = {}
+_SQ8_BC_CACHE_MAX = 64
+
+
+def _sq8_broadcast(spark: SparkSession, mins: np.ndarray, scale: np.ndarray):
+    app = spark.sparkContext.applicationId
+    key = (app, mins.tobytes(), scale.tobytes())
+    bc = _SQ8_BC_CACHE.get(key)
+    if bc is not None:
+        return bc
+    for k in [k for k in _SQ8_BC_CACHE if k[0] != app]:
+        try:
+            _SQ8_BC_CACHE.pop(k)
+        except KeyError:
+            pass
+    if len(_SQ8_BC_CACHE) >= _SQ8_BC_CACHE_MAX:
+        old_key, old_bc = next(iter(_SQ8_BC_CACHE.items()))
+        _SQ8_BC_CACHE.pop(old_key, None)
+        try:
+            old_bc.unpersist()
+        except Exception:
+            pass
+    bc = spark.sparkContext.broadcast((mins, scale))
+    _SQ8_BC_CACHE[key] = bc
+    return bc
+
+
 def _decode_cells_df(raw: DataFrame, id_col: str, vec_col: str, sq8,
                      with_cell: bool) -> DataFrame:
     """SQ8 cell parquet -> (cell?, id, vec array<float>) via one narrow
@@ -475,7 +505,7 @@ def _decode_cells_df(raw: DataFrame, id_col: str, vec_col: str, sq8,
     mins, scale = sq8
     dim = len(mins)
     spark = raw.sparkSession
-    bc = spark.sparkContext.broadcast((mins, scale))
+    bc = _sq8_broadcast(spark, mins, scale)
     cols = ([CELL_COL] if with_cell else []) + [id_col, SQ8_COL]
 
     def dec(batches):
@@ -548,31 +578,16 @@ def _write_centroids(
     `file:` URI stays pyarrow-eligible regardless."""
     try:
         import os
-        import re
         import shutil
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        m = re.match(
-            r"^file:(?:///|/(?!/)|//localhost/)(.*)$", dest, re.IGNORECASE
-        )
-        path = ("/" + m.group(1)) if m else dest
-        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
-            raise ValueError("non-local scheme; use the Spark writer")
-        if m is None:
-            # scheme-less: local only if the resolved default fs is
-            default_fs = (
-                spark.sparkContext._jsc.hadoopConfiguration().get(
-                    "fs.defaultFS", "file:///"
-                )
-                or "file:///"
-            )
-            if not default_fs.lower().startswith("file:"):
-                raise ValueError(
-                    "scheme-less dest under a non-local fs.defaultFS; "
-                    "use the Spark writer"
-                )
+        from .catalog import local_fs_path
+
+        path = local_fs_path(dest, spark)
+        if path is None:
+            raise ValueError("non-local dest; use the Spark writer")
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         tbl = pa.table(
@@ -740,13 +755,19 @@ class IvfFlatEngine:
 
         sq8_bc = None
         sq8_min = sq8_scale = None
+        clip_acc = None
         if getattr(params, "quantize_sq8", False):
             mins, scale = sq8_train(train)
             sq8_min = [float(x) for x in mins]
             sq8_scale = [float(x) for x in scale]
             sq8_bc = spark.sparkContext.broadcast((mins, scale))
+            # min/scale train on the bounded sample, so build rows
+            # OUTSIDE the sample's envelope clip — count them so the
+            # sample-vs-full divergence (documented; reference trains on
+            # the faiss train set too) is observable, not silent
+            clip_acc = spark.sparkContext.accumulator(0)
         assigned = _assigned_cells_df(
-            df, id_col, vec_col, bc, metric, sq8_bc
+            df, id_col, vec_col, bc, metric, sq8_bc, clip_acc
         )
         # co-locate each cell before the partitioned write: without
         # this, every task writes a sliver of every cell (tasks x nlist
@@ -789,6 +810,12 @@ class IvfFlatEngine:
             # SQ8 dequantization params (round 13; None for fp32 cells)
             "sq8_min": sq8_min,
             "sq8_scale": sq8_scale,
+            # clipped VALUES across build+appends (round 14; 0 for fp32
+            # — ann_index_info reports the -1 no-envelope sentinel from
+            # the quantized flag, not this key)
+            "sq8_clip_count": (
+                int(clip_acc.value) if clip_acc is not None else 0
+            ),
         }
 
     @staticmethod
@@ -836,13 +863,9 @@ class IvfFlatEngine:
         raw = spark.read.parquet(f"{artifact_dir}/{VECTORS_DIR}")
         if SQ8_COL not in raw.columns:
             return raw.drop(CELL_COL)
-        import json
-        import os
+        from .catalog import read_manifest
 
-        from .catalog import MANIFEST
-
-        with open(os.path.join(artifact_dir, MANIFEST)) as f:
-            manifest = json.load(f)
+        manifest = read_manifest(artifact_dir, spark)
         sq8 = self._sq8_params(manifest)
         return _decode_cells_df(
             raw, manifest["id_col"], manifest["vec_col"], sq8,
@@ -873,15 +896,22 @@ class IvfFlatEngine:
         bc = spark.sparkContext.broadcast(centroids)
         metric = manifest["params"]["metric"]
         sq8 = self._sq8_params(manifest)
-        sq8_bc = (
-            spark.sparkContext.broadcast(sq8) if sq8 is not None else None
-        )
+        sq8_bc = clip_acc = None
+        if sq8 is not None:
+            sq8_bc = spark.sparkContext.broadcast(sq8)
+            clip_acc = spark.sparkContext.accumulator(0)
         _assigned_cells_df(
-            df_new, id_col, vec_col, bc, metric, sq8_bc
+            df_new, id_col, vec_col, bc, metric, sq8_bc, clip_acc
         ).write.mode(
             "append"
         ).partitionBy(CELL_COL).parquet(f"{artifact_dir}/{VECTORS_DIR}")
-        return {}
+        if clip_acc is None:
+            return {}
+        # cumulative: appended rows outside the BUILD-TIME train
+        # envelope silently lose precision (round-13 verdict item 6) —
+        # surface the running total via ann_index_info
+        prior = int(manifest.get("sq8_clip_count", 0) or 0)
+        return {"sq8_clip_count": max(prior, 0) + int(clip_acc.value)}
 
     # -- search --------------------------------------------------------
     def _centroids(self, spark: SparkSession, artifact_dir: str) -> np.ndarray:

@@ -362,13 +362,19 @@ class VamanaEngine:
         src = df.select(id_col, vec_col)
 
         def build_shard_np(ids: np.ndarray, vecs: np.ndarray,
-                           shard: int) -> pd.DataFrame:
+                           shard: int, walls=None) -> pd.DataFrame:
             # id-sorted build (reference insert order); numpy-facing so
             # the cell build's mapInArrow path never round-trips the
-            # vectors through pandas object Series (round 13)
+            # vectors through pandas object Series (round 13). `walls`
+            # (round 14, r13 verdict item 1): per-phase wall dict the
+            # cell build fills so the 10M composite phase is
+            # attributable — graph insert vs shard-file write.
+            import time as _t
+
             order = np.argsort(ids, kind="stable")
             ids = ids[order].astype(np.int64, copy=False)
             vecs = vecs[order]
+            _w0 = _t.perf_counter()
             g = build_graph(
                 vecs,
                 max_degree=params.max_degree,
@@ -379,10 +385,15 @@ class VamanaEngine:
                 start_nsamples=getattr(params, "start_nsamples", 1),
                 start_seed=getattr(params, "start_seed", 42),
             )
+            _w1 = _t.perf_counter()
             sq8 = sq8_quantize(vecs) if params.quantize_sq8 and len(vecs) else None
             write_diskann(
                 f"{artifact_dir}/{GRAPH_DIR}/shard_{shard}.diskann", g, sq8
             )
+            if walls is not None:
+                _w2 = _t.perf_counter()
+                walls["graph_insert"] += _w1 - _w0
+                walls["file_write"] += _w2 - _w1
             return pd.DataFrame(
                 {
                     "shard": np.full(len(ids), shard, dtype=np.int32),
@@ -592,20 +603,43 @@ class VamanaEngine:
         bc = spark.sparkContext.broadcast((centroids, tokens))
         metric = params.metric
 
+        # round 14 (r13 verdict item 1): per-TASK phase walls, summed
+        # via accumulators, so the one driver-side composite phase
+        # ("assign+cell-builds+labels") decomposes into named executor
+        # work — assignment GEMM, shuffle-read wait, Arrow->numpy input,
+        # graph insert, shard-file write. Sums are TASK-seconds across
+        # all concurrent workers (32x the wall when perfectly parallel);
+        # the residual vs the composite wall is shuffle-write + parquet
+        # label write + scheduling. Only created when the phase print is
+        # on — zero cost otherwise.
+        task_accs = (
+            {
+                k: spark.sparkContext.accumulator(0.0)
+                for k in ("assign", "shuffle_fetch", "input_arrow",
+                          "graph_insert", "file_write")
+            }
+            if _phases
+            else None
+        )
+
         def assign(batches):
             # mapInArrow (round 12, same fix as the IVF build): the
             # pandas round trip of the vector column dominated the
             # pass, not the assignment GEMM
+            import time as _t
+
             import pyarrow as pa
 
             from .ivf import _arrow_cells
 
             cm, toks = bc.value
+            t_body = 0.0
             for b in batches:
                 if b.num_rows == 0:
                     continue
+                t_in = _t.perf_counter()
                 cells = _arrow_cells(b, vec_col, cm, metric)
-                yield pa.RecordBatch.from_arrays(
+                out = pa.RecordBatch.from_arrays(
                     [
                         b.column(b.schema.get_field_index(id_col)),
                         b.column(b.schema.get_field_index(vec_col)),
@@ -616,6 +650,10 @@ class VamanaEngine:
                     ],
                     names=[id_col, vec_col, "shard", "_pt"],
                 )
+                t_body += _t.perf_counter() - t_in
+                yield out
+            if task_accs is not None and t_body:
+                task_accs["assign"].add(t_body)
 
         schema = (
             f"{_quote(id_col)} long, {_quote(vec_col)} array<float>, "
@@ -630,13 +668,28 @@ class VamanaEngine:
             # removed everywhere else. Vectors reshape zero-copy from
             # the Arrow child buffers; grouping is one stable argsort
             # over the int32 cell column.
+            import time as _t
+
             import pyarrow as pa
 
             from ..functions.distance import np_from_arrow_list
 
+            walls = (
+                {"shuffle_fetch": 0.0, "input_arrow": 0.0,
+                 "graph_insert": 0.0, "file_write": 0.0}
+                if task_accs is not None
+                else None
+            )
             id_parts, vec_parts, cell_parts = [], [], []
+            t_prev = _t.perf_counter()
             for b in batches:
+                t_in = _t.perf_counter()
+                if walls is not None:
+                    # time inside the generator's __next__ = waiting on
+                    # the shuffle reader for the next batch
+                    walls["shuffle_fetch"] += t_in - t_prev
                 if b.num_rows == 0:
+                    t_prev = _t.perf_counter()
                     continue
                 ids_b = b.column(b.schema.get_field_index(id_col)).to_numpy(
                     zero_copy_only=False
@@ -654,8 +707,12 @@ class VamanaEngine:
                 id_parts.append(ids_b)
                 vec_parts.append(mat)
                 cell_parts.append(cells_b)
+                t_prev = _t.perf_counter()
+                if walls is not None:
+                    walls["input_arrow"] += t_prev - t_in
             if not id_parts:
                 return
+            t_in = _t.perf_counter()
             ids = np.concatenate(id_parts)
             vecs = np.vstack(vec_parts)
             cells = np.concatenate(cell_parts)
@@ -664,13 +721,19 @@ class VamanaEngine:
             starts = np.concatenate(
                 [[0], np.flatnonzero(np.diff(cells_s)) + 1, [len(cells_s)]]
             )
+            if walls is not None:
+                walls["input_arrow"] += _t.perf_counter() - t_in
             for a, z in zip(starts[:-1], starts[1:]):
                 rows = order[a:z]
                 frame = build_shard_np(ids[rows], vecs[rows],
-                                       int(cells_s[a]))
+                                       int(cells_s[a]), walls)
                 yield pa.RecordBatch.from_pandas(
                     frame, preserve_index=False
                 )
+            if walls is not None:
+                for k, v in walls.items():
+                    if v:
+                        task_accs[k].add(v)
 
         from ..functions.distance import cast_id_vec
 
@@ -688,6 +751,17 @@ class VamanaEngine:
             .write.mode("overwrite")
             .parquet(f"{artifact_dir}/{LABELS_DIR}")
         )
+        if task_accs is not None:
+            parts = " ".join(
+                f"{k}={acc.value:.1f}s" for k, acc in task_accs.items()
+            )
+            print(
+                f"[build-phase-tasks] {parts} (TASK-seconds summed across "
+                f"{k_eff} cells; divide by concurrent workers for wall; "
+                "residual vs the composite wall = shuffle-write + label "
+                "parquet + scheduling)",
+                flush=True,
+            )
         _phase("assign+cell-builds+labels")
         # FUSED build-time measurement (round 11; shard files exist
         # now): one shared sample + one exact-top-k scan feed the
@@ -756,12 +830,9 @@ class VamanaEngine:
         """(id, vec) reconstructed from the graph shards + label map.
         Distributed: each task mmaps only the shards its label rows point
         at — no driver materialization, no duplicate vector parquet."""
-        import json
+        from .catalog import read_manifest
 
-        from .catalog import MANIFEST
-
-        with open(os.path.join(artifact_dir, MANIFEST)) as f:
-            m = json.load(f)
+        m = read_manifest(artifact_dir, spark)
         id_col, vec_col = m["id_col"], m["vec_col"]
         files = dict(self._shard_files(artifact_dir))
         labels = spark.read.parquet(f"{artifact_dir}/{LABELS_DIR}")
@@ -1336,17 +1407,25 @@ class HnswEngine(VamanaEngine):
         metric = params.metric
 
         def build_shard_np(ids: np.ndarray, vecs: np.ndarray,
-                           shard: int) -> pd.DataFrame:
+                           shard: int, walls=None) -> pd.DataFrame:
+            import time as _t
+
             order = np.argsort(ids, kind="stable")
             ids = ids[order].astype(np.int64, copy=False)
+            _w0 = _t.perf_counter()
             g = build_hnsw(
                 vecs[order] if len(ids) else vecs, m=m, ef_construction=ef,
                 metric=metric,
             )
+            _w1 = _t.perf_counter()
             write_diskann(
                 f"{artifact_dir}/{GRAPH_DIR}/shard_{shard}.diskann", g,
                 None, hnsw=g,
             )
+            if walls is not None:
+                _w2 = _t.perf_counter()
+                walls["graph_insert"] += _w1 - _w0
+                walls["file_write"] += _w2 - _w1
             return pd.DataFrame(
                 {
                     "shard": np.full(len(ids), shard, dtype=np.int32),

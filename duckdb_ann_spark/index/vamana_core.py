@@ -292,6 +292,43 @@ class VamanaGraph:
             [(i, d) for d, i in res[:k_eff]] for res in results
         ]
 
+    def search_batch_slab(self, queries, k: int,
+                          search_complexity: int | None = None):
+        """Frontier-slab search twin (round 14 — r13 verdict item 7):
+        per query, the bulk build's `_slab_search_visited` wave body
+        replaces `search_batch`'s per-hop python bookkeeping (the
+        heappop/bisect/set churn that is the measured wall of the 10k-
+        query routed legs). Same signature and return shape as
+        `search_batch`.
+
+        NOT byte-parity with `search_batch`: waved expansion visits a
+        (superset-leaning) different node set than strict best-first, so
+        per-query results can differ at the margin. OPT-IN ONLY for
+        `target_recall=`-driven serving, where the contract is the
+        measured recall floor — never the oracle/default paths (those
+        keep the lock-step body; grid goldens pin it)."""
+        qm = np.asarray(queries, dtype=np.float32)
+        nq = qm.shape[0]
+        if self.n == 0 or k == 0 or nq == 0:
+            return [[] for _ in range(nq)]
+        k_eff = min(k, self.n)
+        L = max(k_eff, search_complexity or self.build_complexity)
+        B = _bulk_wave_width(self.dim)
+        out = []
+        for qi in range(nq):
+            ids, ds = self._slab_search_visited(qm[qi], L, B)
+            if len(ids) > k_eff:
+                part = np.argpartition(ds, k_eff - 1)[:k_eff]
+            else:
+                part = np.arange(len(ids))
+            order = np.lexsort((ids[part], ds[part]))
+            sel = part[order]
+            out.append(
+                list(zip(ids[sel].tolist(),
+                         ds[sel].astype(np.float64).tolist()))
+            )
+        return out
+
     def _merge_batch(self, qi, nbrs, ds, L, results, candidates):
         res, cand = results[qi], candidates[qi]
         if len(res) >= L:
@@ -830,6 +867,23 @@ def two_pass_build(vectors: np.ndarray, sample_size: int = 0, **kw) -> VamanaGra
 # -- SQ8 quantization --------------------------------------------------
 
 
+def sq8_encode(mat: np.ndarray, mins: np.ndarray, scale: np.ndarray,
+               count_clipped: bool = False):
+    """u8 codes for `mat` under per-dim (mins, scale); rows outside the
+    train envelope CLIP (faiss SQ8 behavior; same rounding as the
+    reference, provider.rs:26-27). THE single encode implementation —
+    the IVF cell layout and the .diskann SQ8 appendix both call it
+    (round-13 advice: two verbatim copies of a bit-sensitivity-critical
+    codec invite drift). With `count_clipped`, also returns the number
+    of clipped VALUES (not rows) so appends of out-of-envelope vectors
+    are observable (`ann_index_info.sq8_clip_count`)."""
+    q = np.round((np.asarray(mat, dtype=np.float32) - mins) / scale * 255.0)
+    codes = np.clip(q, 0, 255).astype(np.uint8)
+    if count_clipped:
+        return codes, int((q < 0).sum() + (q > 255).sum())
+    return codes
+
+
 def sq8_quantize(vectors: np.ndarray):
     """Per-dimension min/scale u8 codes (`rust_lib/src/provider.rs:161-231`)."""
     v = np.asarray(vectors, dtype=np.float32)
@@ -837,7 +891,7 @@ def sq8_quantize(vectors: np.ndarray):
     maxs = v.max(axis=0)
     scale = maxs - mins
     scale[scale == 0] = 1.0
-    codes = np.clip(np.round((v - mins) / scale * 255.0), 0, 255).astype(np.uint8)
+    codes = sq8_encode(v, mins, scale)
     return codes, mins.astype(np.float32), scale.astype(np.float32)
 
 

@@ -518,19 +518,20 @@ def q_diskann_streaming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(-1.0 AS DOUBLE) AS end_recall,
                CAST(-1.0 AS DOUBLE) AS end_predicted,
                CAST(0 AS INT) AS end_route_nprobe,
-               CAST(0 AS INT) AS end_search_complexity FROM s
+               CAST(0 AS INT) AS end_search_complexity,
+               CAST(-1 AS BIGINT) AS sq8_clip_count FROM s
         UNION ALL
         SELECT 'suite_lib', 'FAISS', 'embeddings', CAST(n AS BIGINT),
                CAST(0 AS BIGINT), CAST(n * dim * 4 AS BIGINT),
                false, 'flat-parquet-v1', false,
                CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
-               CAST(0 AS INT), CAST(0 AS INT) FROM s
+               CAST(0 AS INT), CAST(0 AS INT), CAST(-1 AS BIGINT) FROM s
         UNION ALL
         SELECT 'suite_lih', 'FAISS', 'embeddings', CAST(n AS BIGINT),
                CAST(0 AS BIGINT), CAST(n * (dim + 32) * 4 AS BIGINT),
                false, 'hnsw-layered', false,
                CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
-               CAST(0 AS INT), CAST(0 AS INT) FROM s
+               CAST(0 AS INT), CAST(0 AS INT), CAST(-1 AS BIGINT) FROM s
     )
     ORDER BY name
     """,

@@ -60,3 +60,23 @@ def test_multiple_bursts_all_flagged():
     }
     out = flag_canary_sections(units)
     assert out == ["after_corpus", "after_workloads"]
+
+
+def test_retry_plan_sections():
+    """Round 14 (r13 verdict item 2): flagged boundaries map to the
+    section(s) they bound; >=2 flags retry everything; scale drops out
+    when the scale section is disabled."""
+    from bench import retry_plan
+
+    assert retry_plan([]) == []
+    assert retry_plan(["start"]) == ["workloads"]
+    assert retry_plan(["after_workloads"]) == ["workloads", "scale"]
+    assert retry_plan(["after_scale"]) == ["scale", "corpus"]
+    assert retry_plan(["after_corpus"]) == ["corpus"]
+    assert retry_plan(["start", "after_corpus"]) == [
+        "workloads", "scale", "corpus"
+    ]
+    assert retry_plan(["after_workloads"], scale_on=False) == ["workloads"]
+    assert retry_plan(["start", "after_scale"], scale_on=False) == [
+        "workloads", "corpus"
+    ]

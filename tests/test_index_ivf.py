@@ -576,3 +576,109 @@ def test_sq8_vacuum_and_knn_join(spark, cat):
     hits = sum(1 for qid, (vid, _) in top.items() if vid == qid)
     assert hits >= 18, hits  # u8 rounding may shift a borderline pair
     drop_index("ivf_sq8l", cat)
+
+
+def test_sq8_clip_count_observability(spark, cat):
+    """Round 14 (r13 verdict item 6): appends of vectors OUTSIDE the
+    build-time train envelope clip silently — ann_index_info surfaces a
+    running sq8_clip_count so the degradation is observable, with the
+    -1 sentinel on fp32 artifacts (no envelope to clip against)."""
+    import numpy as np
+
+    from duckdb_ann_spark.index import ann_index_info, insert_into_index
+
+    rng = np.random.default_rng(21)
+    n, dim = 500, 8
+    rows = [(int(i), [float(x) for x in rng.random(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    create_index(df, "vec_id", "embedding", "clip_f32", engine="faiss",
+                 type="IVFFlat", ivf_nlist=4, nprobe=4, catalog=cat)
+    m = create_index(df, "vec_id", "embedding", "clip_sq8", engine="faiss",
+                     type="IVFFlat", ivf_nlist=4, nprobe=4,
+                     quantization="sq8", catalog=cat)
+    # n <= train cap: every build row is in the train set, nothing clips
+    assert m["sq8_clip_count"] == 0, m["sq8_clip_count"]
+
+    def info(name):
+        return ann_index_info(spark, catalog=cat).where(
+            F.col("name") == name
+        ).head()
+
+    assert info("clip_f32")["sq8_clip_count"] == -1
+    assert info("clip_sq8")["sq8_clip_count"] == 0
+
+    # two out-of-envelope rows: every component sits above the train
+    # max, so all 2*dim values clip
+    extra = spark.createDataFrame(
+        [(9001, [10.0] * dim), (9002, [-10.0] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    m = insert_into_index(spark, "clip_sq8", extra, catalog=cat)
+    assert m["sq8_clip_count"] == 2 * dim, m["sq8_clip_count"]
+    assert info("clip_sq8")["sq8_clip_count"] == 2 * dim
+
+    # cumulative across appends; in-envelope appends add nothing
+    ok = spark.createDataFrame(
+        [(9003, [float(x) for x in rng.random(dim) * 0.5 + 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    m = insert_into_index(spark, "clip_sq8", ok, catalog=cat)
+    assert m["sq8_clip_count"] == 2 * dim
+    more = spark.createDataFrame(
+        [(9004, [20.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    m = insert_into_index(spark, "clip_sq8", more, catalog=cat)
+    assert m["sq8_clip_count"] == 3 * dim
+    drop_index("clip_f32", cat)
+    drop_index("clip_sq8", cat)
+
+
+def test_vectors_reads_manifest_from_file_uri(spark, cat):
+    """Round 14 (r13 verdict item 4): engine vectors() must route the
+    manifest read through catalog.read_manifest — a raw driver open()
+    of a `file:` URI (or DFS path) artifact dir raised FileNotFoundError
+    even though Spark reads the artifact's parquet fine."""
+    import numpy as np
+
+    from duckdb_ann_spark.index.engines import get_engine
+
+    rng = np.random.default_rng(22)
+    n, dim = 300, 8
+    rows = [(int(i), [float(x) for x in rng.random(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    create_index(df, "vec_id", "embedding", "uri_sq8", engine="faiss",
+                 type="IVFFlat", ivf_nlist=4, quantization="sq8",
+                 catalog=cat)
+    impl = get_engine("faiss", "ivfflat")
+    got = impl.vectors(spark, "file://" + cat.path("uri_sq8")).collect()
+    assert len(got) == n
+    by_id = {r["vec_id"]: r["embedding"] for r in got}
+    # dequantized values reconstruct within the SQ8 half-step bound
+    orig = np.array(rows[7][1], dtype=np.float32)
+    assert np.max(np.abs(np.array(by_id[7]) - orig)) < 0.01
+    drop_index("uri_sq8", cat)
+
+
+def test_local_fs_path_and_read_manifest():
+    """URI/scheme resolution shared by every driver-local artifact
+    open (catalog.local_fs_path)."""
+    import json
+    import os
+    import tempfile
+
+    from duckdb_ann_spark.index.catalog import local_fs_path, read_manifest
+
+    assert local_fs_path("/a/b") == "/a/b"
+    assert local_fs_path("file:///a/b") == "/a/b"
+    assert local_fs_path("file:/a/b") == "/a/b"
+    assert local_fs_path("file://localhost/a/b") == "/a/b"
+    assert local_fs_path("hdfs://nn/a/b") is None
+    assert local_fs_path("s3a://bucket/a") is None
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump({"name": "x"}, f)
+        assert read_manifest(d)["name"] == "x"
+        assert read_manifest("file://" + d)["name"] == "x"
+    with pytest.raises(ValueError, match="not driver-local"):
+        read_manifest("hdfs://nn/idx")

@@ -356,3 +356,36 @@ def test_double_vec_int_id_batch_and_join(spark):
     # exact self-match: query i's vector equals base row i's exactly
     best = {r["qid"]: r["vec_id"] for r in rows if r["_distance"] == 0.0}
     assert all(best[i] % 7 == i % 7 for i in best)
+
+
+def test_cast_id_vec_rejects_nonnumeric_types(spark):
+    """Round 14 (r13 advice): cast_id_vec's ANSI-off cast('long') turned
+    a string id column into silent nulls — wrong join output where the
+    pre-cast code failed loudly. Now the SOURCE schema is validated
+    (driver-local, no action) and a clear error raised."""
+    from duckdb_ann_spark.functions.distance import cast_id_vec
+
+    str_ids = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="must be a numeric"):
+        cast_id_vec(str_ids, "vec_id", "embedding")
+
+    str_vecs = spark.createDataFrame(
+        [(1, ["x", "y"])], "vec_id long, embedding array<string>"
+    )
+    with pytest.raises(ValueError, match="array<numeric>"):
+        cast_id_vec(str_vecs, "vec_id", "embedding")
+
+    not_arr = spark.createDataFrame([(1, "blob")], "vec_id long, embedding string")
+    with pytest.raises(ValueError, match="array<numeric>"):
+        cast_id_vec(not_arr, "vec_id", "embedding")
+
+    # numeric/integral sources still pass (the round-13 robustness case)
+    ok = cast_id_vec(
+        spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id int, embedding array<double>"
+        ),
+        "vec_id", "embedding",
+    )
+    assert dict(ok.dtypes) == {"vec_id": "bigint", "embedding": "array<float>"}

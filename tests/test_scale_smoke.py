@@ -381,6 +381,81 @@ def test_ivf_100m_tier(spark, cat):
     drop_index("smoke_ivf100m", cat)
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE_100M"),
+    reason="set SPARK_GRAFT_SCALE_SMOKE_100M=1 for the ~10-minute "
+           "100M-row SQ8 IVF tier",
+)
+def test_ivf_100m_sq8_tier(spark, cat):
+    """Round 14 (r13 verdict item 8): the SQ8 cell layout at the tier it
+    targets. Same data/queries as test_ivf_100m_tier (seeds 513/41), so
+    the printed recall is directly comparable to that run's fp32 number
+    (r13 measured 0.798). 100M x d16 fp32 is 6.4 GB raw — the u8 cells
+    must scan/store a fraction of it; this is also the first at-scale
+    reading of the 200k-train-cap clip behavior (sq8_clip_count in the
+    manifest counts build rows outside the train sample's envelope)."""
+    n, dim, k = 100_000_000, 16, 10
+    vecs = (
+        spark.range(0, n, 1, 256)
+        .withColumn(
+            "embedding",
+            F.array(*[F.rand(513 + j).cast("float") for j in range(dim)]),
+        )
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+    rng = np.random.default_rng(41)
+    queries = rng.random((N_QUERIES, dim), dtype=np.float32)
+
+    t0 = time.perf_counter()
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, k, "l2")
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    truth_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    m = create_index(
+        vecs, "vec_id", "embedding", "smoke_ivf100m8", engine="faiss",
+        type="IVFFlat", ivf_nlist=0, nprobe=0, quantization="sq8",
+        catalog=cat,
+    )
+    build_s = time.perf_counter() - t0
+
+    def _dir_bytes(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    disk = _dir_bytes(os.path.join(cat.path("smoke_ivf100m8"), "vectors"))
+    clip = int(m.get("sq8_clip_count", -1))
+
+    t0 = time.perf_counter()
+    rows = index_scan(
+        spark, "smoke_ivf100m8", queries, k, catalog=cat
+    ).collect()
+    search_s = time.perf_counter() - t0
+    assert len(rows) == N_QUERIES * k
+    rec = _recall(rows, truth)
+
+    raw_f32 = n * dim * 4
+    print(
+        f"\nivf 100M sq8 (dim {dim}): nlist {m['nlist_effective']}, truth "
+        f"{truth_s:.1f}s, build {build_s:.1f}s, search {search_s:.1f}s "
+        f"recall {rec:.3f} (fp32 r13 run: 0.798); vectors dir "
+        f"{disk/1e9:.2f}GB vs {raw_f32/1e9:.2f}GB raw fp32 "
+        f"({raw_f32/max(disk,1):.2f}x); train-cap clip count {clip} "
+        f"({clip / (n * dim):.2e} of values)"
+    )
+    assert rec >= 0.70, rec
+    # u8 codes + 8-byte ids, parquet-encoded: must stay well under half
+    # the raw fp32 vector payload
+    assert disk < raw_f32 / 2, (disk, raw_f32)
+    assert clip >= 0  # quantized build records the count
+    drop_index("smoke_ivf100m8", cat)
+
+
 def _graph_10m_smoke(spark, cat, name, engine, create_kw):
     """Round 12 (r11 verdict item 5): the routed GRAPH tier at 10M —
     ~10x more shards than the proven 1M smokes. At dim 16 / degree 16
@@ -645,6 +720,104 @@ def test_vamana_1m_routed_auto_defaults(spark, cat):
         spark, cat, "smoke_vam_1m", "diskann",
         dict(max_degree=16, build_complexity=32),
     )
+
+
+def test_vamana_1m_routed_sq8(spark, cat):
+    """Round 14 (r13 verdict item 3): the SQ8 appendix on the ROUTED
+    graph tier at 1M — previously only toy-tested
+    (tests/test_routed_shards.py). Mirrors test_ivf_1m_sq8_quarter_bytes
+    for engine='diskann', shard_by='cells'. The graph tier's SQ8 win is
+    SEARCH-RESIDENT bytes, not disk: the .diskann v2 body keeps fp32
+    vectors (appends/vacuum/vectors() rebuild from them — the
+    reference's quantized SERVING contract, provider.rs:161-231, is
+    about what stays resident), so on-disk grows ~1.25x while the shard
+    cache the searches actually hold drops ~4x (SQ8Vectors lazy view).
+    Asserts: recall within 0.03 of fp32 and >= 0.70, resident cache
+    <= half of fp32's, ann_index_info.quantized true."""
+    n = 1_000_000
+    vecs = _vectors(spark, n).persist()
+    vecs.count()
+    rng = np.random.default_rng(99)
+    queries = rng.random((N_QUERIES, DIM), dtype=np.float32)
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+
+    def _dir_bytes(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    import duckdb_ann_spark.index.vamana as vam
+    from duckdb_ann_spark.index import ann_index_info
+
+    stats = {}
+    for name, kw in (("smoke_vam32", {}),
+                     ("smoke_vam8", {"quantization": "sq8"})):
+        t0 = time.perf_counter()
+        create_index(
+            vecs, "vec_id", "embedding", name, engine="diskann",
+            max_degree=16, build_complexity=32, shard_by="cells",
+            catalog=cat, **kw,
+        )
+        build_s = time.perf_counter() - t0
+        m = cat.load(name)
+        assert m["shards"] >= 30, m["shards"]
+        t0 = time.perf_counter()
+        rows = index_scan(spark, name, queries, K, catalog=cat).collect()
+        search_s = time.perf_counter() - t0
+        assert len(rows) == N_QUERIES * K
+        # serving footprint: load a handful of shards through the same
+        # loader the search workers use and sum the VECTOR payload each
+        # search holds hot (a driver-side index_scan can't be used here
+        # — at 1M the scan runs distributed and never touches this
+        # process's cache; and the cache's "resident" accounting counts
+        # fp32 mmaps as 0 because the OS can reclaim them). fp32 shards
+        # page 4*n*dim bytes of vectors; SQ8 shards must serve the
+        # SQ8Vectors LAZY view (u8 codes, n*dim bytes) — an eager
+        # dequantized matrix here would silently forfeit the entire
+        # quantization saving (4x memory exactly where it matters).
+        from duckdb_ann_spark.index.engines import get_engine
+        from duckdb_ann_spark.index.vamana_core import SQ8Vectors
+
+        files = get_engine("diskann", "vamana")._shard_files(cat.path(name))
+        vam._clear_shard_cache()
+        vec_bytes = 0
+        for _, path in files[:5]:
+            g = vam._load_shard(path)
+            if name == "smoke_vam8":
+                assert isinstance(g.vectors, SQ8Vectors), type(g.vectors)
+            vec_bytes += int(g.vectors.nbytes)
+        vam._clear_shard_cache()
+        stats[name] = (
+            build_s, search_s, _recall(rows, truth),
+            _dir_bytes(os.path.join(cat.path(name), "graph")),
+            vec_bytes,
+        )
+    b32, s32, r32, d32, c32 = stats["smoke_vam32"]
+    b8, s8, r8, d8, c8 = stats["smoke_vam8"]
+    info = {r["name"]: r for r in ann_index_info(spark, catalog=cat).collect()}
+    print(
+        f"\nvamana 1M routed sq8: fp32 build {b32:.1f}s search {s32:.1f}s "
+        f"recall {r32:.3f} disk {d32/1e6:.1f}MB vec-serve {c32/1e6:.1f}MB "
+        f"| sq8 build {b8:.1f}s search {s8:.1f}s recall {r8:.3f} disk "
+        f"{d8/1e6:.1f}MB vec-serve {c8/1e6:.1f}MB "
+        f"({c32/max(c8,1):.2f}x smaller served)"
+    )
+    assert info["smoke_vam8"]["quantized"] is True
+    assert info["smoke_vam32"]["quantized"] is False
+    assert r8 >= r32 - 0.03, (r8, r32)
+    assert r8 >= 0.70, r8
+    assert r32 >= 0.70, r32
+    # the serving contract: the vector payload searches hold drops ~4x
+    # (same shards probed — identical routing centroids seed)
+    assert c8 <= c32 / 2, (c8, c32)
+    drop_index("smoke_vam32", cat)
+    drop_index("smoke_vam8", cat)
+    vecs.unpersist()
 
 
 def test_hnsw_1m_routed_auto_defaults(spark, cat):
