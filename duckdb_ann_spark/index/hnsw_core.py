@@ -203,36 +203,52 @@ class HnswGraph:
         differs (waved expansion order), so only `build_hnsw` calls
         this, behind vamana_core.BULK_MIN_ROWS; searches and appends
         keep `_search_layer` byte-for-byte."""
-        ids = np.fromiter((i for _, i in entries), np.int64,
-                          count=len(entries))
-        ds = np.asarray([d for d, _ in entries], dtype=np.float64)
         vis = np.zeros(self.n, dtype=bool)
-        vis[ids] = True
-        expanded = np.zeros(len(ids), dtype=bool)
+        # preallocated (capacity-doubling) visited buffers — same
+        # round-14 allocator-churn fix as VamanaGraph._slab_search_visited
+        m = len(entries)
+        cap = max(2 * (ef + m), 64)
+        ids_b = np.empty(cap, dtype=np.int64)
+        ds_b = np.empty(cap, dtype=np.float64)
+        exp_b = np.zeros(cap, dtype=bool)
+        ids_b[:m] = np.fromiter((i for _, i in entries), np.int64, count=m)
+        ds_b[:m] = [d for d, _ in entries]
+        vis[ids_b[:m]] = True
         while True:
-            une = np.flatnonzero(~expanded)
+            une = np.flatnonzero(~exp_b[:m])
             if not une.size:
                 break
-            if len(ids) >= ef:
+            ds = ds_b[:m]
+            if m >= ef:
                 thresh = np.partition(ds, ef - 1)[ef - 1]
                 une = une[ds[une] <= thresh]
                 if not une.size:
                     break
             if une.size > B:
                 une = une[np.argpartition(ds[une], B - 1)[:B]]
-            expanded[une] = True
-            rows = self.adjacency[ids[une]].reshape(-1)
+            exp_b[une] = True
+            rows = self.adjacency[ids_b[une]].reshape(-1)
             rows = rows[rows != NO_EDGE].astype(np.int64)
             rows = rows[~vis[rows]]
             if rows.size:
                 rows = np.unique(rows)
                 vis[rows] = True
                 nds = _dists(self.metric, self.vectors[rows], q)
-                ids = np.concatenate([ids, rows])
-                ds = np.concatenate([ds, nds.astype(np.float64)])
-                expanded = np.concatenate(
-                    [expanded, np.zeros(rows.size, bool)]
-                )
+                if m + rows.size > cap:
+                    cap = max(2 * cap, m + rows.size)
+                    ids_b = np.concatenate(
+                        [ids_b[:m], np.empty(cap - m, np.int64)]
+                    )
+                    ds_b = np.concatenate(
+                        [ds_b[:m], np.empty(cap - m, np.float64)]
+                    )
+                    exp_b = np.concatenate(
+                        [exp_b[:m], np.zeros(cap - m, bool)]
+                    )
+                ids_b[m:m + rows.size] = rows
+                ds_b[m:m + rows.size] = nds.astype(np.float64)
+                m += rows.size
+        ids, ds = ids_b[:m], ds_b[:m]
         top = np.lexsort((ids, ds))[:ef]
         return [(float(ds[i]), int(ids[i])) for i in top]
 

@@ -243,13 +243,16 @@ def _route_probe_sets(
 
 
 def _hits_batch(qs: np.ndarray, qids: list, psets, shard_files,
-                k: int, search_complexity, qid_name: str, qid_np_dtype):
+                k: int, search_complexity, qid_name: str, qid_np_dtype,
+                slab: bool = False):
     """One Arrow hit RecordBatch (qid, shard, label, _distance) for a
     task's query slab: per probed shard, the lock-step `search_batch`;
     hits stack as typed numpy arrays (round 13 — the python-tuple-list →
     pandas frame assembly was the largest remaining pandas surface on
     the search paths). `psets` is positional (probe set per query row)
-    or None for full fan-out."""
+    or None for full fan-out. `slab` (round 14, target_recall-driven
+    calls only) swaps in the frontier-slab beam where the graph offers
+    one — measured-floor contract, not byte-parity."""
     import pyarrow as pa
 
     out_q, out_s, out_l, out_d = [], [], [], []
@@ -263,10 +266,15 @@ def _hits_batch(qs: np.ndarray, qids: list, psets, shard_files,
             sub_qs = qs[keep]
             sub_ids = [qids[i] for i in keep]
         g = _load_shard(path)
+        search_fn = (
+            g.search_batch_slab
+            if slab and hasattr(g, "search_batch_slab")
+            else g.search_batch
+        )
         # lock-step batch: all of this task's queries advance together,
         # distance work aggregated per hop
         for qi, hits in zip(
-            sub_ids, g.search_batch(sub_qs, k, search_complexity)
+            sub_ids, search_fn(sub_qs, k, search_complexity)
         ):
             if not hits:
                 continue
@@ -723,13 +731,26 @@ class VamanaEngine:
             )
             if walls is not None:
                 walls["input_arrow"] += _t.perf_counter() - t_in
-            for a, z in zip(starts[:-1], starts[1:]):
-                rows = order[a:z]
-                frame = build_shard_np(ids[rows], vecs[rows],
-                                       int(cells_s[a]), walls)
-                yield pa.RecordBatch.from_pandas(
-                    frame, preserve_index=False
-                )
+            # single-BLAS-thread insert kernels for the cell builds:
+            # this task is one of `defaultParallelism` running
+            # concurrently — a second BLAS thread only oversubscribes
+            # (measured -8% per cell at the 10M shape). Restored after:
+            # python workers are reused by later jobs whose big-GEMM
+            # kernels want the default.
+            from .vamana_core import _blas_set_threads
+
+            prev_threads = _blas_set_threads(1)
+            try:
+                for a, z in zip(starts[:-1], starts[1:]):
+                    rows = order[a:z]
+                    frame = build_shard_np(ids[rows], vecs[rows],
+                                           int(cells_s[a]), walls)
+                    yield pa.RecordBatch.from_pandas(
+                        frame, preserve_index=False
+                    )
+            finally:
+                if prev_threads is not None:
+                    _blas_set_threads(prev_threads)
             if walls is not None:
                 for k, v in walls.items():
                     if v:
@@ -1129,6 +1150,7 @@ class VamanaEngine:
         # hits resolve (<= queries x shards x k) so the final top-k cut
         # can tie-break on the global id, matching the distributed
         # path's ORDER BY (_distance, id).
+        slab = bool(manifest.get("slab_beam"))
         per_q: list[list[tuple[float, int, int]]] = []
         for qi, q in enumerate(queries):
             hits: list[tuple[float, int, int]] = []
@@ -1136,7 +1158,11 @@ class VamanaEngine:
                 if probe_sets is not None and shard not in probe_sets[qi]:
                     continue
                 g = _load_shard(path)
-                for label, dist in g.search(q, k, search_complexity):
+                if slab and hasattr(g, "search_batch_slab"):
+                    found = g.search_batch_slab([q], k, search_complexity)[0]
+                else:
+                    found = g.search(q, k, search_complexity)
+                for label, dist in found:
                     hits.append((dist, shard, int(label)))
             per_q.append(hits)
         ids = _resolve_labels(
@@ -1177,6 +1203,7 @@ class VamanaEngine:
         ).repartition(npart, "query_idx")
         bpm = spark.sparkContext.broadcast(probe_sets)
         dim = len(qrows[0][1]) if qrows else 0
+        slab = bool(manifest.get("slab_beam"))
 
         def run(batches):
             # mapInArrow (round 13 — r12 verdict item 7): the query
@@ -1203,7 +1230,7 @@ class VamanaEngine:
                 psets = None if pm is None else [pm[qi] for qi in qids]
                 yield _hits_batch(
                     qs, qids, psets, shard_files, k, search_complexity,
-                    "query_idx", np.int32,
+                    "query_idx", np.int32, slab,
                 )
 
         hits = qdf.mapInArrow(
@@ -1289,6 +1316,7 @@ class VamanaEngine:
         qdf = qdf.repartition(spark.sparkContext.defaultParallelism)
 
         dim = int(manifest["dim"])
+        slab = bool(manifest.get("slab_beam"))
 
         def run(batches):
             # mapInArrow (round 13 — r12 verdict item 7): zero-copy
@@ -1324,7 +1352,7 @@ class VamanaEngine:
                         pm.append(s if s else existing)
                 yield _hits_batch(
                     qs, qids, pm, shard_files, k, search_complexity,
-                    "_qid", np.int64,
+                    "_qid", np.int64, slab,
                 )
 
         hits = qdf.mapInArrow(

@@ -70,6 +70,50 @@ import os as _os
 BULK_MIN_ROWS = int(_os.environ.get("SPARK_GRAFT_BULK_MIN_ROWS", "1024"))
 
 
+_BLAS_HANDLE = "unset"
+
+
+def _blas_set_threads(n: int) -> int | None:
+    """Best-effort runtime OpenBLAS thread count; returns the previous
+    count (None when the control API isn't reachable). Round 14 (r13
+    verdict item 1): 32 concurrent cell builds x 2 BLAS threads
+    oversubscribe the box 2x — the insert kernels are many SMALL
+    matmuls where a second BLAS thread only buys handoff churn.
+    Measured 32-way at the 10M cell shape (1500x16/deg16): 2.34 ->
+    2.15s per cell (-8%) with threads=1 set at task start. Runtime
+    control (not env) because python workers are REUSED across jobs:
+    the driver-side env default must keep serving the big-GEMM scan
+    kernels, and env vars cannot change after numpy loads."""
+    global _BLAS_HANDLE
+    if _BLAS_HANDLE == "unset":
+        _BLAS_HANDLE = None
+        try:
+            import ctypes
+            import re
+
+            with open("/proc/self/maps") as f:
+                maps = f.read()
+            m = re.search(r"(/\S*openblas\S*\.so\S*)", maps)
+            if m:
+                h = ctypes.CDLL(m.group(1))
+                for suffix in ("64_", ""):
+                    if hasattr(h, f"openblas_set_num_threads{suffix}") and \
+                            hasattr(h, f"openblas_get_num_threads{suffix}"):
+                        _BLAS_HANDLE = (
+                            getattr(h, f"openblas_set_num_threads{suffix}"),
+                            getattr(h, f"openblas_get_num_threads{suffix}"),
+                        )
+                        break
+        except Exception:
+            _BLAS_HANDLE = None
+    if _BLAS_HANDLE is None:
+        return None
+    setter, getter = _BLAS_HANDLE
+    prev = int(getter())
+    setter(int(n))
+    return prev
+
+
 def _bulk_wave_width(dim: int) -> int:
     """Frontier-slab wave width: how many best unexpanded candidates
     expand per wave. Narrow waves track the sequential threshold closely
@@ -514,34 +558,52 @@ class VamanaGraph:
         )
         vis = np.zeros(self.n, dtype=bool)
         vis[eps] = True
-        ids = eps
-        ds = _dists(self.metric, self.vectors[eps], q)
-        expanded = np.zeros(len(ids), dtype=bool)
+        # preallocated (capacity-doubling) visited buffers (round 14):
+        # the per-wave triple np.concatenate allocated ~3 fresh arrays
+        # per wave x ~15 waves per insert x N inserts — pure allocator
+        # churn; same values, same order, byte-identical slices out
+        m = eps.size
+        cap = max(2 * (L + m), 64)
+        ids_b = np.empty(cap, dtype=np.int64)
+        ds_b = np.empty(cap, dtype=np.float32)
+        exp_b = np.zeros(cap, dtype=bool)
+        ids_b[:m] = eps
+        ds_b[:m] = _dists(self.metric, self.vectors[eps], q)
         while True:
-            une = np.flatnonzero(~expanded)
+            une = np.flatnonzero(~exp_b[:m])
             if not une.size:
                 break
-            if len(ids) >= L:
+            ds = ds_b[:m]
+            if m >= L:
                 thresh = np.partition(ds, L - 1)[L - 1]
                 une = une[ds[une] <= thresh]
                 if not une.size:
                     break
             if une.size > B:
                 une = une[np.argpartition(ds[une], B - 1)[:B]]
-            expanded[une] = True
-            rows = self.adjacency[ids[une]].reshape(-1)
+            exp_b[une] = True
+            rows = self.adjacency[ids_b[une]].reshape(-1)
             rows = rows[rows != NO_EDGE].astype(np.int64)
             rows = rows[~vis[rows]]
             if rows.size:
                 rows = np.unique(rows)
                 vis[rows] = True
                 nds = _dists(self.metric, self.vectors[rows], q)
-                ids = np.concatenate([ids, rows])
-                ds = np.concatenate([ds, nds])
-                expanded = np.concatenate(
-                    [expanded, np.zeros(rows.size, bool)]
-                )
-        return ids, ds
+                if m + rows.size > cap:
+                    cap = max(2 * cap, m + rows.size)
+                    ids_b = np.concatenate(
+                        [ids_b[:m], np.empty(cap - m, np.int64)]
+                    )
+                    ds_b = np.concatenate(
+                        [ds_b[:m], np.empty(cap - m, np.float32)]
+                    )
+                    exp_b = np.concatenate(
+                        [exp_b[:m], np.zeros(cap - m, bool)]
+                    )
+                ids_b[m:m + rows.size] = rows
+                ds_b[m:m + rows.size] = nds
+                m += rows.size
+        return ids_b[:m].copy(), ds_b[:m].copy()
 
     def _backedges_batch(self, out: list[int], label: int) -> None:
         """Back-edge pass with the per-j prune KERNELS batched: every
@@ -554,16 +616,22 @@ class VamanaGraph:
         modulo BLAS kernel-shape last-ulp effects (the documented
         cross-path property the lazy/small prune paths already live
         with) — bulk-body-only, behind BULK_MIN_ROWS."""
-        need: list[int] = []
-        for j in out:
-            nbrs_j = self.neighbors(j)
-            if label in nbrs_j:
-                continue
-            nn = len(nbrs_j)
-            if nn < self.max_degree:
-                self.adjacency[j, nn] = np.uint32(label)
-            else:
-                need.append(int(j))
+        # vectorized prologue (round 14): one adjacency gather replaces
+        # the per-j neighbors()/containment/len python scans — `out` is
+        # distinct (robust_prune output) and rows are prefix-packed
+        # (every write goes through _set_neighbors), so the first
+        # NO_EDGE slot IS the edge count. Decision-identical to the
+        # per-j loop.
+        if not out:
+            return
+        out_a = np.asarray(out, dtype=np.int64)
+        adj = self.adjacency[out_a]  # (m0, degree) u32 copy
+        has = (adj == np.uint32(label)).any(axis=1)
+        counts = (adj != NO_EDGE).sum(axis=1)
+        free = ~has & (counts < self.max_degree)
+        if free.any():
+            self.adjacency[out_a[free], counts[free]] = np.uint32(label)
+        need = out_a[~has & (counts >= self.max_degree)].tolist()
         if not need:
             return
         nj = len(need)

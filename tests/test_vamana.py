@@ -430,3 +430,39 @@ def test_bulk_build_hnsw_gate_and_recall():
         assert rb >= 0.80, rb
     finally:
         vc.BULK_MIN_ROWS = old
+
+
+def test_search_batch_slab_recall_parity():
+    """Round 14 (r13 verdict item 7): the frontier-slab search twin.
+    Not byte-parity with search_batch (waved expansion, documented) —
+    the contract is recall at the same L, which must be >= lock-step
+    minus noise on every shape the routed tiers serve."""
+    import numpy as np
+
+    from duckdb_ann_spark.index.vamana_core import build_graph
+
+    rng = np.random.default_rng(17)
+    for n, dim, deg, L in ((781, 64, 32, 64), (1500, 16, 16, 40)):
+        vecs = rng.random((n, dim), dtype=np.float32)
+        g = build_graph(vecs, max_degree=deg, build_complexity=2 * deg)
+        qs = rng.random((50, dim), dtype=np.float32)
+        k = 5
+        d = ((vecs[None, :, :] - qs[:, None, :]) ** 2).sum(-1)
+        truth = [set(np.argsort(dq)[:k].tolist()) for dq in d]
+
+        def recall(res):
+            hit = sum(
+                len({i for i, _ in r[:k]} & truth[qi])
+                for qi, r in enumerate(res)
+            )
+            return hit / (len(qs) * k)
+
+        r_lock = recall(g.search_batch(qs, k, L))
+        r_slab = recall(g.search_batch_slab(qs, k, L))
+        assert r_slab >= r_lock - 0.02, (n, dim, r_slab, r_lock)
+        assert r_slab >= 0.9, (n, dim, r_slab)
+        # same return shape: per-query [(label, dist)] ascending
+        out = g.search_batch_slab(qs[:2], k, L)
+        assert len(out) == 2 and len(out[0]) == k
+        ds = [dd for _, dd in out[0]]
+        assert ds == sorted(ds)
