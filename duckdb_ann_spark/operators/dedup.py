@@ -184,16 +184,30 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
+# Band-key derivation version, recorded in published signature-artifact
+# manifests (round 14). v2 = xxhash64 BIGINT keys; v1 (pre-round-14) was
+# a 32-hex md5 string — 4x the key bytes through every band shuffle and
+# a string compare in every bucket join, measured -15% on the sf0.1
+# candidate-pairs leg. Bumping the version makes v1 artifacts fail LOUD
+# in `published_band_keys` (re-publish) instead of silently joining
+# zero pairs against v2 delta keys.
+BAND_KEY_VERSION = 2
+
+
 def band_keys_from_signatures(
     sigs: DataFrame,
     id_col: str,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """(id, sig) → (id, band, bkey): one 32-hex LSH bucket key per band
-    (md5 over the band's signature slice). Shared by the batch pair
-    generator and the streaming near-dedup — both sides MUST derive keys
-    identically or stream-vs-batch dedup decisions diverge."""
+    """(id, sig) → (id, band, bkey): one BIGINT LSH bucket key per band
+    (xxhash64 over the band's signature slice — same-slice → same-key,
+    which is all the bucket join consumes; the DuckDB oracle derives its
+    own equality keys from the same slices, so pair SETS are identical).
+    Shared by the batch pair generator and the streaming near-dedup —
+    both sides MUST derive keys identically or stream-vs-batch dedup
+    decisions diverge (BAND_KEY_VERSION pins this for published
+    artifacts)."""
     r = n_hashes // n_bands
 
     def band_keys(s: Column) -> Column:
@@ -202,11 +216,7 @@ def band_keys_from_signatures(
         return F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[s[b * r + i].cast("string") for i in range(r)]
-                    )
-                ).alias("bkey"),
+                F.xxhash64(*[s[b * r + i] for i in range(r)]).alias("bkey"),
             )
             for b in range(n_bands)
         ])
@@ -375,9 +385,10 @@ def publish_minhash_signatures(
     # clear the commit marker FIRST (empty overwrite — head() = None
     # reads as uncommitted) so a crash mid-rewrite leaves a detectably-
     # unpublished artifact, never a stale-valid one
-    _ldf(spark, [], "n_hashes int, n_bands int, shingle_words int").write.mode(
-        "overwrite"
-    ).parquet(f"{output_path}/manifest")
+    _ldf(
+        spark, [],
+        "n_hashes int, n_bands int, shingle_words int, key_version int",
+    ).write.mode("overwrite").parquet(f"{output_path}/manifest")
     try:
         sigs.write.mode("overwrite").parquet(f"{output_path}/sig")
         band_keys_from_signatures(sigs, id_col, n_hashes, n_bands).write.mode(
@@ -390,8 +401,9 @@ def publish_minhash_signatures(
         sigs.unpersist()
     _ldf(
         spark,
-        [(int(n_hashes), int(n_bands), int(shingle_words))],
-        "n_hashes int, n_bands int, shingle_words int",
+        [(int(n_hashes), int(n_bands), int(shingle_words),
+          int(BAND_KEY_VERSION))],
+        "n_hashes int, n_bands int, shingle_words int, key_version int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{output_path}/manifest")
 
 
@@ -435,6 +447,15 @@ def published_band_keys(
             f"published artifact at '{published_path}' was built with "
             f"(n_hashes, n_bands, shingle_words)={got}, query asked for "
             f"{(n_hashes, n_bands, shingle_words)} — keys would not join"
+        )
+    # round 14: v1 (md5-string) artifacts would silently join ZERO pairs
+    # against v2 (xxhash64 bigint) delta keys — fail loud instead
+    mv = m.asDict().get("key_version", 1)
+    if mv != BAND_KEY_VERSION:
+        raise ValueError(
+            f"published artifact at '{published_path}' uses band-key "
+            f"version {mv}, this engine derives version "
+            f"{BAND_KEY_VERSION} — re-run publish_minhash_signatures"
         )
     return spark.read.parquet(f"{published_path.rstrip('/')}/bands")
 

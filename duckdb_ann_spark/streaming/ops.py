@@ -313,10 +313,10 @@ def stream_dedup_minhash(
       batch policy), or
     * by any prior batch inside the retention horizon.
 
-    State is a parquet table of (band, bkey, ts_ms) — 32-hex keys ONLY,
-    never text bodies or signatures, so state size is
-    O(docs-per-horizon x n_bands x ~40 B) however large the documents
-    are. Every batch appends its keys (dropped docs' keys too, matching
+    State is a parquet table of (band, bkey, ts_ms) — 8-byte xxhash64
+    keys ONLY (BAND_KEY_VERSION 2), never text bodies or signatures, so
+    state size is O(docs-per-horizon x n_bands x ~20 B) however large
+    the documents are. Every batch appends its keys (dropped docs' keys too, matching
     the batch policy where dropped docs still anchor future pairs) and
     every `compact_every`-th batch rewrites the table with expired keys
     removed, bounding both disk and the per-batch anti-join input.

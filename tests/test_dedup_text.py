@@ -495,6 +495,17 @@ def test_published_artifact_manifest_validation(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="keys would not join"):
         minhash_pairs_incremental(spark, pub, docs, "doc_id", "text",
                                   shingle_words=2)
+    # round 14: a pre-v2 artifact (md5-string band keys, manifest without
+    # key_version) must fail loud — its keys would silently join ZERO
+    # pairs against xxhash64 delta keys
+    from duckdb_ann_spark.local import local_df
+
+    local_df(
+        spark, [(12, 4, 3)], "n_hashes int, n_bands int, shingle_words int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{pub}/manifest")
+    with pytest.raises(ValueError, match="band-key version 1"):
+        published_band_keys(spark, pub)
+
     shutil.rmtree(f"{pub}/manifest")  # simulate an interrupted publish
     with pytest.raises(ValueError, match="missing manifest"):
         published_band_keys(spark, pub)
