@@ -378,6 +378,35 @@ class HnswGraph:
         return [self.search(qm[i], k, search_complexity)
                 for i in range(qm.shape[0])]
 
+    def search_batch_slab(self, queries, k: int,
+                          search_complexity: int | None = None):
+        """Frontier-slab search twin (round 14, the HNSW side of
+        `VamanaGraph.search_batch_slab`): upper-layer descent unchanged
+        (cheap, ef=1), layer 0 through the bulk build's
+        `_search_layer0_slab` wave body instead of the per-hop
+        heappop/bisect beam. Same opt-in contract: ONLY
+        `target_recall=`-driven serving (measured-floor semantics) —
+        default/oracle paths keep the sequential beam byte-for-byte."""
+        from .vamana_core import _bulk_wave_width
+
+        qm = np.asarray(queries, dtype=np.float32)
+        nq = qm.shape[0]
+        if self.n == 0 or k == 0 or nq == 0:
+            return [[] for _ in range(nq)]
+        k_eff = min(k, self.n)
+        ef = max(k_eff, search_complexity or self.ef_construction)
+        B = _bulk_wave_width(self.dim)
+        out = []
+        for qi in range(nq):
+            q = qm[qi]
+            ep = [(_dist(self.metric, q, self.vectors[self.entry_point]),
+                   self.entry_point)]
+            for lc in range(self.max_level, 0, -1):
+                ep = self._search_layer(q, ep, 1, lc)
+            res = self._search_layer0_slab(q, ep, ef, B)[:k_eff]
+            out.append([(i, d) for d, i in res])
+        return out
+
 
 def build_hnsw(vectors: np.ndarray, m: int = 32, ef_construction: int = 64,
                metric: str = "l2") -> HnswGraph:

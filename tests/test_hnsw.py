@@ -281,3 +281,35 @@ def test_hnsw_vacuum_and_merge_lifecycle(spark, sf_dir, tmp_path):
            index_scan(spark, "dst_h", [qv], 3, search_complexity=500,
                       catalog=cat).collect()]
     assert got[0] == 0  # vec 0 came from the merged IVF source
+
+
+def test_hnsw_search_batch_slab_recall_parity():
+    """Round 14: the layered slab search twin must hold recall at the
+    same ef as the sequential beam (waved layer-0 expansion, documented
+    not-byte-parity) and return the same shape."""
+    import numpy as np
+
+    from duckdb_ann_spark.index.hnsw_core import build_hnsw
+
+    rng = np.random.default_rng(19)
+    n, dim, k = 1500, 16, 5
+    vecs = rng.random((n, dim), dtype=np.float32)
+    g = build_hnsw(vecs, m=16, ef_construction=40)
+    qs = rng.random((50, dim), dtype=np.float32)
+    d = ((vecs[None, :, :] - qs[:, None, :]) ** 2).sum(-1)
+    truth = [set(np.argsort(x)[:k].tolist()) for x in d]
+
+    def recall(res):
+        return sum(
+            len({i for i, _ in r[:k]} & truth[qi])
+            for qi, r in enumerate(res)
+        ) / (len(qs) * k)
+
+    r_seq = recall(g.search_batch(qs, k, 40))
+    r_slab = recall(g.search_batch_slab(qs, k, 40))
+    assert r_slab >= r_seq - 0.02, (r_slab, r_seq)
+    assert r_slab >= 0.9, r_slab
+    out = g.search_batch_slab(qs[:2], k, 40)
+    assert len(out) == 2 and len(out[0]) == k
+    ds = [dd for _, dd in out[0]]
+    assert ds == sorted(ds)
