@@ -498,7 +498,14 @@ def _graph_10m_smoke(spark, cat, name, engine, create_kw):
     1.44x on the isolated 6000-row cell build, but the wall
     amortizes it against the assignment pass, the 10M-row shuffle,
     the per-cell file writes, and the fused calibration (phase
-    attribution in the vamana twin below)."""
+    attribution in the vamana twin below).
+
+    ROUND 14 (BLAS=1 build tasks + vectorized back-edge prologue +
+    preallocated slab buffers — see the vamana twin): build 463.2 →
+    367.8s (-21%) at identical recall 0.916; per-task decomposition
+    graph_insert 9702 task-s (= ~303s/32, 88% of the 345.3s
+    composite), assign 540 (17s), shuffle/input/write ~5 — the same
+    insert-kernel wall, same non-IO attribution."""
     n, dim, k = 10_000_000, 16, 10
     vecs = (
         spark.range(0, n, 1, 256)
