@@ -68,6 +68,22 @@ MAX_OCCLUSION_SIZE = 750
 import os as _os
 
 BULK_MIN_ROWS = int(_os.environ.get("SPARK_GRAFT_BULK_MIN_ROWS", "1024"))
+# Rows per wave-batched bulk insert (round 14): searches share the
+# wave-start graph snapshot (a row's pool misses its own wave's other
+# rows — the standard batch-build relaxation) and their distance
+# kernels merge across the wave. 0/1 = per-row _insert_bulk (the
+# round-13 body). Measured min-of-3 build wall / recall@10 vs the
+# per-row body: 1500x16/deg16 1.92->1.61s at 0.990->0.991;
+# 6000x16 14.3->9.6s at 0.969->0.971; 4000x128/deg32 41.7->26.6s at
+# 0.902->0.896. W=32+ starts costing recall on 1500-row graphs
+# (0.963 at 32, 0.936 at 64 — wave/|graph| grows past ~2%), so the
+# default stays 16 (~1% of the smallest bulk graphs). End-to-end the
+# win scales with CELL size: the 10M vamana tier (1500-row cells)
+# measured 673.4 -> 656.1s (within host noise — the isolated win at
+# that shape is ~nil once the buffer refactor landed), while the
+# 6000-row / 128-dim shapes (the direction of the production
+# 25k-row default-degree budget) hold the 1.3-1.6x.
+WAVE_ROWS = int(_os.environ.get("SPARK_GRAFT_WAVE_ROWS", "16"))
 
 
 _BLAS_HANDLE = "unset"
@@ -605,6 +621,130 @@ class VamanaGraph:
                 m += rows.size
         return ids_b[:m].copy(), ds_b[:m].copy()
 
+    def _slab_search_visited_multi(self, qs: np.ndarray, L: int, B: int):
+        """`_slab_search_visited` for S queries with the per-wave
+        distance kernels MERGED across queries (round 14 — the wave-
+        insert experiment): every global iteration gathers each active
+        query's expansion rows, then runs ONE vectors gather + ONE
+        row-wise einsum for all of them (the `search_batch` qidx-repeat
+        shape, bitwise-equal per row to the single-query `_dists`).
+        Per-query wave decisions (threshold, wave pick, visited sets)
+        are identical to S independent `_slab_search_visited` calls —
+        only kernel BATCHING differs, so each query's returned
+        (ids, ds) is bitwise what the single-query body returns."""
+        S = qs.shape[0]
+        eps = np.asarray(
+            [ep for ep in self.entry_points if ep < self.n], dtype=np.int64
+        )
+        ne = eps.size
+        cap0 = max(2 * (L + ne), 64)
+        ids_bs = [np.empty(cap0, np.int64) for _ in range(S)]
+        ds_bs = [np.empty(cap0, np.float32) for _ in range(S)]
+        exp_bs = [np.zeros(cap0, bool) for _ in range(S)]
+        ms = [ne] * S
+        vis = np.zeros((S, self.n), dtype=bool)
+        vis[:, eps] = True
+        ep_vecs = self.vectors[eps]
+        for qi in range(S):
+            ids_bs[qi][:ne] = eps
+            ds_bs[qi][:ne] = _dists(self.metric, ep_vecs, qs[qi])
+        active = list(range(S))
+        while active:
+            gather: list[tuple[int, np.ndarray]] = []
+            nxt: list[int] = []
+            for qi in active:
+                m = ms[qi]
+                ds = ds_bs[qi][:m]
+                une = np.flatnonzero(~exp_bs[qi][:m])
+                if not une.size:
+                    continue
+                if m >= L:
+                    thresh = np.partition(ds, L - 1)[L - 1]
+                    une = une[ds[une] <= thresh]
+                    if not une.size:
+                        continue
+                if une.size > B:
+                    une = une[np.argpartition(ds[une], B - 1)[:B]]
+                exp_bs[qi][une] = True
+                rows = self.adjacency[ids_bs[qi][une]].reshape(-1)
+                rows = rows[rows != NO_EDGE].astype(np.int64)
+                rows = rows[~vis[qi, rows]]
+                nxt.append(qi)
+                if rows.size:
+                    rows = np.unique(rows)
+                    vis[qi, rows] = True
+                    gather.append((qi, rows))
+            active = nxt
+            if not gather:
+                continue
+            flat = np.concatenate([r for _, r in gather])
+            counts = np.asarray([r.size for _, r in gather])
+            vecs = self.vectors[flat]
+            qrows = np.repeat(
+                qs[np.asarray([qi for qi, _ in gather])], counts, axis=0
+            )
+            if self.metric == "ip":
+                ds_all = -np.einsum("ij,ij->i", vecs, qrows)
+            else:
+                diff = vecs - qrows
+                ds_all = np.einsum("ij,ij->i", diff, diff)
+            pos = 0
+            for (qi, rows), c in zip(gather, counts.tolist()):
+                m = ms[qi]
+                if m + c > ids_bs[qi].size:
+                    cap = max(2 * ids_bs[qi].size, m + c)
+                    ids_bs[qi] = np.concatenate(
+                        [ids_bs[qi][:m], np.empty(cap - m, np.int64)]
+                    )
+                    ds_bs[qi] = np.concatenate(
+                        [ds_bs[qi][:m], np.empty(cap - m, np.float32)]
+                    )
+                    exp_bs[qi] = np.concatenate(
+                        [exp_bs[qi][:m], np.zeros(cap - m, bool)]
+                    )
+                ids_bs[qi][m:m + c] = rows
+                ds_bs[qi][m:m + c] = ds_all[pos:pos + c]
+                ms[qi] = m + c
+                pos += c
+        return [
+            (ids_bs[qi][:ms[qi]].copy(), ds_bs[qi][:ms[qi]].copy())
+            for qi in range(S)
+        ]
+
+    def _insert_wave(self, block: np.ndarray, B: int) -> None:
+        """Wave-batched bulk insert (round 14 experiment): W rows search
+        the SAME graph snapshot (their pools cannot see each other —
+        wave rows have no in-edges until their own prune applies), then
+        prune + out-edges + back-edges apply SEQUENTIALLY in label
+        order. W=1 is exactly `_insert_bulk`. The relaxation is the
+        standard batch-build one (FreshDiskANN-style merge): a row's
+        candidate pool misses the up-to-W-1 rows of its own wave, so
+        graph quality is gated by the bulk recall-parity tests, not
+        byte-stability. Only `build_graph` calls this, behind
+        BULK_MIN_ROWS and start_strategy='first'."""
+        if self.n == 0:
+            self._insert_bulk(block[0], B)
+            block = block[1:]
+            if not len(block):
+                return
+        w0 = self.n
+        W = block.shape[0]
+        self._grow(w0 + W)
+        self.vectors[w0:w0 + W] = block
+        self.n = w0 + W
+        pools = self._slab_search_visited_multi(
+            np.ascontiguousarray(block), self.build_complexity, B
+        )
+        for i in range(W):
+            label = w0 + i
+            ids, ds = pools[i]
+            order = np.argsort(ids, kind="stable")
+            out = self.robust_prune(
+                label, ids[order], ds[order], assume_unique=True
+            )
+            self._set_neighbors(label, out)
+            self._backedges_batch(out, label)
+
     def _backedges_batch(self, out: list[int], label: int) -> None:
         """Back-edge pass with the per-j prune KERNELS batched: every
         overflowing neighbor j's pool is exactly (its max_degree
@@ -906,6 +1046,14 @@ def build_graph(vectors: np.ndarray, max_degree: int = 64,
     B = _bulk_wave_width(vectors.shape[1]) if bulk else 0
     ins = (lambda v: g._insert_bulk(v, B)) if bulk else g.insert
     if start_strategy == "first":
+        if bulk and WAVE_ROWS > 1:
+            # wave-batched experiment (round 14): W-row waves share the
+            # graph snapshot for their searches (kernels merged across
+            # the wave); prune/edges stay sequential. Recall-parity
+            # gated like the rest of the bulk body.
+            for i in range(0, n, WAVE_ROWS):
+                g._insert_wave(vectors[i:i + WAVE_ROWS], B)
+            return g
         # insert() already seeds entry_points = [0]
         for v in vectors:
             ins(v)

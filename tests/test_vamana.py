@@ -466,3 +466,52 @@ def test_search_batch_slab_recall_parity():
         assert len(out) == 2 and len(out[0]) == k
         ds = [dd for _, dd in out[0]]
         assert ds == sorted(ds)
+
+
+def test_wave_insert_w1_identity_and_recall():
+    """Round 14: wave-batched bulk insert. W=1 waves are exactly the
+    per-row bulk body (byte-identical adjacency); the default W=16
+    holds recall parity with the per-row body (a wave's rows cannot
+    see each other in their pools — the batch-build relaxation the
+    measurement table in vamana_core.WAVE_ROWS pins)."""
+    import numpy as np
+
+    import duckdb_ann_spark.index.vamana_core as vc
+
+    rng = np.random.default_rng(31)
+    n, dim = 1500, 16
+    vecs = rng.random((n, dim), dtype=np.float32)
+    B = vc._bulk_wave_width(dim)
+
+    def fresh():
+        return vc.VamanaGraph(dim, 16, 32, 1.2, "l2", capacity=n)
+
+    ga = fresh()
+    for v in vecs:
+        ga._insert_bulk(v, B)
+    gb = fresh()
+    for i in range(n):
+        gb._insert_wave(vecs[i:i + 1], B)
+    assert np.array_equal(ga.adjacency[:n], gb.adjacency[:n])
+
+    old = vc.WAVE_ROWS
+    try:
+        vc.WAVE_ROWS = 16
+        gw = vc.build_graph(vecs, max_degree=16, build_complexity=32)
+        vc.WAVE_ROWS = 0
+        gr = vc.build_graph(vecs, max_degree=16, build_complexity=32)
+    finally:
+        vc.WAVE_ROWS = old
+    qs = rng.random((50, dim), dtype=np.float32)
+
+    def recall(g):
+        hit = 0
+        for q in qs:
+            d = ((vecs - q) ** 2).sum(axis=1)
+            truth = set(np.argsort(d, kind="stable")[:10].tolist())
+            hit += len(truth & {i for i, _ in g.search(q, 10)})
+        return hit / (len(qs) * 10)
+
+    rw, rr = recall(gw), recall(gr)
+    assert rw >= rr - 0.03, (rw, rr)
+    assert rw >= 0.80, rw
