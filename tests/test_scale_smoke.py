@@ -666,9 +666,14 @@ def test_vamana_10m_routed_tier(spark, cat):
     is the insert kernel under a measured 1.5x 32-way co-tenancy tax
     (isolated cell 1.60s vs 2.40s under full-box concurrency,
     reproduced with a plain process Pool outside Spark — hardware
-    memory-bandwidth sharing, not the engine). The next lever is
-    cross-row wave batching of inserts, which changes graph semantics
-    and must go behind the recall-parity gate."""
+    memory-bandwidth sharing, not the engine). Clean re-run: 673.4s
+    (insert 14836 task-s). The cross-row WAVE-batched insert
+    (vamana_core.WAVE_ROWS=16, recall-parity gated) landed the same
+    round: 656.1s here — within host noise at THIS tier's 1500-row
+    cells, where the isolated wave win is ~nil; the 6000-row and
+    128-dim cell shapes measure 1.3-1.6x, so the wave body's payoff
+    is the production 25k-row default-degree budget, not this
+    smoke's deliberately small cells."""
     _graph_10m_smoke(
         spark, cat, "smoke_vam10m", "diskann",
         dict(max_degree=16, build_complexity=32),
