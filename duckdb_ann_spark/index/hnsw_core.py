@@ -346,6 +346,66 @@ class HnswGraph:
             self.entry_point = label
         return label
 
+    def _insert_wave0(self, block: np.ndarray, B: int) -> None:
+        """Wave-batched insert for a run of LEVEL-0 labels (round 14 —
+        the HNSW side of `VamanaGraph._insert_wave`): upper-layer
+        descents run per row (ef=1, static upper layers — identical to
+        sequential), the layer-0 beams run against the wave-start
+        snapshot with kernels merged across the wave
+        (`vamana_core.multi_slab_visited`), then select + connect +
+        overflow re-select apply sequentially in label order. Only
+        `build_hnsw` calls this, behind BULK_MIN_ROWS and WAVE_ROWS;
+        the caller guarantees every label in the block has level 0
+        (level-1+ rows flush the wave and insert sequentially — they
+        mutate the upper layers the descents read)."""
+        from .vamana_core import multi_slab_visited
+
+        w0 = self.n
+        W = block.shape[0]
+        self._grow(w0 + W)
+        self.vectors[w0:w0 + W] = block
+        self.n = w0 + W
+        self.levels[w0:w0 + W] = 0
+        seeds = []
+        for i in range(W):
+            v = block[i]
+            ep = [(_dist(self.metric, v, self.vectors[self.entry_point]),
+                   self.entry_point)]
+            for lc in range(self.max_level, 0, -1):
+                ep = self._search_layer(v, ep, 1, lc)
+            seeds.append((
+                np.fromiter((e for _, e in ep), np.int64, count=len(ep)),
+                np.asarray([d for d, _ in ep], dtype=np.float64),
+            ))
+        pools = multi_slab_visited(
+            self.vectors, self.adjacency, self.metric, self.n,
+            np.ascontiguousarray(block), seeds, self.ef_construction, B,
+            np.float64,
+        )
+        ef = self.ef_construction
+        for i in range(W):
+            label = w0 + i
+            ids, ds = pools[i]
+            top = np.lexsort((ids, ds))[:ef]
+            w = [(float(ds[t]), int(ids[t])) for t in top]
+            mm = self.m0
+            nbrs = self._select(w, mm)
+            self._set_neighbors(label, 0, nbrs)
+            for nb in nbrs:
+                cur = self._neighbors(nb, 0)
+                if label in cur:
+                    continue
+                if len(cur) < mm:
+                    self._set_neighbors(nb, 0, cur + [label])
+                else:
+                    pool_ids = cur + [label]
+                    pd = _dists(
+                        self.metric, self.vectors[np.asarray(pool_ids)],
+                        self.vectors[nb],
+                    )
+                    pool = sorted(zip(pd.tolist(), pool_ids))
+                    self._set_neighbors(nb, 0, self._select(pool, mm))
+
     # -- queries --------------------------------------------------------
     def search(self, query, k: int, search_complexity: int | None = None,
                return_visited: bool = False):
@@ -419,13 +479,41 @@ def build_hnsw(vectors: np.ndarray, m: int = 32, ef_construction: int = 64,
     historical path bit-for-bit). Measured at 6000x16/m16 (the 10M-smoke
     HNSW cell shape): 2.0x build at recall parity (sweep in
     `_search_layer0_slab`'s commit)."""
-    from .vamana_core import BULK_MIN_ROWS, _bulk_wave_width
+    from .vamana_core import BULK_MIN_ROWS, WAVE_ROWS, _bulk_wave_width
 
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     n = len(vectors)
     g = HnswGraph(vectors.shape[1] if vectors.size else 0, m, ef_construction,
                   metric, capacity=max(n, 16))
     slab_b = _bulk_wave_width(vectors.shape[1]) if n >= BULK_MIN_ROWS else 0
+    if slab_b and WAVE_ROWS > 1 and vectors.shape[1] <= 64:
+        # wave-batched level-0 runs (round 14; see _insert_wave0): level
+        # assignment is label-deterministic (_level_for), so the wave
+        # boundaries are known upfront — level-1+ labels (and label 0,
+        # the entry seed) insert sequentially, runs of level-0 labels
+        # between them wave. Same recall-parity gate as the rest of the
+        # bulk body. Dim-gated (<= 64): measured min-of-3 vs per-row
+        # slab at m16/ef40 — 6000x16 3.71->3.38s, 4000x32 4.53->3.98s,
+        # 4000x64 5.38->5.24s, but 4000x128 4.24->4.87s (the wide
+        # high-dim waves over-expand past ef and the select/connect
+        # phase dominates there anyway); recall identical at every
+        # shape.
+        i = 0
+        while i < n:
+            if i == 0 or _level_for(i, g.ml) > 0:
+                g.insert(vectors[i], _slab_B=slab_b)
+                i += 1
+                continue
+            j = i
+            while (j < n and j - i < WAVE_ROWS
+                   and _level_for(j, g.ml) == 0):
+                j += 1
+            if j - i > 1:
+                g._insert_wave0(vectors[i:j], slab_b)
+            else:
+                g.insert(vectors[i], _slab_B=slab_b)
+            i = j
+        return g
     for v in vectors:
         g.insert(v, _slab_B=slab_b)
     return g

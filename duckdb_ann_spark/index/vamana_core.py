@@ -130,6 +130,102 @@ def _blas_set_threads(n: int) -> int | None:
     return prev
 
 
+def multi_slab_visited(vectors, adjacency, metric: str, n: int,
+                       qs: np.ndarray, seeds, L: int, B: int, ds_dtype):
+    """Frontier-slab visited search for S queries with every global
+    iteration's vector gather + distance einsum MERGED across the
+    active queries (round 14 — the wave-insert kernel; the
+    `search_batch` qidx-repeat shape, bitwise-equal per row to the
+    single-query `_dists`). `seeds` is a per-query list of
+    (ids int64 array, ds array) — shared entry points for Vamana,
+    per-query upper-layer descents for HNSW layer 0 (`ds_dtype` keeps
+    each engine's historical accumulation dtype: f32 for Vamana, f64
+    for the HNSW beam). Per-query wave decisions are identical to S
+    independent single-query slab bodies — only kernel batching
+    differs. Returns per-query (ids, ds) arrays."""
+    S = qs.shape[0]
+    ids_bs, ds_bs, exp_bs, ms = [], [], [], []
+    vis = np.zeros((S, n), dtype=bool)
+    for qi in range(S):
+        sid, sds = seeds[qi]
+        ne = sid.size
+        cap0 = max(2 * (L + ne), 64)
+        ib = np.empty(cap0, np.int64)
+        db = np.empty(cap0, ds_dtype)
+        eb = np.zeros(cap0, bool)
+        ib[:ne] = sid
+        db[:ne] = sds
+        vis[qi, sid] = True
+        ids_bs.append(ib)
+        ds_bs.append(db)
+        exp_bs.append(eb)
+        ms.append(ne)
+    active = list(range(S))
+    while active:
+        gather: list[tuple[int, np.ndarray]] = []
+        nxt: list[int] = []
+        for qi in active:
+            m = ms[qi]
+            ds = ds_bs[qi][:m]
+            une = np.flatnonzero(~exp_bs[qi][:m])
+            if not une.size:
+                continue
+            if m >= L:
+                thresh = np.partition(ds, L - 1)[L - 1]
+                une = une[ds[une] <= thresh]
+                if not une.size:
+                    continue
+            if une.size > B:
+                une = une[np.argpartition(ds[une], B - 1)[:B]]
+            exp_bs[qi][une] = True
+            rows = adjacency[ids_bs[qi][une]].reshape(-1)
+            rows = rows[rows != NO_EDGE].astype(np.int64)
+            rows = rows[~vis[qi, rows]]
+            nxt.append(qi)
+            if rows.size:
+                rows = np.unique(rows)
+                vis[qi, rows] = True
+                gather.append((qi, rows))
+        active = nxt
+        if not gather:
+            continue
+        flat = np.concatenate([r for _, r in gather])
+        counts = np.asarray([r.size for _, r in gather])
+        vecs = vectors[flat]
+        qrows = np.repeat(
+            qs[np.asarray([qi for qi, _ in gather])], counts, axis=0
+        )
+        if metric == "ip":
+            ds_all = -np.einsum("ij,ij->i", vecs, qrows)
+        else:
+            diff = vecs - qrows
+            ds_all = np.einsum("ij,ij->i", diff, diff)
+        pos = 0
+        for (qi, rows), c in zip(gather, counts.tolist()):
+            m = ms[qi]
+            if m + c > ids_bs[qi].size:
+                cap = max(2 * ids_bs[qi].size, m + c)
+                ids_bs[qi] = np.concatenate(
+                    [ids_bs[qi][:m], np.empty(cap - m, np.int64)]
+                )
+                ds_bs[qi] = np.concatenate(
+                    [ds_bs[qi][:m], np.empty(cap - m, ds_dtype)]
+                )
+                exp_bs[qi] = np.concatenate(
+                    [exp_bs[qi][:m], np.zeros(cap - m, bool)]
+                )
+            ids_bs[qi][m:m + c] = rows
+            ds_bs[qi][m:m + c] = ds_all[pos:pos + c].astype(
+                ds_dtype, copy=False
+            )
+            ms[qi] = m + c
+            pos += c
+    return [
+        (ids_bs[qi][:ms[qi]].copy(), ds_bs[qi][:ms[qi]].copy())
+        for qi in range(S)
+    ]
+
+
 def _bulk_wave_width(dim: int) -> int:
     """Frontier-slab wave width: how many best unexpanded candidates
     expand per wave. Narrow waves track the sequential threshold closely
@@ -624,92 +720,24 @@ class VamanaGraph:
     def _slab_search_visited_multi(self, qs: np.ndarray, L: int, B: int):
         """`_slab_search_visited` for S queries with the per-wave
         distance kernels MERGED across queries (round 14 — the wave-
-        insert experiment): every global iteration gathers each active
-        query's expansion rows, then runs ONE vectors gather + ONE
-        row-wise einsum for all of them (the `search_batch` qidx-repeat
-        shape, bitwise-equal per row to the single-query `_dists`).
-        Per-query wave decisions (threshold, wave pick, visited sets)
-        are identical to S independent `_slab_search_visited` calls —
-        only kernel BATCHING differs, so each query's returned
-        (ids, ds) is bitwise what the single-query body returns."""
-        S = qs.shape[0]
+        insert body): seeds are the shared entry points; the shared
+        `multi_slab_visited` does the rest. Per-query wave decisions
+        (threshold, wave pick, visited sets) are identical to S
+        independent `_slab_search_visited` calls — only kernel BATCHING
+        differs, so each query's returned (ids, ds) is bitwise what the
+        single-query body returns."""
         eps = np.asarray(
             [ep for ep in self.entry_points if ep < self.n], dtype=np.int64
         )
-        ne = eps.size
-        cap0 = max(2 * (L + ne), 64)
-        ids_bs = [np.empty(cap0, np.int64) for _ in range(S)]
-        ds_bs = [np.empty(cap0, np.float32) for _ in range(S)]
-        exp_bs = [np.zeros(cap0, bool) for _ in range(S)]
-        ms = [ne] * S
-        vis = np.zeros((S, self.n), dtype=bool)
-        vis[:, eps] = True
         ep_vecs = self.vectors[eps]
-        for qi in range(S):
-            ids_bs[qi][:ne] = eps
-            ds_bs[qi][:ne] = _dists(self.metric, ep_vecs, qs[qi])
-        active = list(range(S))
-        while active:
-            gather: list[tuple[int, np.ndarray]] = []
-            nxt: list[int] = []
-            for qi in active:
-                m = ms[qi]
-                ds = ds_bs[qi][:m]
-                une = np.flatnonzero(~exp_bs[qi][:m])
-                if not une.size:
-                    continue
-                if m >= L:
-                    thresh = np.partition(ds, L - 1)[L - 1]
-                    une = une[ds[une] <= thresh]
-                    if not une.size:
-                        continue
-                if une.size > B:
-                    une = une[np.argpartition(ds[une], B - 1)[:B]]
-                exp_bs[qi][une] = True
-                rows = self.adjacency[ids_bs[qi][une]].reshape(-1)
-                rows = rows[rows != NO_EDGE].astype(np.int64)
-                rows = rows[~vis[qi, rows]]
-                nxt.append(qi)
-                if rows.size:
-                    rows = np.unique(rows)
-                    vis[qi, rows] = True
-                    gather.append((qi, rows))
-            active = nxt
-            if not gather:
-                continue
-            flat = np.concatenate([r for _, r in gather])
-            counts = np.asarray([r.size for _, r in gather])
-            vecs = self.vectors[flat]
-            qrows = np.repeat(
-                qs[np.asarray([qi for qi, _ in gather])], counts, axis=0
-            )
-            if self.metric == "ip":
-                ds_all = -np.einsum("ij,ij->i", vecs, qrows)
-            else:
-                diff = vecs - qrows
-                ds_all = np.einsum("ij,ij->i", diff, diff)
-            pos = 0
-            for (qi, rows), c in zip(gather, counts.tolist()):
-                m = ms[qi]
-                if m + c > ids_bs[qi].size:
-                    cap = max(2 * ids_bs[qi].size, m + c)
-                    ids_bs[qi] = np.concatenate(
-                        [ids_bs[qi][:m], np.empty(cap - m, np.int64)]
-                    )
-                    ds_bs[qi] = np.concatenate(
-                        [ds_bs[qi][:m], np.empty(cap - m, np.float32)]
-                    )
-                    exp_bs[qi] = np.concatenate(
-                        [exp_bs[qi][:m], np.zeros(cap - m, bool)]
-                    )
-                ids_bs[qi][m:m + c] = rows
-                ds_bs[qi][m:m + c] = ds_all[pos:pos + c]
-                ms[qi] = m + c
-                pos += c
-        return [
-            (ids_bs[qi][:ms[qi]].copy(), ds_bs[qi][:ms[qi]].copy())
-            for qi in range(S)
+        seeds = [
+            (eps, _dists(self.metric, ep_vecs, qs[qi]))
+            for qi in range(qs.shape[0])
         ]
+        return multi_slab_visited(
+            self.vectors, self.adjacency, self.metric, self.n, qs, seeds,
+            L, B, np.float32,
+        )
 
     def _insert_wave(self, block: np.ndarray, B: int) -> None:
         """Wave-batched bulk insert (round 14 experiment): W rows search

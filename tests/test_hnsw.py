@@ -313,3 +313,41 @@ def test_hnsw_search_batch_slab_recall_parity():
     assert len(out) == 2 and len(out[0]) == k
     ds = [dd for _, dd in out[0]]
     assert ds == sorted(ds)
+
+
+def test_hnsw_wave_insert_recall_parity():
+    """Round 14: wave-batched level-0 HNSW inserts hold recall parity
+    with the per-row slab body (upper layers are untouched by level-0
+    waves, so only the layer-0 pools relax to the wave snapshot)."""
+    import numpy as np
+
+    import duckdb_ann_spark.index.vamana_core as vc
+    from duckdb_ann_spark.index.hnsw_core import build_hnsw
+
+    rng = np.random.default_rng(23)
+    n, dim, k = 2000, 16, 10
+    vecs = rng.random((n, dim), dtype=np.float32)
+    qs = rng.random((50, dim), dtype=np.float32)
+    d = ((vecs[None, :, :] - qs[:, None, :]) ** 2).sum(-1)
+    truth = [set(np.argsort(x)[:k].tolist()) for x in d]
+
+    def recall(g):
+        res = g.search_batch(qs, k, 40)
+        return sum(
+            len({i for i, _ in r} & truth[qi]) for qi, r in enumerate(res)
+        ) / (len(qs) * k)
+
+    old = vc.WAVE_ROWS
+    try:
+        vc.WAVE_ROWS = 16
+        gw = build_hnsw(vecs, m=16, ef_construction=40)
+        vc.WAVE_ROWS = 0
+        gr = build_hnsw(vecs, m=16, ef_construction=40)
+    finally:
+        vc.WAVE_ROWS = old
+    rw, rr = recall(gw), recall(gr)
+    assert rw >= rr - 0.03, (rw, rr)
+    assert rw >= 0.85, rw
+    # upper layers identical (level assignment is label-deterministic
+    # and level-1+ rows insert sequentially in both modes)
+    assert np.array_equal(gw.levels[:n], gr.levels[:n])
