@@ -505,7 +505,10 @@ def _graph_10m_smoke(spark, cat, name, engine, create_kw):
     367.8s (-21%) at identical recall 0.916; per-task decomposition
     graph_insert 9702 task-s (= ~303s/32, 88% of the 345.3s
     composite), assign 540 (17s), shuffle/input/write ~5 — the same
-    insert-kernel wall, same non-IO attribution."""
+    insert-kernel wall, same non-IO attribution. The wave-batched
+    level-0 inserts (dim-gated, hnsw_core.build_hnsw) landed the same
+    round: 343.9s (insert 9151 task-s) at recall 0.917 — the round
+    total is 463.2 → 343.9s (-26%)."""
     n, dim, k = 10_000_000, 16, 10
     vecs = (
         spark.range(0, n, 1, 256)
