@@ -84,15 +84,53 @@ def cast_id_vec(df, id_col: str, vec_col: str):
     ANSI-off `cast('long')` turns a string id column into silent nulls
     — wrong join output instead of the loud executor Arrow error the
     pre-cast code raised. Schema inspection is driver-local and free;
-    no extra action."""
-    from pyspark.sql.types import ArrayType, NumericType
+    no extra action.
+
+    String id columns are permitted (round-14 advice: the round-14
+    tightening also rejected all-numeric string ids that previously
+    cast losslessly) but guarded per ROW: a value the cast nulls
+    raises at execution time via an inlined `raise_error`, so
+    numeric-string pipelines keep working while genuinely non-numeric
+    ids still fail loud instead of silently nulling. The guard is a
+    row-local expression — no extra action, no shuffle."""
+    from pyspark.sql.types import ArrayType, NumericType, StringType
 
     id_t = df.schema[id_col].dataType
+    if isinstance(id_t, StringType):
+        # try_cast: null-on-malformed under BOTH ANSI modes, so the
+        # guard below is the single failure path (ANSI-on cast() would
+        # throw its own error first; ANSI-off cast() silently nulls)
+        casted = F.col(id_col).try_cast("long")
+        id_expr = F.when(
+            F.col(id_col).isNotNull() & casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"id column '{id_col}' is a string with "
+                        "non-numeric value: "
+                    ),
+                    F.col(id_col),
+                )
+            ).cast("long"),
+        ).otherwise(casted)
+        vec_t = df.schema[vec_col].dataType
+        if not (
+            isinstance(vec_t, ArrayType)
+            and isinstance(vec_t.elementType, NumericType)
+        ):
+            raise ValueError(
+                f"vector column '{vec_col}' must be array<numeric>, got "
+                f"{vec_t.simpleString()}"
+            )
+        return df.select(
+            id_expr.alias(id_col),
+            F.col(vec_col).cast("array<float>").alias(vec_col),
+        )
     if not isinstance(id_t, NumericType):
         raise ValueError(
-            f"id column '{id_col}' must be a numeric/integral type, got "
-            f"{id_t.simpleString()} (a lossy cast would silently null "
-            "non-numeric ids)"
+            f"id column '{id_col}' must be a numeric/integral type (or a "
+            f"string of numeric values), got {id_t.simpleString()} (a "
+            "lossy cast would silently null non-numeric ids)"
         )
     vec_t = df.schema[vec_col].dataType
     if not (

@@ -476,6 +476,11 @@ def _sq8_broadcast(spark: SparkSession, mins: np.ndarray, scale: np.ndarray):
     key = (app, mins.tobytes(), scale.tobytes())
     bc = _SQ8_BC_CACHE.get(key)
     if bc is not None:
+        # LRU via dict re-insertion (round-14 advice): eviction below
+        # pops the FIRST key, so a hit must move to the end or the
+        # hottest artifact's broadcast becomes the likeliest victim.
+        _SQ8_BC_CACHE.pop(key, None)
+        _SQ8_BC_CACHE[key] = bc
         return bc
     for k in [k for k in _SQ8_BC_CACHE if k[0] != app]:
         try:

@@ -371,13 +371,63 @@ def stream_dedup_minhash(
     so `state_dir`/`out_dir` may live on any Spark-readable scheme
     (local, HDFS, S3A, ...).
 
+    State carries a `key_version` marker (round 15): resuming over a
+    state_dir written under a different band-key derivation fails loud
+    at query construction instead of silently never matching old keys
+    (the published-corpus artifact has the same guard).
+
     Returns the StreamingQuery writing survivors to `out_dir`.
     """
     from ..operators.dedup import (
+        BAND_KEY_VERSION,
         band_keys_from_signatures,
         minhash_signatures,
         published_band_keys,
     )
+
+    # Round 15 (r14 advice): the band-key derivation changed md5-string
+    # → xxhash64-bigint in v2; a stream resumed over a v1 state_dir
+    # would read old string-bkey generations alongside new bigint ones
+    # — a parquet type-merge failure at best, silent readmission of
+    # within-horizon duplicates at worst. Mirror the published-artifact
+    # guard: a `key_version` marker parquet lives beside `bands/`,
+    # checked (and, for pre-marker state, inferred from the generations'
+    # bkey column type) ONCE at query construction, driver-side.
+    spark0 = stream.sparkSession
+    state_root = state_dir.rstrip("/")
+    marker_path = f"{state_root}/key_version"
+    jvm0 = spark0._jvm
+    hconf0 = spark0._jsc.hadoopConfiguration()
+    mk_p = jvm0.org.apache.hadoop.fs.Path(marker_path)
+    fs0 = mk_p.getFileSystem(hconf0)
+    bands_p = jvm0.org.apache.hadoop.fs.Path(f"{state_root}/bands")
+    if fs0.exists(mk_p):
+        mv = spark0.read.parquet(marker_path).head()["key_version"]
+        if mv != BAND_KEY_VERSION:
+            raise ValueError(
+                f"streaming dedup state at '{state_dir}' uses band-key "
+                f"version {mv}, this engine derives version "
+                f"{BAND_KEY_VERSION} — old keys would never match new "
+                "ones, silently readmitting duplicates. Expire the "
+                "state_dir (or re-seed it) before resuming"
+            )
+    else:
+        if fs0.exists(bands_p):
+            for s in fs0.listStatus(bands_p):
+                gen = s.getPath().toString()
+                bt = spark0.read.parquet(gen).schema["bkey"]
+                if bt.dataType.simpleString() != "bigint":
+                    raise ValueError(
+                        f"streaming dedup state at '{state_dir}' holds "
+                        f"pre-v{BAND_KEY_VERSION} generations (bkey is "
+                        f"{bt.dataType.simpleString()}, engine derives "
+                        "xxhash64 bigint) — expire the state_dir before "
+                        "resuming"
+                    )
+        # fresh dir, or unversioned-but-bigint (adopted as current)
+        spark0.createDataFrame(
+            [(int(BAND_KEY_VERSION),)], "key_version int"
+        ).coalesce(1).write.mode("overwrite").parquet(marker_path)
 
     # validate + build the published corpus band frame ONCE (round-8
     # review: per-batch spark.read re-scanned the immutable corpus every

@@ -80,3 +80,40 @@ def test_retry_plan_sections():
     assert retry_plan(["start", "after_scale"], scale_on=False) == [
         "workloads", "corpus"
     ]
+
+
+def test_order_for_tail_puts_adjudication_record_last():
+    """Round 15 (r14 verdict item 3): the driver keeps only the last
+    2000 chars of bench stdout — r14's section_canary_flags/retried
+    printed BEFORE value/queries and were truncated away. The JSON's
+    key order must end with [...headline values, canaries, flags,
+    retry trail] so the record survives the tail."""
+    import json
+
+    from bench import order_for_tail
+
+    out = {
+        "metric": "bench_total_wall",
+        "section_canaries": {"start": 1.0},
+        "section_canary_flags": ["after_corpus"],
+        "retried": ["corpus"],
+        "calibration": {"cal_gemm": 1.0},
+        "value": 10.0,
+        "recall": {},
+        "canary_unit_sec": 1.0,
+        "value_canary_rel": 10.0,
+        "queries": {"q1": 0.5},
+    }
+    keys = list(order_for_tail(out))
+    # flags/retried are strictly AFTER value and queries
+    assert keys.index("section_canary_flags") > keys.index("value")
+    assert keys.index("retried") > keys.index("queries")
+    assert keys.index("section_canaries") > keys.index("value_canary_rel")
+    # ...and the serialized tail (last 2000 chars) contains them all
+    tail = json.dumps(order_for_tail(out))[-2000:]
+    for k in ("value_canary_rel", "section_canary_flags", "retried",
+              "queries"):
+        assert f'"{k}"' in tail
+    # keys absent from the run (no retry) are simply skipped
+    out.pop("retried")
+    assert "retried" not in order_for_tail(out)

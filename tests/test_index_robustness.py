@@ -361,15 +361,38 @@ def test_double_vec_int_id_batch_and_join(spark):
 def test_cast_id_vec_rejects_nonnumeric_types(spark):
     """Round 14 (r13 advice): cast_id_vec's ANSI-off cast('long') turned
     a string id column into silent nulls — wrong join output where the
-    pre-cast code failed loudly. Now the SOURCE schema is validated
-    (driver-local, no action) and a clear error raised."""
+    pre-cast code failed loudly. Round 15 (r14 advice): numeric-STRING
+    ids cast losslessly before the tightening, so strings are permitted
+    again behind a per-row raise_error guard — all-numeric strings
+    succeed, a non-numeric value fails at execution instead of nulling."""
     from duckdb_ann_spark.functions.distance import cast_id_vec
 
     str_ids = spark.createDataFrame(
         [("a", [1.0, 2.0])], "vec_id string, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="must be a numeric"):
-        cast_id_vec(str_ids, "vec_id", "embedding")
+    # non-numeric string id: schema passes, the ROW fails loud on action
+    with pytest.raises(Exception, match="non-numeric value"):
+        cast_id_vec(str_ids, "vec_id", "embedding").collect()
+
+    # all-numeric string ids: lossless cast, back-compat preserved
+    num_str = cast_id_vec(
+        spark.createDataFrame(
+            [("7", [1.0, 2.0]), ("12", [3.0, 4.0])],
+            "vec_id string, embedding array<double>",
+        ),
+        "vec_id", "embedding",
+    )
+    assert dict(num_str.dtypes) == {
+        "vec_id": "bigint", "embedding": "array<float>"
+    }
+    assert sorted(r["vec_id"] for r in num_str.collect()) == [7, 12]
+
+    # string ids still hit the vector-type validation too
+    str_id_bad_vec = spark.createDataFrame(
+        [("1", "blob")], "vec_id string, embedding string"
+    )
+    with pytest.raises(ValueError, match="array<numeric>"):
+        cast_id_vec(str_id_bad_vec, "vec_id", "embedding")
 
     str_vecs = spark.createDataFrame(
         [(1, ["x", "y"])], "vec_id long, embedding array<string>"

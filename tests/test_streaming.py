@@ -466,3 +466,87 @@ def test_stream_dedup_minhash_published_corpus(spark, tmp_path):
     # collides with the corpus → dropped despite bypassing the horizon;
     # 2 and 5 survive
     assert got == [2, 5], got
+
+
+def test_stream_dedup_minhash_state_version_guard(spark, tmp_path):
+    """Round 15 (r14 advice): band keys changed md5-string -> xxhash64
+    bigint (BAND_KEY_VERSION 2). A stream resumed over a v1 state_dir
+    must fail LOUD at query construction — old string keys can never
+    match new bigint ones, so continuing would silently readmit
+    within-horizon duplicates (or crash mid-batch on a parquet type
+    merge). Fresh state dirs get a key_version marker; mismatched
+    markers and pre-marker string-bkey generations both refuse."""
+    from duckdb_ann_spark.operators.dedup import BAND_KEY_VERSION
+    from duckdb_ann_spark.streaming import stream_dedup_minhash
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (
+        spark.createDataFrame(
+            [(1, "some text body", 1_700_000_000)],
+            "doc_id long, text string, ts_epoch long",
+        )
+        .withColumn("ts", F.timestamp_seconds("ts_epoch"))
+        .select("doc_id", "text", "ts")
+        .coalesce(1)
+        .write.parquet(str(in_dir / "b0.parquet"))
+    )
+
+    def mk_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .parquet(str(in_dir / "b0.parquet"))
+        )
+
+    # 1) pre-marker v1 state: a generation with STRING bkey -> refuse
+    v1_state = str(tmp_path / "state_v1")
+    spark.createDataFrame(
+        [(0, "deadbeef" * 4, 1_700_000_000_000)],
+        "band int, bkey string, ts_ms long",
+    ).write.parquet(f"{v1_state}/bands/b0")
+    with pytest.raises(ValueError, match="pre-v"):
+        stream_dedup_minhash(
+            mk_stream(), str(tmp_path / "out1"), v1_state,
+            checkpoint_dir=str(tmp_path / "ckpt1"),
+        )
+
+    # 2) explicit marker with a stale version -> refuse
+    v_old = str(tmp_path / "state_old_marker")
+    spark.createDataFrame([(1,)], "key_version int").write.parquet(
+        f"{v_old}/key_version"
+    )
+    with pytest.raises(ValueError, match="band-key version 1"):
+        stream_dedup_minhash(
+            mk_stream(), str(tmp_path / "out2"), v_old,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+
+    # 3) fresh dir: marker written, stream runs, resume over own state OK
+    fresh = str(tmp_path / "state_fresh")
+    q = stream_dedup_minhash(
+        mk_stream(), str(tmp_path / "out3"), fresh,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    q.awaitTermination(120)
+    mv = spark.read.parquet(f"{fresh}/key_version").head()["key_version"]
+    assert mv == BAND_KEY_VERSION
+    # re-construction over the now-populated same-version state succeeds
+    q2 = stream_dedup_minhash(
+        mk_stream(), str(tmp_path / "out4"), fresh,
+        checkpoint_dir=str(tmp_path / "ckpt4"),
+    )
+    q2.awaitTermination(120)
+
+    # 4) unversioned-but-bigint generations (written by a v2 engine
+    # before the marker existed): adopted, marker backfilled
+    adopt = str(tmp_path / "state_adopt")
+    spark.createDataFrame(
+        [(0, 12345, 1_700_000_000_000)], "band int, bkey long, ts_ms long"
+    ).write.parquet(f"{adopt}/bands/b0")
+    q3 = stream_dedup_minhash(
+        mk_stream(), str(tmp_path / "out5"), adopt,
+        checkpoint_dir=str(tmp_path / "ckpt5"),
+    )
+    q3.awaitTermination(120)
+    mv2 = spark.read.parquet(f"{adopt}/key_version").head()["key_version"]
+    assert mv2 == BAND_KEY_VERSION
