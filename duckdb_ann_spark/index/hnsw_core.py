@@ -48,6 +48,23 @@ import numpy as np
 
 from .vamana_core import NO_EDGE, _dist, _dists, _mix64
 
+# Max dim for the wave-batched level-0 build body (round-14 gate,
+# env-overridable for A/B like the vamana wave knobs — executors read
+# their own copy of this module, so only the env reaches them). Round
+# 15 (r14 verdict item 5): the dim-128 regression the gate was hiding
+# was the wave kernel's qs-repeat + diff TEMPS (two (rows, dim)
+# allocations growing with dim); with the in-place segment subtract in
+# `vamana_core.multi_slab_visited` the wave WINS past 64 — interleaved
+# min-of-3 per-row vs wave16 at m32/ef64: 4000x128 5.52->5.03s
+# (1.10x, recall 0.939/0.938), 4000x256 6.78->6.16s (1.10x,
+# 0.932/0.928), 4000x64 m16/ef40 4.43->3.87s (1.14x) — but still
+# loses at 2000x768 (4.20->4.36s, 0.96x): at that dim the merged
+# slab rows blow past cache and the wave only adds working set. Gate
+# raised 64 -> 256; 768-dim builds keep the per-row slab body.
+import os as _os
+
+WAVE_MAX_DIM = int(_os.environ.get("SPARK_GRAFT_HNSW_WAVE_MAX_DIM", "256"))
+
 
 def _level_for(label: int, ml: float) -> int:
     """Deterministic geometric level: splitmix64(label) → U(0,1] →
@@ -486,7 +503,7 @@ def build_hnsw(vectors: np.ndarray, m: int = 32, ef_construction: int = 64,
     g = HnswGraph(vectors.shape[1] if vectors.size else 0, m, ef_construction,
                   metric, capacity=max(n, 16))
     slab_b = _bulk_wave_width(vectors.shape[1]) if n >= BULK_MIN_ROWS else 0
-    if slab_b and WAVE_ROWS > 1 and vectors.shape[1] <= 64:
+    if slab_b and WAVE_ROWS > 1 and vectors.shape[1] <= WAVE_MAX_DIM:
         # wave-batched level-0 runs (round 14; see _insert_wave0): level
         # assignment is label-deterministic (_level_for), so the wave
         # boundaries are known upfront — level-1+ labels (and label 0,

@@ -83,6 +83,46 @@ def sq8_train(train: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return mins, scale
 
 
+def sq8_full_envelope(df: DataFrame, vec_col: str, dim: int):
+    """Per-dim (min, scale) over the WHOLE frame (round 15 —
+    sq8_envelope='full'): one narrow distributed pass — a mapInArrow
+    partial min/max per record batch (numpy, zero-copy reshape like the
+    assign pass) reduced on the driver over O(#batches) tiny rows. Clip
+    count is 0 by construction for the rows present at build; appends
+    can still clip (observable via sq8_clip_count). Works at any dim
+    (2*dim aggregate expressions would fall out of whole-stage codegen
+    near dim ~50)."""
+    import pyarrow as pa
+
+    def _partial(batches):
+        for b in batches:
+            arr = b.column(0)
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            mat = flat.reshape(len(arr), -1).astype(np.float32, copy=False)
+            if not len(mat):
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([mat.min(axis=0).tolist()],
+                             type=pa.list_(pa.float32())),
+                    pa.array([mat.max(axis=0).tolist()],
+                             type=pa.list_(pa.float32())),
+                ],
+                names=["mn", "mx"],
+            )
+
+    parts = df.select(
+        F.col(vec_col).cast("array<float>").alias(vec_col)
+    ).mapInArrow(_partial, "mn array<float>, mx array<float>").collect()
+    if not parts:
+        return (np.zeros(dim, np.float32), np.ones(dim, np.float32))
+    mins = np.min([r["mn"] for r in parts], axis=0).astype(np.float32)
+    maxs = np.max([r["mx"] for r in parts], axis=0).astype(np.float32)
+    scale = (maxs - mins).astype(np.float32)
+    scale[scale == 0] = 1.0
+    return mins, scale
+
+
 # ONE codec for both quantized tiers (round-13 advice: the cell layout
 # and the .diskann appendix previously held verbatim copies of the
 # bit-sensitivity-critical encode/decode expressions)
@@ -762,14 +802,23 @@ class IvfFlatEngine:
         sq8_min = sq8_scale = None
         clip_acc = None
         if getattr(params, "quantize_sq8", False):
-            mins, scale = sq8_train(train)
+            if getattr(params, "sq8_envelope", "train") == "full":
+                # round 15 (r14 verdict item 6): clip-FREE envelope —
+                # one extra narrow distributed min/max pass over the
+                # whole frame; heavy-tailed data stops losing precision
+                # silently at the cost of that one scan
+                mins, scale = sq8_full_envelope(df, vec_col, dim)
+            else:
+                mins, scale = sq8_train(train)
             sq8_min = [float(x) for x in mins]
             sq8_scale = [float(x) for x in scale]
             sq8_bc = spark.sparkContext.broadcast((mins, scale))
-            # min/scale train on the bounded sample, so build rows
-            # OUTSIDE the sample's envelope clip — count them so the
-            # sample-vs-full divergence (documented; reference trains on
-            # the faiss train set too) is observable, not silent
+            # 'train' envelope: min/scale from the bounded sample, so
+            # build rows OUTSIDE the sample's envelope clip — count them
+            # so the sample-vs-full divergence (documented; reference
+            # trains on the faiss train set too) is observable, not
+            # silent. 'full': build-time clips are 0 by construction
+            # (the accumulator still counts out-of-envelope APPENDS).
             clip_acc = spark.sparkContext.accumulator(0)
         assigned = _assigned_cells_df(
             df, id_col, vec_col, bc, metric, sq8_bc, clip_acc

@@ -268,6 +268,15 @@ class FaissParams:
     # 'sq8' = cells store u8 codes at 1/4 the scan bytes; search
     # dequantizes rows inside the Arrow scorer.
     quantization: str = ""
+    # SQ8 envelope source (round 15 — r14 verdict item 6). 'train'
+    # (default, faiss ScalarQuantizer semantics): per-dim min/scale from
+    # the bounded train sample — values outside the sample's envelope
+    # CLIP (observable via ann_index_info.sq8_clip_count, the
+    # heavy-tailed-data hole). 'full': one extra distributed narrow
+    # min/max pass over the WHOLE frame before encoding — clip count 0
+    # by construction, at the cost of that one scan (measured at 1M x
+    # 64d: +0.8s on a 21s build; see test_ivf_sq8_envelope_full).
+    sq8_envelope: str = "train"
 
     def __post_init__(self) -> None:
         self.metric = _norm_metric(self.metric)
@@ -291,6 +300,13 @@ class FaissParams:
                 "engine's quantization option)"
             )
         self.quantization = q
+        self.sq8_envelope = str(self.sq8_envelope or "train").lower()
+        if self.sq8_envelope not in ("train", "full"):
+            raise ValueError(
+                f"Unknown sq8_envelope '{self.sq8_envelope}'. "
+                "Supported: train (sample envelope, faiss semantics), "
+                "full (one distributed min/max pass, clip-free)"
+            )
         # reference clamps nprobe to >= 1 (faiss_index.hpp:60-61);
         # nprobe=0 is OUR extension: AUTO — resolve a recall-calibrated
         # probe count at search time (ivf.auto_nprobe; pairs with
@@ -387,6 +403,7 @@ class FaissParams:
             "route_nprobe": self.route_nprobe,
             "calibration_queries": self.calibration_queries,
             "quantization": self.quantization,
+            "sq8_envelope": self.sq8_envelope,
         }
 
     @property

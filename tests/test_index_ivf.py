@@ -682,3 +682,63 @@ def test_local_fs_path_and_read_manifest():
         assert read_manifest("file://" + d)["name"] == "x"
     with pytest.raises(ValueError, match="not driver-local"):
         read_manifest("hdfs://nn/idx")
+
+
+def test_sq8_envelope_full_clip_free(spark, cat):
+    """Round 15 (r14 verdict item 6): sq8_envelope='full' trains the
+    per-dim min/scale on a distributed min/max pass over the WHOLE
+    frame instead of the bounded train sample — build-time clip count
+    is 0 by construction, closing the heavy-tailed-data hole that
+    'train' (faiss semantics, the default) leaves observable-but-
+    unavoidable. The manifest records the envelope mode."""
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    n, dim = 2000, 8
+    rows = [(int(i), [float(x) for x in rng.random(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # replicate the build's deterministic hash-sample (train_sample=64,
+    # nlist=4 -> cap 64, modulus n//cap) to pick an id OUTSIDE the train
+    # set, then give it out-of-envelope values — the 'train' build MUST
+    # clip it, the 'full' build must not
+    cap = 64
+    modulus = max(1, n // cap)
+    sampled = {
+        r["vec_id"]
+        for r in df.where(
+            F.pmod(F.abs(F.hash(F.col("vec_id"))), F.lit(modulus)) == 0
+        ).select("vec_id").collect()
+    }
+    out_id = next(i for i in range(n) if i not in sampled)
+    rows[out_id] = (out_id, [5.0] * dim)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    m_train = create_index(
+        df, "vec_id", "embedding", "env_train", engine="faiss",
+        type="IVFFlat", ivf_nlist=4, nprobe=4, train_sample=cap,
+        quantization="sq8", catalog=cat,
+    )
+    assert m_train["sq8_clip_count"] >= dim, m_train["sq8_clip_count"]
+    assert m_train["params"]["sq8_envelope"] == "train"
+
+    m_full = create_index(
+        df, "vec_id", "embedding", "env_full", engine="faiss",
+        type="IVFFlat", ivf_nlist=4, nprobe=4, train_sample=cap,
+        quantization="sq8", sq8_envelope="full", catalog=cat,
+    )
+    assert m_full["sq8_clip_count"] == 0, m_full["sq8_clip_count"]
+    assert m_full["params"]["sq8_envelope"] == "full"
+    # the full envelope actually covers the outlier: its stored codes
+    # round-trip to ~5.0 instead of saturating at the sample max
+    got = index_scan(
+        spark, "env_full", [[5.0] * dim], k=1, catalog=cat
+    ).collect()
+    assert got[0]["vec_id"] == out_id
+    assert got[0]["_distance"] < 0.01, got[0]["_distance"]
+    # invalid mode fails loud
+    with pytest.raises(ValueError, match="sq8_envelope"):
+        create_index(df, "vec_id", "embedding", "env_bad", engine="faiss",
+                     type="IVFFlat", ivf_nlist=4, quantization="sq8",
+                     sq8_envelope="median", catalog=cat)
+    drop_index("env_train", cat)
+    drop_index("env_full", cat)

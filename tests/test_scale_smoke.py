@@ -1839,3 +1839,103 @@ def test_vamana_300k_reference_defaults(spark, cat):
     assert rec >= 0.70, rec
     drop_index("smoke_vam_300k", cat)
     vecs.unpersist()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE_768"),
+    reason="set SPARK_GRAFT_SCALE_SMOKE_768=1 for the ~30-minute "
+           "1M x 768-dim graph tier",
+)
+def test_graph_1m_dim768_tier(spark, cat):
+    """Round 15 (r14 verdict item 2): scale evidence at PRODUCTION
+    embedding dims. Every prior 1M/10M/100M smoke runs at dim 16-64;
+    the reference's own bench template is dim {128, 256, 768}
+    (/root/reference/bench/metal_diskann_bench.sql:7-39) and both the
+    named co-tenancy wall (memory bandwidth ~ dim) and the SQ8 byte
+    win scale with dim — so the low-dim scale story needed a dim-768
+    datapoint. 1M x 768 (3.07 GB raw fp32): routed vamana fp32 + SQ8
+    + routed HNSW, each build/search/recall with floors >= 0.70, SQ8
+    recall within 0.03 of fp32 and served bytes <= half.
+
+    (Measured numbers from the round-15 run are printed by the test and
+    recorded in the round notes; see the git log for the measured
+    walls/recalls at this tier.)"""
+    n, dim = 1_000_000, 768
+    vecs = (
+        spark.range(0, n, 1, 64)
+        .withColumn(
+            "embedding",
+            F.array(*[F.rand(7000 + j).cast("float") for j in range(dim)]),
+        )
+        .select(F.col("id").alias("vec_id"), "embedding")
+        .persist()
+    )
+    vecs.count()
+    rng = np.random.default_rng(77)
+    queries = rng.random((N_QUERIES, dim), dtype=np.float32)
+
+    t0 = time.perf_counter()
+    exact = search_batch_ids(vecs, "vec_id", "embedding", queries, K, "l2")
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    truth_s = time.perf_counter() - t0
+
+    import duckdb_ann_spark.index.vamana as vam
+    from duckdb_ann_spark.index.engines import get_engine
+    from duckdb_ann_spark.index.vamana_core import SQ8Vectors
+
+    stats = {}
+    for name, engine, kw in (
+        ("smoke768_vam", "diskann",
+         dict(max_degree=16, build_complexity=32, shard_by="cells")),
+        ("smoke768_vam8", "diskann",
+         dict(max_degree=16, build_complexity=32, shard_by="cells",
+              quantization="sq8")),
+        ("smoke768_hnsw", "faiss",
+         dict(type="HNSW", hnsw_m=16, shard_by="cells")),
+    ):
+        t0 = time.perf_counter()
+        create_index(vecs, "vec_id", "embedding", name, engine=engine,
+                     catalog=cat, **kw)
+        build_s = time.perf_counter() - t0
+        m = cat.load(name)
+        assert m["params"]["shard_by"] == "cells", m["params"]
+        assert m["shards"] >= 30, m["shards"]
+        t0 = time.perf_counter()
+        rows = index_scan(spark, name, queries, K, catalog=cat).collect()
+        search_s = time.perf_counter() - t0
+        assert len(rows) == N_QUERIES * K
+        vec_bytes = 0
+        if engine == "diskann":
+            files = get_engine("diskann", "vamana")._shard_files(
+                cat.path(name)
+            )
+            vam._clear_shard_cache()
+            for _, path in files[:5]:
+                g = vam._load_shard(path)
+                if name == "smoke768_vam8":
+                    assert isinstance(g.vectors, SQ8Vectors), type(g.vectors)
+                vec_bytes += int(g.vectors.nbytes)
+            vam._clear_shard_cache()
+        stats[name] = (build_s, search_s, _recall(rows, truth), vec_bytes,
+                       m["shards"])
+
+    bv, sv, rv, cv, shv = stats["smoke768_vam"]
+    b8, s8, r8, c8, _ = stats["smoke768_vam8"]
+    bh, sh, rh, _, shh = stats["smoke768_hnsw"]
+    print(
+        f"\n1M x 768 tier: truth {truth_s:.1f}s | vamana fp32 "
+        f"({shv} shards) build {bv:.1f}s search {sv:.1f}s recall {rv:.3f} "
+        f"serve {cv/1e6:.1f}MB/5sh | sq8 build {b8:.1f}s search {s8:.1f}s "
+        f"recall {r8:.3f} serve {c8/1e6:.1f}MB ({cv/max(c8,1):.2f}x "
+        f"smaller) | hnsw m16 ({shh} shards) build {bh:.1f}s search "
+        f"{sh:.1f}s recall {rh:.3f}"
+    )
+    assert rv >= 0.70, rv
+    assert rh >= 0.70, rh
+    assert r8 >= 0.70 and r8 >= rv - 0.03, (r8, rv)
+    assert c8 <= cv / 2, (c8, cv)
+    for name in ("smoke768_vam", "smoke768_vam8", "smoke768_hnsw"):
+        drop_index(name, cat)
+    vecs.unpersist()
