@@ -515,3 +515,67 @@ def test_wave_insert_w1_identity_and_recall():
     rw, rr = recall(gw), recall(gr)
     assert rw >= rr - 0.03, (rw, rr)
     assert rw >= 0.80, rw
+
+
+def test_bulk_slack_contract_and_recall():
+    """Round 15: bulk builds run with back-edge SLACK (adjacency
+    temporarily degree*(1+BULK_SLACK) wide; overflow prunes amortize to
+    once per slack-fill plus one finalize pass). The escaped graph must
+    honor the (n, degree) contract exactly — width narrowed, every row
+    prefix-packed with <= degree edges — and hold recall parity with
+    the immediate-re-prune body. Below BULK_MIN_ROWS the sequential
+    body never sees slack (byte-identity covered by
+    test_bulk_build_gate_and_recall)."""
+    import duckdb_ann_spark.index.vamana_core as vc
+    from duckdb_ann_spark.index.vamana_core import NO_EDGE, build_graph
+
+    rng = np.random.default_rng(41)
+    v = rng.random((1600, 16), dtype=np.float32)
+    qs = rng.random((50, 16), dtype=np.float32)
+    old = vc.BULK_SLACK
+    try:
+        vc.BULK_SLACK = 1.0
+        gk = build_graph(v, max_degree=16, build_complexity=32)
+        # contract: narrow adjacency, prefix-packed rows, <= degree
+        assert gk.adjacency.shape[1] == 16
+        assert gk._slack == 0
+        counts = (gk.adjacency[: gk.n] != NO_EDGE).sum(axis=1)
+        assert (counts <= 16).all()
+        packed = np.argmax(
+            np.concatenate(
+                [gk.adjacency[: gk.n] == NO_EDGE,
+                 np.ones((gk.n, 1), bool)], axis=1
+            ), axis=1
+        )
+        assert np.array_equal(packed, counts)  # first NO_EDGE == count
+
+        vc.BULK_SLACK = 0.0
+        g0 = build_graph(v, max_degree=16, build_complexity=32)
+
+        def recall(g):
+            hit = 0
+            for q in qs:
+                d = ((v - q) ** 2).sum(axis=1)
+                truth = set(np.argsort(d, kind="stable")[:10].tolist())
+                hit += len(truth & {i for i, _ in g.search(q, 10)})
+            return hit / (len(qs) * 10)
+
+        rk, r0 = recall(gk), recall(g0)
+        assert rk >= r0 - 0.03, (rk, r0)
+        assert rk >= 0.80, rk
+
+        # serialization round-trip of a slack-built graph stays intact
+        import tempfile
+
+        from duckdb_ann_spark.index.file_format import (
+            read_diskann, write_diskann,
+        )
+
+        with tempfile.TemporaryDirectory() as td:
+            path = f"{td}/g.diskann"
+            write_diskann(path, gk)
+            g2 = read_diskann(path)
+            assert np.array_equal(g2.adjacency[: g2.n],
+                                  gk.adjacency[: gk.n])
+    finally:
+        vc.BULK_SLACK = old
