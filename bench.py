@@ -728,8 +728,11 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
         _t("scale100k_vamana_clust_build", t0)
         rcal = mv["route_calibration"]
         assert rcal is not None
+        # denominator = the ACTUAL shard count (round 15: the cell-size
+        # guard may sub-split hot cells, growing shards past the asked
+        # 128 — the frac must stay probed-work / total-work)
         out["scale100k_vamana_clust_measured_frac"] = round(
-            rcal["nprobe"] / 128, 4
+            rcal["nprobe"] / mv["shards"], 4
         )
         # round-10: the measured in-shard L this leg's searches resolve
         # to (base 32 = build_complexity; >32 means the calibration
@@ -852,8 +855,10 @@ def bench_scale(spark) -> tuple[dict[str, float], dict[str, float]]:
     from duckdb_ann_spark.index.calibration import calibrated_nprobe
 
     _route_np = (calibrated_nprobe(m_routed, "route_calibration")
-                 or auto_route_nprobe(128, dim))
-    out["scale100k_route_probe_frac"] = round(_route_np / 128, 4)
+                 or auto_route_nprobe(m_routed["shards"], dim))
+    out["scale100k_route_probe_frac"] = round(
+        _route_np / m_routed["shards"], 4
+    )
     # the reference's recall floor, held by every approximate path whose
     # CONFIG claims recall (the pinned knn_join is documented latency-floor)
     for key in ("scale100k_vamana_routed", "scale100k_hnsw_routed",

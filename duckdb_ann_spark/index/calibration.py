@@ -146,6 +146,7 @@ def _exact_topk_scan(
     centroids: np.ndarray,
     metric: str,
     k: int,
+    split=None,
 ) -> pd.DataFrame:
     """ONE distributed scan → per-query exact top-(k+1) candidates with
     the cell each candidate lives in: per-partition top-(k+1)
@@ -159,7 +160,7 @@ def _exact_topk_scan(
     nq = qmat.shape[0]
     cap = k + 1  # +1 so dropping the query's own row still leaves k
     bq = spark.sparkContext.broadcast(
-        (np.ascontiguousarray(qmat), np.ascontiguousarray(centroids))
+        (np.ascontiguousarray(qmat), np.ascontiguousarray(centroids), split)
     )
 
     def scan(batches):
@@ -171,7 +172,7 @@ def _exact_topk_scan(
 
         from ..functions.distance import np_from_arrow_list
 
-        qm, cm = bq.value
+        qm, cm, spl = bq.value
         dim = qm.shape[1]
         acc_d = acc_id = acc_v = None
         for b in batches:
@@ -212,7 +213,23 @@ def _exact_topk_scan(
             return
         m = acc_d.shape[1]
         flat_v = acc_v.reshape(nq * m, dim)
-        cells = np_index_distances(metric, cm, flat_v).argmin(axis=1)
+        if spl is not None:
+            # cell-split indexes (round 15): a candidate's shard is its
+            # CELL (argmin over the base centroids) plus its hash
+            # sub-shard — argmin over the DUPLICATED route rows would
+            # tie every candidate to a cell's first sub-shard, making
+            # the curve claim one probe captures a whole split cell
+            from .vamana_core import _mix64_np
+
+            offs, nsub = spl
+            base = cm[offs[:-1]]
+            cell0 = np_index_distances(metric, base, flat_v).argmin(axis=1)
+            sub = _mix64_np(
+                acc_id.reshape(-1).astype(np.uint64)
+            ) % nsub[cell0].astype(np.uint64)
+            cells = offs[:-1][cell0] + sub.astype(np.int64)
+        else:
+            cells = np_index_distances(metric, cm, flat_v).argmin(axis=1)
         yield pa.RecordBatch.from_pandas(
             pd.DataFrame(
                 {
@@ -641,6 +658,7 @@ def measure_graph_calibrations(
     n_queries: int = DEFAULT_QUERIES,
     k: int = CAL_K,
     max_shards: int = L_MAX_SHARDS,
+    split=None,
 ) -> "tuple[dict | None, dict | None, dict | None]":
     """The FUSED build-time measurement for routed graph indexes
     (round 11) → (route_calibration, l_calibration, end_calibration),
@@ -693,7 +711,9 @@ def measure_graph_calibrations(
     if nq == 0:
         return None, None, None
     spark = src.sparkSession
-    hits = _exact_topk_scan(src, id_col, vec_col, qmat, centroids, metric, k)
+    hits = _exact_topk_scan(
+        src, id_col, vec_col, qmat, centroids, metric, k, split=split
+    )
     if not len(hits):
         return None, None, None
     truth = _merge_truth(hits, qids, k)

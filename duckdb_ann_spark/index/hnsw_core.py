@@ -98,6 +98,10 @@ class HnswGraph:
         self.upper: list[dict[int, np.ndarray]] = []  # upper[l-1][label]
         self.entry_point = -1
         self.max_level = 0
+        # build-time layer-0 back-connection slack (round 15 — the HNSW
+        # twin of VamanaGraph._slack): >0 only inside build_hnsw's bulk
+        # body; _finalize_slack() narrows before the graph escapes
+        self._slack = 0
 
     # engine-facing parity with VamanaGraph -----------------------------
     @property
@@ -123,7 +127,8 @@ class HnswGraph:
         )
         self.adjacency = np.vstack(
             [self.adjacency,
-             np.full((new_cap - cap, self.m0), NO_EDGE, dtype=np.uint32)]
+             np.full((new_cap - cap, self.adjacency.shape[1]), NO_EDGE,
+                     dtype=np.uint32)]
         )
         self.levels = np.concatenate(
             [self.levels, np.zeros(new_cap - cap, dtype=np.uint8)]
@@ -140,7 +145,7 @@ class HnswGraph:
 
     def _set_neighbors(self, i: int, layer: int, ids: list[int]) -> None:
         if layer == 0:
-            ids = ids[: self.m0]
+            ids = ids[: self.m0 + self._slack]
             row = self.adjacency[i]
             row[: len(ids)] = ids
             row[len(ids):] = NO_EDGE
@@ -341,11 +346,15 @@ class HnswGraph:
             mm = self.m0 if lc == 0 else self.m
             nbrs = self._select(w, mm)
             self._set_neighbors(label, lc, nbrs)
+            # layer-0 rows may OVERFLOW to m0+slack during bulk builds
+            # (round 15, see build_hnsw) — the re-select then amortizes
+            # to once per slack-fill + the finalize pass
+            cap_eff = mm + (self._slack if lc == 0 else 0)
             for nb in nbrs:
                 cur = self._neighbors(nb, lc)
                 if label in cur:
                     continue
-                if len(cur) < mm:
+                if len(cur) < cap_eff:
                     self._set_neighbors(nb, lc, cur + [label])
                 else:
                     # overflow: re-select among current + new by distance
@@ -408,11 +417,12 @@ class HnswGraph:
             mm = self.m0
             nbrs = self._select(w, mm)
             self._set_neighbors(label, 0, nbrs)
+            cap_eff = mm + self._slack
             for nb in nbrs:
                 cur = self._neighbors(nb, 0)
                 if label in cur:
                     continue
-                if len(cur) < mm:
+                if len(cur) < cap_eff:
                     self._set_neighbors(nb, 0, cur + [label])
                 else:
                     pool_ids = cur + [label]
@@ -422,6 +432,39 @@ class HnswGraph:
                     )
                     pool = sorted(zip(pd.tolist(), pool_ids))
                     self._set_neighbors(nb, 0, self._select(pool, mm))
+
+    def _enable_slack(self, slack: int) -> None:
+        """Widen layer-0 adjacency for build-time back-connection slack
+        (bulk body only; `_finalize_slack` narrows before the graph
+        escapes)."""
+        if slack <= 0 or self._slack:
+            return
+        cap = self.adjacency.shape[0]
+        pad = np.full((cap, slack), NO_EDGE, dtype=np.uint32)
+        self.adjacency = np.hstack([self.adjacency, pad])
+        self._slack = int(slack)
+
+    def _finalize_slack(self) -> None:
+        """End-of-build re-select of every layer-0 row still holding
+        more than m0 back-connections, then narrow adjacency back to
+        (n, m0) — the HNSW twin of `VamanaGraph._finalize_slack`:
+        one Algorithm-4 re-select per overflowing node total instead of
+        per overflow arrival, over the node's FULL accumulated pool."""
+        if not self._slack:
+            return
+        m0 = self.m0
+        counts = (self.adjacency[: self.n] != NO_EDGE).sum(axis=1)
+        over = np.flatnonzero(counts > m0)
+        self._slack = 0  # _set_neighbors must truncate to m0 again
+        for j in over.tolist():
+            adj = self.adjacency[j]
+            cur = adj[adj != NO_EDGE].tolist()
+            pd = _dists(
+                self.metric, self.vectors[np.asarray(cur)], self.vectors[j]
+            )
+            pool = sorted(zip(pd.tolist(), cur))
+            self._set_neighbors(j, 0, self._select(pool, m0))
+        self.adjacency = np.ascontiguousarray(self.adjacency[:, :m0])
 
     # -- queries --------------------------------------------------------
     def search(self, query, k: int, search_complexity: int | None = None,
@@ -495,14 +538,31 @@ def build_hnsw(vectors: np.ndarray, m: int = 32, ef_construction: int = 64,
     as the Vamana bulk build — small, byte-pinned builds keep the
     historical path bit-for-bit). Measured at 6000x16/m16 (the 10M-smoke
     HNSW cell shape): 2.0x build at recall parity (sweep in
-    `_search_layer0_slab`'s commit)."""
-    from .vamana_core import BULK_MIN_ROWS, WAVE_ROWS, _bulk_wave_width
+    `_search_layer0_slab`'s commit).
+
+    Bulk builds also run with layer-0 back-connection SLACK (round 15,
+    vamana_core.BULK_SLACK): rows overflow to m0*(1+slack) before a
+    re-select, finalized once at end. Interleaved min-of-3 immediate vs
+    slack: 1500x16/m16 1.13->0.92s (1.23x, recall 0.997/0.996),
+    6000x16/m16 6.99->6.93s (1.01x, 0.991/0.991), 4000x128/m32
+    4.82->4.71s (1.02x, 0.943/0.946) — smaller than the vamana win
+    because HNSW's per-arrival re-select was already one small kernel,
+    not an occlusion rescan; kept because it is never negative and the
+    small-cell regime (the degree-16 routed budget) gets 1.2x."""
+    from .vamana_core import (
+        BULK_MIN_ROWS, BULK_SLACK, WAVE_ROWS, _bulk_wave_width,
+    )
 
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     n = len(vectors)
     g = HnswGraph(vectors.shape[1] if vectors.size else 0, m, ef_construction,
                   metric, capacity=max(n, 16))
     slab_b = _bulk_wave_width(vectors.shape[1]) if n >= BULK_MIN_ROWS else 0
+    if slab_b and BULK_SLACK > 0:
+        # round 15: layer-0 back-connection slack (the vamana
+        # BULK_SLACK discipline — see vamana_core for the measured
+        # table; HNSW twin measured in build docstring below)
+        g._enable_slack(max(1, int(g.m0 * BULK_SLACK)))
     if slab_b and WAVE_ROWS > 1 and vectors.shape[1] <= WAVE_MAX_DIM:
         # wave-batched level-0 runs (round 14; see _insert_wave0): level
         # assignment is label-deterministic (_level_for), so the wave
@@ -530,7 +590,9 @@ def build_hnsw(vectors: np.ndarray, m: int = 32, ef_construction: int = 64,
             else:
                 g.insert(vectors[i], _slab_B=slab_b)
             i = j
+        g._finalize_slack()
         return g
     for v in vectors:
         g.insert(v, _slab_B=slab_b)
+    g._finalize_slack()
     return g

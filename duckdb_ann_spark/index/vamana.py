@@ -58,6 +58,7 @@ from .hnsw_core import build_hnsw
 from .vamana_core import (
     SQ8Vectors,
     VamanaGraph,
+    _mix64_np,
     build_graph,
     sq8_quantize,
 )
@@ -587,13 +588,60 @@ class VamanaEngine:
         centroids = _kmeans(train, shards)
         _phase("routing-kmeans")
         k_eff = centroids.shape[0]
-        from .ivf import _write_centroids
-
-        _write_centroids(
-            spark, f"{artifact_dir}/{ROUTE_DIR}", centroids, cell_col="shard"
-        )
         from ..functions.distance import np_index_distances
         from ..functions.partitioning import exact_partition_tokens
+
+        # Cell-size guard (round 15): k-means does NOT guarantee
+        # balanced cells — on uniform HIGH-DIM data it collapses
+        # outright (measured: k=667 over 1M x 768 put 96.9% of rows in
+        # 4 cells; the 5 mega-cell graph builds then ran 200k-row
+        # degree-16 graphs — hours of straggler wall AND far past the
+        # degree's recall capacity). SPANN solves this with balanced
+        # closure clustering; the Spark-shaped equivalent here is
+        # SUB-SPLITTING: estimate per-cell mass from the train sample
+        # (free, driver-side), give any cell estimated past 2x the
+        # per-shard budget ceil(est/budget) sub-shards, and assign rows
+        # to sub-shards by a deterministic splitmix64 of the id. Each
+        # sub-shard gets its OWN shard id but carries its cell's
+        # CENTROID in the route table (duplicated rows), so the search
+        # path needs no changes: ranking duplicates ties them adjacent
+        # — probing the nearest cells naturally probes their sub-shards
+        # first, and route_nprobe stays a true per-shard WORK budget.
+        # Balanced builds estimate no cell past 2x budget and resolve
+        # to the historical one-shard-per-cell layout exactly.
+        budget_rows = max(1, -(-n_rows // max(1, k_eff)))
+        n_sub = np.ones(k_eff, dtype=np.int64)
+        if os.environ.get("SPARK_GRAFT_CELL_SPLIT", "1") != "0" and len(train):
+            tcn = np.einsum("ij,ij->i", centroids, centroids)
+            ta = (
+                tcn[None, :] - 2.0 * (train @ centroids.T)
+            ).argmin(axis=1)
+            est = (
+                np.bincount(ta, minlength=k_eff).astype(np.float64)
+                / len(train) * n_rows
+            )
+            over = est > 2 * budget_rows
+            n_sub[over] = np.ceil(est[over] / budget_rows).astype(np.int64)
+        sub_offsets = np.concatenate(
+            [[0], np.cumsum(n_sub)]
+        ).astype(np.int64)
+        total_shards = int(sub_offsets[-1])
+        if _phases and total_shards > k_eff:
+            print(
+                f"[build-phase] cell-split: {int((n_sub > 1).sum())} "
+                f"oversized cells -> {total_shards} shards "
+                f"(k_eff {k_eff}, budget {budget_rows})",
+                flush=True,
+            )
+        from .ivf import _write_centroids
+
+        # route table: one row per SUB-shard, centroid duplicated
+        # across a split cell's sub-shards (dense shard ids 0..S-1)
+        route_cents = centroids[np.repeat(np.arange(k_eff), n_sub)]
+        _write_centroids(
+            spark, f"{artifact_dir}/{ROUTE_DIR}", route_cents,
+            cell_col="shard"
+        )
 
         # collision-free cell->partition placement (round 11): hashing
         # k_eff dense cell ids into k_eff partitions collides ~26% of
@@ -607,8 +655,10 @@ class VamanaEngine:
         # once more per build; the precomputed hash TOKENS place cell c
         # in partition c exactly with a plain hash repartition — no
         # collisions AND no sampling job.
-        tokens = exact_partition_tokens(k_eff)
-        bc = spark.sparkContext.broadcast((centroids, tokens))
+        tokens = exact_partition_tokens(total_shards)
+        bc = spark.sparkContext.broadcast(
+            (centroids, tokens, sub_offsets, n_sub)
+        )
         metric = params.metric
 
         # round 14 (r13 verdict item 1): per-TASK phase walls, summed
@@ -640,20 +690,31 @@ class VamanaEngine:
 
             from .ivf import _arrow_cells
 
-            cm, toks = bc.value
+            cm, toks, offs, nsub = bc.value
             t_body = 0.0
             for b in batches:
                 if b.num_rows == 0:
                     continue
                 t_in = _t.perf_counter()
                 cells = _arrow_cells(b, vec_col, cm, metric)
+                # sub-shard placement (round 15 cell-size guard):
+                # deterministic splitmix64 of the id spreads an
+                # oversized cell's rows across its sub-shards; unsplit
+                # cells (nsub=1) reduce to shard id == cell id exactly
+                ids_np = (
+                    b.column(b.schema.get_field_index(id_col))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                sub = _mix64_np(ids_np) % nsub[cells].astype(np.uint64)
+                sids = (offs[cells] + sub.astype(np.int64)).astype(np.int64)
                 out = pa.RecordBatch.from_arrays(
                     [
                         b.column(b.schema.get_field_index(id_col)),
                         b.column(b.schema.get_field_index(vec_col)),
-                        pa.array(cells, type=pa.int32()),
+                        pa.array(sids.astype(np.int32), type=pa.int32()),
                         pa.array(
-                            toks[cells].astype(np.int32), type=pa.int32()
+                            toks[sids].astype(np.int32), type=pa.int32()
                         ),
                     ],
                     names=[id_col, vec_col, "shard", "_pt"],
@@ -836,10 +897,16 @@ class VamanaEngine:
                 params._l_calibration,
                 params._end_calibration,
             ) = measure_graph_calibrations(
-                src, id_col, vec_col, centroids, metric, n_rows,
+                # route_cents, not centroids: the curves must rank the
+                # SAME (sub-shard) rows serve-time routing ranks —
+                # identical when no cell split
+                src, id_col, vec_col, route_cents, metric, n_rows,
                 shard_files, f"{artifact_dir}/{LABELS_DIR}",
                 self._default_search_complexity(params), search_fn,
                 measure_routing=measure_routing, n_queries=nq,
+                split=(
+                    (sub_offsets, n_sub) if total_shards > k_eff else None
+                ),
             )
             _phase("fused-calibration")
         return len(shard_files)

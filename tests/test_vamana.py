@@ -579,3 +579,48 @@ def test_bulk_slack_contract_and_recall():
                                   gk.adjacency[: gk.n])
     finally:
         vc.BULK_SLACK = old
+
+
+def test_bulk_slack_hnsw_contract_and_recall():
+    """HNSW twin of the slack contract: bulk builds run with layer-0
+    back-connection slack; the escaped graph must be (n, m0)-narrow,
+    prefix-packed, <= m0 edges per row, recall at parity with the
+    immediate-re-select body, and serialization-clean."""
+    import duckdb_ann_spark.index.vamana_core as vc
+    from duckdb_ann_spark.index.hnsw_core import NO_EDGE, build_hnsw
+
+    rng = np.random.default_rng(43)
+    v = rng.random((1600, 16), dtype=np.float32)
+    qs = rng.random((50, 16), dtype=np.float32)
+    old = vc.BULK_SLACK
+    try:
+        vc.BULK_SLACK = 1.0
+        gk = build_hnsw(v, m=8, ef_construction=40)
+        assert gk.adjacency.shape[1] == 16  # m0 = 2m
+        assert gk._slack == 0
+        counts = (gk.adjacency[: gk.n] != NO_EDGE).sum(axis=1)
+        assert (counts <= 16).all()
+        packed = np.argmax(
+            np.concatenate(
+                [gk.adjacency[: gk.n] == NO_EDGE,
+                 np.ones((gk.n, 1), bool)], axis=1
+            ), axis=1
+        )
+        assert np.array_equal(packed, counts)
+
+        vc.BULK_SLACK = 0.0
+        g0 = build_hnsw(v, m=8, ef_construction=40)
+
+        def recall(g):
+            hit = 0
+            for q in qs:
+                d = ((v - q) ** 2).sum(axis=1)
+                truth = set(np.argsort(d, kind="stable")[:10].tolist())
+                hit += len(truth & {i for i, _ in g.search(q, 10)})
+            return hit / (len(qs) * 10)
+
+        rk, r0 = recall(gk), recall(g0)
+        assert rk >= r0 - 0.03, (rk, r0)
+        assert rk >= 0.80, rk
+    finally:
+        vc.BULK_SLACK = old
