@@ -508,7 +508,13 @@ def _graph_10m_smoke(spark, cat, name, engine, create_kw):
     insert-kernel wall, same non-IO attribution. The wave-batched
     level-0 inserts (dim-gated, hnsw_core.build_hnsw) landed the same
     round: 343.9s (insert 9151 task-s) at recall 0.917 — the round
-    total is 463.2 → 343.9s (-26%)."""
+    total is 463.2 → 343.9s (-26%).
+
+    ROUND 15: 343.9 → 337.8s at bit-identical anchors (recall 0.916,
+    route_nprobe 14, measured L 40) — the layer-0 back-connection
+    slack is ~neutral at this tier's 6000-row cells (measured 1.01x
+    isolated), so the delta is mostly the clean epoch (canary
+    0.9554); recorded for continuity, not claimed as a win."""
     n, dim, k = 10_000_000, 16, 10
     vecs = (
         spark.range(0, n, 1, 256)
