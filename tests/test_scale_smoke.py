@@ -694,7 +694,13 @@ def test_vamana_10m_routed_tier(spark, cat):
     day: bench canary unit measured 1.44-1.61 around the quiet run
     vs the 1.2495 unit of r14's clean host — canary-relative the
     build is 656.1/1.2495 = 525 -> 600.6/1.50 = 400 units (-24%);
-    on an r14-clean epoch the raw wall extrapolates to ~500s. The
+    on an r14-clean epoch the raw wall extrapolates to ~500s. A
+    second run later the same session read 634.6s with the canary
+    measured at 1.52-1.60 immediately after = 407 units — the
+    canary-relative reading REPRODUCES (400 vs 407) while the raw
+    wall swings with the host's +-60% epochs, exactly what the
+    canary machinery exists to adjudicate. Anchors bit-identical
+    across all three runs (0.904 / rnp 23 / L 32 / end 0.9031). The
     wave-width follow-up (W in {16..128} at 6000/12000-row cells
     under co-tenancy) REFUTED wider waves — see the WAVE_ROWS
     adjudication note in vamana_core."""
