@@ -53,21 +53,34 @@ MAX_OCCLUSION_SIZE = 750
 # decisions (final beam result is still "top-L of visited"; prunes are
 # the same occlusion scan) but expands candidates in waves, so the
 # visited sets — and therefore the graph bytes — differ from the
-# sequential path: the gate keeps every byte-pinned artifact (grid
-# goldens <=125 rows, file-format goldens, the sf0.01/sf0.1 oracle
-# builds at 500/2000 rows... sf0.1 is above the gate but its oracle
-# entries degenerate to exact search, graph-byte-independent) on the
-# historical path, exactly the SEQ_INIT_K_MAX discipline the round-12
-# k-means|| gate set. Large builds are recall-floor gated, not
-# byte-pinned; measured at the 10M smoke shapes the bulk body cuts the
-# per-cell build 1.2-1.7x at recall parity (sweep in the
-# build_graph docstring). Env-overridable (executors read their own
-# copy of this module, so a monkeypatched constant never reaches
-# them): SPARK_GRAFT_BULK_MIN_ROWS=<n>, e.g. a huge value forces the
+# sequential path: the gate keeps every byte-pinned artifact (the
+# 3-vector file-format goldens and the grid-case graphs, <=256 rows)
+# on the historical path, exactly the SEQ_INIT_K_MAX discipline the
+# round-12 k-means|| gate set. Everything larger is recall-floor
+# gated, not byte-pinned — the sf0.01 oracle builds (500 rows) run
+# exact-complexity searches whose results are graph-byte-independent
+# (verified: all 50 entries oracle-green at sf0.001/0.01/0.1 with the
+# 288 gate).
+#
+# ROUND 15 (optimization round — guide §1.2 "per-task work"): the gate
+# dropped 1024 -> 288. 1024 had parked every sub-1024-row cell on the
+# sequential per-row body, and the sharded/routed production tiers
+# live exactly there (10k/32 shards = 312-row cells; 100k/128 = 781).
+# Interleaved min-of-7 in-process A/B, bulk (default slack+wave) vs
+# sequential, single-threaded BLAS: 312x128 3.09x, 400x128 2.80x,
+# 600x64 2.93x, 781x128 2.44x, 781x16 2.03x, 1000x128 2.28x — with
+# recall@10 parity (312x128 0.975 vs 0.985, 500x64 0.930 vs 0.945,
+# 781x128 0.860 vs 0.840, 1000x16 0.995 = 0.995; L=32, 20 queries).
+# HNSW's slab body rides the same gate: 781x128 1.99x, 500x64 1.86x
+# at equal recall. 288 keeps the 256-row grid case sequential with
+# margin while flipping every real shard shape to the batch body.
+# Env-overridable (executors read their own copy of this module, so a
+# monkeypatched constant never reaches them):
+# SPARK_GRAFT_BULK_MIN_ROWS=<n>, e.g. a huge value forces the
 # sequential body everywhere for A/B runs.
 import os as _os
 
-BULK_MIN_ROWS = int(_os.environ.get("SPARK_GRAFT_BULK_MIN_ROWS", "1024"))
+BULK_MIN_ROWS = int(_os.environ.get("SPARK_GRAFT_BULK_MIN_ROWS", "288"))
 # Rows per wave-batched bulk insert (round 14): searches share the
 # wave-start graph snapshot (a row's pool misses its own wave's other
 # rows — the standard batch-build relaxation) and their distance

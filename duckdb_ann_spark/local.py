@@ -14,10 +14,13 @@ nested types).
 
 from __future__ import annotations
 
+import itertools
 from typing import Iterable, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+_WIDEN_IDS = itertools.count()
 
 
 def schema_names(schema: str) -> list[str]:
@@ -55,7 +58,23 @@ def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
     already widened should not re-probe (see prepare_corpus, which
     passes widen=False into the LSH stage). On runtimes without
     DataFrame.rdd (Spark Connect) the probe is skipped and the input
-    passes through unchanged."""
+    passes through unchanged.
+
+    ROUND 15 (optimization — guide §2.5/§7.2): the repartition alone
+    did NOT deliver the parallelism it exists for when the consumer
+    filters: Catalyst pushes deterministic filters through Repartition,
+    so prepare_corpus' language/quality gate — the pipeline's single
+    most expensive expression (full tokenize per row) — ran BELOW the
+    added exchange, on the one scan task the widen was meant to escape
+    (measured in the round-15 pipeline_sf plan: `Filter` under
+    `Exchange RoundRobinPartitioning`). An `observe()` (CollectMetrics)
+    node on the widened frame is a sanctioned optimizer barrier:
+    predicate pushdown does not cross it (metrics would change), while
+    column pruning does (verified: scan ReadSchema stays pruned), and
+    its runtime cost is one count per task. The barrier only exists in
+    the narrow-input case, so cluster-scale plans — where the scan is
+    already parallel and filter-at-scan is exactly right — are
+    untouched."""
     try:
         sc = df.sparkSession.sparkContext
         target = int(target or sc.defaultParallelism)
@@ -63,7 +82,11 @@ def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
     except Exception:
         return df
     if n_part < target:
-        return df.repartition(target)
+        from pyspark.sql import functions as F
+
+        return df.repartition(target).observe(
+            f"_widen_{next(_WIDEN_IDS)}", F.count(F.lit(1)).alias("rows")
+        )
     return df
 
 

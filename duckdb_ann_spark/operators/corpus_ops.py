@@ -333,11 +333,17 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Scale: 100% row-local whole-stage codegen — the document never
     explodes into per-line/per-n-gram rows, so there is NO shuffle and
     the operator streams at parquet-scan speed regardless of corpus
-    size."""
+    size. Round 15 (guide §2.5): `widen_if_narrow` — a single-split
+    local input otherwise runs the whole n-gram scan on ONE task (the
+    round-15 bench plan had zero exchanges and one partition, 1/32
+    utilization on local[32]); on any real multi-split read it is a
+    no-op."""
+    from ..local import widen_if_narrow
+
     expr = repetition_sql("spark", quote_ident(text_col))
-    return df.select(F.col(id_col), F.expr(expr).alias("_r")).select(
-        id_col, "_r.*"
-    )
+    return widen_if_narrow(df).select(
+        F.col(id_col), F.expr(expr).alias("_r")
+    ).select(id_col, "_r.*")
 
 
 # ---------------------------------------------------------------------------

@@ -765,10 +765,28 @@ def hybrid_search(
         )
 
     # ---- RRF fusion ----
-    fused = vec_ranks.join(bm_ranks, on=id_col, how="full").select(
-        id_col,
-        F.coalesce(F.col("_bm25_rank"), F.lit(0)).alias("_bm25_rank"),
-        F.coalesce(F.col("_vector_rank"), F.lit(0)).alias("_vector_rank"),
+    # round 15 (guide §2.4/§3.1): the two rank legs are <= candidates
+    # rows each, but a FULL OUTER join cannot broadcast — it planned as
+    # a SortMergeJoin (2 exchanges + 2 sorts for <=50-row inputs, pure
+    # fixed stage overhead). A union + max-aggregate computes the
+    # identical (id, bm25_rank, vector_rank) frame — absent legs as 0,
+    # exactly the old coalesce(rank, 0) — through ONE hash-aggregate
+    # exchange with map-side partial aggregation.
+    fused = (
+        vec_ranks.select(
+            F.col(id_col), F.lit(0).alias("_bm25_rank"), F.col("_vector_rank")
+        )
+        .unionByName(
+            bm_ranks.select(
+                F.col(id_col), F.col("_bm25_rank"),
+                F.lit(0).alias("_vector_rank"),
+            )
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("_bm25_rank").alias("_bm25_rank"),
+            F.max("_vector_rank").alias("_vector_rank"),
+        )
     )
     score = F.when(
         F.col("_bm25_rank") > 0,
@@ -1241,13 +1259,26 @@ def hybrid_search_table(
     )
 
     # ---- RRF fusion per query ----
-    fused = vec_ranks.join(
-        bm_ranks, on=[query_id_col, out_id_col], how="full"
-    ).select(
-        query_id_col,
-        out_id_col,
-        F.coalesce(F.col("_bm25_rank"), F.lit(0)).alias("_bm25_rank"),
-        F.coalesce(F.col("_vector_rank"), F.lit(0)).alias("_vector_rank"),
+    # round 15: union + max-aggregate instead of a FULL OUTER join —
+    # identical frame (absent legs rank 0), one hash-agg exchange with
+    # map-side combine instead of the full join's two sorted shuffles
+    # (see hybrid_search's fusion note).
+    fused = (
+        vec_ranks.select(
+            query_id_col, out_id_col,
+            F.lit(0).alias("_bm25_rank"), F.col("_vector_rank"),
+        )
+        .unionByName(
+            bm_ranks.select(
+                query_id_col, out_id_col, F.col("_bm25_rank"),
+                F.lit(0).alias("_vector_rank"),
+            )
+        )
+        .groupBy(query_id_col, out_id_col)
+        .agg(
+            F.max("_bm25_rank").alias("_bm25_rank"),
+            F.max("_vector_rank").alias("_vector_rank"),
+        )
     )
     score = F.when(
         F.col("_bm25_rank") > 0,

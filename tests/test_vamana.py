@@ -365,7 +365,8 @@ def test_bulk_build_gate_and_recall():
     old = vc.BULK_MIN_ROWS
     try:
         # below-gate builds never touch the bulk body: byte-identical
-        v = rng.random((400, 16), dtype=np.float32)
+        # (shape derived from the gate — round 15 dropped it 1024->288)
+        v = rng.random((old - 38, 16), dtype=np.float32)
         g1 = build_graph(v, max_degree=16, build_complexity=32)
         vc.BULK_MIN_ROWS = 10 ** 9
         g0 = build_graph(v, max_degree=16, build_complexity=32)
@@ -404,7 +405,7 @@ def test_bulk_build_hnsw_gate_and_recall():
     rng = np.random.default_rng(31)
     old = vc.BULK_MIN_ROWS
     try:
-        v = rng.random((400, 16), dtype=np.float32)
+        v = rng.random((old - 38, 16), dtype=np.float32)
         g1 = build_hnsw(v, m=8, ef_construction=40)
         vc.BULK_MIN_ROWS = 10 ** 9
         g0 = build_hnsw(v, m=8, ef_construction=40)
