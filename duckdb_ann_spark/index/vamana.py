@@ -253,19 +253,36 @@ def _hits_batch(qs: np.ndarray, qids: list, psets, shard_files,
     the search paths). `psets` is positional (probe set per query row)
     or None for full fan-out. `slab` (round 14, target_recall-driven
     calls only) swaps in the frontier-slab beam where the graph offers
-    one — measured-floor contract, not byte-parity."""
+    one — measured-floor contract, not byte-parity.
+
+    ROUND 15 (guide §2.3 "shuffle fewer bytes"): hits are merged to the
+    GLOBAL top-k per query IN-TASK before they leave the Python worker.
+    A query's whole probe set is searched inside one task (both callers
+    partition queries, never shards), so per-shard top-k rows —
+    queries x probed_shards x k of them (the 10k-query routed leg
+    shipped ~4M rows) — were pure shuffle/join/window inflation: only
+    the global top-k can survive the downstream window. Distance TIES
+    at the k-th place are all kept (cutoff is `d <= kth smallest`, via
+    np.partition) because the final window breaks ties on the global id
+    that only exists after the (shard, label) -> id join — so the
+    surviving row set is bit-identical to the unmerged emission. A
+    NaN k-th distance (fewer than k finite candidates) keeps every row:
+    no safe cutoff exists there."""
     import pyarrow as pa
 
-    out_q, out_s, out_l, out_d = [], [], [], []
+    nq = len(qids)
+    acc_s: list = [[] for _ in range(nq)]
+    acc_l: list = [[] for _ in range(nq)]
+    acc_d: list = [[] for _ in range(nq)]
     for shard, path in shard_files:
         if psets is None:
-            sub_qs, sub_ids = qs, qids
+            sub_qs = qs
+            keep = range(nq)
         else:
-            keep = [i for i in range(len(qids)) if shard in psets[i]]
+            keep = [i for i in range(nq) if shard in psets[i]]
             if not keep:
                 continue
             sub_qs = qs[keep]
-            sub_ids = [qids[i] for i in keep]
         g = _load_shard(path)
         search_fn = (
             g.search_batch_slab
@@ -274,17 +291,29 @@ def _hits_batch(qs: np.ndarray, qids: list, psets, shard_files,
         )
         # lock-step batch: all of this task's queries advance together,
         # distance work aggregated per hop
-        for qi, hits in zip(
-            sub_ids, search_fn(sub_qs, k, search_complexity)
-        ):
+        for qi, hits in zip(keep, search_fn(sub_qs, k, search_complexity)):
             if not hits:
                 continue
             la, da = zip(*hits)
-            n = len(la)
-            out_q.append(np.full(n, qi, dtype=qid_np_dtype))
-            out_s.append(np.full(n, shard, dtype=np.int32))
-            out_l.append(np.asarray(la, dtype=np.int64))
-            out_d.append(np.asarray(da, dtype=np.float64))
+            acc_s[qi].append(np.full(len(la), shard, dtype=np.int32))
+            acc_l[qi].append(np.asarray(la, dtype=np.int64))
+            acc_d[qi].append(np.asarray(da, dtype=np.float64))
+    out_q, out_s, out_l, out_d = [], [], [], []
+    for qi in range(nq):
+        if not acc_d[qi]:
+            continue
+        s = np.concatenate(acc_s[qi])
+        lab = np.concatenate(acc_l[qi])
+        d = np.concatenate(acc_d[qi])
+        if d.shape[0] > k:
+            kth = np.partition(d, k - 1)[k - 1]
+            if not np.isnan(kth):
+                m = d <= kth
+                s, lab, d = s[m], lab[m], d[m]
+        out_q.append(np.full(d.shape[0], qids[qi], dtype=qid_np_dtype))
+        out_s.append(s)
+        out_l.append(lab)
+        out_d.append(d)
     if out_q:
         cols = [np.concatenate(out_q), np.concatenate(out_s),
                 np.concatenate(out_l), np.concatenate(out_d)]
@@ -1319,13 +1348,17 @@ class VamanaEngine:
         w = Window.partitionBy("query_idx").orderBy(
             F.col("_distance").asc_nulls_last(), F.col("id").asc()
         )
-        # hits (k x queries x shards rows) are usually the small side —
-        # the label map scales with the index, so IT must stream. But
-        # the hit count grows with the query batch: only hint the
-        # broadcast while the known row count stays well under Spark's
-        # broadcast limits; a huge query batch falls back to a shuffle
-        # join rather than collecting hits to the driver.
-        est_hits = len(qrows) * max(1, len(shard_files)) * k
+        # hits are usually the small side — the label map scales with
+        # the index, so IT must stream. But the hit count grows with
+        # the query batch: only hint the broadcast while the known row
+        # count stays well under Spark's broadcast limits; a huge query
+        # batch falls back to a shuffle join rather than collecting
+        # hits to the driver. Round 15: _hits_batch now merges to the
+        # global top-k in-task, so the emission is ~queries x k (2x
+        # margin for k-th-place distance ties / NaN degradation), not
+        # queries x shards x k — query batches that used to trip the
+        # cap into a shuffle join now broadcast correctly.
+        est_hits = len(qrows) * 2 * k
         joined = (
             F.broadcast(hits) if est_hits <= 2_000_000 else hits
         ).join(labels, on=["shard", "label"])
