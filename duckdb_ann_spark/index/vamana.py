@@ -243,6 +243,66 @@ def _route_probe_sets(
     return [s if s else set(existing_shards) for s in sets]
 
 
+# round 15 (guide §1.2 "the distributed algorithm first"): a beam at
+# width L over degree-d adjacency visits ~0.7*L*d rows regardless of
+# shard size (measured: 46% of a 781-row shard at L=32, d=16), so when
+# the shard is not much bigger than L*d an exact BLAS scan of the whole
+# shard is FASTER than walking the graph (measured slab-beam/flat-scan
+# ratios, BLAS pinned 1 thread: 781x128 2.0-11.1x, 1500x16 3.3-13.0x
+# across batch widths 1-193; crossover ~2x L*d single-query, ~12-25x
+# L*d batched) and strictly better recall (exact per shard — the
+# calibrated floor stays a floor). 4x L*d keeps every covered shape a
+# win at every batch width. 0 disables (beam everywhere). Read per
+# call (not at import) so executors and tests resolve their own env.
+FLAT_SCAN_FACTOR_DEFAULT = 4.0
+
+
+def _flat_scan_ok(g, k: int, search_complexity) -> bool:
+    """True when target_recall (slab) serving should answer this shard
+    with the exact scan: plain fp32 residency only (SQ8 codes would
+    need a full dequantize — their tiers run shards far past the gate
+    anyway) and shard rows within FLAT_SCAN_FACTOR * L * degree."""
+    v = getattr(g, "vectors", None)
+    if not isinstance(v, np.ndarray):
+        return False
+    factor = float(
+        os.environ.get("SPARK_GRAFT_FLAT_SCAN_FACTOR", "")
+        or FLAT_SCAN_FACTOR_DEFAULT
+    )
+    deg = getattr(g, "max_degree", 0) or 2 * getattr(g, "m", 0)
+    L = max(k, int(search_complexity or getattr(g, "build_complexity", 0) or k))
+    return deg > 0 and g.n <= factor * L * deg
+
+
+def _flat_search_batch(g, qm: np.ndarray, k: int):
+    """Exact per-shard top-k, same return shape as `search_batch`:
+    list[list[(label, distance)]] ascending. Selection ranks through
+    the batched GEMM kernel routing/IVF already use
+    (`np_index_distances`); the k survivors' emitted distances are then
+    recomputed through `vamana_core._dists` so every distance the
+    engine emits keeps funnelling through that one reduction (the
+    bitwise-parity invariant its docstring pins)."""
+    from .vamana_core import _dists
+
+    nq = qm.shape[0]
+    kk = min(k, g.n)
+    if kk <= 0 or nq == 0:
+        return [[] for _ in range(nq)]
+    V = g.vectors[: g.n]
+    d = np_index_distances(g.metric, V, qm)
+    if kk < g.n:
+        idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    else:
+        idx = np.broadcast_to(np.arange(g.n), (nq, g.n))
+    out = []
+    for i in range(nq):
+        rows = idx[i]
+        ds = _dists(g.metric, V[rows], qm[i])
+        o = np.lexsort((rows, ds))
+        out.append(list(zip(rows[o].tolist(), ds[o].tolist())))
+    return out
+
+
 def _hits_batch(qs: np.ndarray, qids: list, psets, shard_files,
                 k: int, search_complexity, qid_name: str, qid_np_dtype,
                 slab: bool = False):
@@ -284,14 +344,18 @@ def _hits_batch(qs: np.ndarray, qids: list, psets, shard_files,
                 continue
             sub_qs = qs[keep]
         g = _load_shard(path)
-        search_fn = (
-            g.search_batch_slab
-            if slab and hasattr(g, "search_batch_slab")
-            else g.search_batch
-        )
-        # lock-step batch: all of this task's queries advance together,
-        # distance work aggregated per hop
-        for qi, hits in zip(keep, search_fn(sub_qs, k, search_complexity)):
+        if slab and _flat_scan_ok(g, k, search_complexity):
+            found = _flat_search_batch(g, sub_qs, k)
+        else:
+            search_fn = (
+                g.search_batch_slab
+                if slab and hasattr(g, "search_batch_slab")
+                else g.search_batch
+            )
+            # lock-step batch: all of this task's queries advance
+            # together, distance work aggregated per hop
+            found = search_fn(sub_qs, k, search_complexity)
+        for qi, hits in zip(keep, found):
             if not hits:
                 continue
             la, da = zip(*hits)
@@ -1266,7 +1330,11 @@ class VamanaEngine:
                 if probe_sets is not None and shard not in probe_sets[qi]:
                     continue
                 g = _load_shard(path)
-                if slab and hasattr(g, "search_batch_slab"):
+                if slab and _flat_scan_ok(g, k, search_complexity):
+                    found = _flat_search_batch(
+                        g, np.asarray([q], dtype=np.float32), k
+                    )[0]
+                elif slab and hasattr(g, "search_batch_slab"):
                     found = g.search_batch_slab([q], k, search_complexity)[0]
                 else:
                     found = g.search(q, k, search_complexity)

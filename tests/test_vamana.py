@@ -469,6 +469,79 @@ def test_search_batch_slab_recall_parity():
         assert ds == sorted(ds)
 
 
+def test_flat_scan_gate_and_exactness():
+    """Round 15: target_recall (slab) serving answers small shards with
+    an exact BLAS scan instead of the beam (a beam at L visits ~0.7*L*
+    degree rows — 46% of a 781-row shard at L=32/d=16 — so the scan is
+    measured 2-13x faster at every batch width AND exact per shard; the
+    calibrated floor can only be cleared higher). The gate engages only
+    under the slab flag, only for fp32-resident shards, and only within
+    FLAT_SCAN_FACTOR * L * degree rows."""
+    import numpy as np
+
+    from duckdb_ann_spark.index import vamana as vm
+    from duckdb_ann_spark.index.vamana_core import SQ8Vectors, build_graph
+
+    rng = np.random.default_rng(23)
+    n, dim, deg, L, k = 781, 32, 16, 32, 10
+    vecs = rng.random((n, dim), dtype=np.float32)
+    g = build_graph(vecs, max_degree=deg, build_complexity=2 * deg)
+    qs = rng.random((17, dim), dtype=np.float32)
+
+    # gate: engages at 781 rows (<= 4*32*16 = 2048), not at a shard
+    # past the budget, not for SQ8 residency, off at factor 0
+    assert vm._flat_scan_ok(g, k, L)
+    try:
+        g.n = 5000  # pretend-bigger shard: past 4*L*deg
+        assert not vm._flat_scan_ok(g, k, L)
+    finally:
+        g.n = n
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_FLAT_SCAN_FACTOR"] = "0"
+    try:
+        assert not vm._flat_scan_ok(g, k, L)
+    finally:
+        del _os.environ["SPARK_GRAFT_FLAT_SCAN_FACTOR"]
+    sq_backup = g.vectors
+    try:
+        mn = np.zeros(dim, dtype=np.float32)
+        sc = np.full(dim, 1 / 255.0, dtype=np.float32)
+        g.vectors = SQ8Vectors(
+            np.zeros((n, dim), dtype=np.uint8), mn, sc
+        )
+        assert not vm._flat_scan_ok(g, k, L)
+    finally:
+        g.vectors = sq_backup
+
+    # exactness: flat hits are the brute-force top-k, ascending, with
+    # distances through the engine's row kernel (_dists)
+    res = vm._flat_search_batch(g, qs, k)
+    d = ((vecs[None, :, :] - qs[:, None, :]) ** 2).sum(-1)
+    for qi, hits in enumerate(res):
+        assert len(hits) == k
+        truth = set(np.argsort(d[qi], kind="stable")[:k].tolist())
+        assert {i for i, _ in hits} == truth
+        ds = [dd for _, dd in hits]
+        assert ds == sorted(ds)
+    # k >= n degenerates to the full shard
+    full = vm._flat_search_batch(g, qs[:1], n + 5)[0]
+    assert len(full) == n
+
+    # recall through the serve shape: flat >= slab beam on this shard
+    def recall(res):
+        hit = sum(
+            len({i for i, _ in r[:5]} &
+                set(np.argsort(d[qi])[:5].tolist()))
+            for qi, r in enumerate(res)
+        )
+        return hit / (len(qs) * 5)
+
+    assert recall(vm._flat_search_batch(g, qs, 5)) >= recall(
+        g.search_batch_slab(qs, 5, L)
+    )
+
+
 def test_wave_insert_w1_identity_and_recall():
     """Round 14: wave-batched bulk insert. W=1 waves are exactly the
     per-row bulk body (byte-identical adjacency); the default W=16
