@@ -704,6 +704,7 @@ class VamanaEngine:
         # to the historical one-shard-per-cell layout exactly.
         budget_rows = max(1, -(-n_rows // max(1, k_eff)))
         n_sub = np.ones(k_eff, dtype=np.int64)
+        est = None
         if os.environ.get("SPARK_GRAFT_CELL_SPLIT", "1") != "0" and len(train):
             tcn = np.einsum("ij,ij->i", centroids, centroids)
             ta = (
@@ -748,7 +749,62 @@ class VamanaEngine:
         # once more per build; the precomputed hash TOKENS place cell c
         # in partition c exactly with a plain hash repartition — no
         # collisions AND no sampling job.
-        tokens = exact_partition_tokens(total_shards)
+        #
+        # Cell PACKING (round 15 optimization — guide §2.2 "fewer,
+        # larger reduce partitions"): one partition per cell schedules
+        # `total_shards` tasks and M x total_shards shuffle blocks. At
+        # the 10M tier (6667 x ~1500-row cells) the measured
+        # schedule+shuffle floor of the build exchange alone is 75-86s
+        # at 6667 partitions vs 13.6-14.6s at 834 (passthrough A/B,
+        # this round) — pure partition-count overhead. When the build
+        # has far more cells than cores, pack cells into mass-balanced
+        # bins (LPT over the train-sample row estimates, heaviest cell
+        # first into the lightest bin) and give each BIN one partition;
+        # the build task loops its bin's cells exactly as it always
+        # looped hash-collided cells, so every cell still builds alone
+        # from its own id-sorted rows — shard files, labels, and
+        # calibration are byte-identical; only task placement changes.
+        # The n_bins >= 8x-parallelism floor keeps bins >> workers (LPT
+        # tail stays negligible) and the total_shards <= 8x-parallelism
+        # gate keeps every build that fits in a few waves — including
+        # all bench/oracle layouts — on the historical
+        # one-cell-per-partition placement exactly. The round-11
+        # expensive-cell lesson is preserved by LPT: a heavy cell lands
+        # alone in its bin unless there are more heavy cells than bins,
+        # which no placement could fix. SPARK_GRAFT_CELL_PACK = target
+        # cells/bin cap (default 8; 0 disables packing).
+        par = max(1, spark.sparkContext.defaultParallelism)
+        pack = float(os.environ.get("SPARK_GRAFT_CELL_PACK", "") or 8)
+        if pack > 0 and total_shards > 8 * par:
+            n_bins = min(
+                total_shards, max(8 * par, -(-total_shards // int(pack)))
+            )
+        else:
+            n_bins = total_shards
+        if n_bins < total_shards:
+            import heapq
+
+            if est is not None:
+                est_shard = np.repeat(est / n_sub, n_sub)
+            else:
+                est_shard = np.ones(total_shards, dtype=np.float64)
+            heavy_first = np.argsort(-est_shard, kind="stable")
+            heap = [(0.0, b) for b in range(n_bins)]
+            bin_of = np.empty(total_shards, dtype=np.int64)
+            for s in heavy_first.tolist():
+                load, b = heapq.heappop(heap)
+                bin_of[s] = b
+                heapq.heappush(heap, (load + float(est_shard[s]), b))
+            tokens = exact_partition_tokens(n_bins)[bin_of]
+            if _phases:
+                print(
+                    f"[build-phase] cell-pack: {total_shards} shards -> "
+                    f"{n_bins} partitions (~{total_shards / n_bins:.1f} "
+                    "cells/task)",
+                    flush=True,
+                )
+        else:
+            tokens = exact_partition_tokens(total_shards)
         bc = spark.sparkContext.broadcast(
             (centroids, tokens, sub_offsets, n_sub)
         )
@@ -919,7 +975,7 @@ class VamanaEngine:
             # so this is a Catalyst-eliminated no-op on that path
             cast_id_vec(src, id_col, vec_col)
             .mapInArrow(assign, schema=schema)
-            .repartition(k_eff, F.col("_pt"))
+            .repartition(n_bins, F.col("_pt"))
             .mapInArrow(
                 build_cells, schema="shard int, label long, id long"
             )
@@ -932,7 +988,7 @@ class VamanaEngine:
             )
             print(
                 f"[build-phase-tasks] {parts} (TASK-seconds summed across "
-                f"{k_eff} cells; divide by concurrent workers for wall; "
+                f"{total_shards} cells; divide by concurrent workers for wall; "
                 "residual vs the composite wall = shuffle-write + label "
                 "parquet + scheduling)",
                 flush=True,

@@ -416,3 +416,91 @@ def test_cell_split_guard_on_degenerate_clustering(spark):
     rec = sum(len(by_q.get(i, set()) & truth[i]) for i in range(50)) / 500
     assert rec >= 0.70, rec
     drop_index("splitchk", cat)
+
+
+def test_cell_pack_identical_artifacts_and_gate(spark, monkeypatch):
+    """Round 15 (optimization): cell PACKING — when a routed build has
+    far more cells than cores, multiple cells share one shuffle
+    partition via mass-balanced (LPT) bins, cutting task count and
+    shuffle blocks ~8x (the 10M tier's 6667-partition exchange measured
+    75-86s of pure schedule+shuffle floor vs 13.6-14.6s at 834). Every
+    cell still builds alone from its own id-sorted rows inside the task
+    loop, so the ARTIFACT must be byte-identical: same shard files,
+    same labels, same route table, same manifest shard count. The
+    <= 8x-parallelism gate keeps small builds (all bench/oracle
+    layouts) on the historical one-cell-per-partition placement."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from duckdb_ann_spark.index import Catalog, create_index, drop_index
+
+    cat = Catalog(str(spark.conf.get("spark.sql.warehouse.dir")).replace(
+        "file:", "") + "/pack_cat")
+    rng = np.random.default_rng(31)
+    n, dim = 2400, 24
+    mat = rng.random((n, dim), dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    # 80 cells > 8 x local[8] parallelism -> packing engages by default
+    par = spark.sparkContext.defaultParallelism
+    shards = max(80, 8 * par + 16)
+
+    def _build(name, pack_env):
+        monkeypatch.setenv("SPARK_GRAFT_CELL_PACK", pack_env)
+        drop_index(name, cat)
+        create_index(df, "vec_id", "embedding", name, engine="diskann",
+                     max_degree=8, build_complexity=16, shards=shards,
+                     shard_by="cells", catalog=cat)
+        root = cat.path(name)
+        files = {
+            os.path.basename(p): open(p, "rb").read()
+            for p in glob.glob(f"{root}/graphs/shard_*.diskann")
+        }
+        labels = (
+            pq.read_table(f"{root}/labels")
+            .to_pandas()
+            .sort_values(["shard", "label"])
+            .reset_index(drop=True)
+        )
+        route = (
+            pq.read_table(f"{root}/route")
+            .to_pandas()
+            .sort_values("shard")
+            .reset_index(drop=True)
+        )
+        m = cat.load(name)
+        return files, labels, route, m
+
+    files_off, labels_off, route_off, m_off = _build("pack_off", "0")
+    files_on, labels_on, route_on, m_on = _build("pack_on", "8")
+
+    assert m_on["shards"] == m_off["shards"]
+    assert set(files_on) == set(files_off)
+    mismatched = [f for f in files_off if files_on[f] != files_off[f]]
+    assert not mismatched, mismatched[:5]
+    assert labels_on.equals(labels_off)
+    assert route_on["shard"].tolist() == route_off["shard"].tolist()
+    assert np.array_equal(
+        np.array(route_on["centroid"].tolist()),
+        np.array(route_off["centroid"].tolist()),
+    )
+
+    # gate: a small build (cells <= 8x parallelism) never packs — its
+    # tokens are the one-cell-per-partition set regardless of the env
+    from duckdb_ann_spark.functions.partitioning import (
+        exact_partition_tokens,
+    )
+
+    small = 8 * par  # at the gate boundary: must NOT pack
+    assert not (small > 8 * par)
+    # (placement identity for the gated case is covered by the round-11
+    # collision-free tests; here we only pin the gate arithmetic)
+    toks = exact_partition_tokens(small)
+    assert len(set(toks.tolist())) == small
+
+    for name in ("pack_off", "pack_on"):
+        drop_index(name, cat)
