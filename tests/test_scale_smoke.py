@@ -514,7 +514,13 @@ def _graph_10m_smoke(spark, cat, name, engine, create_kw):
     route_nprobe 14, measured L 40) — the layer-0 back-connection
     slack is ~neutral at this tier's 6000-row cells (measured 1.01x
     isolated), so the delta is mostly the clean epoch (canary
-    0.9554); recorded for continuity, not claimed as a win."""
+    0.9554); recorded for continuity, not claimed as a win.
+
+    ROUND 15, third session: 337.8 → **330.5s** with cell packing
+    (1667 cells -> 256 partitions; composite residual ~28s) at
+    bit-identical anchors — the tier's best-ever reading, on a host
+    whose many-task residuals otherwise run ~2x the second session's
+    (see the vamana twin's four-run adjudication)."""
     n, dim, k = 10_000_000, 16, 10
     vecs = (
         spark.range(0, n, 1, 256)
@@ -703,7 +709,22 @@ def test_vamana_10m_routed_tier(spark, cat):
     across all three runs (0.904 / rnp 23 / L 32 / end 0.9031). The
     wave-width follow-up (W in {16..128} at 6000/12000-row cells
     under co-tenancy) REFUTED wider waves — see the WAVE_ROWS
-    adjudication note in vamana_core."""
+    adjudication note in vamana_core.
+
+    ROUND 15, third session (fresh sandbox): four runs — unpacked
+    762.4/701.9s (insert 12,200/12,680 task-s, the kernel's best-ever
+    level), cell-PACKED (6667 cells -> 834 partitions, vamana.py
+    round-15 packing) 746.0/725.4s (insert 14,485/13,735; residual
+    157-218 -> 108-139s). Wall-neutral at this tier on local[32]:
+    packing trades scheduling/shuffle residual for saturated-worker
+    memory-bandwidth co-tenancy on the inserts; the interleaved 2M
+    A/B (1.12x) and the M x R shuffle-block cut carry the default-on
+    decision. Raw <=600s did not reproduce on this host (its
+    single-thread canary is ~2.7x FASTER than r14's while many-task
+    walls are slower — the canary-relative metric does not transfer
+    across host profiles); anchors bit-identical in all four runs.
+    Per-task attribution, not the raw wall, is the durable evidence
+    here."""
     _graph_10m_smoke(
         spark, cat, "smoke_vam10m", "diskann",
         dict(max_degree=16, build_complexity=32),
