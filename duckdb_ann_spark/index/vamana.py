@@ -776,8 +776,12 @@ class VamanaEngine:
         par = max(1, spark.sparkContext.defaultParallelism)
         pack = float(os.environ.get("SPARK_GRAFT_CELL_PACK", "") or 8)
         if pack > 0 and total_shards > 8 * par:
+            # max(1, int(pack)): a fractional env value in (0,1) passes
+            # the pack>0 gate but int(pack)==0 would ZeroDivisionError
+            # (r15 ADVICE)
             n_bins = min(
-                total_shards, max(8 * par, -(-total_shards // int(pack)))
+                total_shards,
+                max(8 * par, -(-total_shards // max(1, int(pack)))),
             )
         else:
             n_bins = total_shards
@@ -788,6 +792,11 @@ class VamanaEngine:
                 est_shard = np.repeat(est / n_sub, n_sub)
             else:
                 est_shard = np.ones(total_shards, dtype=np.float64)
+            # unit-mass floor (r15 ADVICE): zero-estimate cells (zero
+            # train-sample rows) would otherwise all pile into bin 0 —
+            # popping (0.0, 0) and pushing (0.0, 0) back keeps bin 0
+            # the heap minimum; with the floor they round-robin
+            est_shard = np.maximum(est_shard, 1.0)
             heavy_first = np.argsort(-est_shard, kind="stable")
             heap = [(0.0, b) for b in range(n_bins)]
             bin_of = np.empty(total_shards, dtype=np.int64)

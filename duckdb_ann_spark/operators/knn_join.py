@@ -33,6 +33,8 @@ AQE's skew-join cannot touch) into s tasks each.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -49,25 +51,295 @@ from ..local import local_df
 
 DISTANCE_COL = "_distance"
 CELL_COL = "__cell"
+TOK_COL = "__tok"
+
+# Broadcast-queries scoring path (round 16, guide §8 "decide with small
+# rows, move big rows once" / §2.3 "shuffle keys, not payloads"): cap on
+# the query-side vector bytes collected to the driver. 0 disables the
+# path (every call takes the cogroup spelling).
+_BCAST_MB_ENV = "SPARK_GRAFT_KNN_BCAST_MB"
+
+
+def _collect_queries_bounded(queries_df: DataFrame, query_id_col: str,
+                             query_vec_col: str, dim: int):
+    """Bounded collect of the query side for the broadcast scoring path
+    → (qids int64 (nq,), qmat f32 (nq, dim)) or None when the side
+    exceeds the byte cap / the cap is disabled / the side is empty.
+    The probe is one `limit(cap+1).toPandas()` — CollectLimit stops
+    early on a huge query side, so the fallback cost is bounded by the
+    cap, not the side's size."""
+    cap_mb = float(os.environ.get(_BCAST_MB_ENV, "") or 64)
+    if cap_mb <= 0:
+        return None
+    cap_rows = max(1, int(cap_mb * 1024 * 1024 // (4 * max(1, dim))))
+    pdf = (
+        queries_df.select(query_id_col, query_vec_col)
+        .limit(cap_rows + 1)
+        .toPandas()
+    )
+    if len(pdf) > cap_rows or len(pdf) == 0:
+        return None
+    qids = pdf[query_id_col].to_numpy().astype(np.int64, copy=False)
+    qmat = np_stack_vectors(pdf[query_vec_col])
+    return qids, qmat
+
+
+def _driver_probe_csr(qmat: np.ndarray, centroids: np.ndarray, metric: str,
+                      nprobe: int):
+    """Assign every collected query to its `nprobe` nearest cells on the
+    driver (the same `np_index_distances` + stable-argsort arithmetic as
+    `_assign_cells`, so probe sets are bit-identical to the distributed
+    assignment pass) and invert to CSR over cells:
+    → (grouped_q int64 — query indices grouped by cell, bounds (nlist+1,)
+    — cell c probes grouped_q[bounds[c]:bounds[c+1]])."""
+    nlist = centroids.shape[0]
+    d = np_index_distances(metric, qmat, centroids)  # (nlist, nq)
+    cells = np.argsort(d, axis=0, kind="stable")[:nprobe]  # (nprobe, nq)
+    nq = qmat.shape[0]
+    cells_flat = cells.reshape(-1)
+    qidx_flat = np.tile(np.arange(nq, dtype=np.int64), nprobe)
+    order = np.argsort(cells_flat, kind="stable")
+    grouped_q = qidx_flat[order]
+    bounds = np.searchsorted(cells_flat[order], np.arange(nlist + 1))
+    return grouped_q, bounds
+
+
+def _lpt_bins(mass: np.ndarray, n_bins: int) -> np.ndarray:
+    """LPT pack: heaviest cell first into the lightest bin → bin_of
+    (len(mass),). Every cell gets at least unit mass so zero-estimate
+    cells round-robin across bins instead of piling into bin 0 (the
+    r15 ADVICE straggler hazard on the vamana packer)."""
+    import heapq
+
+    mass = np.maximum(np.asarray(mass, dtype=np.float64), 1.0)
+    order = np.argsort(-mass, kind="stable")
+    heap = [(0.0, b) for b in range(n_bins)]
+    bin_of = np.empty(len(mass), dtype=np.int64)
+    for c in order.tolist():
+        load, b = heapq.heappop(heap)
+        bin_of[c] = b
+        heapq.heappush(heap, (load + float(mass[c]), b))
+    return bin_of
+
+
+def _cell_tokens(bounds: np.ndarray, est_b: np.ndarray | None,
+                 par: int) -> tuple[np.ndarray, int]:
+    """Placement tokens for the broadcast scoring path → (tokens
+    (n_cells,), n_bins). Cells probed by nobody get token -1 (their
+    base rows are pruned before the exchange — they cannot contribute a
+    candidate). Probed cells are LPT-packed by estimated GEMM mass
+    (|q_c| × est |b_c|) into `n_bins <= 2×parallelism` bins, each bin
+    placed in its own partition by a collision-free murmur3 token
+    (`functions.partitioning`) — the cogroup hashed ~nlist cells into
+    the shuffle partitions and lived with balls-in-bins collisions."""
+    from ..functions.partitioning import exact_partition_tokens
+
+    q_counts = np.diff(bounds).astype(np.float64)
+    probed = np.flatnonzero(q_counts > 0)
+    tokens = np.full(len(q_counts), -1, dtype=np.int64)
+    if len(probed) == 0:
+        return tokens, 1
+    mass = q_counts[probed]
+    if est_b is not None:
+        mass = mass * np.maximum(est_b[probed], 1.0)
+    n_bins = max(1, min(len(probed), 2 * par))
+    toks = exact_partition_tokens(n_bins)
+    tokens[probed] = toks[_lpt_bins(mass, n_bins)]
+    return tokens, n_bins
+
+
+def _with_tokens(df: DataFrame, tokens: np.ndarray) -> DataFrame:
+    """Append the per-cell placement token column (`TOK_COL` =
+    tokens[cell]) to a frame that already carries `CELL_COL` — one
+    vectorized narrow Arrow pass, no plan-bloating literal array."""
+    bc = df.sparkSession.sparkContext.broadcast(tokens)
+    names = [f.name for f in df.schema.fields]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    def add(batches):
+        import pyarrow as pa
+
+        t = bc.value
+        for b in batches:
+            cell = b.column(
+                b.schema.get_field_index(CELL_COL)
+            ).to_numpy(zero_copy_only=False)
+            yield b.append_column(
+                TOK_COL, pa.array(t[cell], type=pa.int64())
+            )
+
+    schema = ", ".join(f"{c} {types[c]}" for c in names)
+    return df.mapInArrow(add, schema=f"{schema}, {TOK_COL} long")
+
+
+def _broadcast_scored_topk(
+    b: DataFrame,
+    base_id_col: str,
+    base_vec_col: str,
+    query_id_col: str,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    grouped_q: np.ndarray,
+    bounds: np.ndarray,
+    metric: str,
+    k: int,
+    n_bins: int,
+) -> DataFrame:
+    """Scoring stage for a DRIVER-RESIDENT query side (guide §8
+    "decide with small rows, move the big rows once"): the query matrix
+    and its per-cell probe lists ride ONE broadcast; the base side —
+    already carrying cell + placement token columns — makes its one
+    exchange into `n_bins` LPT-balanced partitions and every cell is
+    scored by one (|q_c|, |b_c|) GEMM exactly as the cogroup scored it.
+    What this removes vs the cogroup: the query-side explosion (every
+    query vector ×nprobe through the exchange), the balls-in-bins task
+    imbalance of hashing cells into shuffle partitions, and — via the
+    in-task cross-cell merge, the `_hits_batch` discipline — most of
+    the candidate rows entering the window exchange.
+
+    Correctness does not depend on the placement: the per-cell cut
+    keeps every candidate with d <= the k-th smallest per query (ties
+    and NaN-k-th kept), a superset of any global (d, id) top-k, and the
+    final window is unchanged. Per-pair distances come from the same
+    `np_index_distances` kernel at the same (|q_c|, |b_c|) GEMM shape;
+    query/base row ORDER inside the GEMM differs from the cogroup's
+    shuffle-arrival order, which BLAS answers with last-ulp wobble —
+    exactly the run-to-run wobble the cogroup itself already has (the
+    id sets are pinned by tests, the distances to 1e-5)."""
+    spark = b.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qmat, grouped_q, bounds))
+    dim = qmat.shape[1]
+
+    def score(batches):
+        import pyarrow as pa
+
+        from ..functions.distance import np_from_arrow_list
+
+        qids_, qmat_, gq, bnd = bc.value
+        mats: list = []
+        idsl: list = []
+        cells: list = []
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index(base_vec_col))
+            mat = np_from_arrow_list(col, dim)
+            if mat is None:
+                mat = np_stack_vectors(
+                    batch.select([base_vec_col]).to_pandas()[base_vec_col]
+                )
+            mats.append(mat)
+            idsl.append(
+                batch.column(
+                    batch.schema.get_field_index(base_id_col)
+                ).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            )
+            cells.append(
+                batch.column(
+                    batch.schema.get_field_index(CELL_COL)
+                ).to_numpy(zero_copy_only=False)
+            )
+        if not mats:
+            return
+        mat = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        bids = np.concatenate(idsl) if len(idsl) > 1 else idsl[0]
+        cell = np.concatenate(cells) if len(cells) > 1 else cells[0]
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        uc, starts = np.unique(cs, return_index=True)
+        ends = np.r_[starts[1:], len(cs)]
+        acc_q: list = []
+        acc_b: list = []
+        acc_d: list = []
+        for c, s, e in zip(uc.tolist(), starts.tolist(), ends.tolist()):
+            qs_, qe_ = int(bnd[c]), int(bnd[c + 1])
+            if qe_ <= qs_:
+                continue
+            qidx_c = gq[qs_:qe_]
+            rows = order[s:e]
+            bm = mat[rows]
+            d = np_index_distances(metric, bm, qmat_[qidx_c])
+            nq_c, nb = d.shape
+            if nb > k:
+                # tie-keep partial cut per query row: keep every
+                # candidate with d <= the k-th smallest (a NaN k-th
+                # keeps the row's whole set — no safe cutoff there)
+                kth = np.partition(d, k - 1, axis=1)[:, k - 1]
+                qi, bj = np.nonzero(~(d > kth[:, None]))
+            else:
+                qi = np.repeat(np.arange(nq_c), nb)
+                bj = np.tile(np.arange(nb), nq_c)
+            acc_q.append(qidx_c[qi])
+            acc_b.append(bids[rows][bj])
+            acc_d.append(d[qi, bj])
+        if not acc_q:
+            return
+        qx = np.concatenate(acc_q)
+        bx = np.concatenate(acc_b)
+        dx = np.concatenate(acc_d).astype(np.float64)
+        if len(qx) > k:
+            # cross-cell tie-keep merge per query (the `_hits_batch`
+            # discipline): only ~k rows per query can survive the
+            # downstream window, so don't ship nprobe×k per query
+            order = np.lexsort((bx, dx, qx))
+            qx, bx, dx = qx[order], bx[order], dx[order]
+            starts = np.flatnonzero(np.r_[True, qx[1:] != qx[:-1]])
+            counts = np.diff(np.r_[starts, len(qx)])
+            rank = np.arange(len(qx)) - np.repeat(starts, counts)
+            kth = dx[starts + np.minimum(counts - 1, k - 1)]
+            keep = (rank < k) | ~(dx > np.repeat(kth, counts))
+            qx, bx, dx = qx[keep], bx[keep], dx[keep]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(qids_[qx]), pa.array(bx), pa.array(dx)],
+            names=[query_id_col, base_id_col, DISTANCE_COL],
+        )
+
+    out = (
+        b.where(F.col(TOK_COL) >= 0)
+        .select(base_id_col, base_vec_col, CELL_COL, TOK_COL)
+        .repartition(n_bins, F.col(TOK_COL))
+        .mapInArrow(
+            score,
+            schema=(
+                f"{query_id_col} long, {base_id_col} long, "
+                f"{DISTANCE_COL} double"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(DISTANCE_COL).asc_nulls_last(), F.col(base_id_col).asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(query_id_col, base_id_col, DISTANCE_COL)
+    )
 
 
 def _assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
-                  metric: str, nprobe: int, out_cols: list[str]) -> DataFrame:
+                  metric: str, nprobe: int, out_cols: list[str],
+                  tokens: np.ndarray | None = None) -> DataFrame:
     """Narrow pass: nearest `nprobe` cells per row (exploded).
 
     mapInArrow (round 12, same fix as the IVF build assignment): the
     vector matrix reshapes zero-copy from the Arrow buffer and the
     nprobe-fold row explosion is one vectorized `RecordBatch.take`
-    instead of a pandas `.iloc` on an object-Series frame."""
+    instead of a pandas `.iloc` on an object-Series frame.
+
+    `tokens` (round 16, broadcast scoring path): per-cell placement
+    tokens — when given, an extra long `_tok` column = tokens[cell]
+    rides along so the caller's `repartition(n_bins, _tok)` places each
+    cell in its LPT-chosen partition with zero extra passes."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(centroids)
+    bc = spark.sparkContext.broadcast((centroids, tokens))
 
     def assign(batches):
         import pyarrow as pa
 
         from ..functions.distance import np_from_arrow_list
 
-        cm = bc.value
+        cm, toks = bc.value
         for b in batches:
             n = b.num_rows
             if n == 0:
@@ -83,15 +355,23 @@ def _assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
             taken = b.select(out_cols).take(
                 pa.array(np.tile(np.arange(n, dtype=np.int64), nprobe))
             )
+            flat = cells.reshape(-1)
+            extra = [pa.array(flat.astype(np.int32), type=pa.int32())]
+            names = [*out_cols, CELL_COL]
+            if toks is not None:
+                extra.append(pa.array(toks[flat], type=pa.int64()))
+                names.append(TOK_COL)
             yield pa.RecordBatch.from_arrays(
-                [taken.column(i) for i in range(taken.num_columns)]
-                + [pa.array(cells.reshape(-1).astype(np.int32), type=pa.int32())],
-                names=[*out_cols, CELL_COL],
+                [taken.column(i) for i in range(taken.num_columns)] + extra,
+                names=names,
             )
 
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema_fields = ", ".join(f"{c} {types[c]}" for c in out_cols)
-    return df.mapInArrow(assign, schema=f"{schema_fields}, {CELL_COL} int")
+    schema = f"{schema_fields}, {CELL_COL} int"
+    if tokens is not None:
+        schema += f", {TOK_COL} long"
+    return df.mapInArrow(assign, schema=schema)
 
 
 def knn_join(
@@ -210,10 +490,32 @@ def knn_join(
         sample = base_df.where(
             F.pmod(F.abs(F.hash(F.col(base_id_col))), F.lit(modulus)) == 0
         ).select(base_vec_col)
-    train = np_stack_vectors(sample.limit(cap).toPandas()[base_vec_col])
+    # round 16 (guide §1.4-adjacent measurement): `limit(cap)` ran the
+    # incremental CollectLimit (a 1-partition probe job, then the full
+    # scan) — 0.3s vs 0.07s for a plain collect at the bench shape. The
+    # filtered sample is O(cap) rows BY CONSTRUCTION (modulus = n//cap
+    # keeps the expectation in [cap, 2cap); n <= cap collects the whole
+    # base), so collect it all and slice: both spellings traverse
+    # partitions in the same order, so the first `cap` rows — and the
+    # trained centroids — are identical.
+    train = np_stack_vectors(sample.toPandas()[base_vec_col][:cap])
     centroids = _kmeans(train, min(nlist, max(1, len(train))))
     nlist_eff = centroids.shape[0]
     measured = False
+    # kick the bounded query-side collect off NOW on a worker thread
+    # (guide §2.6 "overlap independent jobs"): it shares no lineage
+    # with the calibration scan below, and its CollectLimit round
+    # trips hide under the calibration job's wall
+    collect_fut = None
+    pool = None
+    if method != "exact" and salt <= 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        collect_fut = pool.submit(
+            _collect_queries_bounded, queries_df, query_id_col,
+            query_vec_col, int(centroids.shape[1]),
+        )
     if nprobe == 0 and int(calibration_queries) > 0 and nlist_eff > 1:
         # nprobe=0 = AUTO (round 10): measure THIS join's freshly
         # trained cells on a held-out base sample — the same build-time
@@ -234,6 +536,8 @@ def knn_join(
         if target_recall is not None:
             nprobe = nprobe_for_target({"calibration": cal}, target_recall)
             if nprobe <= 0:
+                if pool is not None:
+                    pool.shutdown(wait=False)
                 raise ValueError(
                     "knn_join: the in-call probe measurement came back "
                     "degenerate (too few rows/cells) — target_recall "
@@ -245,6 +549,8 @@ def knn_join(
             nprobe = int(cal["nprobe"])
             measured = True
     elif target_recall is not None:
+        if pool is not None:
+            pool.shutdown(wait=False)
         raise ValueError(
             "knn_join: target_recall needs >1 trained cell to measure "
             "a curve; drop target_recall and pass an explicit nprobe"
@@ -258,6 +564,42 @@ def knn_join(
         stats.update(
             nlist=int(nlist_eff), nprobe=int(nprobe), measured=bool(measured)
         )
+
+    if collect_fut is not None:
+        # broadcast-queries scoring (round 16, guide §8): when the query
+        # side fits the driver cap, ship it (plus the per-cell probe
+        # lists, assigned driver-side with `_assign_cells` arithmetic)
+        # in ONE broadcast — the cogroup exchange carried every query
+        # vector ×nprobe; this path exchanges the base side once into
+        # LPT-balanced bins and only ~nq×k candidate rows afterwards.
+        # An explicit `salt` keeps the cogroup spelling (single-giant-
+        # cell sub-splitting is the one skew LPT placement cannot fix).
+        got = collect_fut.result()
+        pool.shutdown()
+        if got is not None:
+            qids_np, qmat = got
+            grouped_q, bounds = _driver_probe_csr(
+                qmat, centroids, metric, nprobe
+            )
+            # base-side mass estimate per cell from the already-resident
+            # train sample (one driver GEMM — no extra Spark pass)
+            est_b = np.bincount(
+                np.argmin(
+                    np_index_distances(metric, train, centroids), axis=0
+                ),
+                minlength=nlist_eff,
+            ).astype(np.float64)
+            par = max(1, spark.sparkContext.defaultParallelism)
+            tokens, n_bins = _cell_tokens(bounds, est_b, par)
+            b = _assign_cells(
+                base_df.select(base_id_col, base_vec_col), base_vec_col,
+                centroids, metric, 1, [base_id_col, base_vec_col],
+                tokens=tokens,
+            )
+            return _broadcast_scored_topk(
+                b, base_id_col, base_vec_col, query_id_col, qids_np,
+                qmat, grouped_q, bounds, metric, k, n_bins,
+            )
 
     b = _assign_cells(
         base_df.select(base_id_col, base_vec_col), base_vec_col, centroids,
@@ -503,6 +845,44 @@ def index_knn_join(
         b = b.join(F.broadcast(deleted), on=base_id_col, how="anti")
     sq8 = impl._sq8_params(manifest)
     from ..functions.distance import cast_id_vec
+
+    if method != "exact" and salt <= 1:
+        # broadcast-queries scoring (round 16, guide §8 — see knn_join):
+        # the probed-cell union is additionally known driver-side here,
+        # so the partition pruning below costs NO extra Spark job (the
+        # cogroup path re-runs the query assignment pass to collect it)
+        got = _collect_queries_bounded(
+            cast_id_vec(queries_df, query_id_col, query_vec_col),
+            query_id_col, query_vec_col, int(centroids.shape[1]),
+        )
+        if got is not None:
+            qids_np, qmat = got
+            grouped_q, bounds = _driver_probe_csr(
+                qmat, centroids, metric, nprobe
+            )
+            probed = np.flatnonzero(np.diff(bounds) > 0)
+            bb = b
+            if len(probed) < nlist_eff:
+                # keep the isin prune: it reaches the parquet scan as
+                # partition pruning (the token filter inside the scoring
+                # stage cannot)
+                bb = bb.where(
+                    F.col(CELL_COL).isin([int(c) for c in probed])
+                )
+            if sq8 is not None:
+                from ..index.ivf import _decode_cells_df
+
+                bb = _decode_cells_df(bb, base_id_col, base_vec_col, sq8,
+                                      with_cell=True)
+            par = max(1, spark.sparkContext.defaultParallelism)
+            tokens, n_bins = _cell_tokens(bounds, None, par)
+            bb = _with_tokens(
+                bb.select(base_id_col, base_vec_col, CELL_COL), tokens
+            )
+            return _broadcast_scored_topk(
+                bb, base_id_col, base_vec_col, query_id_col, qids_np,
+                qmat, grouped_q, bounds, metric, k, n_bins,
+            )
 
     q = _assign_cells(
         cast_id_vec(queries_df, query_id_col, query_vec_col),

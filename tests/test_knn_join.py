@@ -70,18 +70,31 @@ def test_no_cartesian_product(spark, emb):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_blas_path_cogroups_never_materializes_pairs(spark, emb):
-    """The fast path must be the cell COGROUP shape: one exchange per
-    side keyed on cell + FlatMapCoGroupsInArrow, no join operator, and
-    exactly three exchanges total (q cells, b cells, final window merge)
-    — a pair-materializing join would put |q_cell| x |b_cell| vector
-    rows on the wire."""
+def test_blas_path_never_materializes_pairs(spark, emb, monkeypatch):
+    """Fast-path plan shapes. Default (round 16): the broadcast-queries
+    spelling — scan → MapInArrow scoring with exactly TWO exchanges
+    (the token-placed base gather + the window merge), the query side
+    never on the wire, and no join operator. Cogroup fallback (cap
+    disabled): the round-12 shape — one exchange per side keyed on cell
+    + FlatMapCoGroupsInArrow + the window merge, three exchanges. Either
+    way, a pair-materializing join (|q_cell| × |b_cell| vector rows on
+    the wire) must never appear."""
     queries = emb.where(F.col("vec_id") < 10)
-    df = knn_join(
-        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
-        k=2, nlist=8, nprobe=2,
-    )
-    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    def mk():
+        return knn_join(
+            queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+            k=2, nlist=8, nprobe=2,
+        )
+
+    plan = mk()._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan
+    assert "FlatMapCoGroupsInArrow" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan
+
+    monkeypatch.setenv("SPARK_GRAFT_KNN_BCAST_MB", "0")
+    plan = mk()._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInArrow" in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 3, plan
@@ -370,3 +383,120 @@ def test_index_knn_join_target_recall(spark, clustered, tmp_path):
         index_knn_join(spark, "ikj_pin", q, "qid", "embedding", k=3,
                        catalog=cat, target_recall=0.9)
     drop_index("ikj_pin", cat)
+
+
+def test_broadcast_path_matches_cogroup(spark, emb, monkeypatch):
+    """Round-16 broadcast-queries scoring vs the cogroup spelling: the
+    (query, base) id sets must be identical and the distances equal to
+    BLAS ulp wobble (the cogroup's own shuffle-arrival row order already
+    wobbles the GEMM at the last ulp — per-pair values are not
+    bit-pinned on either spelling). Covers partial probe, k larger than
+    a cell, and all three metrics."""
+    queries = emb.where(F.col("vec_id") < 25)
+
+    def run(**kw):
+        return sorted(
+            (r["_q_vec_id"], r["vec_id"], r["_distance"])
+            for r in knn_join(
+                queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+                calibration_queries=0, **kw,
+            ).collect()
+        )
+
+    for metric in ("l2", "ip", "cosine"):
+        for k, nlist, nprobe in ((3, 8, 3), (40, 16, 16)):
+            monkeypatch.setenv("SPARK_GRAFT_KNN_BCAST_MB", "64")
+            a = run(metric=metric, k=k, nlist=nlist, nprobe=nprobe)
+            monkeypatch.setenv("SPARK_GRAFT_KNN_BCAST_MB", "0")
+            b = run(metric=metric, k=k, nlist=nlist, nprobe=nprobe)
+            assert [(x[0], x[1]) for x in a] == [(x[0], x[1]) for x in b], (
+                metric, k)
+            assert np.allclose(
+                [x[2] for x in a], [x[2] for x in b], rtol=1e-4, atol=1e-5
+            ), (metric, k)
+
+
+def test_broadcast_path_falls_back_over_cap(spark, emb, monkeypatch):
+    """A query side over the byte cap must take the cogroup spelling
+    (bounded collect, no driver blow-up) and produce the same ids."""
+    queries = emb.where(F.col("vec_id") < 25)
+    monkeypatch.setenv("SPARK_GRAFT_KNN_BCAST_MB", "0.0001")
+    df = knn_join(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k=2, nlist=8, nprobe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInArrow" in plan, plan
+    a = sorted((r["_q_vec_id"], r["vec_id"]) for r in df.collect())
+    monkeypatch.setenv("SPARK_GRAFT_KNN_BCAST_MB", "64")
+    b = sorted(
+        (r["_q_vec_id"], r["vec_id"])
+        for r in knn_join(
+            queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+            k=2, nlist=8, nprobe=2,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_index_broadcast_path_matches_cogroup(spark, emb, ivf_cat,
+                                              monkeypatch):
+    """index_knn_join parity across the two spellings, including the
+    tombstone anti-join riding in front of the broadcast scoring."""
+    from duckdb_ann_spark.index import create_index, delete_from_index
+    from duckdb_ann_spark.operators.knn_join import index_knn_join
+
+    create_index(emb, "vec_id", "embedding", "kjb_idx", engine="faiss",
+                 type="IVFFlat", ivf_nlist=8, nprobe=3, catalog=ivf_cat)
+    delete_from_index(spark, "kjb_idx", [3, 7], catalog=ivf_cat)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    def run():
+        return sorted(
+            (r["qid"], r["vec_id"])
+            for r in index_knn_join(
+                spark, "kjb_idx", queries, "qid", "embedding", k=4,
+                catalog=ivf_cat,
+            ).collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_KNN_BCAST_MB", "64")
+    a = run()
+    monkeypatch.setenv("SPARK_GRAFT_KNN_BCAST_MB", "0")
+    b = run()
+    assert a == b
+    assert not any(bid in (3, 7) for _, bid in a)
+
+
+def test_lpt_bins_balance_and_zero_mass():
+    """LPT packs heaviest-first into the lightest bin; zero-estimate
+    cells round-robin instead of piling into bin 0 (r15 ADVICE)."""
+    from duckdb_ann_spark.operators.knn_join import _lpt_bins
+
+    mass = np.array([100.0, 90.0, 10.0, 10.0, 0.0, 0.0, 0.0, 0.0])
+    bins = _lpt_bins(mass, 2)
+    loads = [np.maximum(mass, 1.0)[bins == b].sum() for b in (0, 1)]
+    assert abs(loads[0] - loads[1]) <= np.maximum(mass, 1.0).max(), loads
+    # the ADVICE scenario: ALL cells zero-estimate — without the unit
+    # epsilon every (0.0 + 0.0) push kept bin 0 the heap minimum and
+    # the whole set piled into one task
+    bins0 = _lpt_bins(np.zeros(16), 4)
+    counts = np.bincount(bins0, minlength=4)
+    assert counts.max() == 4, counts
+
+
+def test_cell_tokens_prune_and_place():
+    """Unprobed cells get token -1 (pruned pre-exchange); probed cells'
+    tokens hash-place into distinct partitions of the bin count."""
+    from duckdb_ann_spark.functions.partitioning import murmur3_hash_int
+    from duckdb_ann_spark.operators.knn_join import _cell_tokens
+
+    # 6 cells, cells 1 and 4 unprobed
+    bounds = np.array([0, 2, 2, 5, 9, 9, 12])
+    tokens, n_bins = _cell_tokens(bounds, None, par=2)
+    assert tokens[1] == -1 and tokens[4] == -1
+    probed = [0, 2, 3, 5]
+    parts = {murmur3_hash_int(int(tokens[c])) % n_bins for c in probed}
+    assert len(parts) == min(len(probed), n_bins)

@@ -418,7 +418,8 @@ def test_cell_split_guard_on_degenerate_clustering(spark):
     drop_index("splitchk", cat)
 
 
-def test_cell_pack_identical_artifacts_and_gate(spark, monkeypatch):
+def test_cell_pack_identical_artifacts_and_gate(spark, cat, monkeypatch,
+                                                capfd):
     """Round 15 (optimization): cell PACKING — when a routed build has
     far more cells than cores, multiple cells share one shuffle
     partition via mass-balanced (LPT) bins, cutting task count and
@@ -434,10 +435,8 @@ def test_cell_pack_identical_artifacts_and_gate(spark, monkeypatch):
     import numpy as np
     import pyarrow.parquet as pq
 
-    from duckdb_ann_spark.index import Catalog, create_index, drop_index
+    from duckdb_ann_spark.index import create_index, drop_index
 
-    cat = Catalog(str(spark.conf.get("spark.sql.warehouse.dir")).replace(
-        "file:", "") + "/pack_cat")
     rng = np.random.default_rng(31)
     n, dim = 2400, 24
     mat = rng.random((n, dim), dtype=np.float32)
@@ -489,18 +488,32 @@ def test_cell_pack_identical_artifacts_and_gate(spark, monkeypatch):
         np.array(route_off["centroid"].tolist()),
     )
 
-    # gate: a small build (cells <= 8x parallelism) never packs — its
-    # tokens are the one-cell-per-partition set regardless of the env
-    from duckdb_ann_spark.functions.partitioning import (
-        exact_partition_tokens,
-    )
-
-    small = 8 * par  # at the gate boundary: must NOT pack
-    assert not (small > 8 * par)
-    # (placement identity for the gated case is covered by the round-11
-    # collision-free tests; here we only pin the gate arithmetic)
-    toks = exact_partition_tokens(small)
-    assert len(set(toks.tolist())) == small
+    # gate: a small build (cells <= 8x parallelism) must NOT pack even
+    # with the env set — exercised for real (r15 ADVICE: the old
+    # spelling asserted a tautology instead of building): the
+    # [build-phase] trace of a gated build carries no cell-pack line,
+    # while the packed build above does
+    monkeypatch.setenv("SPARK_GRAFT_BUILD_PHASES", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CELL_PACK", "8")
+    capfd.readouterr()
+    small = 8 * par  # at the gate boundary
+    drop_index("pack_gate", cat)
+    create_index(df, "vec_id", "embedding", "pack_gate", engine="diskann",
+                 max_degree=8, build_complexity=16, shards=small,
+                 shard_by="cells", catalog=cat)
+    out = capfd.readouterr().out
+    assert "cell-pack" not in out, out
+    drop_index("pack_gate", cat)
+    monkeypatch.delenv("SPARK_GRAFT_BUILD_PHASES")
+    # and the packed build DOES announce the packing (same trace)
+    monkeypatch.setenv("SPARK_GRAFT_BUILD_PHASES", "1")
+    drop_index("pack_trace", cat)
+    create_index(df, "vec_id", "embedding", "pack_trace", engine="diskann",
+                 max_degree=8, build_complexity=16, shards=shards,
+                 shard_by="cells", catalog=cat)
+    out = capfd.readouterr().out
+    assert "cell-pack" in out, out
+    drop_index("pack_trace", cat)
 
     for name in ("pack_off", "pack_on"):
         drop_index(name, cat)
