@@ -29,6 +29,8 @@ import heapq
 
 import numpy as np
 
+from . import _prune_c
+
 NO_EDGE = np.uint32(0xFFFFFFFF)  # u32::MAX adjacency padding sentinel
 _NO_EDGE_INT = 0xFFFFFFFF  # python-int twin for tolist()-space filtering
 
@@ -658,6 +660,19 @@ class VamanaGraph:
         chosen: list[int] = []  # positions into ids
         cur_alpha = 1.0
         if m > _NUMPY_CHOOSE_MIN:
+            # round 16: compiled choose loop (see _prune_c) — the same
+            # decisions bit-for-bit (pair rows via the SAME cblas_sgemv
+            # numpy dispatches, elementwise steps in the same IEEE
+            # association, NaN semantics reproduced); kills the ~8
+            # numpy dispatches x ~degree iterations that made this the
+            # r15-named 58% kernel floor. SPARK_GRAFT_PRUNE_C=0 or any
+            # compile failure falls back to the numpy loop below.
+            chosen_c = _prune_c.choose_large(
+                cand, dists if n2 is None else n2, dists, degree,
+                self.alpha, inc, self.metric == "ip",
+            )
+            if chosen_c is not None:
+                return [int(ids[i]) for i in chosen_c]
             # large-pool (visited-set) path: same decisions, numpy
             # bookkeeping, and LAZY ratio rows — only chosen candidates'
             # rows are ever read (<= degree of them), so the m^2 divide
@@ -708,6 +723,12 @@ class VamanaGraph:
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = dists[None, :] / pair
         ratio[pair == 0] = fmax
+        # round 16: compiled small-pool choose loop — pure comparisons
+        # over the precomputed ratio matrix, trivially bit-identical to
+        # the python loop below (same f32→f64 reads, same pass order)
+        chosen_c = _prune_c.choose_small(ratio, degree, self.alpha, inc)
+        if chosen_c is not None:
+            return [int(ids[i]) for i in chosen_c]
         occlude = [0.0] * m
         while len(chosen) < degree:
             for i in range(m):

@@ -698,3 +698,56 @@ def test_bulk_slack_hnsw_contract_and_recall():
         assert rk >= 0.80, rk
     finally:
         vc.BULK_SLACK = old
+
+
+def test_prune_c_parity_and_gate():
+    """Round 16: the compiled RobustPrune choose loops must reproduce
+    the numpy paths BIT-FOR-BIT — same chosen ids from the same pools
+    on both the large-pool (lazy gemv rows) and small-pool
+    (precomputed ratio matrix) bodies, across metrics, with distance
+    ties, NaN-laced vectors, and degenerate pools. SPARK_GRAFT_PRUNE_C=0
+    must fall back to the numpy loop (same result by construction —
+    exercised so the env escape hatch stays wired)."""
+    import duckdb_ann_spark.index._prune_c as pc
+    import duckdb_ann_spark.index.vamana_core as vc
+
+    if not pc.available():
+        pytest.skip(f"prune_c unavailable: {pc._DISABLED_REASON}")
+    rng = np.random.default_rng(11)
+
+    def pools(metric, m, dim, with_nan=False, with_ties=False):
+        g = vc.VamanaGraph(dim, max_degree=8, build_complexity=16,
+                           metric=metric)
+        V = rng.random((m + 1, dim), dtype=np.float32)
+        if metric == "ip":
+            V = V - 0.5
+        if with_ties:
+            V[3] = V[4]  # duplicate vectors -> exact distance ties
+            V[7] = V[2]
+        if with_nan:
+            V[5, 0] = np.nan
+        for v in V:
+            g.insert(v)
+        ids = np.arange(1, m + 1, dtype=np.int64)
+        d = vc._dists(metric, V[1:], V[0])
+        return g, ids, d
+
+    cases = [("l2", 200, 24, False, False), ("l2", 60, 16, True, True),
+             ("ip", 120, 8, False, True), ("cosine", 90, 32, True, False),
+             ("l2", 30, 8, False, False)]  # 30 <= CHOOSE_MIN: small path
+    try:
+        for metric, m, dim, with_nan, with_ties in cases:
+            g, ids, d = pools(metric, m, dim, with_nan, with_ties)
+            got_c = g.robust_prune(0, ids, d)
+            # numpy path: force the kernel off via the module switch
+            # (_DISABLED_REASON short-circuits _init, _lib=None alone
+            # would just re-initialize)
+            pc_lib, pc._lib = pc._lib, None
+            pc_reason, pc._DISABLED_REASON = pc._DISABLED_REASON, "test"
+            try:
+                got_np = g.robust_prune(0, ids, d)
+            finally:
+                pc._lib, pc._DISABLED_REASON = pc_lib, pc_reason
+            assert got_c == got_np, (metric, m, dim, with_nan, with_ties)
+    finally:
+        pass
