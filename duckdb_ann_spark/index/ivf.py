@@ -823,36 +823,55 @@ class IvfFlatEngine:
         assigned = _assigned_cells_df(
             df, id_col, vec_col, bc, metric, sq8_bc, clip_acc
         )
-        # co-locate each cell before the partitioned write: without
-        # this, every task writes a sliver of every cell (tasks x nlist
-        # tiny files). Each writer task holds a SORTED run of whole
-        # cells (`_write_partition_count` for why not one task per
-        # cell), so file count ~= nlist and cell scans are compact.
-        p_write = _write_partition_count(spark, k_eff, int(n), dim)
-        assigned.repartition(p_write, F.col(CELL_COL)).sortWithinPartitions(
-            CELL_COL
-        ).write.mode("overwrite").partitionBy(CELL_COL).parquet(
-            f"{artifact_dir}/{VECTORS_DIR}"
-        )
-        _write_centroids(spark, f"{artifact_dir}/{CENTROIDS_DIR}", centroids)
         # round-9: measure THIS index's recall-vs-nprobe curve on a
         # held-out sample and store the floor-clearing probe count —
         # nprobe=0 searches ride the measurement instead of the static
         # uniform-worst-case auto_nprobe rule (always returned, None
-        # when disabled/degenerate, so rebuilds clear stale values)
+        # when disabled/degenerate, so rebuilds clear stale values).
+        # Round 16 (guide §2.6 "overlap independent jobs"): the
+        # measurement reads only (df, centroids) — nothing the
+        # assignment+write job below produces — so it runs CONCURRENTLY
+        # with the write on a driver thread instead of serially after
+        # it; the readings are identical (hash-based sampling, no shared
+        # state), only the build wall shrinks by the shorter of the two.
         from .calibration import IVF_TARGET, measure_probe_calibration
 
-        cal = None
+        cal_fut = None
+        pool = None
         nq = int(getattr(params, "calibration_queries", 0) or 0)
         # only measure when the build leaves nprobe on AUTO — a pinned
         # nprobe is what every search will use, so the measurement
         # could never be consulted and the extra table scan it costs
         # would be dead weight on every default (nprobe=1) build
         if nq > 0 and int(getattr(params, "nprobe", 0) or 0) == 0:
-            cal = measure_probe_calibration(
-                df, id_col, vec_col, centroids, metric, int(n),
-                IVF_TARGET, n_queries=nq,
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            cal_fut = pool.submit(
+                measure_probe_calibration, df, id_col, vec_col, centroids,
+                metric, int(n), IVF_TARGET, n_queries=nq,
             )
+        # co-locate each cell before the partitioned write: without
+        # this, every task writes a sliver of every cell (tasks x nlist
+        # tiny files). Each writer task holds a SORTED run of whole
+        # cells (`_write_partition_count` for why not one task per
+        # cell), so file count ~= nlist and cell scans are compact.
+        p_write = _write_partition_count(spark, k_eff, int(n), dim)
+        try:
+            assigned.repartition(
+                p_write, F.col(CELL_COL)
+            ).sortWithinPartitions(CELL_COL).write.mode(
+                "overwrite"
+            ).partitionBy(CELL_COL).parquet(
+                f"{artifact_dir}/{VECTORS_DIR}"
+            )
+            _write_centroids(
+                spark, f"{artifact_dir}/{CENTROIDS_DIR}", centroids
+            )
+            cal = cal_fut.result() if cal_fut is not None else None
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
         return {
             "layout": "ivf-parquet-v1",
             "nlist_effective": int(k_eff),

@@ -1483,15 +1483,22 @@ class VamanaEngine:
         )
         # hits are usually the small side — the label map scales with
         # the index, so IT must stream. But the hit count grows with
-        # the query batch: only hint the broadcast while the known row
-        # count stays well under Spark's broadcast limits; a huge query
+        # the query batch: only hint the broadcast while the row count
+        # stays well under Spark's broadcast limits; a huge query
         # batch falls back to a shuffle join rather than collecting
-        # hits to the driver. Round 15: _hits_batch now merges to the
-        # global top-k in-task, so the emission is ~queries x k (2x
-        # margin for k-th-place distance ties / NaN degradation), not
-        # queries x shards x k — query batches that used to trip the
-        # cap into a shuffle join now broadcast correctly.
-        est_hits = len(qrows) * 2 * k
+        # hits to the driver. Round 15: _hits_batch merges to the
+        # global top-k in-task, so the emission is ~queries x k.
+        # Round 16 (r15 VERDICT item 5): the old 2x tie margin was a
+        # heuristic that a pathological all-ties / NaN-degenerate
+        # shard set could undershoot (up to probed_shards x k rows per
+        # query survive the d <= k-th cut); bound by the worst case by
+        # construction instead — the hint can now only OVER-estimate,
+        # never a driver-memory risk. Bench-scale plans are unchanged
+        # (50-query legs: 50 x <=128 x 10 well under the cap).
+        probed = len(shard_files)
+        if probe_sets is not None:
+            probed = max((len(s) for s in probe_sets), default=probed)
+        est_hits = len(qrows) * min(max(1, probed), len(shard_files)) * k
         joined = (
             F.broadcast(hits) if est_hits <= 2_000_000 else hits
         ).join(labels, on=["shard", "label"])
