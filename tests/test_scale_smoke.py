@@ -724,7 +724,19 @@ def test_vamana_10m_routed_tier(spark, cat):
     walls are slower — the canary-relative metric does not transfer
     across host profiles); anchors bit-identical in all four runs.
     Per-task attribution, not the raw wall, is the durable evidence
-    here."""
+    here.
+
+    ROUND 16 (the r15-named robust_prune kernel floor CUT by the
+    compiled choose loops, _prune_c — bit-identical decisions, pair
+    rows through the same cblas_sgemv): graph_insert 12,200-12,680 ->
+    **7,981 task-seconds** (-37%, well under the r15 verdict's <10k
+    bar) and the raw wall 701.9-762.4 (this sandbox) / 600.6 (r15's
+    quiet best) -> **463.7s** — BOTH halves of the carried 10M bar
+    closed in one run (2026-08-18, packed 834 partitions, idle host):
+    routing-kmeans 35.7s, composite 386.8s, fused-calibration 39.2s,
+    truth 6.9s, search 2.2s, 10k-query search_table 17.9s at recall@5
+    0.931. Anchors bit-identical again: recall 0.904, route_nprobe
+    23, measured L 32, anchor end 0.9031."""
     _graph_10m_smoke(
         spark, cat, "smoke_vam10m", "diskann",
         dict(max_degree=16, build_complexity=32),
