@@ -951,7 +951,14 @@ class VamanaGraph:
         # gather cost more than the skipped python scans saved.)
         for t, j in enumerate(need):
             # the small-pool occlusion scan of robust_prune, over the
-            # precomputed batched ratio rows (same decisions)
+            # precomputed batched ratio rows (same decisions) — round
+            # 16: the compiled loop (comparisons only, bit-identical;
+            # see _prune_c) with the python loop as fallback
+            chosen_c = _prune_c.choose_small(ratio[t], degree,
+                                             self.alpha, inc)
+            if chosen_c is not None:
+                self._set_neighbors(j, [int(Ps[t, i]) for i in chosen_c])
+                continue
             rl = ratio[t].tolist()
             chosen: list[int] = []
             cur_alpha = 1.0
